@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core analytics queries proving the engine's query surface
+  * (aggregation, multi-way joins, windows, semi/anti joins, rollup).
+  *
+  * Oracle-parity rules (SURVEY.md §5): money sums go through
+  * decimal(18,4) so they are order-independent and bit-identical to
+  * DuckDB after a final cast to double; counts stay bigint; every query
+  * ends in a deterministic ORDER BY with explicit null placement.
+  *
+  * Scale notes: dimension joins (region/nation/customer/supplier) are
+  * broadcast; fact-fact joins shuffle on the join key and rely on AQE for
+  * skew. Filters are plain Column predicates so they push into the scan.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  /** Order-independent money sum: exact decimal accumulate, double out. */
+  private def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1-style pricing summary (ref capability: View over fact table). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    // customer is a dim at any SF → broadcast; orders⋈lineitem shuffles on orderkey.
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style snowflake join: local supplier volume per nation. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window functions: top-3 customers by balance per nation. */
+  def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.load(spark, dir, "customer")
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
+      .orderBy("c_nationkey", "rank_in_nation")
+  }
+
+  val qTopCustomersSql: String =
+    """SELECT c_nationkey, c_custkey, c_name, c_acctbal, rank_in_nation
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+      |  FROM customer
+      |) t
+      |WHERE rank_in_nation <= 3
+      |ORDER BY c_nationkey, rank_in_nation""".stripMargin
+
+  /** Anti join: orders with no lineitem rows. */
+  def qOrdersNoLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val qOrdersNoLineitemSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Rollup over returnflag/linestatus: multi-level aggregation. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_top_customers" -> (qTopCustomers _),
+    "q_orders_no_lineitem" -> (qOrdersNoLineitem _),
+    "q_rollup" -> (qRollup _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "q_top_customers" -> qTopCustomersSql,
+    "q_orders_no_lineitem" -> qOrdersNoLineitemSql,
+    "q_rollup" -> qRollupSql)
+}

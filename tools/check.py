@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: tools/check.py [sfdir] [outdir]
+  1. assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran
+  2. registers each test table as a DuckDB view
+  3. runs each oracle_sql.json query, compares to outdir/<name> parquet:
+     columns sorted by name, rows sorted by all columns, exact value match.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+failures = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        failures += 1
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}")
+        failures += 1
+        continue
+    def canon(df):
+        df = df[sorted(df.columns)]
+        if len(df):
+            df = df.sort_values(by=list(df.columns), kind="mergesort")
+        return df.reset_index(drop=True)
+    got, want = canon(got), canon(want)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        failures += 1
+        continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+        failures += 1
+        continue
+    try:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        print(f"OK   {name}: {len(got)} rows")
+    except AssertionError as e:
+        print(f"FAIL {name}: {str(e).splitlines()[0]}")
+        # show first mismatching cells
+        for c in got.columns:
+            neq = ~((got[c] == want[c]) | (got[c].isna() & want[c].isna()))
+            if neq.any():
+                i = neq.idxmax()
+                print(f"  col {c} row {i}: got={got[c][i]!r} want={want[c][i]!r}")
+        failures += 1
+print(f"\n{len(oracle)-failures}/{len(oracle)} queries match")
+sys.exit(1 if failures else 0)

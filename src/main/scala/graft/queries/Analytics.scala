@@ -20,8 +20,19 @@ import graft.Tables
 object Analytics {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
-  /** Order-independent money sum: exact decimal accumulate, double out. */
-  private def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent money sum: exact decimal accumulate, then downcast
+    * to scale 4 (exact — inputs have ≤2 true decimals) BEFORE the double
+    * cast. The downcast keeps the unscaled value < 2^53 so the
+    * decimal→double conversion is a single correctly-rounded division in
+    * both Spark and DuckDB; casting a high-scale decimal directly to
+    * double double-rounds in DuckDB (int128→double, then ÷10^scale). */
+  private def moneySum(c: Column): Column =
+    sum(dec(c)).cast("decimal(38,4)").cast("double")
+
+  /** Same for sums of decimal products (≤4 true decimals). */
+  private def productSum(c: Column): Column =
+    sum(c).cast("decimal(38,4)").cast("double")
 
   /** TPC-H Q1-style pricing summary (ref capability: View over fact table). */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
@@ -31,17 +42,17 @@ object Analytics {
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast("double").as("sum_disc_price"),
+        productSum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -61,8 +72,8 @@ object Analytics {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(productSum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -70,7 +81,7 @@ object Analytics {
 
   val q3ShippingSql: String =
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -101,14 +112,14 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(productSum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5LocalSupplierSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -167,7 +178,7 @@ object Analytics {
 
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.rules._
+
+/** Driver-contract queries exercising the rules (assertion) engine —
+  * SURVEY.md §2 items 1-5. Each query has a DuckDB oracle built from the
+  * same predicate text, so the semantics (not-TRUE ⇒ invalid, concat_ws
+  * reason joining, single-pass report) are verified value-for-value.
+  */
+object QualityQueries {
+
+  /** The standard lineitem quality rules used by the qc_assert_* queries. */
+  val lineitemRules: Seq[Rule] = Seq(
+    Rule("l_quantity > 0 AND l_quantity <= 45", "quantity in (0,45]", 0.01),
+    Rule("l_discount BETWEEN 0 AND 0.08", "discount within [0,0.08]", 0.10),
+    Rule("l_extendedprice > 1000", "extended price above 1000", 0.02))
+
+  private val ruleSqlPieces: Seq[(String, String)] = lineitemRules.map(r => (r.query, r.description))
+
+  /** §2.1 — invalid rows + reason column over lineitem. */
+  def qcAssertInvalid(spark: SparkSession, dir: String): DataFrame = {
+    RuleRunner.invalidRows(Tables.load(spark, dir, "lineitem"), lineitemRules)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice", RuleRunner.ReasonCol)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qcAssertInvalidSql: String = {
+    val reasons = ruleSqlPieces
+      .map { case (q, d) => s"CASE WHEN ($q) THEN NULL ELSE '$d' END" }
+      .mkString(", ")
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice,
+       |  concat_ws(' &&& ', $reasons) AS __REASON_INVALID__
+       |FROM lineitem
+       |WHERE concat_ws(' &&& ', $reasons) <> ''
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** §2.2 — per-rule report (numInvalid/fractionInvalid/failed), one pass. */
+  def qcAssertReport(spark: SparkSession, dir: String): DataFrame =
+    RuleRunner.reportDF(spark, Tables.load(spark, dir, "lineitem"), lineitemRules)
+
+  val qcAssertReportSql: String = {
+    val pieces = lineitemRules.zipWithIndex.map { case (r, i) =>
+      s"""SELECT ${i + 1} AS rule_id, '${r.description}' AS description,
+         |  CAST(${r.threshold} AS DOUBLE) AS threshold,
+         |  COUNT(*) AS total_rows,
+         |  SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS num_invalid,
+         |  CAST(SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fraction_invalid,
+         |  (CAST(SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > ${r.threshold} AS failed
+         |FROM lineitem""".stripMargin
+    }
+    pieces.mkString("", "\nUNION ALL\n", "\nORDER BY rule_id")
+  }
+
+  /** §2.3 — user-defined feature columns flow into rule + output. */
+  def qcAssertFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(Rule(
+      query = "disc_price <= 90000",
+      description = "discounted price within bound",
+      threshold = 0.05,
+      features = Map("disc_price" ->
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE)")))
+    RuleRunner.invalidRows(Tables.load(spark, dir, "lineitem"), rules)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "disc_price", RuleRunner.ReasonCol)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qcAssertFeaturesSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_price,
+      |  'discounted price within bound' AS __REASON_INVALID__
+      |FROM lineitem
+      |WHERE NOT (CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) <= 90000)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** §2.4 — summary aggregates over a rule's invalid rows. */
+  def qcAssertSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rule = Rule(
+      query = "o_totalprice <= 400000",
+      description = "order total within bound",
+      threshold = 0.25,
+      summary = Map(
+        "n_invalid" -> "COUNT(*)",
+        "sum_excess" -> "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)) - 400000) AS DOUBLE)",
+        "max_total" -> "MAX(o_totalprice)"))
+    val rep = RuleRunner.reports(Tables.load(spark, dir, "orders"), Seq(rule)).head
+    Seq((rep.description, rep.numInvalid,
+      rep.summaryStats("n_invalid").asInstanceOf[Long],
+      rep.summaryStats("sum_excess").asInstanceOf[Double],
+      rep.summaryStats("max_total").asInstanceOf[Double]))
+      .toDF("description", "num_invalid", "n_invalid", "sum_excess", "max_total")
+  }
+
+  val qcAssertSummarySql: String =
+    """SELECT 'order total within bound' AS description,
+      |  COUNT(*) AS num_invalid,
+      |  COUNT(*) AS n_invalid,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)) - 400000) AS DOUBLE) AS sum_excess,
+      |  MAX(o_totalprice) AS max_total
+      |FROM orders
+      |WHERE NOT (o_totalprice <= 400000)""".stripMargin
+
+  /** §2.5 — distributed context windows around invalid rows: for every
+    * customer having an out-of-bound order, all of that customer's orders
+    * ranked by date. */
+  def qcAssertWindow(spark: SparkSession, dir: String): DataFrame = {
+    val rule = Rule("o_totalprice <= 490000", "order total within bound", 0.0)
+    val params = SampleWindowParams(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+    RuleRunner.sampleWindows(Tables.load(spark, dir, "orders"), rule, params)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "window_rank")
+      .orderBy("o_custkey", "window_rank")
+  }
+
+  val qcAssertWindowSql: String =
+    """SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey) AS window_rank
+      |FROM orders o
+      |WHERE o.o_custkey IN (SELECT o_custkey FROM orders WHERE NOT (o_totalprice <= 490000))
+      |ORDER BY o_custkey, window_rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_assert_invalid" -> (qcAssertInvalid _),
+    "qc_assert_report" -> (qcAssertReport _),
+    "qc_assert_features" -> (qcAssertFeatures _),
+    "qc_assert_summary" -> (qcAssertSummary _),
+    "qc_assert_window" -> (qcAssertWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "qc_assert_invalid" -> qcAssertInvalidSql,
+    "qc_assert_report" -> qcAssertReportSql,
+    "qc_assert_features" -> qcAssertFeaturesSql,
+    "qc_assert_summary" -> qcAssertSummarySql,
+    "qc_assert_window" -> qcAssertWindowSql)
+}

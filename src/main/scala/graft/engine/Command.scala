@@ -1,0 +1,82 @@
+package graft.engine
+
+import graft.rules.Rule
+import graft.diff.{DiffConfig, DiffSide}
+
+/** Reference to one input dataset of a command
+  * (reference: tnengine/TnCmd.scala + USER_GUIDE "Input").
+  *
+  * @param ref       path on storage (when onDisk) or the outputKey of an
+  *                  earlier command
+  * @param onDisk    true → load from storage; false → lookup table
+  * @param format    explicit source format (parquet/csv/json/orc); when
+  *                  absent, inferred from delimiter or file extension
+  * @param delimiter for delimited text inputs (header + inferSchema, as in
+  *                  the reference)
+  */
+case class InputRef(
+    ref: String,
+    onDisk: Boolean,
+    format: Option[String] = None,
+    delimiter: Option[String] = None)
+
+/** A plan step. Mirrors the reference's command surface
+  * (reference: tnengine/TnCmd.scala:30-48): every command stores its
+  * output under `outputKey`, may cache it, persist it to `outputPath`
+  * (parquet), and mount it as a SQL table. */
+sealed trait Command {
+  def outputKey: String
+  def cache: Boolean
+  def outputPath: Option[String]
+  def tableName: Option[String]
+}
+
+case class AssertionCommand(
+    input: InputRef,
+    rules: Seq[Rule],
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
+case class DiffCommand(
+    input1: InputRef,
+    input1Name: String,
+    input2: InputRef,
+    input2Name: String,
+    joinColumns1: Seq[String],
+    diffColumns1: Seq[String],
+    joinColumns2: Seq[String],
+    diffColumns2: Seq[String],
+    numericThreshold: Double = 1e-6,
+    perColumnThresholds: Option[Seq[Double]] = None,
+    filterEqualRows: Boolean = false,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command {
+  def diffConfig: DiffConfig = DiffConfig(
+    DiffSide(joinColumns1, diffColumns1), DiffSide(joinColumns2, diffColumns2),
+    input1Name, input2Name, numericThreshold, perColumnThresholds,
+    filterEqualRows)
+}
+
+case class ViewCommand(
+    inputs: Seq[InputRef],
+    tableAliases: Seq[String],
+    query: String,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
+/** Nested plan (reference: USER_GUIDE "Nested Plan"). */
+case class PlanCommand(plan: Plan) extends Command {
+  val outputKey = ""
+  val cache = false
+  val outputPath: Option[String] = None
+  val tableName: Option[String] = None
+}
+
+/** An ordered list of commands plus the report destination. */
+case class Plan(commands: Seq[Command], reportDest: Option[String] = None)

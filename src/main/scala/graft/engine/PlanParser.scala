@@ -1,0 +1,140 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.rules.{Rule, SampleWindowParams}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Parses plan JSON into [[Plan]] (reference: tnengine/TnEngine.scala:282-351,
+  * tnengine/TnReader.scala).
+  *
+  * Differences from the reference, by design:
+  *  - command parameters may be inlined under `params` OR referenced via
+  *    `externalParamsFile` (path relative to the parent plan file);
+  *  - `${variable}` substitution happens on the raw JSON text, as in the
+  *    reference's TnReader;
+  *  - parse errors carry the failing command index instead of a partial
+  *    TnErrorCmd list.
+  */
+object PlanParser {
+  private val mapper = new ObjectMapper()
+
+  def parseFile(path: String, variables: Map[String, String] = Map.empty): Plan = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    parse(text, variables, Some(Paths.get(path).toAbsolutePath.getParent))
+  }
+
+  def parse(json: String, variables: Map[String, String] = Map.empty,
+      baseDir: Option[Path] = None): Plan = {
+    val substituted = variables.foldLeft(json) { case (s, (k, v)) =>
+      s.replace("${" + k + "}", v)
+    }
+    planFromNode(mapper.readTree(substituted), baseDir)
+  }
+
+  private def planFromNode(root: JsonNode, baseDir: Option[Path]): Plan = {
+    val dest = Option(root.path("io").path("dest").asText(null))
+    val commands = root.path("commands").elements().asScala.zipWithIndex.map {
+      case (node, i) =>
+        try commandFromNode(node, baseDir)
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(
+              s"Invalid command at index $i: ${e.getMessage}", e)
+        }
+    }.toSeq
+    Plan(commands, dest)
+  }
+
+  private def commandFromNode(node: JsonNode, baseDir: Option[Path]): Command = {
+    // merge externalParamsFile content under "params" when present
+    val params: JsonNode = {
+      val ext = Option(node.get("externalParamsFile")).map(_.asText())
+      ext match {
+        case Some(rel) =>
+          val p = baseDir match {
+            case Some(b) if !rel.startsWith("/") => b.resolve(rel)
+            case _ => Paths.get(rel)
+          }
+          mapper.readTree(new String(Files.readAllBytes(p), "UTF-8"))
+        case None => node.path("params")
+      }
+    }
+    node.path("command").asText() match {
+      case "assertion" =>
+        AssertionCommand(
+          input = inputRef(node.get("input")),
+          rules = params.path("assertions").elements().asScala.map(ruleFromNode).toSeq,
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
+      case "diff" =>
+        val c1 = params.path("input1Columns")
+        val c2 = params.path("input2Columns")
+        DiffCommand(
+          input1 = inputRef(node.get("input1")),
+          input1Name = node.path("input1Name").asText(),
+          input2 = inputRef(node.get("input2")),
+          input2Name = node.path("input2Name").asText(),
+          joinColumns1 = strings(c1.path("joinColumns")),
+          diffColumns1 = strings(c1.path("diffColumns")),
+          joinColumns2 = strings(c2.path("joinColumns")),
+          diffColumns2 = strings(c2.path("diffColumns")),
+          numericThreshold =
+            if (node.has("threshold")) node.get("threshold").asDouble else 1e-6,
+          perColumnThresholds =
+            if (params.has("thresholds"))
+              Some(params.get("thresholds").elements().asScala.map(_.asDouble).toSeq)
+            else None,
+          filterEqualRows = node.path("filterEqualRows").asBoolean(false),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
+      case "view" =>
+        ViewCommand(
+          inputs = node.path("inputs").elements().asScala.map(inputRef).toSeq,
+          tableAliases = strings(params.path("tableAliases")),
+          query = params.path("query").asText(),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
+      case "plan" =>
+        PlanCommand(planFromNode(params, baseDir))
+      case other =>
+        throw new IllegalArgumentException(
+          s"command must be assertion, diff, view, or plan; got '$other'")
+    }
+  }
+
+  private def ruleFromNode(n: JsonNode): Rule = Rule(
+    query = n.path("query").asText(),
+    description = n.path("description").asText(),
+    threshold = n.path("threshold").asDouble(),
+    features = mapOf(n.path("userDefinedFeatures")),
+    summary = mapOf(n.path("userDefinedSummaryExpr")),
+    sampleWindow =
+      if (n.has("sampleWindowParams")) {
+        val w = n.get("sampleWindowParams")
+        Some(SampleWindowParams(
+          strings(w.path("idsForWindowPartitioning")),
+          strings(w.path("orderEachWindowBy"))))
+      } else None)
+
+  private def inputRef(n: JsonNode): InputRef = InputRef(
+    ref = n.path("ref").asText(),
+    onDisk = n.path("onDisk").asBoolean(false),
+    format = optText(n, "format"),
+    delimiter = optText(n, "delimiter"))
+
+  private def strings(n: JsonNode): Seq[String] =
+    n.elements().asScala.map(_.asText()).toSeq
+
+  private def mapOf(n: JsonNode): Map[String, String] =
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  private def optText(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).map(_.asText())
+}

@@ -1,0 +1,99 @@
+package graft.engine
+
+import graft.diff.DatasetDiff
+import graft.rules.{RuleReport, RuleRunner}
+import graft.views.ViewCreator
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.collection.mutable
+
+/** Result of running a plan: failed-assertion count (the reference exits
+  * 3 when > 0 — reference: tnengine/TnEngine.scala:47-50), all rule
+  * reports by command, and the key→DataFrame lookup for downstream use. */
+case class PlanResult(
+    numFailedAssertions: Int,
+    reports: Seq[(String, Seq[RuleReport])],
+    outputs: Map[String, DataFrame]) {
+  def exitCode: Int = if (numFailedAssertions > 0) 3 else 0
+}
+
+/** Executes a [[Plan]] sequentially, threading command outputs through a
+  * key→DataFrame lookup table (reference: tnengine/TnEngine.scala:199-279).
+  *
+  * Spark-first notes:
+  *  - outputs stay lazy logical plans unless `cache` is set — a view
+  *    feeding one assertion costs nothing extra, Catalyst fuses the
+  *    pipeline into one job;
+  *  - `outputPath` persists parquet; `tableName` registers a temp view
+  *    (the reference mounts an external Hive table; a library should not
+  *    mutate the metastore);
+  *  - nested plans share the same lookup table, as in the reference.
+  */
+class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None) {
+  private val lookup = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Preload a DataFrame under a key (useful for library callers). */
+  def register(key: String, df: DataFrame): PlanRunner = {
+    lookup.put(key, df); this
+  }
+
+  def resolve(input: InputRef): DataFrame =
+    if (!input.onDisk)
+      lookup.getOrElse(input.ref, throw new IllegalArgumentException(
+        s"Input ${input.ref} not in lookup table."))
+    else input.format.orElse {
+      input.delimiter.map(_ => "csv").orElse {
+        val ext = input.ref.reverse.takeWhile(_ != '.').reverse.toLowerCase
+        Some(ext).filter(Set("csv", "tsv", "json", "orc"))
+      }
+    } match {
+      case Some("csv") | Some("tsv") =>
+        spark.read.format("csv")
+          .option("header", "true")
+          .option("inferSchema", "true")
+          .option("delimiter", input.delimiter.map(_.take(1)).getOrElse(","))
+          .load(input.ref)
+      case Some("json") => spark.read.json(input.ref)
+      case Some("orc") => spark.read.orc(input.ref)
+      case _ => spark.read.parquet(input.ref)
+    }
+
+  def run(plan: Plan, reportKey: String = "plan"): PlanResult = {
+    val reports = mutable.Buffer.empty[(String, Seq[RuleReport])]
+    val failed = runCommands(plan.commands, reports)
+    val writer = reportWriter.orElse(
+      plan.reportDest.map(d => new FsReportWriter(spark, d)))
+    writer.foreach(_.write(reportKey, reports.toSeq))
+    PlanResult(failed, reports.toSeq, lookup.toMap)
+  }
+
+  private def runCommands(cmds: Seq[Command],
+      reports: mutable.Buffer[(String, Seq[RuleReport])]): Int =
+    cmds.map {
+      case c: AssertionCommand =>
+        val input = resolve(c.input)
+        val ruleReports = RuleRunner.reports(input, c.rules)
+        reports.append(c.outputKey -> ruleReports)
+        store(RuleRunner.invalidRows(input, c.rules), c)
+        ruleReports.count(_.failed)
+      case c: DiffCommand =>
+        store(DatasetDiff.diff(resolve(c.input1), resolve(c.input2), c.diffConfig), c)
+        0
+      case c: ViewCommand =>
+        require(c.inputs.length == c.tableAliases.length,
+          "tableAliases must match inputs, by position")
+        store(ViewCreator.createView(spark,
+          c.tableAliases.zip(c.inputs.map(resolve)), c.query), c)
+        0
+      case c: PlanCommand =>
+        runCommands(c.plan.commands, reports)
+    }.sum
+
+  private def store(df: DataFrame, cmd: Command): Unit = {
+    val out = if (cmd.cache) df.cache() else df
+    lookup.put(cmd.outputKey, out)
+    cmd.outputPath.foreach { p =>
+      out.write.mode(SaveMode.Overwrite).parquet(p)
+    }
+    cmd.tableName.foreach(out.createOrReplaceTempView)
+  }
+}

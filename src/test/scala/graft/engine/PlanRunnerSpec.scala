@@ -1,0 +1,112 @@
+package graft.engine
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+class PlanRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plan: view feeds assertion; failed count and reports flow through") {
+    Seq((1, 10.0), (2, -3.0), (3, 5.0)).toDF("id", "bal")
+      .createOrReplaceTempView("unused") // ensure temp-view isolation
+    val runner = new PlanRunner(spark)
+      .register("src", Seq((1, 10.0), (2, -3.0), (3, 5.0)).toDF("id", "bal"))
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "view",
+        |     "inputs": [{"ref": "src", "onDisk": false}],
+        |     "params": {"tableAliases": ["t"],
+        |                "query": "SELECT id, bal * 2 AS bal2 FROM t"},
+        |     "outputKey": "doubled"},
+        |    {"command": "assertion",
+        |     "input": {"ref": "doubled", "onDisk": false},
+        |     "params": {"assertions": [
+        |        {"query": "bal2 > 0", "description": "positive", "threshold": 0.1}]},
+        |     "outputKey": "bad"}
+        |  ]
+        |}""".stripMargin)
+    val res = runner.run(plan)
+    assert(res.numFailedAssertions === 1) // 1/3 invalid > 0.1
+    assert(res.exitCode === 3)
+    assert(res.outputs("bad").select("id").as[Int].collect().toSeq === Seq(2))
+    assert(res.reports.head._2.head.numInvalid === 1)
+  }
+
+  test("nested plans share the lookup table") {
+    val runner = new PlanRunner(spark)
+      .register("src", Seq((1, 2)).toDF("a", "b"))
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "plan", "params": {"commands": [
+        |       {"command": "view", "inputs": [{"ref": "src", "onDisk": false}],
+        |        "params": {"tableAliases": ["s"], "query": "SELECT a + b AS c FROM s"},
+        |        "outputKey": "inner"}]}},
+        |    {"command": "view", "inputs": [{"ref": "inner", "onDisk": false}],
+        |     "params": {"tableAliases": ["i"], "query": "SELECT c * 10 AS d FROM i"},
+        |     "outputKey": "outer"}
+        |  ]
+        |}""".stripMargin)
+    val res = runner.run(plan)
+    assert(res.outputs("outer").select("d").as[Int].collect().toSeq === Seq(30))
+  }
+
+  test("diff command wires through config including thresholds") {
+    val runner = new PlanRunner(spark)
+      .register("a", Seq((1, 10.0), (2, 20.0)).toDF("id", "v"))
+      .register("b", Seq((1, 10.4), (2, 28.0)).toDF("id", "v"))
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "diff",
+        |     "input1": {"ref": "a", "onDisk": false}, "input1Name": "cur",
+        |     "input2": {"ref": "b", "onDisk": false}, "input2Name": "old",
+        |     "threshold": 0.5,
+        |     "params": {
+        |       "input1Columns": {"joinColumns": ["id"], "diffColumns": ["v"]},
+        |       "input2Columns": {"joinColumns": ["id"], "diffColumns": ["v"]}},
+        |     "outputKey": "d"}
+        |  ]
+        |}""".stripMargin)
+    val out = runner.run(plan).outputs("d")
+    val st = out.select("cur_id", "cur_v__equals__old_v")
+      .as[(Int, String)].collect().toMap
+    assert(st(1) === graft.diff.DatasetDiff.Equal)
+    assert(st(2) === graft.diff.DatasetDiff.NotEqual)
+  }
+
+  test("report writer receives per-group reports; FsReportWriter writes JSON") {
+    val tmp = Files.createTempDirectory("graft_report").toString
+    val runner = new PlanRunner(spark)
+      .register("src", Seq((1, -1.0)).toDF("id", "bal"))
+    val plan = PlanParser.parse(
+      s"""{
+         |  "io": {"writer": "file", "dest": "$tmp"},
+         |  "commands": [
+         |    {"command": "assertion", "input": {"ref": "src", "onDisk": false},
+         |     "params": {"assertions": [
+         |        {"query": "bal > 0", "description": "pos", "threshold": 0.0}]},
+         |     "outputKey": "k"}
+         |  ]
+         |}""".stripMargin)
+    runner.run(plan, reportKey = "myreport")
+    val written = new String(
+      Files.readAllBytes(Paths.get(tmp, "myreport.json")), "UTF-8")
+    assert(written.contains("\"outputKey\" : \"k\""))
+    assert(written.contains("\"numInvalid\" : 1"))
+    assert(written.contains("\"failed\" : true"))
+  }
+
+  test("variable substitution and unknown command errors") {
+    val plan = PlanParser.parse(
+      """{"commands":[{"command":"view","inputs":[{"ref":"${key}","onDisk":false}],
+        |"params":{"tableAliases":["t"],"query":"SELECT * FROM t"},"outputKey":"o"}]}"""
+        .stripMargin,
+      variables = Map("key" -> "resolved"))
+    assert(plan.commands.head.asInstanceOf[ViewCommand].inputs.head.ref === "resolved")
+    intercept[IllegalArgumentException] {
+      PlanParser.parse("""{"commands":[{"command":"bogus"}]}""")
+    }
+  }
+}

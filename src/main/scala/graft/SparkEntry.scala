@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, DiffViewQueries, EngineQueries, QualityQueries}
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ QualityQueries.queries ++ DiffViewQueries.queries ++
-      EngineQueries.queries
+      EngineQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ QualityQueries.oracles ++ DiffViewQueries.oracles ++
-      EngineQueries.oracles
+      EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ EventQueries.oracles
 }

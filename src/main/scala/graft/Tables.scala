@@ -14,7 +14,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright. Read nanos as long (legacy conf) and truncate to
+    * microsecond timestamps — the generator never emits sub-microsecond
+    * components, so this matches DuckDB's own ns→us coercion exactly.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Register every table as a temp view so SQL can reference it by name. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Building blocks shared by the text/dedup/similarity operators.
+  *
+  * Everything here is *portable*: the same value is computable in any
+  * engine with md5 + IEEE-754 doubles (the DuckDB oracles reproduce them
+  * exactly). Two hard rules keep cross-engine bit-parity (SURVEY.md §5):
+  *
+  *  1. hashes derive from md5 hex (identical everywhere) — never from
+  *     engine-specific hash functions (Spark murmur3 ≠ DuckDB hash);
+  *  2. float reductions fold LEFT-TO-RIGHT over array order
+  *     (`aggregate`) — never via SUM over rows, whose accumulation order
+  *     is nondeterministic in a distributed engine.
+  *
+  * All functions are codegen-friendly `Column` expressions (no UDFs).
+  */
+object Portable {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 32-bit hash from the first 8 md5 hex chars, as an unsigned long. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member `seed`. */
+  def md5Hash32(seed: Int, c: Column): Column =
+    md5Hash32(concat_ws(":", lit(seed), c))
+
+  /** MinHash value for one permutation: min seeded hash over tokens. */
+  def minhash(toks: Column, seed: Int): Column =
+    array_min(transform(toks, t => md5Hash32(seed, t)))
+
+  /** Distinct word n-gram (shingle) md5 hashes of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Cast a float array to doubles (exact). */
+  def asDoubles(a: Column): Column = a.cast("array<double>")
+
+  /** Left-to-right fold dot product over two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity with sequential-fold norms (deterministic). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Count of tokens contained in a fixed vocabulary list. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Driver-contract queries for the dedup family — SURVEY.md §2 items
+  * 20-25. Every hash is md5-derived so the DuckDB oracles reproduce the
+  * exact values (`('0x' || substr(md5(x),1,8))::BIGINT` ≡ Spark
+  * `conv(substring(md5(x),1,8),16,10)`).
+  */
+object DedupQueries {
+
+  private val NumPerms = 16
+  private val BandSize = 8
+
+  /** §2.20 — exact dedup groups by content hash. */
+  def qdExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("content_hash")
+
+  val qdExactSql: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  /** §2.21 — 16-permutation MinHash signatures. */
+  def qdMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashSignature(Tables.load(spark, dir, "documents"), "text", NumPerms)
+      .select(col("doc_id") +: (0 until NumPerms).map(k => col(s"sig_$k")): _*)
+      .orderBy("doc_id")
+
+  private def sigSqlExpr(k: Int): String =
+    s"""list_min(list_transform(list_distinct(string_split(text, ' ')),
+       | t -> ('0x' || substr(md5('$k:' || t), 1, 8))::BIGINT))""".stripMargin.replace("\n", "")
+
+  val qdMinhashSql: String = {
+    val sigs = (0 until NumPerms).map(k => s"  ${sigSqlExpr(k)} AS sig_$k").mkString(",\n")
+    s"SELECT doc_id,\n$sigs\nFROM documents\nORDER BY doc_id"
+  }
+
+  /** §2.22 — LSH banded candidate pairs (2 bands × 8 rows). */
+  def qdMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", NumPerms, BandSize)
+      .orderBy("id_a", "id_b")
+
+  val qdMinhashPairsSql: String = {
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => sigSqlExpr(b * BandSize + j))
+      s"md5(concat_ws('_', ${parts.mkString(", ")})) AS band_$b"
+    }
+    s"""WITH sigs AS (
+       |  SELECT doc_id, ${bands.mkString(",\n    ")}
+       |  FROM documents
+       |), banded AS (
+       |  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band_idx, band_1 AS band_val FROM sigs
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** §2.23 — 32-bit SimHash per document. */
+  def qdSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash32(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  val qdSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+      |), bits AS (
+      |  SELECT doc_id, r.range AS bit,
+      |    SUM(CASE WHEN (h & (1::BIGINT << r.range)) <> 0 THEN 1 ELSE -1 END) AS cnt
+      |  FROM hashed CROSS JOIN range(0, 32) r
+      |  GROUP BY doc_id, r.range
+      |)
+      |SELECT doc_id,
+      |  SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      |FROM bits
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** §2.24 — 3-gram Jaccard for pairs blocked by source. */
+  def qdNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 3, "source")
+      .orderBy("id_a", "id_b")
+
+  val qdNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.25 — embedding cosine near-dup pairs blocked by label. */
+  def qdEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", "label")
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .where(col("cosine") >= 0.2)
+      .orderBy("id_a", "id_b")
+
+  val qdEmbeddingSql: String =
+    """WITH v AS (
+      |  SELECT label, vec_id, embedding FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, 65),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |  , 6) AS cosine
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, 65),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |  , 6) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_exact" -> (qdExact _),
+    "qd_minhash" -> (qdMinhash _),
+    "qd_minhash_pairs" -> (qdMinhashPairs _),
+    "qd_simhash" -> (qdSimhash _),
+    "qd_ngram_jaccard" -> (qdNgramJaccard _),
+    "qd_embedding" -> (qdEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "qd_exact" -> qdExactSql,
+    "qd_minhash" -> qdMinhashSql,
+    "qd_minhash_pairs" -> qdMinhashPairsSql,
+    "qd_simhash" -> qdSimhashSql,
+    "qd_ngram_jaccard" -> qdNgramJaccardSql,
+    "qd_embedding" -> qdEmbeddingSql)
+}

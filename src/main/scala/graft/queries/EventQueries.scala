@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time analytics over the `events` table — SURVEY.md §2 items
+  * 32-33 (batch semantics; the streaming equivalents run over the same
+  * logic in graft.streaming with watermarks, tested by MemoryStream
+  * parity in EventStreamSpec).
+  */
+object EventQueries {
+
+  private def valueSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("decimal(38,4)").cast("double")
+
+  /** §2.32 — tumbling 1-hour window counts + value sums per event type. */
+  def qeWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), valueSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val qeWindowsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** §2.33 — gap-based sessionization (30-minute inactivity closes a
+    * session), assembled from lag + running sum + aggregation. */
+  def qeSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(lagTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(lagTs) > 1800000000L, 1).otherwise(0)
+    Tables.load(spark, dir, "events")
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qeSessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Top spenders among purchase events (windowed top-k composes the
+    * surface already covered; this is the headline event rollup). */
+  def qeTopkUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), valueSum(col("value")).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("user_id"))
+      .limit(10)
+
+  val qeTopkUsersSql: String =
+    """SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_spend
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY total_spend DESC, user_id
+      |LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_windows" -> (qeWindows _),
+    "qe_sessions" -> (qeSessions _),
+    "qe_topk_users" -> (qeTopkUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "qe_windows" -> qeWindowsSql,
+    "qe_sessions" -> qeSessionsSql,
+    "qe_topk_users" -> qeTopkUsersSql)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Text-analysis operators over the `documents` table — SURVEY.md §2
+  * items 28-31: token counting, quality scoring, language-ID scoring,
+  * document fingerprinting. All metrics are plain column expressions
+  * (whole-stage codegen, no UDFs) and scale linearly with the corpus —
+  * no shuffle at all: one scan, one projection per document.
+  */
+object TextQueries {
+
+  /** §2.28 — whitespace token count + regex (BPE-ish) token count. */
+  def qtTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+          .as("n_tokens_re"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  val qtTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens_re,
+      |  length(text) AS len_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** §2.29 — quality score from length / distinctness / stopword ratios.
+    * All doubles derive from exact integer counts through identical
+    * expression trees, so values are bit-identical across engines. */
+  def qtQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = countIn(toks, stopwords).cast("double") / nTok
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        distinctRatio.as("distinct_ratio"),
+        lenScore.as("len_score"),
+        (lit(0.3) * lenScore + lit(0.4) * distinctRatio +
+          lit(0.3) * (lit(1.0) - stopRatio)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qtQualitySql: String = {
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+       |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+       |  0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+       |    + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |    + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |             / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stopword profiles per language for the ID heuristic. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  /** §2.30 — language-ID: stopword-profile hit counts + argmax with a
+    * fixed priority order for ties. */
+  def qtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> countIn(toks, words)
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und"): Column) {
+      case ((lang, score), els) => when(score === maxScore && maxScore > 0, lang).otherwise(els)
+    }
+    // foldRight gives en > es > de > fr > zh priority on ties
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id") +:
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        predicted.as("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  val qtLangidSql: String = {
+    def cnt(words: Seq[String]) = {
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))"
+    }
+    val scoreCols = langProfiles
+      .map { case (l, ws) => s"  ${cnt(ws)} AS score_$l," }.mkString("\n")
+    val greatest = "greatest(" + langProfiles.map(p => cnt(p._2)).mkString(", ") + ")"
+    val caseExpr = langProfiles.map { case (l, ws) =>
+      s"WHEN ${cnt(ws)} = $greatest AND $greatest > 0 THEN '$l'"
+    }.mkString("\n    ", "\n    ", "\n    ELSE 'und' END")
+    s"""SELECT doc_id,
+       |$scoreCols
+       |  CASE$caseExpr AS predicted_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** §2.31 — document fingerprint: minimum md5 over 5-word shingles
+    * (a 1-permutation MinHash — robust to local edits). */
+  def qtFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(size(toks) >= 5,
+          array_min(transform(
+            sequence(lit(1), size(toks) - 4),
+            i => md5(concat_ws(" ", slice(toks, i, lit(5)))))))
+          .otherwise(lit(null)).as("fingerprint"),
+        md5(col("text")).as("exact_hash"))
+      .orderBy("doc_id")
+  }
+
+  val qtFingerprintSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+      |    list_min(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 3),
+      |      i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))))
+      |  ELSE NULL END AS fingerprint,
+      |  md5(text) AS exact_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_tokens" -> (qtTokens _),
+    "qt_quality" -> (qtQuality _),
+    "qt_langid" -> (qtLangid _),
+    "qt_fingerprint" -> (qtFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "qt_tokens" -> qtTokensSql,
+    "qt_quality" -> qtQualitySql,
+    "qt_langid" -> qtLangidSql,
+    "qt_fingerprint" -> qtFingerprintSql)
+}

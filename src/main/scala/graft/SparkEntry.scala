@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ QualityQueries.queries ++ DiffViewQueries.queries ++
       EngineQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ QualityQueries.oracles ++ DiffViewQueries.oracles ++
       EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ EventQueries.oracles
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      MultimodalQueries.oracles
 }

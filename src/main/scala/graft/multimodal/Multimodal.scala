@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing — SURVEY.md §2 item 35.
+  *
+  * Media assets are opaque `binary` columns + a typed metadata struct —
+  * the layout a 100 TB training-data lake uses (content inline for small
+  * assets; the same schema carries object-store pointers for large ones).
+  * Decode / feature-extract / resize / frame-sample run per PARTITION:
+  * the expensive decoder state is initialised once per partition, rows
+  * stream through it, and Spark distributes partitions across executors.
+  * No driver involvement, no shuffle — scale is linear in input splits.
+  *
+  * The decoder itself is a clearly-marked deterministic STUB (this
+  * container ships no image/audio codecs): it derives pseudo
+  * width/height/frame geometry from the bytes. Everything AROUND it —
+  * the binary schema, the typed Dataset boundary, per-partition init,
+  * the feature schema — is the real production shape; swapping the stub
+  * for e.g. a JNI JPEG decoder changes no plan topology.
+  */
+object Multimodal {
+
+  /** One media asset: opaque content + typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String,
+    content: Array[Byte], n_bytes: Long)
+
+  /** Extracted features (stub geometry + exact content stats). */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+    byte_sum: Long, width: Long, height: Long, resized_w: Long,
+    resized_h: Long, n_frames: Long, content_md5: String)
+
+  /** Wrap the documents table as binary media records (UTF-8 bytes as
+    * the opaque payload; `source` becomes the media type tag). */
+  def asMedia(documents: DataFrame): Dataset[MediaRecord] = {
+    import documents.sparkSession.implicits._
+    documents.select(
+      col("doc_id"),
+      concat(lit("blob/"), col("source")).as("media_type"),
+      col("text").cast("binary").as("content"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Per-partition decode + feature extraction. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Per-partition init: a real pipeline opens its native decoder
+      // context here, once, not per row.
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        // ---- STUB DECODER (deterministic; replaces absent codecs) ----
+        var byteSum = 0L
+        var i = 0
+        while (i < r.content.length) { byteSum += r.content(i) & 0xff; i += 1 }
+        val width = 1L + byteSum % 64
+        val height = 1L + r.n_bytes % 48
+        val nFrames = 1L + byteSum % 7
+        // --------------------------------------------------------------
+        md5.reset()
+        val hex = md5.digest(r.content).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.media_type, r.n_bytes, byteSum,
+          width, height, math.min(width, 32L), math.min(height, 32L),
+          nFrames, hex)
+      }
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** SURVEY.md §2 item 35 — binary media columns + partition-aware
+  * feature extraction, verified against a DuckDB oracle that recomputes
+  * the stub decoder's arithmetic over the same bytes (documents are
+  * ASCII, so code points == bytes).
+  */
+object MultimodalQueries {
+
+  def qmBinaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.asMedia(Tables.load(spark, dir, "documents")))
+      .toDF().orderBy("doc_id")
+
+  val qmBinaryFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, 'blob/' || source AS media_type,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    CAST(list_sum(list_transform(string_split(text, ''),
+      |      c -> unicode(c))) AS BIGINT) AS byte_sum,
+      |    md5(text) AS content_md5
+      |  FROM documents
+      |)
+      |SELECT doc_id, media_type, n_bytes, byte_sum,
+      |  1 + byte_sum % 64 AS width,
+      |  1 + n_bytes % 48 AS height,
+      |  least(1 + byte_sum % 64, 32) AS resized_w,
+      |  least(1 + n_bytes % 48, 32) AS resized_h,
+      |  1 + byte_sum % 7 AS n_frames,
+      |  content_md5
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm_binary_features" -> (qmBinaryFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "qm_binary_features" -> qmBinaryFeaturesSql)
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming equivalents of the batch event operators —
+  * SURVEY.md §2 item 34.
+  *
+  * The transformations take any DataFrame with the `events` schema
+  * (`event_id, ts, user_id, event_type, value, props`), batch OR
+  * streaming: Structured Streaming's unified API means the same logical
+  * plan serves both, and the EventStreamSpec proves parity against the
+  * batch queries over a MemoryStream.
+  *
+  * Scale notes: both operators are keyed-state streaming aggregations —
+  * state is partitioned by (window, event_type) / user_id across
+  * executors, and the watermark bounds state size, so a 1000-executor
+  * cluster holds only the open windows/sessions, never history.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts + sums with a watermark; append-mode
+    * emission once the watermark passes the window end. Same output
+    * schema as EventQueries.qeWindows. */
+  def windowedAgg(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long)
+
+  /** Open-session state: micros timestamps (exact arithmetic). */
+  case class SessionState(sessionId: Long, startUs: Long, endUs: Long, n: Long)
+
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+    session_start: Timestamp, session_end: Timestamp)
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000 // 30-minute inactivity gap
+
+  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+  private def ts(u: Long): Timestamp = {
+    val t = new Timestamp(u / 1000)
+    t.setNanos((u % 1000000).toInt * 1000)
+    t
+  }
+
+  /** Gap-based streaming sessionizer via flatMapGroupsWithState with
+    * event-time timeout: batch-equivalent to EventQueries.qeSessions.
+    *
+    * Per user the state holds ONLY the currently-open session (constant
+    * size). Events arriving in a trigger are sorted by (ts, event_id)
+    * before merging, so intra-trigger disorder is handled; the watermark
+    * handles inter-trigger ordering. A session is emitted when a new
+    * event starts the next one, or when the event-time timeout fires
+    * (watermark passed session end + gap) — identical closure rule to
+    * the batch `lag`-based query.
+    */
+  def sessionize(events: Dataset[SessionEvent],
+                 watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (it.isEmpty) { // timeout: close and emit the open session
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.sessionId, s.n, ts(s.startUs), ts(s.endUs)))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              if (cur == null) cur = SessionState(1L, t, t, 1L)
+              else if (t - cur.endUs > GapUs) {
+                closed += SessionOut(userId, cur.sessionId, cur.n,
+                  ts(cur.startUs), ts(cur.endUs))
+                cur = SessionState(cur.sessionId + 1, t, t, 1L)
+              } else cur = cur.copy(endUs = math.max(cur.endUs, t), n = cur.n + 1)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endUs / 1000 + GapUs / 1000)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Adapt the raw events frame to the sessionizer's typed input. */
+  def toSessionEvents(events: DataFrame): Dataset[SessionEvent] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id")).as[SessionEvent]
+  }
+}

@@ -1,0 +1,31 @@
+package graft.multimodal
+
+import org.apache.spark.sql.types._
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media records carry opaque binary content + typed metadata") {
+    val media = Multimodal.asMedia(Tables.load(spark, dir, "documents"))
+    val schema = media.schema
+    assert(schema("content").dataType == BinaryType)
+    assert(schema("n_bytes").dataType == LongType)
+    val r = media.head()
+    assert(r.content.length.toLong == r.n_bytes)
+    assert(new String(r.content, "UTF-8").nonEmpty)
+  }
+
+  test("feature extraction is partition-local and deterministic") {
+    val media = Multimodal.asMedia(Tables.load(spark, dir, "documents"))
+    val feats = Multimodal.extractFeatures(media.repartition(7))
+    // Repartitioning upstream must not change any feature value.
+    val again = Multimodal.extractFeatures(media.repartition(3))
+    assert(feats.collect().sortBy(_.doc_id).toSeq ==
+      again.collect().sortBy(_.doc_id).toSeq)
+    val f = feats.filter(_.doc_id == 0L).head()
+    assert(f.width >= 1 && f.width <= 64)
+    assert(f.resized_w <= 32 && f.resized_h <= 32)
+    assert(f.content_md5.length == 32)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.queries.EventQueries
+
+/** Batch-parity proof for the streaming operators (SURVEY.md §2 item 34):
+  * feed the sf0.001 events table through a MemoryStream, advance the
+  * watermark with a far-future sentinel, and require the appended output
+  * to equal the batch query result row-for-row.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+class EventStreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def loadEvents: Seq[Ev] = {
+    val s = spark
+    import s.implicits._
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  // Sentinel a year past the data: watermark sails past every real
+  // window/session end, flushing all append-mode state.
+  private def sentinel(maxTs: Timestamp, id: Long): Ev =
+    Ev(id, new Timestamp(maxTs.getTime + 365L * 86400 * 1000), -1L, "__sentinel__", 0.0)
+
+  test("streaming windowed agg matches batch qe_windows") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -2))
+      query.processAllAvailable()
+
+      val got = spark.table("win_out")
+        .where(col("event_type") =!= "__sentinel__")
+        .collect().map(_.toSeq).toSet
+      val want = EventQueries.qeWindows(spark, dir).collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming sessionizer matches batch qe_sessions") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(
+      EventStreams.toSessionEvents(stream.toDF()))
+    val query = sessions.toDF()
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -2))
+      query.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .where(col("user_id") =!= -1L)
+        .collect().map(_.toSeq).toSet
+      val want = EventQueries.qeSessions(spark, dir)
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/perf inspection main (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = args.headOption.getOrElse("qs_knn_brute")
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.explain("formatted")
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(s"run $i: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -27,11 +27,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
-  /** MinHash signature columns sig_0..sig_{numPerms-1}. */
+  /** MinHash signature columns sig_0..sig_{numPerms-1}.
+    *
+    * Hash family: permutation k reads 32-bit slot k%4 of
+    * `md5(concat(k/4, ":", token))` — one md5 yields FOUR permutations,
+    * so the dominant cost (md5 over every distinct token) drops 4×.
+    * The md5 hexes are materialised in their own projection;
+    * CollapseProject keeps non-cheap aliases referenced many times, so
+    * each md5 runs once even though 4 signature columns read it.
+    */
   def withMinhashSignature(df: DataFrame, textCol: String, numPerms: Int): DataFrame = {
+    require(numPerms % 4 == 0, s"numPerms must be a multiple of 4, got $numPerms")
+    val groups = numPerms / 4
     val toks = array_distinct(tokens(col(textCol)))
-    df.select(col("*") +:
-      (0 until numPerms).map(k => minhash(toks, k).as(s"sig_$k")): _*)
+    val withHexes = df.withColumn("__tok_md5",
+      transform(toks, t =>
+        array((0 until groups).map(g => md5(concat_ws(":", lit(g), t))): _*)))
+    val sigs = (0 until numPerms).map { k =>
+      val (g, s) = (k / 4, k % 4)
+      array_min(transform(col("__tok_md5"), h =>
+        conv(substring(element_at(h, g + 1), 1 + 8 * s, 8), 16, 10).cast("long")))
+        .as(s"sig_$k")
+    }
+    withHexes.select(df.columns.map(col) ++ sigs: _*)
   }
 
   /** LSH band values: md5 over each group of `bandSize` signature
@@ -44,19 +62,36 @@ object Dedup {
     }
 
   /** Near-duplicate candidate pairs: documents sharing ≥1 LSH band.
-    * Returns (id_a, id_b, n_shared_bands), id_a < id_b. */
+    * Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+    *
+    * Pair generation is bucket-local: group ids per (band, value), then
+    * emit each ordered combination exactly once with two nested explodes.
+    * Versus the naïve self-join this halves the rows entering the
+    * pair-level shuffle (no discarded id_a > id_b half) and reads the
+    * signature projection once, not twice. `maxBucketSize` is the
+    * production skew guard: a bucket everything hashes into (boilerplate
+    * documents) generates O(m²) candidates that a dedup pass doesn't
+    * need — capped buckets are dropped whole. The driver-contract query
+    * leaves it off so the DuckDB oracle sees identical semantics.
+    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      numPerms: Int, bandSize: Int): DataFrame = {
+      numPerms: Int, bandSize: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val numBands = numPerms / bandSize
     val sigs = withMinhashSignature(df, textCol, numPerms)
       .select(col(idCol) +: bandColumns(numPerms, bandSize): _*)
     val banded = sigs.select(col(idCol).as("__id"), posexplode(
       array((0 until numBands).map(b => col(s"band_$b")): _*))
       .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("__id").as("id_a"), col("band_idx"), col("band_val"))
-    val b = banded.select(col("__id").as("id_b"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .where(col("id_a") < col("id_b"))
+    val buckets = banded
+      .groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .where(size(col("ids")) > 1 &&
+        maxBucketSize.map(m => size(col("ids")) <= m).getOrElse(lit(true)))
+    buckets
+      .select(posexplode(col("ids")).as(Seq("pos", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -100,10 +135,12 @@ object Dedup {
       blockCol: String): DataFrame = {
     val prepared = df.select(col(blockCol).as("__block"), col(idCol).as("__id"),
       asDoubles(col(vecCol)).as("__v"))
-    val a = prepared.toDF("__block", "id_a", "v_a")
-    val b = prepared.toDF("__block", "id_b", "v_b")
+      .withColumn("__norm", sqrt(dot(col("__v"), col("__v")))) // once per row
+    val a = prepared.toDF("__block", "id_a", "v_a", "norm_a")
+    val b = prepared.toDF("__block", "id_b", "v_b", "norm_b")
     a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine"))
   }
 }

@@ -30,10 +30,6 @@ object Portable {
   def md5Hash32(seed: Int, c: Column): Column =
     md5Hash32(concat_ws(":", lit(seed), c))
 
-  /** MinHash value for one permutation: min seeded hash over tokens. */
-  def minhash(toks: Column, seed: Int): Column =
-    array_min(transform(toks, t => md5Hash32(seed, t)))
-
   /** Distinct word n-gram (shingle) md5 hashes of a token array. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -45,13 +41,12 @@ object Portable {
   /** Cast a float array to doubles (exact). */
   def asDoubles(a: Column): Column = a.cast("array<double>")
 
-  /** Left-to-right fold dot product over two double arrays. */
+  /** Left-to-right fold dot product over two double arrays — a native
+    * codegen [[DotProduct]] expression, value-identical to the
+    * `aggregate(zip_with(...))` HOF chain it replaces (same fold order,
+    * same per-element multiply-add rounding). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity with sequential-fold norms (deterministic). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    org.apache.spark.sql.graft.DotProduct.ofColumns(a, b)
 
   /** Count of tokens contained in a fixed vocabulary list. */
   def countIn(toks: Column, words: Seq[String]): Column =

@@ -33,9 +33,12 @@ object DedupQueries {
       .select(col("doc_id") +: (0 until NumPerms).map(k => col(s"sig_$k")): _*)
       .orderBy("doc_id")
 
-  private def sigSqlExpr(k: Int): String =
+  private def sigSqlExpr(k: Int): String = {
+    val (g, s) = (k / 4, k % 4)
     s"""list_min(list_transform(list_distinct(string_split(text, ' ')),
-       | t -> ('0x' || substr(md5('$k:' || t), 1, 8))::BIGINT))""".stripMargin.replace("\n", "")
+       | t -> ('0x' || substr(md5('$g:' || t), ${1 + 8 * s}, 8))::BIGINT))"""
+      .stripMargin.replace("\n", "")
+  }
 
   val qdMinhashSql: String = {
     val sigs = (0 until NumPerms).map(k => s"  ${sigSqlExpr(k)} AS sig_$k").mkString(",\n")

@@ -47,13 +47,19 @@ object Knn {
     * `idCol` + `vecCol`). Returns (q_id, neighbor_id, cosine, rank). */
   def bruteForce(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
+    // Norms are computed ONCE per row here, not per pair in the |Q|×N
+    // join below — same doubles (sqrt of the same fold), |Q|+N fewer
+    // dot products by a factor of the opposite side's cardinality.
     val q = queries.select(col(idCol).as("q_id"), asDoubles(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDoubles(col(vecCol)).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -66,13 +72,17 @@ object Knn {
     val withBucket = corpus.select(col(idCol).as("__id"),
       asDoubles(col(vecCol)).as("__v"))
       .withColumn("bucket", bucketId(col("__v"), ps))
-    val a = withBucket.select(col("__id").as("q_id"), col("__v").as("q_vec"), col("bucket"))
-    val b = withBucket.select(col("__id").as("neighbor_id"), col("__v").as("c_vec"), col("bucket"))
+      .withColumn("__norm", sqrt(dot(col("__v"), col("__v")))) // once per row
+    val a = withBucket.select(col("__id").as("q_id"), col("__v").as("q_vec"),
+      col("bucket"), col("__norm").as("q_norm"))
+    val b = withBucket.select(col("__id").as("neighbor_id"), col("__v").as("c_vec"),
+      col("bucket"), col("__norm").as("c_norm"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     a.join(b, Seq("bucket")).where(col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"), col("bucket"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

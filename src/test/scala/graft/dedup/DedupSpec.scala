@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exactGroups elects the minimum id as canonical") {
+    val d = docs(5L -> "a b c", 2L -> "a b c", 9L -> "x y")
+    val out = Dedup.exactGroups(d, "text", "doc_id")
+      .orderBy("canonical_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("canonical_id") == 2L)
+    assert(out(0).getAs[Long]("n_docs") == 2L)
+    assert(out(1).getAs[Long]("canonical_id") == 9L)
+  }
+
+  test("minhash signatures are identical for identical token sets") {
+    // Same distinct token set in different order/multiplicity.
+    val d = docs(1L -> "a b c", 2L -> "c c b a a")
+    val sigs = Dedup.withMinhashSignature(d, "text", 8)
+      .select((0 until 8).map(k => col(s"sig_$k")): _*).collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("candidate pairs: identical docs share all bands; cap drops giant buckets") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "q r s t")
+    val pairs = Dedup.minhashCandidatePairs(d, "text", "doc_id", 8, 4)
+    val rows = pairs.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("id_a") == 1L && rows(0).getAs[Long]("id_b") == 2L)
+    assert(rows(0).getAs[Long]("n_shared_bands") == 2L)
+    val capped = Dedup.minhashCandidatePairs(d, "text", "doc_id", 8, 4,
+      maxBucketSize = Some(1))
+    assert(capped.count() == 0L)
+  }
+
+  test("ngram jaccard is 1.0 for identical docs and excludes cross-block pairs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d", "s1"), (2L, "a b c d", "s1"), (3L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, "source").collect()
+    assert(out.length == 1) // only the s1 pair; doc 3 is in another block
+    assert(out(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash of identical token sets is equal and fits in 32 bits") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "gamma beta alpha")
+    val out = Dedup.simhash32(d, "text", "doc_id").collect()
+    val values = out.map(_.getAs[Long]("simhash")).toSet
+    assert(values.size == 1)
+    assert(values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Edge-semantics checks for the batch event operators (the DuckDB
+  * oracle proves parity on real data; this pins the gap boundary). */
+class EventQueriesSpec extends SparkSpec {
+
+  test("sessionization: exactly-30-minute gap continues the session") {
+    val s = spark
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, t0, 7L, "view", 0.0, ""),
+      (2L, plus(30), 7L, "view", 0.0, ""),   // gap == 30min → same session
+      (3L, plus(61), 7L, "view", 0.0, ""))   // gap == 31min → new session
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet("/tmp/graft_events_edge")
+    // qeSessions reads from a directory; route through a temp dir table.
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(lagTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(lagTs) > 1800000000L, 1).otherwise(0)
+    val out = events
+      .withColumn("session_id", sum(newSession).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id").count().collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("count")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming sessionizer agrees on the exact-gap boundary") {
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("edge_sess")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        EventStreams.SessionEvent(1L, t0, 7L),
+        EventStreams.SessionEvent(2L, plus(30), 7L),
+        EventStreams.SessionEvent(3L, plus(61), 7L)))
+      q.processAllAvailable()
+      stream.addData(Seq(EventStreams.SessionEvent(9L, plus(600000), 99L)))
+      q.processAllAvailable()
+      stream.addData(Seq(EventStreams.SessionEvent(10L, plus(600001), 99L)))
+      q.processAllAvailable()
+      val out = spark.table("edge_sess").where(col("user_id") === 7L).collect()
+      assert(out.length == 2)
+      assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class KnnSpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForce ranks by cosine with deterministic tie-break") {
+    // q = (1,0); c1 = (2,0) cos=1; c2 = (1,1) cos≈0.707; c3 = (0,1) cos=0.
+    val corpus = vecs(1L -> Seq(2.0, 0.0), 2L -> Seq(1.0, 1.0), 3L -> Seq(0.0, 1.0))
+    val queries = vecs(0L -> Seq(1.0, 0.0))
+    val out = Knn.bruteForce(corpus, queries, "embedding", "vec_id", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Double]("cosine") == 1.0)
+    assert(out(1).getAs[Double]("cosine") == 0.707107) // round(1/sqrt(2), 6)
+  }
+
+  test("bruteForce excludes the query vector itself") {
+    val corpus = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1))
+    val out = Knn.bruteForce(corpus, corpus, "embedding", "vec_id", 5).collect()
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("lshTopK only pairs vectors within the same bucket") {
+    val corpus = vecs(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.99, 0.01),
+      3L -> Seq(-1.0, 0.0), 4L -> Seq(-0.99, -0.01))
+    val out = Knn.lshTopK(corpus, "embedding", "vec_id", 4, 2, 3).collect()
+    // Opposite-direction vectors land in complementary sign buckets.
+    val pairs = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs.forall { case (a, b) => (a <= 2) == (b <= 2) })
+  }
+
+  test("hyperplanes are deterministic and in [-1, 1]") {
+    val p1 = Knn.planes(4, 8)
+    val p2 = Knn.planes(4, 8)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(w => w >= -1.0 && w <= 1.0))
+  }
+}

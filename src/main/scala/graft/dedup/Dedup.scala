@@ -129,6 +129,82 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Thresholded n-gram Jaccard pairs via an inverted shingle index:
+    * explode shingles, self-join on (block, shingle) so intersection
+    * counts accrue ONLY for pairs that actually share a shingle, then
+    * |A∪B| = |A|+|B|−|A∩B|. For a similarity threshold > 0 this is
+    * equivalent to [[ngramJaccardPairs]] + filter, but skips the
+    * quadratic all-pairs array_intersect — the candidate space is the
+    * inverted-index join output, which is near-linear for natural
+    * corpora where most shingles are rare.
+    */
+  def jaccardNeighbors(df: DataFrame, textCol: String, idCol: String,
+      n: Int, blockCol: String, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0, "inverted index requires a positive threshold")
+    val withShingles = df.select(col(blockCol).as("__block"),
+      col(idCol).as("__id"), shingles(tokens(col(textCol)), n).as("__sh"))
+    val posting = withShingles
+      .select(col("__block"), col("__id"), size(col("__sh")).as("__n"),
+        explode(col("__sh")).as("__shingle"))
+    val a = posting.toDF("__block", "id_a", "n_a", "__shingle")
+    val b = posting.toDF("__block", "id_b", "n_b", "__shingle")
+    a.join(b, Seq("__block", "__shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("n_a") + col("n_b") - col("__inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Connected components over a near-duplicate pair graph: every vertex
+    * gets the minimum reachable id as its `component_id` (the canonical
+    * document of its duplicate cluster).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across edges and keeps the per-vertex minimum, until no label
+    * changes. Rounds cost one shuffle over the edge set; near-dup graphs
+    * have tiny diameter (dup clusters are near-cliques from LSH/Jaccard
+    * blocking), so convergence is 2-3 rounds in practice — the standard
+    * scalable formulation (driver only sees one count per round).
+    *
+    * @param vertices single-column DataFrame of vertex ids
+    * @param edges    two-column DataFrame (id_a, id_b), undirected
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val idCol = vertices.columns.head
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    // The edge set is re-joined every round — materialise it once, or an
+    // expensive upstream (LSH, jaccard) recomputes per iteration.
+    val e = edges.select(col(ea).as("__src"), col(eb).as("__dst"))
+      .union(edges.select(col(eb).as("__src"), col(ea).as("__dst")))
+      .cache()
+    var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__comp"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = e.join(labels, col("__src") === col("__id"))
+        .select(col("__dst").as("__id"), col("__comp"))
+      val next = labels.union(prop)
+        .groupBy("__id").agg(min("__comp").as("__comp"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("__comp", "__old").as("o"), "__id")
+        .where(col("__comp") < col("__old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    // labels stays cached: one small row per vertex, and dropping it
+    // would re-derive the whole iteration chain on first use.
+    labels.select(col("__id").as(idCol), col("__comp").as("component_id"))
+  }
+
   /** Cosine similarity for every pair of rows sharing `blockCol`
     * (embedding near-dup). Returns (id_a, id_b, cosine). */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,

@@ -149,7 +149,47 @@ object DedupQueries {
       |  , 6) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2 (dedup family) — near-dup clusters: connected components over the
+    * jaccard≥0.5 pair graph, canonical = minimum doc_id per cluster. */
+  def qdComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(docs.select("doc_id"), edges)
+      .withColumn("is_canonical", col("doc_id") === col("component_id"))
+      .orderBy("doc_id")
+  }
+
+  val qdComponentsSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS m FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, MIN(m) AS component_id,
+      |  id = MIN(m) AS is_canonical
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_components" -> (qdComponents _),
     "qd_exact" -> (qdExact _),
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
@@ -158,6 +198,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_components" -> qdComponentsSql,
     "qd_exact" -> qdExactSql,
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,

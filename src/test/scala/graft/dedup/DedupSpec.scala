@@ -42,6 +42,34 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("jaccardNeighbors equals thresholded all-pairs jaccard") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f", "s1"), (2L, "a b c d e g", "s1"),
+      (3L, "q r s t u v", "s1"), (4L, "a b c d e f", "s2"))
+      .toDF("doc_id", "text", "source")
+    val dense = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, "source")
+      .where(col("jaccard") >= 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sparse = Dedup.jaccardNeighbors(d, "text", "doc_id", 3, "source", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sparse == dense)
+    assert(sparse.nonEmpty)
+  }
+
+  test("connectedComponents propagates min id across multi-hop chains") {
+    val s = spark
+    import s.implicits._
+    // Chain 1-2-3-4 plus isolated 9: one component labeled 1, one labeled 9.
+    val vertices = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(vertices, edges)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"))).toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("ngram jaccard is 1.0 for identical docs and excludes cross-block pairs") {
     val s = spark
     import s.implicits._

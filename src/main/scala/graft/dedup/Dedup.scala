@@ -99,8 +99,13 @@ object Dedup {
   /** 32-bit SimHash over distinct tokens: bit b is set when more token
     * hashes have bit b set than clear. One explode + one aggregation. */
   def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // explode_outer + post-filter: a plain explode gets an inferred
+    // size>0 pre-filter that pushdown re-inlines as a second
+    // split+distinct evaluation per row (see jaccardNeighbors).
     val hashed = df
-      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .select(col(idCol), array_distinct(tokens(col(textCol))).as("__toks"))
+      .select(col(idCol), explode_outer(col("__toks")).as("tok"))
+      .where(col("tok").isNotNull)
       .select(col(idCol), md5Hash32(col("tok")).as("h"))
     val bitSums = (0 until 32).map { bit =>
       sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))
@@ -118,8 +123,11 @@ object Dedup {
     * sharing `blockCol`. Returns (id_a, id_b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, blockCol: String): DataFrame = {
-    val withShingles = df.select(col(blockCol).as("__block"), col(idCol).as("__id"),
-      shingles(tokens(col(textCol)), n).as("__sh"))
+    val withShingles = df
+      .select(col(blockCol).as("__block"), col(idCol).as("__id"),
+        tokens(col(textCol)).as("__toks")) // materialised: see shingles()
+      .select(col("__block"), col("__id"),
+        shingles(col("__toks"), n).as("__sh"))
     val a = withShingles.toDF("__block", "id_a", "sh_a")
     val b = withShingles.toDF("__block", "id_b", "sh_b")
     a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
@@ -141,18 +149,45 @@ object Dedup {
   def jaccardNeighbors(df: DataFrame, textCol: String, idCol: String,
       n: Int, blockCol: String, minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0, "inverted index requires a positive threshold")
-    val withShingles = df.select(col(blockCol).as("__block"),
-      col(idCol).as("__id"), shingles(tokens(col(textCol)), n).as("__sh"))
-    val posting = withShingles
+    // Raw word shingles: unlike ngramJaccardPairs' arrays these never
+    // appear in output, so there is nothing to gain from hashing them —
+    // the string itself is the posting key.
+    // Tokens are materialised BEFORE the shingle transform: a lambda
+    // body re-evaluates non-lambda subexpressions per element, so an
+    // inline split would make shingling O(tokens²) per row.
+    val t = col("__toks")
+    val sh = when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    // explode_outer, not explode: InferFiltersFromGenerate would bolt a
+    // size(...)>0 filter onto a plain explode, and predicate pushdown
+    // then re-inlines the whole shingle transform into that filter —
+    // evaluating it twice per row. The outer variant infers no filter;
+    // the null row from empty arrays is dropped afterwards, where the
+    // predicate sits on the GENERATED attribute and cannot sink.
+    val posting = df
+      .select(col(blockCol).as("__block"), col(idCol).as("__id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("__block"), col("__id"), sh.as("__sh"))
       .select(col("__block"), col("__id"), size(col("__sh")).as("__n"),
-        explode(col("__sh")).as("__shingle"))
-    val a = posting.toDF("__block", "id_a", "n_a", "__shingle")
-    val b = posting.toDF("__block", "id_b", "n_b", "__shingle")
-    a.join(b, Seq("__block", "__shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+        explode_outer(col("__sh")).as("__shingle"))
+      .where(col("__shingle").isNotNull)
+    // Bucket-local combination generation (same shape as the LSH pair
+    // path): the shingle projection is evaluated once, not once per
+    // self-join side, and no id_a > id_b half is produced and discarded.
+    val buckets = posting
+      .groupBy("__block", "__shingle")
+      .agg(sort_array(collect_list(struct(col("__id").as("id"), col("__n").as("n"))))
+        .as("__ms"))
+      .where(size(col("__ms")) > 1)
+    buckets
+      .select(posexplode(col("__ms")).as(Seq("__pos", "__a")), col("__ms"))
+      .select(col("__a.id").as("id_a"), col("__a.n").as("n_a"),
+        explode(slice(col("__ms"), col("__pos") + 2, size(col("__ms")))).as("__b"))
+      .groupBy(col("id_a"), col("__b.id").as("id_b"))
       .agg(count(lit(1)).as("__inter"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+        first(col("n_a")).as("n_a"), first(col("__b.n")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast("double") /
           (col("n_a") + col("n_b") - col("__inter")).cast("double")).as("jaccard"))

@@ -30,7 +30,13 @@ object Portable {
   def md5Hash32(seed: Int, c: Column): Column =
     md5Hash32(concat_ws(":", lit(seed), c))
 
-  /** Distinct word n-gram (shingle) md5 hashes of a token array. */
+  /** Distinct word n-gram (shingle) md5 hashes of a token array.
+    *
+    * IMPORTANT: pass a MATERIALISED column (an attribute from a prior
+    * projection), not a raw `split(...)` expression. Lambda bodies in
+    * higher-order functions re-evaluate every non-lambda subexpression
+    * per element — an inline split makes this O(tokens²) per row.
+    */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(

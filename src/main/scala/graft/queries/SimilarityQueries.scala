@@ -80,9 +80,21 @@ object SimilarityQueries {
        |WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** §2.27b — IVF bucketed ANN (deterministic k-means quantizer, nprobe
+    * probing). Not SQL-expressible (iterative index build) → no DuckDB
+    * oracle; the driver records a rows-only check, and KnnSpec pins the
+    * recall contract on crafted data. */
+  def qsKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, numCentroids = 8, nprobe = 2)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_knn_brute" -> (qsKnnBrute _),
-    "qs_knn_lsh" -> (qsKnnLsh _))
+    "qs_knn_lsh" -> (qsKnnLsh _),
+    "qs_knn_ivf" -> (qsKnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "qs_knn_brute" -> qsKnnBruteSql,

@@ -121,14 +121,17 @@ object TextQueries {
   /** §2.31 — document fingerprint: minimum md5 over 5-word shingles
     * (a 1-permutation MinHash — robust to local edits). */
   def qtFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // Tokens materialised before the transform — an inline split inside
+    // the lambda body is re-evaluated per element (O(tokens²) per row).
+    val t = col("__toks")
     Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
-        when(size(toks) >= 5,
+        when(size(t) >= 5,
           array_min(transform(
-            sequence(lit(1), size(toks) - 4),
-            i => md5(concat_ws(" ", slice(toks, i, lit(5)))))))
+            sequence(lit(1), size(t) - 4),
+            i => md5(concat_ws(" ", slice(t, i, lit(5)))))))
           .otherwise(lit(null)).as("fingerprint"),
         md5(col("text")).as("exact_hash"))
       .orderBy("doc_id")

@@ -37,6 +37,39 @@ class KnnSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => (a <= 2) == (b <= 2) })
   }
 
+  test("ivfTopK finds exact neighbors when clusters are well separated") {
+    // Two tight clusters far apart; with nprobe=1 each query stays in
+    // its own cluster and must recover the exact in-cluster ranking.
+    val corpus = vecs(
+      1L -> Seq(10.0, 0.1), 2L -> Seq(10.0, -0.1), 3L -> Seq(10.2, 0.0),
+      4L -> Seq(-10.0, 0.1), 5L -> Seq(-10.0, -0.1), 6L -> Seq(-10.2, 0.0))
+    val queries = vecs(1L -> Seq(10.0, 0.1), 4L -> Seq(-10.0, 0.1))
+    val out = Knn.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 2, numCentroids = 2, nprobe = 1, iters = 3)
+      .orderBy("q_id", "rank").collect()
+    val got = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSeq
+    assert(got.map(_._1).toSet == Set(1L, 4L))
+    assert(got.filter(_._1 == 1L).map(_._2).forall(n => n >= 1L && n <= 3L))
+    assert(got.filter(_._1 == 4L).map(_._2).forall(n => n >= 4L && n <= 6L))
+    // Brute force over the same cluster agrees on the top neighbor.
+    val brute = Knn.bruteForce(
+      corpus.where(org.apache.spark.sql.functions.col("vec_id") <= 3),
+      queries.where(org.apache.spark.sql.functions.col("vec_id") === 1L),
+      "embedding", "vec_id", 1).collect()
+    assert(brute(0).getAs[Long]("neighbor_id") ==
+      got.filter(_._1 == 1L).head._2)
+  }
+
+  test("trainCentroids is deterministic across invocations") {
+    val corpus = vecs(
+      1L -> Seq(1.0, 2.0), 2L -> Seq(1.1, 2.1), 3L -> Seq(8.0, 9.0),
+      4L -> Seq(8.1, 9.1), 5L -> Seq(0.9, 1.9))
+    val c1 = Knn.trainCentroids(corpus, "embedding", "vec_id", 2, iters = 4)
+    val c2 = Knn.trainCentroids(corpus, "embedding", "vec_id", 2, iters = 4)
+    assert(c1 == c2)
+    assert(c1.length == 2 && c1.forall(_.length == 2))
+  }
+
   test("hyperplanes are deterministic and in [-1, 1]") {
     val p1 = Knn.planes(4, 8)
     val p2 = Knn.planes(4, 8)

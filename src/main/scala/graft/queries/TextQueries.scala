@@ -148,13 +148,95 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** PII patterns for redaction — ordered, applied left to right. */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "https?://[^ ]+" -> "<URL>")
+
+  /** Text scrubbing: sequential regex redaction of PII-shaped spans —
+    * the standard pre-training cleanup pass. Pure regexp_replace chain:
+    * codegen'd, no shuffle, linear scan. */
+  def qtRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), redacted.as("clean_text"),
+        (length(col("text")) - length(redacted)).as("n_chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  val qtRedactSql: String = {
+    val redacted = piiPatterns.foldLeft("text") {
+      // DuckDB string literals keep backslashes verbatim — no re-escaping.
+      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+    }
+    s"""SELECT doc_id, $redacted AS clean_text,
+       |  length(text) - length($redacted) AS n_chars_removed
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic train/validation/test assignment: md5-hash bucketing
+    * on doc_id — stable under reprocessing, uniformly distributed, and
+    * embarrassingly parallel (the split of a 100 TB corpus is a
+    * projection, not a shuffle). */
+  def qtSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Hash32(concat_ws(":", lit("split"), col("doc_id"))) % 100
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val qtSplitSql: String =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS bucket,
+      |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source corpus statistics: doc counts, exact char/token means and
+    * interpolated median — the monitoring rollup of an ingest pipeline.
+    * One shuffle on the (small) source key. */
+  def qtCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("__n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        expr("percentile(__n_tok, 0.5)").as("median_tokens"))
+      .orderBy("source")
+
+  val qtCorpusStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  quantile_cont(len(string_split(text, ' ')), 0.5) AS median_tokens
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_redact" -> (qtRedact _),
+    "qt_split" -> (qtSplit _),
+    "qt_corpus_stats" -> (qtCorpusStats _),
     "qt_tokens" -> (qtTokens _),
     "qt_quality" -> (qtQuality _),
     "qt_langid" -> (qtLangid _),
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_redact" -> qtRedactSql,
+    "qt_split" -> qtSplitSql,
+    "qt_corpus_stats" -> qtCorpusStatsSql,
     "qt_tokens" -> qtTokensSql,
     "qt_quality" -> qtQualitySql,
     "qt_langid" -> qtLangidSql,

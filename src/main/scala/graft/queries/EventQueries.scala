@@ -87,13 +87,43 @@ object EventQueries {
       |ORDER BY total_spend DESC, user_id
       |LIMIT 10""".stripMargin
 
+  /** As-of enrichment: each event picks up the user's most recent order
+    * at event time (orders deduped to one per (custkey, orderdate) so
+    * the match is deterministic in every engine). DuckDB's native
+    * ASOF LEFT JOIN is the oracle for the union+window composition. */
+  def qeAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsofJoin
+    val orders = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("last_orderkey"))
+      .withColumn("last_orderdate", col("o_orderdate"))
+    AsofJoin.asofJoin(
+      Tables.load(spark, dir, "events").select("event_id", "ts", "user_id"),
+      orders, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("last_orderkey", "last_orderdate"))
+      .orderBy("event_id")
+  }
+
+  val qeAsofSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey,
+      |    o_orderdate AS last_orderdate
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT e.event_id, e.ts, e.user_id, r.last_orderkey, r.last_orderdate
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_windows" -> (qeWindows _),
     "qe_sessions" -> (qeSessions _),
-    "qe_topk_users" -> (qeTopkUsers _))
+    "qe_topk_users" -> (qeTopkUsers _),
+    "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
     "qe_windows" -> qeWindowsSql,
     "qe_sessions" -> qeSessionsSql,
-    "qe_topk_users" -> qeTopkUsersSql)
+    "qe_topk_users" -> qeTopkUsersSql,
+    "qe_asof" -> qeAsofSql)
 }

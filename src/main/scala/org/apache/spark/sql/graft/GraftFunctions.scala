@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration glue for graft's native Catalyst expressions (lives in
+  * an `org.apache.spark.sql` subpackage because `sessionState` and the
+  * registry APIs are `private[sql]`).
+  */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+
+  /** Register into an existing session (tests, notebooks). Cluster jobs
+    * should prefer `spark.sql.extensions=graft.GraftExtensions`, which
+    * wires the same list at session build time. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

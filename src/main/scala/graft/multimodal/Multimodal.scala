@@ -43,6 +43,33 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** One sampled frame of a media asset (stub decode). */
+  case class MediaFrame(doc_id: Long, frame_idx: Long, frame_hash: String)
+
+  /** One-to-many frame sampling: each record expands to its stub frame
+    * count (video decode shape — flatMap inside mapPartitions, decoder
+    * initialised once per partition, output cardinality data-dependent).
+    */
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        // ---- STUB DECODER: frame count from the byte sum ----
+        var byteSum = 0L
+        var i = 0
+        while (i < r.content.length) { byteSum += r.content(i) & 0xff; i += 1 }
+        val nFrames = 1L + byteSum % 7
+        (0L until nFrames).map { f =>
+          md5.reset()
+          val hex = md5.digest(s"${r.doc_id}:$f".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          MediaFrame(r.doc_id, f, hex)
+        }
+      }
+    }
+  }
+
   /** Per-partition decode + feature extraction. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -36,9 +36,31 @@ object MultimodalQueries {
       |FROM b
       |ORDER BY doc_id""".stripMargin
 
+  /** §2 item 35 (frame sampling) — one-to-many stub decode: each doc
+    * expands to 1 + byte_sum%7 frames with per-frame hashes. */
+  def qmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.asMedia(Tables.load(spark, dir, "documents")))
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  val qmFramesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(string_split(text, ''),
+      |      c -> unicode(c))) AS BIGINT) AS byte_sum
+      |  FROM documents
+      |)
+      |SELECT doc_id, f.range AS frame_idx,
+      |  md5(doc_id || ':' || f.range) AS frame_hash
+      |FROM b CROSS JOIN range(0, 7) f
+      |WHERE f.range < 1 + byte_sum % 7
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qm_binary_features" -> (qmBinaryFeatures _))
+    "qm_binary_features" -> (qmBinaryFeatures _),
+    "qm_frames" -> (qmFrames _))
 
   val oracles: Map[String, String] = Map(
-    "qm_binary_features" -> qmBinaryFeaturesSql)
+    "qm_binary_features" -> qmBinaryFeaturesSql,
+    "qm_frames" -> qmFramesSql)
 }

@@ -64,55 +64,50 @@ object Knn {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic IVF coarse quantizer: Lloyd's k-means with the k
-    * lowest-id vectors as initial centroids and a FIXED iteration count —
-    * no RNG, so the index is reproducible run to run. Each iteration is
-    * one assignment pass (argmin over centroid literals, codegen dot
-    * products) plus one tiny (k × dims)-row aggregation; only centroids
-    * ever reach the driver.
+  /** Deterministic IVF coarse quantizer, trained on a bounded sample —
+    * the production IVF recipe: ONE distributed pass takes a
+    * deterministic pseudo-random sample (top-`maxSample` by md5 of id —
+    * a TakeOrdered job, no full sort, no RNG), then farthest-point
+    * seeding and Lloyd's iterations run driver-side on the sample.
+    * At 100 TB the index build therefore costs one scan; the trained
+    * centroids broadcast as literals into the assignment projection.
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
-    val vecs = corpus.select(col(idCol).as("__id"), asDoubles(col(vecCol)).as("__v"))
-    var cents = farthestPointInit(vecs, k)
+      k: Int, iters: Int = 5, maxSample: Int = 10000): Seq[Seq[Double]] = {
+    val sample = corpus
+      .select(col(idCol).as("__id"), asDoubles(col(vecCol)).as("__v"))
+      .orderBy(md5Hash32(concat_ws(":", lit("ivf"), col("__id"))), col("__id"))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"need at least $k vectors, got ${sample.length}")
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // Farthest-point seeding: spreads seeds across the data's modes
+    // (a fixed-prefix init can collapse into one cluster).
+    val cents = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (cents.length < k) {
+      cents += sample.maxBy(v => cents.map(c => d2(v, c)).min)
+    }
+    // Lloyd's iterations over the sample.
     for (_ <- 1 to iters) {
-      val assigned = vecs.withColumn("__b", nearestCentroid(col("__v"), cents))
-      val stats = assigned
-        .select(col("__b"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__b", "__pos")
-        .agg(sum("__x").as("__sum"), count(lit(1)).as("__n"))
-        .collect()
-      val byBucket = stats.groupBy(_.getAs[Int]("__b"))
-      cents = cents.zipWithIndex.map { case (old, b) =>
-        byBucket.get(b) match {
-          case Some(rows) =>
-            rows.sortBy(_.getAs[Int]("__pos"))
-              .map(r => r.getAs[Double]("__sum") / r.getAs[Long]("__n")).toSeq
-          case None => old // empty cluster keeps its centroid
+      val assign = sample.map(v => cents.indices.minBy(i => d2(v, cents(i))))
+      for (b <- cents.indices) {
+        val members = sample.indices.filter(assign(_) == b)
+        if (members.nonEmpty) {
+          val mean = new Array[Double](cents(b).length)
+          members.foreach { m =>
+            var i = 0
+            while (i < mean.length) { mean(i) += sample(m)(i); i += 1 }
+          }
+          cents(b) = mean.map(_ / members.length)
         }
       }
     }
-    cents
-  }
-
-  /** Deterministic k-means++-style seeding without RNG: start from the
-    * minimum-id vector, then repeatedly take the vector farthest from the
-    * chosen set (ties broken by id). Min-id-prefix seeding collapses when
-    * the first k ids share a cluster; farthest-point traversal spreads
-    * seeds across the data's actual modes. One small top-1 job per seed. */
-  private def farthestPointInit(vecs: DataFrame, k: Int): Seq[Seq[Double]] = {
-    var cents = Seq(vecs.orderBy("__id").limit(1)
-      .collect()(0).getSeq[Double](1).toSeq)
-    while (cents.length < k) {
-      val dmin = array_min(array(cents.map { c =>
-        val c2 = c.map(x => x * x).sum
-        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), typedLit(c)) + lit(c2)
-      }: _*))
-      val next = vecs.orderBy(dmin.desc, col("__id").asc).limit(1)
-        .collect()(0).getSeq[Double](1).toSeq
-      cents = cents :+ next
-    }
-    cents
+    cents.map(_.toSeq).toSeq
   }
 
   /** 0-based argmin over squared L2 distance to each centroid. Since

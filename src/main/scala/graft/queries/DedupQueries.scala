@@ -188,7 +188,27 @@ object DedupQueries {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2 (dedup family) — per-source duplication report: how much of each
+    * source survives exact dedup. The ingest-monitoring rollup. */
+  def qdReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text"))).as("n_unique"),
+        round(lit(1.0) - count_distinct(md5(col("text"))).cast("double")
+          / count(lit(1)), 6).as("dup_ratio"))
+      .orderBy("source")
+
+  val qdReportSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_report" -> (qdReport _),
     "qd_components" -> (qdComponents _),
     "qd_exact" -> (qdExact _),
     "qd_minhash" -> (qdMinhash _),
@@ -198,6 +218,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_report" -> qdReportSql,
     "qd_components" -> qdComponentsSql,
     "qd_exact" -> qdExactSql,
     "qd_minhash" -> qdMinhashSql,

@@ -224,7 +224,28 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Vocabulary building: global token frequencies, top-100 with a
+    * deterministic tie-break. Map-side combine does the heavy lifting —
+    * the shuffle carries one row per distinct token per partition. */
+  def qtVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(tokens(col("text")).as("__toks"))
+      .select(explode_outer(col("__toks")).as("token")) // see simhash32 note
+      .where(col("token").isNotNull)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(100)
+
+  val qtVocabSql: String =
+    """SELECT token, COUNT(*) AS n_occurrences
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n_occurrences DESC, token
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_vocab" -> (qtVocab _),
     "qt_redact" -> (qtRedact _),
     "qt_split" -> (qtSplit _),
     "qt_corpus_stats" -> (qtCorpusStats _),
@@ -234,6 +255,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_vocab" -> qtVocabSql,
     "qt_redact" -> qtRedactSql,
     "qt_split" -> qtSplitSql,
     "qt_corpus_stats" -> qtCorpusStatsSql,

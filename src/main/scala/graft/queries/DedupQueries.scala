@@ -95,6 +95,49 @@ object DedupQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.23b — SimHash near-dup pairs: Hamming distance ≤ 8 between
+    * 32-bit simhashes, blocked by source. The simhash is 8 bytes per
+    * doc, so the pair space shrinks to cheap integer xor/popcount —
+    * the point of SimHash at scale. */
+  def qdSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val hashed = Dedup.simhash32(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val a = hashed.select(col("source"), col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = hashed.select(col("source"), col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("source")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qdSimhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+      |), bits AS (
+      |  SELECT doc_id, r.range AS bit,
+      |    SUM(CASE WHEN (h & (1::BIGINT << r.range)) <> 0 THEN 1 ELSE -1 END) AS cnt
+      |  FROM hashed CROSS JOIN range(0, 32) r
+      |  GROUP BY doc_id, r.range
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |), joined AS (
+      |  SELECT s.doc_id, s.simhash, d.source
+      |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM joined a JOIN joined b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.24 — 3-gram Jaccard for pairs blocked by source. */
   def qdNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
@@ -214,6 +257,7 @@ object DedupQueries {
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
     "qd_simhash" -> (qdSimhash _),
+    "qd_simhash_pairs" -> (qdSimhashPairs _),
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
     "qd_embedding" -> (qdEmbedding _))
 
@@ -224,6 +268,7 @@ object DedupQueries {
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,
     "qd_simhash" -> qdSimhashSql,
+    "qd_simhash_pairs" -> qdSimhashPairsSql,
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
     "qd_embedding" -> qdEmbeddingSql)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import graft.dedup.Dedup
+import graft.operators.AsofJoin
+
+/** Randomized (fixed-seed) cross-checks of the distributed operators
+  * against naive driver-side reference implementations. */
+class PropertySpec extends SparkSpec {
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 5) {
+      val n = 2 + rnd.nextInt(24)
+      val edges = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+
+      // Reference: union-find that always keeps the smaller root, so the
+      // final root of every node is its component's minimum id.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val s = spark
+      import s.implicits._
+      val vdf = (0L until n.toLong).toDF("id")
+      val edf = edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(vdf, edf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
+  test("asofJoin equals per-row brute-force lookup on random series") {
+    val rnd = new Random(7)
+    def ts(v: Long) = new Timestamp(1700000000000L + v * 60000L)
+    for (_ <- 1 to 5) {
+      val lefts = Seq.tabulate(12)(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(50).toLong))
+      val rights = Seq.fill(8)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong)).distinct
+
+      val s = spark
+      import s.implicits._
+      val l = lefts.map { case (i, k, t) => (i, k, ts(t)) }.toDF("lid", "k", "t")
+      val r = rights.map { case (k, t) => (k, ts(t), k * 1000 + t) }
+        .toDF("rk", "rt", "rv")
+      val got = AsofJoin.asofJoin(l, r, "k", "rk", "t", "rt", Seq("rv"))
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+      val expected = lefts.map { case (i, k, t) =>
+        val candidates = rights.filter { case (rk, rt) => rk == k && rt <= t }
+        i -> (if (candidates.isEmpty) None
+          else { val (ck, ct) = candidates.maxBy(_._2); Some(ck * 1000 + ct) })
+      }.toMap
+      assert(got == expected, s"lefts=$lefts rights=$rights")
+    }
+  }
+}

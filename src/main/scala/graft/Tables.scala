@@ -21,6 +21,11 @@ object Tables {
     * rejects outright. Read nanos as long (legacy conf) and truncate to
     * microsecond timestamps — the generator never emits sub-microsecond
     * components, so this matches DuckDB's own ns→us coercion exactly.
+    *
+    * The conf DELIBERATELY stays set for the session: Spark re-reads it
+    * when the scan executes, so restoring it immediately would break the
+    * query; it only changes behaviour for other TIMESTAMP(NANOS) reads,
+    * which would otherwise fail outright.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -131,6 +131,10 @@ object Dedup {
     val a = withShingles.toDF("__block", "id_a", "sh_a")
     val b = withShingles.toDF("__block", "id_b", "sh_b")
     a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
+      // Drop pairs where both shingle sets are empty (docs under n
+      // tokens): 0/0 is NULL in Spark but NaN in ANSI engines — the
+      // pair carries no signal either way.
+      .where(size(array_union(col("sh_a"), col("sh_b"))) > 0)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -235,6 +239,11 @@ object Dedup {
       iter += 1
     }
     e.unpersist()
+    // Wrong-but-plausible labels are worse than failing: a graph whose
+    // diameter exceeds maxIter must not silently mislabel the tail.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter")
     // labels stays cached: one small row per vertex, and dropping it
     // would re-derive the whole iteration chain on first use.
     labels.select(col("__id").as(idCol), col("__comp").as("component_id"))

@@ -32,18 +32,21 @@ object AsofJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
+    // All right values travel as ONE struct: last(ignoreNulls) must pick
+    // the latest right ROW atomically. Filling columns independently
+    // would backfill a null field of the matched row from an older row —
+    // emitting a combination that never existed.
     val r = right.select(
-      col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-        rightValues.map(c => col(c).as(s"__rv_$c")): _*)
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      struct(rightValues.map(col): _*).as("__rv"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValues.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__rv_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__tag") === 1)
+    unioned
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
       .select(left.columns.map(col) ++
-        rightValues.map(c => col(s"__rv_$c").as(c)): _*)
+        rightValues.map(c => col(s"__rv.$c").as(c)): _*)
   }
 }

@@ -77,8 +77,10 @@ object DedupQueries {
     Dedup.simhash32(Tables.load(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
-  val qdSimhashSql: String =
-    """WITH toks AS (
+  /** Shared oracle CTE chain computing (doc_id, simhash) — interpolated
+    * into BOTH simhash oracles so the formula cannot desynchronise. */
+  private val simhashCtes: String =
+    """toks AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       |  FROM documents
       |), hashed AS (
@@ -88,12 +90,16 @@ object DedupQueries {
       |    SUM(CASE WHEN (h & (1::BIGINT << r.range)) <> 0 THEN 1 ELSE -1 END) AS cnt
       |  FROM hashed CROSS JOIN range(0, 32) r
       |  GROUP BY doc_id, r.range
-      |)
-      |SELECT doc_id,
-      |  SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-      |FROM bits
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  val qdSimhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sh
+       |ORDER BY doc_id""".stripMargin
 
   /** §2.23b — SimHash near-dup pairs: Hamming distance ≤ 8 between
     * 32-bit simhashes, blocked by source. The simhash is 8 bytes per
@@ -113,30 +119,16 @@ object DedupQueries {
   }
 
   val qdSimhashPairsSql: String =
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      |  FROM documents
-      |), hashed AS (
-      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
-      |), bits AS (
-      |  SELECT doc_id, r.range AS bit,
-      |    SUM(CASE WHEN (h & (1::BIGINT << r.range)) <> 0 THEN 1 ELSE -1 END) AS cnt
-      |  FROM hashed CROSS JOIN range(0, 32) r
-      |  GROUP BY doc_id, r.range
-      |), sh AS (
-      |  SELECT doc_id,
-      |    SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-      |  FROM bits GROUP BY doc_id
-      |), joined AS (
-      |  SELECT s.doc_id, s.simhash, d.source
-      |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
-      |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      |FROM joined a JOIN joined b
-      |  ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH $simhashCtes, joined AS (
+       |  SELECT s.doc_id, s.simhash, d.source
+       |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM joined a JOIN joined b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** §2.24 — 3-gram Jaccard for pairs blocked by source. */
   def qdNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -158,6 +150,7 @@ object DedupQueries {
       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
       |ORDER BY id_a, id_b""".stripMargin
 
   /** §2.25 — embedding cosine near-dup pairs blocked by label. */

@@ -120,22 +120,17 @@ object TextQueries {
 
   /** §2.31 — document fingerprint: minimum md5 over 5-word shingles
     * (a 1-permutation MinHash — robust to local edits). */
-  def qtFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    // Tokens materialised before the transform — an inline split inside
-    // the lambda body is re-evaluated per element (O(tokens²) per row).
-    val t = col("__toks")
+  def qtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    // Tokens materialised before the transform (see Portable.shingles);
+    // array_min of the empty under-n-token array is null, matching the
+    // oracle's CASE ... ELSE NULL.
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
-        when(size(t) >= 5,
-          array_min(transform(
-            sequence(lit(1), size(t) - 4),
-            i => md5(concat_ws(" ", slice(t, i, lit(5)))))))
-          .otherwise(lit(null)).as("fingerprint"),
+        array_min(shingles(col("__toks"), 5)).as("fingerprint"),
         md5(col("text")).as("exact_hash"))
       .orderBy("doc_id")
-  }
 
   val qtFingerprintSql: String =
     """SELECT doc_id,

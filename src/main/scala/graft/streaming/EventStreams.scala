@@ -38,7 +38,13 @@ object EventStreams {
 
   case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long)
 
-  /** Open-session state: micros timestamps (exact arithmetic). */
+  /** Per-user state: micros timestamps (exact arithmetic). `n == 0`
+    * means no session is open and `sessionId` is the NEXT id to assign —
+    * the counter survives timeouts so session numbering stays cumulative
+    * per user, matching the batch running-sum semantics. (Cumulative
+    * numbering is inherently a full-history property, so the closed
+    * marker is retained per user: 4 longs, bounded by user cardinality.)
+    */
   case class SessionState(sessionId: Long, startUs: Long, endUs: Long, n: Long)
 
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
@@ -74,9 +80,12 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (it.isEmpty) { // timeout: close and emit the open session
-            val out = state.getOption.map(s =>
+            val out = state.getOption.filter(_.n > 0).map(s =>
               SessionOut(userId, s.sessionId, s.n, ts(s.startUs), ts(s.endUs)))
-            state.remove()
+            // Keep the counter (not remove()): a later event for this
+            // user must get sessionId + 1, as the batch numbering does.
+            state.getOption.foreach(s =>
+              state.update(SessionState(s.sessionId + 1, 0L, 0L, 0L)))
             out.iterator
           } else {
             val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
@@ -85,6 +94,7 @@ object EventStreams {
             sorted.foreach { e =>
               val t = us(e.ts)
               if (cur == null) cur = SessionState(1L, t, t, 1L)
+              else if (cur.n == 0) cur = SessionState(cur.sessionId, t, t, 1L)
               else if (t - cur.endUs > GapUs) {
                 closed += SessionOut(userId, cur.sessionId, cur.n,
                   ts(cur.startUs), ts(cur.endUs))

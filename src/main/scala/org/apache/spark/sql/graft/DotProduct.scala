@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * higher-order function: Catalyst evaluates the lambdas interpreted,
   * per element, per row — the hot inner loop of every cosine-similarity
   * operator. This expression emits a tight primitive `for` loop inside
-  * WholeStageCodegen instead, while keeping bit-identical results: the
-  * fold is left-to-right with one multiply and one add per element,
-  * exactly like the HOF chain and the DuckDB oracle's `list_reduce`.
+  * WholeStageCodegen instead, with results identical to that HOF chain
+  * on every input: left-to-right fold, one multiply and one add per
+  * element, and NULL when the arrays differ in length (zip_with pads
+  * with null, which poisons the fold) or when any element is null.
   *
   * Lives under `org.apache.spark.sql` because the expression-authoring
   * surface (`AbstractDataType`, the Column↔Expression bridge) is
@@ -31,13 +32,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_product"
 
+  // Result can be null even for non-null array inputs (length mismatch,
+  // null element), in addition to BinaryExpression's null propagation.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -47,12 +57,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -15,15 +15,20 @@ class PortableSpec extends SparkSpec {
     assert(one[Long](md5Hash32(lit("abc"))) == 0x90015098L)
   }
 
-  test("dot is an exact left-to-right fold") {
+  test("dot is an exact left-to-right fold with HOF-identical null semantics") {
     val a = typedLit(Seq(1.0, 2.0, 3.0))
     val b = typedLit(Seq(4.0, 5.0, 6.0))
     assert(one[Double](dot(a, b)) == 32.0)
-    // Mismatched lengths: fold over the common prefix.
-    assert(one[Double](dot(a, typedLit(Seq(10.0)))) == 10.0)
     // Codegen expression must agree with the interpreted HOF chain.
     val hof = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
     assert(one[Double](dot(a, b)) == one[Double](hof))
+    // Mismatched lengths: zip_with pads with null, poisoning the fold —
+    // both the HOF chain and DotProduct yield NULL.
+    val short = typedLit(Seq(10.0))
+    val hofShort = aggregate(zip_with(a, short, _ * _), lit(0.0), _ + _)
+    val row = spark.range(1)
+      .select(dot(a, short).as("d"), hofShort.as("h")).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
   test("shingles: distinct n-grams; empty below n tokens") {

@@ -34,6 +34,42 @@ class EventQueriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("count")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming session numbering continues across event-time timeouts") {
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(stream.toDS(), watermarkDelay = "1 minute")
+      .toDF()
+      .writeStream.format("memory").queryName("resume_sess")
+      .outputMode("append").start()
+    try {
+      // Trigger 1: one event for user 7.
+      stream.addData(Seq(EventStreams.SessionEvent(1L, t0, 7L)))
+      q.processAllAvailable()
+      // Advance the watermark far enough to time out user 7's session
+      // (session end + 30min gap + 1min delay), via another user.
+      stream.addData(Seq(EventStreams.SessionEvent(8L, plus(200), 99L)))
+      q.processAllAvailable()
+      stream.addData(Seq(EventStreams.SessionEvent(9L, plus(201), 99L)))
+      q.processAllAvailable()
+      // User 7 returns AFTER the timeout: must get session_id 2, not 1.
+      stream.addData(Seq(EventStreams.SessionEvent(2L, plus(300), 7L)))
+      q.processAllAvailable()
+      stream.addData(Seq(EventStreams.SessionEvent(10L, plus(600), 99L)))
+      q.processAllAvailable()
+      stream.addData(Seq(EventStreams.SessionEvent(11L, plus(601), 99L)))
+      q.processAllAvailable()
+      val user7 = spark.table("resume_sess")
+        .where(col("user_id") === 7L).orderBy("session_id").collect()
+      assert(user7.map(_.getAs[Long]("session_id")).toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees on the exact-gap boundary") {
     import graft.streaming.EventStreams
     val s = spark

@@ -21,7 +21,7 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

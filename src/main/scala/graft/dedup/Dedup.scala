@@ -132,9 +132,10 @@ object Dedup {
     val b = withShingles.toDF("__block", "id_b", "sh_b")
     a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
       // Drop pairs where both shingle sets are empty (docs under n
-      // tokens): 0/0 is NULL in Spark but NaN in ANSI engines — the
-      // pair carries no signal either way.
-      .where(size(array_union(col("sh_a"), col("sh_b"))) > 0)
+      // tokens): 0/0 division is engine-dependent and the pair carries
+      // no signal. Checked via the input sizes — building the union
+      // array here would double the dominant per-pair cost.
+      .where(size(col("sh_a")) =!= 0 || size(col("sh_b")) =!= 0)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -241,9 +242,12 @@ object Dedup {
     e.unpersist()
     // Wrong-but-plausible labels are worse than failing: a graph whose
     // diameter exceeds maxIter must not silently mislabel the tail.
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations " +
-        s"($changed labels still changing); raise maxIter")
+    if (changed > 0) {
+      labels.unpersist() // don't pin the partial result on failure
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter")
+    }
     // labels stays cached: one small row per vertex, and dropping it
     // would re-derive the whole iteration chain on first use.
     labels.select(col("__id").as(idCol), col("__comp").as("component_id"))

@@ -47,6 +47,6 @@ object AsofJoin {
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
       .select(left.columns.map(col) ++
-        rightValues.map(c => col(s"__rv.$c").as(c)): _*)
+        rightValues.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: both operators are keyed-state streaming aggregations —
   * state is partitioned by (window, event_type) / user_id across
-  * executors, and the watermark bounds state size, so a 1000-executor
-  * cluster holds only the open windows/sessions, never history.
+  * executors. The watermark bounds windowed-agg state to open windows;
+  * the sessionizer additionally retains a 4-long counter marker per
+  * user (cumulative session numbering is a full-history property), so
+  * its state grows with user cardinality, not with event history.
   */
 object EventStreams {
 

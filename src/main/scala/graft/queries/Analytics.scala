@@ -183,7 +183,32 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Cumulative window: running order-total per customer over time.
+    * Decimal running sum keeps the prefix sums order-independent
+    * (frame order is deterministic, accumulation exact). */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w)
+          .cast("decimal(38,4)").cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val qRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4)) AS DOUBLE) AS running_total
+      |FROM orders
+      |WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_total" -> (qRunningTotal _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -192,6 +217,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_running_total" -> qRunningTotalSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

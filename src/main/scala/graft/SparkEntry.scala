@@ -14,7 +14,7 @@ object SparkEntry {
     Analytics.queries ++ QualityQueries.queries ++ DiffViewQueries.queries ++
       EngineQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +22,5 @@ object SparkEntry {
     Analytics.oracles ++ QualityQueries.oracles ++ DiffViewQueries.oracles ++
       EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

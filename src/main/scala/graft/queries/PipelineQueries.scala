@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** End-to-end corpus preparation — the composition the individual
+  * operators exist for: scrub PII, score quality, keep documents above
+  * threshold, and keep one canonical representative per distinct
+  * cleaned content. One scan, one shuffle (the dedup window on the
+  * content hash); every stage is a Column expression, so Catalyst fuses
+  * scrub+score+filter into the scan's codegen stage.
+  */
+object PipelineQueries {
+
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>")
+
+  private val MinQuality = 0.5
+
+  def qpCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = piiPatterns.foldLeft(col("text")) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    val toks = tokens(col("clean_text"))
+    val nTok = size(toks).cast("double")
+    val quality = lit(0.5) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.5) * (size(array_distinct(toks)).cast("double") / nTok)
+    val byContent = Window.partitionBy("content_hash").orderBy("doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), cleaned.as("clean_text"))
+      .withColumn("quality", round(quality, 6))
+      .where(col("quality") >= MinQuality)
+      .withColumn("content_hash", md5(col("clean_text")))
+      .withColumn("__rn", row_number().over(byContent))
+      .where(col("__rn") === 1)
+      .select("doc_id", "source", "content_hash", "quality")
+      .orderBy("doc_id")
+  }
+
+  val qpCorpusSql: String = {
+    val cleaned = piiPatterns.foldLeft("text") {
+      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+    }
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, source, $cleaned AS clean_text FROM documents
+       |), scored AS (
+       |  SELECT doc_id, source, clean_text,
+       |    round(0.5 * least(CAST(len(string_split(clean_text, ' ')) AS DOUBLE) / 50.0, 1.0)
+       |      + 0.5 * (CAST(len(list_distinct(string_split(clean_text, ' '))) AS DOUBLE)
+       |               / CAST(len(string_split(clean_text, ' ')) AS DOUBLE)), 6) AS quality
+       |  FROM cleaned
+       |)
+       |SELECT doc_id, source, md5(clean_text) AS content_hash, quality
+       |FROM scored
+       |WHERE quality >= $MinQuality
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_corpus" -> (qpCorpus _))
+
+  val oracles: Map[String, String] = Map(
+    "qp_corpus" -> qpCorpusSql)
+}

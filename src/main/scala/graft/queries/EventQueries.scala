@@ -115,13 +115,34 @@ object EventQueries {
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** Semi-structured extraction: pull typed values out of the JSON
+    * `props` column and aggregate — JSON path evaluation is codegen'd
+    * (get_json_object), no UDF, fused into the scan projection. */
+  def qeProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val qePropsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_props" -> (qeProps _),
     "qe_windows" -> (qeWindows _),
     "qe_sessions" -> (qeSessions _),
     "qe_topk_users" -> (qeTopkUsers _),
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_props" -> qePropsSql,
     "qe_windows" -> qeWindowsSql,
     "qe_sessions" -> qeSessionsSql,
     "qe_topk_users" -> qeTopkUsersSql,

@@ -253,6 +253,17 @@ object Dedup {
     labels.select(col("__id").as(idCol), col("__comp").as("component_id"))
   }
 
+  /** Deduplicated corpus: keep only each near-dup cluster's canonical
+    * row (minimum id), where clusters are connected components of
+    * `edges` (e.g. [[jaccardNeighbors]] or [[minhashCandidatePairs]]
+    * output). Non-canonical rows drop; rows in no cluster survive. */
+  def canonicalize(df: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val comps = connectedComponents(df.select(idCol), edges)
+    df.join(
+      comps.where(col(idCol) === col("component_id")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+
   /** Cosine similarity for every pair of rows sharing `blockCol`
     * (embedding near-dup). Returns (id_a, id_b, cosine). */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,

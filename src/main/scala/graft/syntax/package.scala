@@ -41,5 +41,20 @@ package object syntax {
         maxBucketSize: Option[Int] = None): DataFrame =
       Dedup.minhashCandidatePairs(df, textCol, idCol, numPerms, bandSize,
         maxBucketSize)
+
+    /** Near-dup dedup: keep each duplicate cluster's canonical row,
+      * with clusters from thresholded n-gram Jaccard edges. */
+    def dedupNear(textCol: String, idCol: String, blockCol: String,
+        n: Int = 3, minJaccard: Double = 0.8): DataFrame =
+      Dedup.canonicalize(df, idCol,
+        Dedup.jaccardNeighbors(df, textCol, idCol, n, blockCol, minJaccard)
+          .select("id_a", "id_b"))
+
+    /** Point-in-time enrichment with the latest right row per key. */
+    def asofJoin(right: DataFrame, leftKey: String, rightKey: String,
+        leftTime: String, rightTime: String,
+        rightValues: Seq[String]): DataFrame =
+      graft.operators.AsofJoin.asofJoin(df, right, leftKey, rightKey,
+        leftTime, rightTime, rightValues)
   }
 }

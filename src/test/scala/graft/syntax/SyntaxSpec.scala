@@ -22,4 +22,16 @@ class SyntaxSpec extends SparkSpec {
     assert(df.nearDupCandidates("text", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  test("dedupNear keeps only canonical rows of near-dup clusters") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"), // dup cluster → keep 1
+      (3L, "q r s t u", "s1"))                          // singleton → kept
+      .toDF("id", "text", "source")
+    val out = docs.dedupNear("text", "id", "source", n = 3, minJaccard = 0.8)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
 }

@@ -92,7 +92,7 @@ object DedupQueries {
       |  GROUP BY doc_id, r.range
       |), sh AS (
       |  SELECT doc_id,
-      |    SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      |    CAST(SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id
       |)""".stripMargin
 

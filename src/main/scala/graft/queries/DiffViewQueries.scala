@@ -90,12 +90,12 @@ object DiffViewQueries {
   val qcDiffValidateSql: String =
     """SELECT 'orders' AS side, COUNT(*) AS n_rows,
       |  COUNT(DISTINCT o_orderkey) AS n_distinct_keys,
-      |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_keys
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
       |FROM orders
       |UNION ALL
       |SELECT 'customer' AS side, COUNT(*) AS n_rows,
       |  COUNT(DISTINCT c_custkey) AS n_distinct_keys,
-      |  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_keys
+      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
       |FROM customer
       |ORDER BY side""".stripMargin
 

@@ -128,7 +128,7 @@ object EventQueries {
 
   val qePropsSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY event_type

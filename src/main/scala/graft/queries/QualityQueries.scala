@@ -48,7 +48,7 @@ object QualityQueries {
       s"""SELECT ${i + 1} AS rule_id, '${r.description}' AS description,
          |  CAST(${r.threshold} AS DOUBLE) AS threshold,
          |  COUNT(*) AS total_rows,
-         |  SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS num_invalid,
+         |  CAST(SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS BIGINT) AS num_invalid,
          |  CAST(SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fraction_invalid,
          |  (CAST(SUM(CASE WHEN (${r.query}) THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > ${r.threshold} AS failed
          |FROM lineitem""".stripMargin

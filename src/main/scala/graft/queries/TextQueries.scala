@@ -212,7 +212,7 @@ object TextQueries {
 
   val qtCorpusStatsSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
       |  quantile_cont(len(string_split(text, ' ')), 0.5) AS median_tokens
       |FROM documents

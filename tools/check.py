@@ -44,6 +44,17 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
         failures += 1
         continue
+    # The driver hashes raw values, so an int64 column vs a float64 column
+    # (e.g. DuckDB SUM -> HUGEINT -> float64) hash-mismatches even when
+    # numerically equal. Enforce matching dtype *kind* here.
+    kind_mismatch = [c for c in got.columns
+                     if got[c].dtype.kind != want[c].dtype.kind]
+    if kind_mismatch:
+        print(f"FAIL {name}: dtype kind mismatch "
+              + ", ".join(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                          for c in kind_mismatch))
+        failures += 1
+        continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
         failures += 1

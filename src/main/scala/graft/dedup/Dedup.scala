@@ -120,25 +120,50 @@ object Dedup {
   }
 
   /** Jaccard similarity over word n-gram shingles for every pair of rows
-    * sharing `blockCol`. Returns (id_a, id_b, jaccard). */
+    * sharing `blockCol`. Returns (id_a, id_b, jaccard).
+    *
+    * |A∩B| comes from the inverted shingle index (cost linear in posting
+    * collisions, identical to [[jaccardNeighbors]]'s candidate path) and
+    * |A∪B| = |A|+|B|−|A∩B|, so the all-pairs grid carries two integers
+    * per row instead of two shingle arrays — no per-pair
+    * array_intersect/array_union, which made the original formulation
+    * quadratic in *array work*, not just in pair count. Values are
+    * bit-identical: the same distinct-hash cardinalities feed the same
+    * double division. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, blockCol: String): DataFrame = {
-    val withShingles = df
+    val prepared = df
       .select(col(blockCol).as("__block"), col(idCol).as("__id"),
         tokens(col(textCol)).as("__toks")) // materialised: see shingles()
       .select(col("__block"), col("__id"),
         shingles(col("__toks"), n).as("__sh"))
-    val a = withShingles.toDF("__block", "id_a", "sh_a")
-    val b = withShingles.toDF("__block", "id_b", "sh_b")
-    a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
-      // Drop pairs where both shingle sets are empty (docs under n
-      // tokens): 0/0 division is engine-dependent and the pair carries
-      // no signal. Checked via the input sizes — building the union
-      // array here would double the dominant per-pair cost.
-      .where(size(col("sh_a")) =!= 0 || size(col("sh_b")) =!= 0)
+    // Pair grid over (id, |shingles|) only — pairs where BOTH sets are
+    // empty (docs under n tokens) drop: 0/0 is engine-dependent and the
+    // pair carries no signal.
+    val counts = prepared.select(col("__block"), col("__id"), size(col("__sh")).as("__n"))
+    val a = counts.toDF("__block", "id_a", "n_a")
+    val b = counts.toDF("__block", "id_b", "n_b")
+    val grid = a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
+      .where(col("n_a") =!= 0 || col("n_b") =!= 0)
+    // Intersection counts accrue only for pairs actually sharing a
+    // shingle; bucket-local ordered-combination generation as in
+    // minhashCandidatePairs (explode_outer: see jaccardNeighbors).
+    val posting = prepared
+      .select(col("__block"), col("__id"), explode_outer(col("__sh")).as("__shingle"))
+      .where(col("__shingle").isNotNull)
+    val inter = posting
+      .groupBy("__block", "__shingle")
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__pos", "id_a")), col("__ids"))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__pos") + 2, size(col("__ids")))).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__inter"))
+    grid.join(inter, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (coalesce(col("__inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("__inter"), lit(0L))).cast("double"))
           .as("jaccard"))
   }
 

@@ -81,13 +81,16 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   /** §2.27b — IVF bucketed ANN (deterministic k-means quantizer, nprobe
-    * probing). Not SQL-expressible (iterative index build) → no DuckDB
-    * oracle; the driver records a rows-only check, and KnnSpec pins the
-    * recall contract on crafted data. */
+    * probing). The index build is iterative (not SQL-expressible), but
+    * with nprobe = numCentroids every query probes every bucket, so the
+    * result is provably the exact top-k — the brute-force SQL is then a
+    * value-exact oracle for the whole IVF pipeline (sampled training,
+    * bucket assignment, probe ranking, bucketed join). The pruned-nprobe
+    * recall contract is pinned by KnnSpec on crafted data. */
   def qsKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     Knn.ivfTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
-      k = 5, numCentroids = 8, nprobe = 2)
+      k = 5, numCentroids = 8, nprobe = 8)
       .orderBy("q_id", "rank")
   }
 
@@ -98,5 +101,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "qs_knn_brute" -> qsKnnBruteSql,
-    "qs_knn_lsh" -> qsKnnLshSql)
+    "qs_knn_lsh" -> qsKnnLshSql,
+    // Full-probe IVF == exact top-k, so it shares the brute-force oracle.
+    "qs_knn_ivf" -> qsKnnBruteSql)
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equi-key + time-range join: match each point row (key, timestamp) to
+  * every interval row (key, startDate, startDate + lengthDays) covering
+  * its timestamp — "events within N days of the order", the standard
+  * attribution/feature-window join.
+  *
+  * A naive formulation is an equi-join on the key with a range
+  * predicate, which concentrates all of a key's points and intervals in
+  * one task and degenerates to a per-key cross product (hot keys at
+  * 100 TB: one straggler holds the whole join). Instead the interval
+  * side replicates into its covered DAY BINS (a bounded lengthDays-way
+  * fan-out, known at plan time) and the join becomes a plain equi-join
+  * on (key, day) — co-partitioned by the shuffle, skew-splittable by
+  * AQE, with the exact range predicate applied as a cheap residual
+  * filter. Bin fan-out is the classic interval-bucketing trade: shuffle
+  * volume grows by lengthDays, per-task work drops from O(points ×
+  * intervals) per key to O(collisions) per (key, day).
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to `intervals` where
+    * `points.pointKey == intervals.intervalKey` and `pointTs` falls in
+    * `[intervalStart, intervalStart + lengthDays)` (date-boundary
+    * inclusive start, exclusive end). Output columns: all interval
+    * columns followed by all point columns.
+    */
+  def pointsInInterval(points: DataFrame, intervals: DataFrame,
+      pointKey: String, intervalKey: String,
+      pointTs: String, intervalStart: String,
+      lengthDays: Int): DataFrame = {
+    require(lengthDays > 0, s"lengthDays must be positive, got $lengthDays")
+    val binned = intervals.withColumn("__day",
+      explode(transform(sequence(lit(0), lit(lengthDays - 1)),
+        d => date_add(col(intervalStart), d))))
+    val pts = points.withColumn("__day", to_date(col(pointTs)))
+    binned.join(pts,
+      binned("__day") === pts("__day") &&
+        binned(intervalKey) === pts(pointKey) &&
+        pts(pointTs) >= binned(intervalStart).cast("timestamp") &&
+        pts(pointTs) < date_add(binned(intervalStart), lengthDays).cast("timestamp"))
+      .select(intervals.columns.map(intervals(_)) ++ points.columns.map(points(_)): _*)
+  }
+}

@@ -207,7 +207,28 @@ object Analytics {
       |WHERE o_custkey < 100
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Pivot: order counts by priority × status. The status domain is
+    * declared explicitly — an undeclared pivot needs a distinct-values
+    * job before planning, and nondeterministic column order besides. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P")) // empty cells: null under pivot, 0 under CASE-sum
+      .orderBy("o_orderpriority")
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (qPivot _),
     "q_running_total" -> (qRunningTotal _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
@@ -217,6 +238,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
     "q_running_total" -> qRunningTotalSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,

@@ -32,6 +32,60 @@ object EventQueries {
       |GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** §2.32b — sliding 1-hour windows advancing every 30 minutes: each
+    * event lands in exactly two overlapping windows. Same single-shuffle
+    * shape as the tumbling case — the window() expression expands each
+    * row to its covering windows BEFORE the aggregation shuffle, so
+    * overlap factor (2×) is the only cost over tumbling. */
+  def qeSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), valueSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // An event at t covers window starts floor30(t) and floor30(t)-30min
+  // (both 30-minute-aligned, as in Spark, whose origin is the epoch;
+  // DuckDB's time_bucket origin 2000-01-01 is also 30-minute-aligned).
+  val qeSlidingSql: String =
+    """SELECT window_start, event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+      |           - o * INTERVAL '30 minutes' AS window_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+      |)
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** §2.33c — binned range join: events attributed to the 7-day window
+    * after each order by the same customer (see
+    * [[graft.operators.RangeJoin]] for why binning, not a theta join). */
+  def qeRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val events = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "value")
+    RangeJoin.pointsInInterval(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate", 7)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_events"), valueSum(col("value")).as("sum_value"))
+      .orderBy("o_orderkey")
+  }
+
+  val qeRangeSql: String =
+    """SELECT o.o_orderkey, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+      |FROM orders o JOIN events e
+      |  ON e.user_id = o.o_custkey
+      | AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+      | AND e.ts < CAST(o.o_orderdate + INTERVAL 7 DAY AS TIMESTAMP)
+      |GROUP BY o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** §2.33 — gap-based sessionization (30-minute inactivity closes a
     * session), assembled from lag + running sum + aggregation. */
   def qeSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -137,6 +191,8 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_props" -> (qeProps _),
     "qe_windows" -> (qeWindows _),
+    "qe_sliding" -> (qeSliding _),
+    "qe_range" -> (qeRange _),
     "qe_sessions" -> (qeSessions _),
     "qe_topk_users" -> (qeTopkUsers _),
     "qe_asof" -> (qeAsof _))
@@ -144,6 +200,8 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "qe_props" -> qePropsSql,
     "qe_windows" -> qeWindowsSql,
+    "qe_sliding" -> qeSlidingSql,
+    "qe_range" -> qeRangeSql,
     "qe_sessions" -> qeSessionsSql,
     "qe_topk_users" -> qeTopkUsersSql,
     "qe_asof" -> qeAsofSql)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable._
@@ -219,6 +220,57 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** TF-IDF: top-5 scoring tokens per document. tf = cnt/|doc|, idf =
+    * ln((N+1)/(df+1)) + 1 (smoothed). Shape: one explode + (doc, token)
+    * count, then doc-length and document-frequency come from two window
+    * passes over the COUNTED rows (≪ raw token rows) instead of two
+    * extra self-joins. Ranking and output use round(·, 6): Java's
+    * Math.log and libm's ln disagree in the last ulp on ~0.02% of
+    * inputs (measured), and the rounded value is where that noise dies.
+    */
+  def qtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count() // column-pruned count scan, once per build
+    val tf = docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("token")) // see simhash32 note
+      .where(col("token").isNotNull)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val scored = tf
+      .withColumn("__n_tok", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("token")))
+      .withColumn("tfidf", round(
+        (col("cnt").cast("double") / col("__n_tok").cast("double")) *
+          (log((lit(nDocs).cast("double") + lit(1.0)) /
+            (col("__df").cast("double") + lit(1.0))) + lit(1.0)), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))))
+      .where(col("rank") <= 5)
+      .select("doc_id", "token", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  val qtTfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token
+      |), scored AS (
+      |  SELECT doc_id, token,
+      |    round((CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE)) *
+      |      (ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) /
+      |          (CAST(COUNT(*) OVER (PARTITION BY token) AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM tf
+      |)
+      |SELECT doc_id, token, tfidf, rank FROM (
+      |  SELECT doc_id, token, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Vocabulary building: global token frequencies, top-100 with a
     * deterministic tie-break. Map-side combine does the heavy lifting —
     * the shuffle carries one row per distinct token per partition. */
@@ -240,6 +292,7 @@ object TextQueries {
       |LIMIT 100""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_tfidf" -> (qtTfidf _),
     "qt_vocab" -> (qtVocab _),
     "qt_redact" -> (qtRedact _),
     "qt_split" -> (qtSplit _),
@@ -250,6 +303,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_tfidf" -> qtTfidfSql,
     "qt_vocab" -> qtVocabSql,
     "qt_redact" -> qtRedactSql,
     "qt_split" -> qtSplitSql,

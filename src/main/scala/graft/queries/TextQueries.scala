@@ -237,9 +237,12 @@ object TextQueries {
       .where(col("token").isNotNull)
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("cnt"))
+    // token window FIRST, doc_id window second: the later rank window is
+    // also doc_id-partitioned, so it reuses the n_tok exchange (sort
+    // only) — token-between-doc_id windows would cost a third shuffle.
     val scored = tf
-      .withColumn("__n_tok", sum(col("cnt")).over(Window.partitionBy("doc_id")))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("token")))
+      .withColumn("__n_tok", sum(col("cnt")).over(Window.partitionBy("doc_id")))
       .withColumn("tfidf", round(
         (col("cnt").cast("double") / col("__n_tok").cast("double")) *
           (log((lit(nDocs).cast("double") + lit(1.0)) /

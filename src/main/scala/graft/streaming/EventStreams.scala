@@ -115,4 +115,34 @@ object EventStreams {
     import events.sparkSession.implicits._
     events.select(col("event_id"), col("ts"), col("user_id")).as[SessionEvent]
   }
+
+  /** Stream-static enrichment: each streaming event picks up the dim
+    * row with `dimKey == eventKey` (left join; null columns when
+    * absent). The static side is marked broadcast — stream-static joins
+    * re-plan the static side per micro-batch, and a shuffled join would
+    * re-shuffle the STREAM side every trigger; broadcasting keeps the
+    * stream partitioning untouched, the standard shape for dimension
+    * enrichment at scale. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String, dimValues: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((dimKey +: dimValues).map(col): _*)),
+      events(eventKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
+  /** Watermarked stream-stream interval join: (left, right) pairs with
+    * equal keys where `rightTs` falls in [leftTs, leftTs + maxDelay].
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so each side's buffered state is evicted
+    * once the other side's watermark passes — without the time bound a
+    * stream-stream join must retain both streams forever. Caller
+    * renames columns to avoid collisions (the spec shows the shape). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String, watermarkDelay: String = "2 hours"): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay).join(
+      right.withWatermark(rightTs, watermarkDelay),
+      expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+        s"AND $rightTs <= $leftTs + INTERVAL $maxDelay"))
 }

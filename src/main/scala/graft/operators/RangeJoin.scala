@@ -33,15 +33,20 @@ object RangeJoin {
       pointTs: String, intervalStart: String,
       lengthDays: Int): DataFrame = {
     require(lengthDays > 0, s"lengthDays must be positive, got $lengthDays")
+    // Explicit side aliases: both frames may derive from the SAME source
+    // (self-attribution joins), where unqualified refs are ambiguous.
     val binned = intervals.withColumn("__day",
       explode(transform(sequence(lit(0), lit(lengthDays - 1)),
         d => date_add(col(intervalStart), d))))
-    val pts = points.withColumn("__day", to_date(col(pointTs)))
+      .alias("__ivl")
+    val pts = points.withColumn("__day", to_date(col(pointTs))).alias("__pt")
     binned.join(pts,
-      binned("__day") === pts("__day") &&
-        binned(intervalKey) === pts(pointKey) &&
-        pts(pointTs) >= binned(intervalStart).cast("timestamp") &&
-        pts(pointTs) < date_add(binned(intervalStart), lengthDays).cast("timestamp"))
-      .select(intervals.columns.map(intervals(_)) ++ points.columns.map(points(_)): _*)
+      col("__ivl.__day") === col("__pt.__day") &&
+        col(s"__ivl.$intervalKey") === col(s"__pt.$pointKey") &&
+        col(s"__pt.$pointTs") >= col(s"__ivl.$intervalStart").cast("timestamp") &&
+        col(s"__pt.$pointTs") <
+          date_add(col(s"__ivl.$intervalStart"), lengthDays).cast("timestamp"))
+      .select(intervals.columns.map(c => col(s"__ivl.$c")) ++
+        points.columns.map(c => col(s"__pt.$c")): _*)
   }
 }

@@ -60,31 +60,35 @@ object EventQueries {
       |GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
-  /** §2.33c — binned range join: events attributed to the 7-day window
-    * after each order by the same customer (see
-    * [[graft.operators.RangeJoin]] for why binning, not a theta join). */
+  /** §2.33c — binned range join: every event attributed to the 7-day
+    * window opening at each signup event's day by the same user — the
+    * activation-attribution join (see [[graft.operators.RangeJoin]] for
+    * why binning, not a theta join). The signup row itself falls inside
+    * its own window, so every window has ≥1 event. */
   def qeRange(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeJoin
-    val orders = Tables.load(spark, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_orderdate")
     val events = Tables.load(spark, dir, "events")
-      .select("user_id", "ts", "value")
-    RangeJoin.pointsInInterval(events, orders,
-      "user_id", "o_custkey", "ts", "o_orderdate", 7)
-      .groupBy("o_orderkey")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        to_date(col("ts")).as("s_day"))
+    val points = events.select("user_id", "ts", "value")
+    RangeJoin.pointsInInterval(points, signups,
+      "user_id", "s_user", "ts", "s_day", 7)
+      .groupBy("signup_id")
       .agg(count(lit(1)).as("n_events"), valueSum(col("value")).as("sum_value"))
-      .orderBy("o_orderkey")
+      .orderBy("signup_id")
   }
 
   val qeRangeSql: String =
-    """SELECT o.o_orderkey, COUNT(*) AS n_events,
+    """SELECT s.event_id AS signup_id, COUNT(*) AS n_events,
       |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
-      |FROM orders o JOIN events e
-      |  ON e.user_id = o.o_custkey
-      | AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
-      | AND e.ts < CAST(o.o_orderdate + INTERVAL 7 DAY AS TIMESTAMP)
-      |GROUP BY o.o_orderkey
-      |ORDER BY o.o_orderkey""".stripMargin
+      |FROM events s JOIN events e
+      |  ON e.user_id = s.user_id
+      | AND e.ts >= CAST(CAST(s.ts AS DATE) AS TIMESTAMP)
+      | AND e.ts < CAST(CAST(s.ts AS DATE) + INTERVAL 7 DAY AS TIMESTAMP)
+      |WHERE s.event_type = 'signup'
+      |GROUP BY s.event_id
+      |ORDER BY signup_id""".stripMargin
 
   /** §2.33 — gap-based sessionization (30-minute inactivity closes a
     * session), assembled from lag + running sum + aggregation. */

@@ -207,6 +207,20 @@ object Analytics {
       |WHERE o_custkey < 100
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Cube over returnflag/linestatus: all 4 grouping sets in one pass. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Pivot: order counts by priority × status. The status domain is
     * declared explicitly — an undeclared pivot needs a distinct-values
     * job before planning, and nondeterministic column order besides. */
@@ -228,6 +242,7 @@ object Analytics {
       |ORDER BY o_orderpriority""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_running_total" -> (qRunningTotal _),
     "q1_pricing" -> (q1Pricing _),
@@ -238,6 +253,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_running_total" -> qRunningTotalSql,
     "q1_pricing" -> q1PricingSql,

@@ -72,6 +72,40 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cross-source near-dup report: MinHash-LSH candidate pairs rolled up
+    * per (source_a, source_b) pair — the ingest-monitoring view of
+    * content shared ACROSS sources (the within-source view is
+    * [qd_simhash_pairs]'s blocking). Two hash-joins annotate the pairs
+    * with their sources; output is at most |sources|² rows. */
+  def qdCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
+      .join(src.toDF("id_a", "src_a"), "id_a")
+      .join(src.toDF("id_b", "src_b"), "id_b")
+      .where(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val qdCrossSourceSql: String =
+    s"""WITH pairs AS ($qdMinhashPairsSql),
+       |lab AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM pairs p
+       |  JOIN documents a ON p.id_a = a.doc_id
+       |  JOIN documents b ON p.id_b = b.doc_id
+       |)
+       |SELECT least(src_a, src_b) AS source_a,
+       |  greatest(src_a, src_b) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM lab WHERE src_a <> src_b
+       |GROUP BY least(src_a, src_b), greatest(src_a, src_b)
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** §2.23 — 32-bit SimHash per document. */
   def qdSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash32(Tables.load(spark, dir, "documents"), "text", "doc_id")
@@ -252,6 +286,7 @@ object DedupQueries {
     "qd_simhash" -> (qdSimhash _),
     "qd_simhash_pairs" -> (qdSimhashPairs _),
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
+    "qd_cross_source" -> (qdCrossSource _),
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -263,5 +298,6 @@ object DedupQueries {
     "qd_simhash" -> qdSimhashSql,
     "qd_simhash_pairs" -> qdSimhashPairsSql,
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
+    "qd_cross_source" -> qdCrossSourceSql,
     "qd_embedding" -> qdEmbeddingSql)
 }

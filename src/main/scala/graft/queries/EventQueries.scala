@@ -173,6 +173,45 @@ object EventQueries {
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** Conversion funnel: per-user first signup, first click AT OR AFTER
+    * that signup, first purchase at or after that click; one row of
+    * stage counts. Each stage is a keyed aggregation joined forward —
+    * three shuffles on user_id, no window over the full event stream. */
+  def qeFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val s = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val c = ev.where(col("event_type") === "click")
+      .join(s, Seq("user_id")).where(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).where(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("t0")).as("n_signup"),
+        count(col("t1")).as("n_click_after_signup"),
+        count(col("t2")).as("n_purchase_after_click"))
+  }
+
+  val qeFunnelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+      |  JOIN s ON e.user_id = s.user_id AND e.ts >= s.t0
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t1
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      |)
+      |SELECT COUNT(s.t0) AS n_signup,
+      |  COUNT(c.t1) AS n_click_after_signup,
+      |  COUNT(p.t2) AS n_purchase_after_click
+      |FROM s LEFT JOIN c ON s.user_id = c.user_id
+      |       LEFT JOIN p ON s.user_id = p.user_id""".stripMargin
+
   /** Semi-structured extraction: pull typed values out of the JSON
     * `props` column and aggregate — JSON path evaluation is codegen'd
     * (get_json_object), no UDF, fused into the scan projection. */
@@ -199,6 +238,7 @@ object EventQueries {
     "qe_range" -> (qeRange _),
     "qe_sessions" -> (qeSessions _),
     "qe_topk_users" -> (qeTopkUsers _),
+    "qe_funnel" -> (qeFunnel _),
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +248,6 @@ object EventQueries {
     "qe_range" -> qeRangeSql,
     "qe_sessions" -> qeSessionsSql,
     "qe_topk_users" -> qeTopkUsersSql,
+    "qe_funnel" -> qeFunnelSql,
     "qe_asof" -> qeAsofSql)
 }

@@ -61,9 +61,50 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Train/test contamination report: MinHash-LSH near-dup candidate
+    * pairs whose members land in DIFFERENT splits of the deterministic
+    * md5 split (TextQueries.qtSplit's assignment) — the canonical
+    * "your test set leaks into train" check, composed entirely from the
+    * dedup + split primitives and summarised per split pair. */
+  def qpContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val bucket = md5Hash32(concat_ws(":", lit("split"), id)) % 100
+      when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    }
+    Dedup.minhashCandidatePairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 16, 8)
+      .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
+      .where(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private def splitCaseSql(id: String): String =
+    s"""CASE WHEN ('0x' || substr(md5('split:' || $id), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+       |     WHEN ('0x' || substr(md5('split:' || $id), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
+  val qpContaminationSql: String =
+    s"""WITH pairs AS (${DedupQueries.qdMinhashPairsSql}),
+       |lab AS (
+       |  SELECT ${splitCaseSql("id_a")} AS sa, ${splitCaseSql("id_b")} AS sb
+       |  FROM pairs
+       |)
+       |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       |  COUNT(*) AS n_pairs
+       |FROM lab WHERE sa <> sb
+       |GROUP BY least(sa, sb), greatest(sa, sb)
+       |ORDER BY split_a, split_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "qp_corpus" -> (qpCorpus _))
+    "qp_corpus" -> (qpCorpus _),
+    "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
-    "qp_corpus" -> qpCorpusSql)
+    "qp_corpus" -> qpCorpusSql,
+    "qp_contamination" -> qpContaminationSql)
 }

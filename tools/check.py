@@ -59,6 +59,10 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
         failures += 1
         continue
+    if len(got) == 0:
+        # 0 == 0 passes the hash gate but proves nothing (a join over
+        # non-overlapping domains is vacuously "correct") — make it loud.
+        print(f"WARN {name}: 0 rows on both sides — vacuous comparison")
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
         print(f"OK   {name}: {len(got)} rows")

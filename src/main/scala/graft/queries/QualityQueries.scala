@@ -124,7 +124,33 @@ object QualityQueries {
       |WHERE o.o_custkey IN (SELECT o_custkey FROM orders WHERE NOT (o_totalprice <= 490000))
       |ORDER BY o_custkey, window_rank""".stripMargin
 
+  /** §2.5b — cross-table referential integrity: orphan counts for three
+    * foreign-key relations in one unioned report. */
+  def qcRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(spark, dir, n)
+    RuleRunner.referentialStats(t("orders"), t("customer"),
+      "o_custkey", "c_custkey", "orders->customer")
+      .unionAll(RuleRunner.referentialStats(t("lineitem"), t("orders"),
+        "l_orderkey", "o_orderkey", "lineitem->orders"))
+      .unionAll(RuleRunner.referentialStats(t("events"), t("customer"),
+        "user_id", "c_custkey", "events->customer"))
+      .orderBy("relation")
+  }
+
+  val qcRefIntegritySql: String = {
+    def piece(child: String, ck: String, parent: String, pk: String, name: String) =
+      s"""SELECT '$name' AS relation, COUNT(*) AS n_child,
+         |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+         |  ON c.$ck = p.$pk""".stripMargin
+    Seq(piece("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+      piece("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+      piece("events", "user_id", "customer", "c_custkey", "events->customer"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_ref_integrity" -> (qcRefIntegrity _),
     "qc_assert_invalid" -> (qcAssertInvalid _),
     "qc_assert_report" -> (qcAssertReport _),
     "qc_assert_features" -> (qcAssertFeatures _),
@@ -132,6 +158,7 @@ object QualityQueries {
     "qc_assert_window" -> (qcAssertWindow _))
 
   val oracles: Map[String, String] = Map(
+    "qc_ref_integrity" -> qcRefIntegritySql,
     "qc_assert_invalid" -> qcAssertInvalidSql,
     "qc_assert_report" -> qcAssertReportSql,
     "qc_assert_features" -> qcAssertFeaturesSql,

@@ -43,6 +43,29 @@ object SimilarityQueries {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** §2.26b — filtered (hybrid) ANN: exact top-5 restricted to corpus
+    * vectors with label < 3. The metadata predicate composes with the
+    * scan — Catalyst pushes it into the parquet read, so the search
+    * touches only the filtered partition of the corpus. */
+  def qsKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Knn.bruteForce(emb.where(col("label") < 3),
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  val qsKnnFilteredSql: String =
+    s"""SELECT q_id, neighbor_id, cosine, rank FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10 AND c.label < 3
+       |) t
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Oracle fragment: the md5-derived hyperplane component w(p, i) for
     * 1-based dim index i (formula mirrors [[Knn.planes]]). */
   private def wSql(p: Int): String =
@@ -96,11 +119,13 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_knn_brute" -> (qsKnnBrute _),
+    "qs_knn_filtered" -> (qsKnnFiltered _),
     "qs_knn_lsh" -> (qsKnnLsh _),
     "qs_knn_ivf" -> (qsKnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "qs_knn_brute" -> qsKnnBruteSql,
+    "qs_knn_filtered" -> qsKnnFilteredSql,
     "qs_knn_lsh" -> qsKnnLshSql,
     // Full-probe IVF == exact top-k, so it shares the brute-force oracle.
     "qs_knn_ivf" -> qsKnnBruteSql)

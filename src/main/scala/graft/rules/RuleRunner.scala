@@ -54,6 +54,21 @@ object RuleRunner {
   def invalidRows(df: DataFrame, rules: Seq[Rule]): DataFrame =
     markInvalid(df, rules).filter(col(ReasonCol) =!= "")
 
+  /** Cross-table referential-integrity stats (beyond the reference's
+    * single-table rules): total child rows and rows whose key has no
+    * parent — one left join against the DISTINCT parent keys (the
+    * distinct pre-aggregation keeps the join side small and, for true
+    * dimension parents, broadcastable) and one aggregation, no
+    * per-relation count jobs. */
+  def referentialStats(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String, relationName: String): DataFrame =
+    child.select(col(childKey).as("__k"))
+      .join(parent.select(col(parentKey).as("__k")).distinct()
+        .withColumn("__hit", lit(1)), Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__hit").isNull, 1).otherwise(0)).as("n_orphans"))
+      .select(lit(relationName).as("relation"), col("n_child"), col("n_orphans"))
+
   /** Evaluate every rule in a single aggregation pass.
     * Rules with `summary` expressions cost one extra pass each (their
     * aggregates are arbitrary SQL over just the rule's invalid rows). */

@@ -90,6 +90,14 @@ object Dedup {
         maxBucketSize.map(m => size(col("ids")) <= m).getOrElse(lit(true)))
     buckets
       .select(posexplode(col("ids")).as(Seq("pos", "id_a")), col("ids"))
+      // Split the two-level combination explode: without this barrier a
+      // hot bucket (boilerplate cluster of m docs) generates its whole
+      // C(m,2) pair set in the ONE task holding that bucket's row. The
+      // repartition spreads the m first-level rows across the cluster so
+      // the quadratic second level runs parallel; the extra shuffle
+      // carries Σ|bucket|² ids ≈ 2× the pair count — same order as the
+      // pair shuffle below that exists anyway.
+      .repartition(col("id_a"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("pos") + 2, size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b")

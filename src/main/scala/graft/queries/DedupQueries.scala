@@ -81,8 +81,8 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
     val src = docs.select(col("doc_id"), col("source"))
     Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
-      .join(src.toDF("id_a", "src_a"), "id_a")
-      .join(src.toDF("id_b", "src_b"), "id_b")
+      .join(broadcast(src.toDF("id_a", "src_a")), "id_a")
+      .join(broadcast(src.toDF("id_b", "src_b")), "id_b")
       .where(col("src_a") =!= col("src_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),
         greatest(col("src_a"), col("src_b")).as("source_b"))

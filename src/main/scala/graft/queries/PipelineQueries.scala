@@ -68,13 +68,19 @@ object PipelineQueries {
     * dedup + split primitives and summarised per split pair. */
   def qpContamination(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
-    def splitOf(id: org.apache.spark.sql.Column) = {
-      val bucket = md5Hash32(concat_ws(":", lit("split"), id)) % 100
-      when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    }
-    Dedup.minhashCandidatePairs(Tables.load(spark, dir, "documents"),
-      "text", "doc_id", 16, 8)
-      .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
+    val docs = Tables.load(spark, dir, "documents")
+    // Labels come from a broadcast-joined per-DOC frame, not inline
+    // expressions on the pair columns: pushdown would re-inline the md5
+    // CASE chain into a pre-aggregation filter and evaluate it per RAW
+    // pair (≥4 md5 chains × every band collision, measured 2× the whole
+    // query) — joined attributes cannot be substituted.
+    val bucket = md5Hash32(concat_ws(":", lit("split"), col("doc_id"))) % 100
+    val labels = docs.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+    Dedup.minhashCandidatePairs(docs, "text", "doc_id", 16, 8)
+      .join(broadcast(labels.toDF("id_a", "sa")), "id_a")
+      .join(broadcast(labels.toDF("id_b", "sb")), "id_b")
       .where(col("sa") =!= col("sb"))
       .select(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))

@@ -104,6 +104,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incoming-batch near-dup flagging against an EXISTING corpus — the
+    * continuous-ingest shape of MinHash-LSH dedup. The existing side
+    * reduces to its distinct (band, value) index (in production:
+    * precomputed once, appended per batch); the incoming batch computes
+    * its own bands and joins the index, so per-batch cost is linear in
+    * the BATCH, never all-pairs against the corpus. Returns one row per
+    * incoming doc that collides, with its colliding-band count. */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String,
+      numPerms: Int, bandSize: Int): DataFrame = {
+    val numBands = numPerms / bandSize
+    def banded(df: DataFrame) = withMinhashSignature(df, textCol, numPerms)
+      .select(col(idCol) +: bandColumns(numPerms, bandSize): _*)
+      .select(col(idCol), posexplode(
+        array((0 until numBands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val index = banded(existing).select("band_idx", "band_val").distinct()
+    banded(incoming).join(index, Seq("band_idx", "band_val"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_colliding_bands"))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit b is set when more token
     * hashes have bit b set than clear. One explode + one aggregation. */
   def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame = {

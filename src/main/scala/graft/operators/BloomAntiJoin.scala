@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BloomFilters
+
+/** Approximate blocklist anti-join: drop every row of `df` whose key
+  * appears in `blockList` — decontamination against a benchmark /
+  * opt-out / known-bad corpus — WITHOUT joining the 100 TB side.
+  *
+  * The blocklist aggregates into ONE serialized Bloom filter (a driver
+  * collect of megabytes, like Spark's own runtime join filters), which
+  * ships to every task as a literal; the big side is then a pure scan +
+  * filter, no shuffle, full codegen. Semantics: NO false negatives — a
+  * blocked key never survives; false positives drop extra rows at the
+  * configured rate (size `numBits` for the target fpp). For exact
+  * semantics at the cost of a shuffle, use a left-anti join; the spec
+  * cross-checks this operator against it.
+  */
+object BloomAntiJoin {
+
+  /** Remove rows of `df` whose `keyCol` is possibly in `blockList`'s
+    * `blockKeyCol` (false positives ≈ fpp for the chosen sizing;
+    * false negatives impossible). */
+  def antiJoin(df: DataFrame, blockList: DataFrame,
+      keyCol: String, blockKeyCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    val bloomBytes = blockList
+      .agg(BloomFilters.bloomAgg(col(blockKeyCol), expectedItems, numBits)
+        .as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    if (bloomBytes == null) df // empty blocklist blocks nothing
+    else df.where(!BloomFilters.mightContain(lit(bloomBytes), col(keyCol)))
+  }
+}

@@ -106,6 +106,44 @@ object DedupQueries {
        |GROUP BY least(src_a, src_b), greatest(src_a, src_b)
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Incremental dedup: the md5-split "new" 20% of the corpus probed
+    * against the band index of the "existing" 80% — which incoming
+    * documents near-duplicate corpus content, without all-pairs work. */
+  def qdIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    val docs = Tables.load(spark, dir, "documents")
+    val bucket = md5Hash32(concat_ws(":", lit("split"), col("doc_id"))) % 100
+    Dedup.incrementalNearDups(
+      docs.where(bucket < 80), docs.where(bucket >= 80),
+      "text", "doc_id", NumPerms, BandSize)
+      .orderBy("doc_id")
+  }
+
+  val qdIncrementalSql: String = {
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => sigSqlExpr(b * BandSize + j))
+      s"md5(concat_ws('_', ${parts.mkString(", ")})) AS band_$b"
+    }
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS bucket,
+       |    ${bands.mkString(",\n    ")}
+       |  FROM documents
+       |), banded AS (
+       |  SELECT doc_id, bucket, 0 AS band_idx, band_0 AS band_val FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, bucket, 1 AS band_idx, band_1 AS band_val FROM sigs
+       |), idx AS (
+       |  SELECT DISTINCT band_idx, band_val FROM banded WHERE bucket < 80
+       |)
+       |SELECT b.doc_id, COUNT(*) AS n_colliding_bands
+       |FROM banded b JOIN idx i
+       |  ON b.band_idx = i.band_idx AND b.band_val = i.band_val
+       |WHERE b.bucket >= 80
+       |GROUP BY b.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.23 — 32-bit SimHash per document. */
   def qdSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash32(Tables.load(spark, dir, "documents"), "text", "doc_id")
@@ -287,6 +325,7 @@ object DedupQueries {
     "qd_simhash_pairs" -> (qdSimhashPairs _),
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
     "qd_cross_source" -> (qdCrossSource _),
+    "qd_incremental" -> (qdIncremental _),
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +338,6 @@ object DedupQueries {
     "qd_simhash_pairs" -> qdSimhashPairsSql,
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
     "qd_cross_source" -> qdCrossSourceSql,
+    "qd_incremental" -> qdIncrementalSql,
     "qd_embedding" -> qdEmbeddingSql)
 }

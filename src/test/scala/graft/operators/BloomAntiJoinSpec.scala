@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomAntiJoinSpec extends SparkSpec {
+
+  test("no false negatives; survivors subset of the exact anti-join") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 2000L).map(i => (i, s"doc_$i")).toDF("id", "content")
+    val blocked = (1L to 2000L by 7).map(i => s"doc_$i").toDF("bad")
+
+    val got = BloomAntiJoin.antiJoin(corpus, blocked, "content", "bad",
+      expectedItems = 1000L, numBits = 1L << 20)
+    val exact = corpus.join(blocked, corpus("content") === blocked("bad"),
+      "left_anti")
+
+    // A blocked key can never survive...
+    assert(got.join(blocked, got("content") === blocked("bad")).count() == 0)
+    // ...and the only extra drops are Bloom false positives.
+    assert(got.exceptAll(exact).isEmpty)
+    val exactCount = exact.count()
+    val gotCount = got.count()
+    assert(gotCount <= exactCount)
+    // With 2^20 bits for 286 items the fp rate is ~0 — expect near-exact.
+    assert(gotCount >= (exactCount * 0.99).toLong)
+  }
+
+  test("empty blocklist blocks nothing") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 10L).map(i => (i, s"doc_$i")).toDF("id", "content")
+    val none = Seq.empty[String].toDF("bad")
+    assert(BloomAntiJoin.antiJoin(corpus, none, "content", "bad").count() == 10)
+  }
+}

@@ -13,9 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    // The driver test files are SINGLE-row-group parquet, which caps
+    // scan parallelism at one task no matter how maxPartitionBytes is
+    // set — so every compute-heavy first stage (md5 signatures,
+    // shingling, JSON parsing, decimal partial aggregation) would run
+    // serially on one core and its wall time would swing with whatever
+    // that one thread contends with (measured ±5s on the dedup family).
+    // A production corpus arrives in many files/row groups and gets this
+    // parallelism from the scan for free; the rebalance (a shuffle of
+    // kilobytes here) restores the plan shape the operators are designed
+    // for. The fact tables keep scan-level pushdown: Catalyst pushes
+    // deterministic filters below Repartition.
+    val target = spark.sparkContext.defaultParallelism
+    if (name == "region" || name == "nation") df else df.repartition(target)
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects outright. Read nanos as long (legacy conf) and truncate to

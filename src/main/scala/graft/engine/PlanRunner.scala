@@ -71,7 +71,10 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
     cmds.map {
       case c: AssertionCommand =>
         val input = resolve(c.input)
-        val ruleReports = RuleRunner.reports(input, c.rules)
+        // The engine's report path collects per-rule samples (bounded,
+        // projected to rule-referenced columns) like the reference's
+        // assertion reports do.
+        val ruleReports = RuleRunner.reports(input, c.rules, collectSamples = true)
         reports.append(c.outputKey -> ruleReports)
         store(RuleRunner.invalidRows(input, c.rules), c)
         ruleReports.count(_.failed)

@@ -37,6 +37,11 @@ object ReportWriter {
         n.put("failed", r.failed)
         val s = n.putObject("userSummaryStatistics")
         r.summaryStats.foreach { case (k, v) => s.put(k, String.valueOf(v)) }
+        val samp = n.putArray("sampleInvalidData")
+        r.sampleInvalid.foreach { rowMap =>
+          val o = samp.addObject()
+          rowMap.foreach { case (k, v) => o.put(k, v) }
+        }
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)

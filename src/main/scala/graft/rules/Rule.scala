@@ -36,7 +36,12 @@ case class Rule(
     summary: Map[String, String] = Map.empty,
     sampleWindow: Option[SampleWindowParams] = None)
 
-/** Result of evaluating one rule against a dataset. */
+/** Result of evaluating one rule against a dataset.
+  *
+  * @param sampleInvalid bounded sample of invalid rows (collected only
+  *                      when requested), projected to the columns the
+  *                      rule references plus its features — column name
+  *                      → string-rendered value per row */
 case class RuleReport(
     query: String,
     description: String,
@@ -45,4 +50,5 @@ case class RuleReport(
     numInvalid: Long,
     fractionInvalid: Double,
     failed: Boolean,
-    summaryStats: Map[String, Any] = Map.empty)
+    summaryStats: Map[String, Any] = Map.empty,
+    sampleInvalid: Seq[Map[String, String]] = Seq.empty)

@@ -71,8 +71,11 @@ object RuleRunner {
 
   /** Evaluate every rule in a single aggregation pass.
     * Rules with `summary` expressions cost one extra pass each (their
-    * aggregates are arbitrary SQL over just the rule's invalid rows). */
-  def reports(df: DataFrame, rules: Seq[Rule]): Seq[RuleReport] = {
+    * aggregates are arbitrary SQL over just the rule's invalid rows);
+    * `collectSamples` adds one bounded sample job per rule (the
+    * engine's report path wants them, hot QC loops don't). */
+  def reports(df: DataFrame, rules: Seq[Rule],
+      collectSamples: Boolean = false): Seq[RuleReport] = {
     val prepared = withFeatures(df, rules)
     val aggCols = count(lit(1)).as("__total__") +:
       rules.zipWithIndex.map { case (r, i) =>
@@ -91,8 +94,14 @@ object RuleRunner {
             .collect()(0)
           r.summary.keys.map(k => k -> sumRow.getAs[Any](k)).toMap
         }
+      val sample =
+        if (!collectSamples || inv == 0) Seq.empty[Map[String, String]]
+        else samples(df, r).collect().toSeq.map(s =>
+          s.schema.fieldNames.map(f =>
+            f -> String.valueOf(s.getAs[Any](f))).toMap)
       RuleReport(r.query, r.description, r.threshold, total, inv, frac,
-        failed = frac > r.threshold, summaryStats = stats)
+        failed = frac > r.threshold, summaryStats = stats,
+        sampleInvalid = sample)
     }
   }
 
@@ -107,9 +116,31 @@ object RuleRunner {
       .orderBy("rule_id")
   }
 
-  /** Per-rule sample of invalid rows (bounded, for reports). */
-  def samples(df: DataFrame, rule: Rule): DataFrame =
-    withFeatures(df, Seq(rule)).filter(invalidPred(rule)).limit(SampleNum)
+  /** Column names referenced by a rule's predicate — the unresolved
+    * attributes of Spark's OWN expression parse (the reference walks a
+    * Hive AST for the same purpose,
+    * TnAssertionReport.scala:114-138). Unknown names (not in the
+    * DataFrame) are the analyzer's problem, not ours. */
+  def referencedColumns(rule: Rule): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(rule.query)
+      .collect { case a: UnresolvedAttribute => a.name }
+      .distinct
+  }
+
+  /** Per-rule sample of invalid rows (bounded, for reports), projected
+    * to the columns the rule references plus its feature columns — full
+    * rows of a wide table would bloat every report
+    * (reference: TnAssertionReport.scala:104-113). */
+  def samples(df: DataFrame, rule: Rule): DataFrame = {
+    val prepared = withFeatures(df, Seq(rule)).filter(invalidPred(rule))
+    val wanted = (referencedColumns(rule) ++ rule.features.keys).distinct
+    val present = prepared.columns.filter(c =>
+      wanted.exists(_.equalsIgnoreCase(c)))
+    (if (present.nonEmpty) prepared.select(present.map(col).toSeq: _*)
+     else prepared).limit(SampleNum)
+  }
 
   /** Distributed context windows: every row of `df` that shares its
     * window-partition key values with an invalid row, ranked within the

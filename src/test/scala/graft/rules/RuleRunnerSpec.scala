@@ -55,6 +55,23 @@ class RuleRunnerSpec extends SparkSpec {
     assert(rep.summaryStats("n") === 1L)
   }
 
+  test("samples project to rule-referenced columns plus features") {
+    val r = Rule("bal > 0 AND tag IS NOT NULL", "bal and tag ok", 0.0,
+      features = Map("doubled" -> "bal * 2"))
+    assert(RuleRunner.referencedColumns(r) === Seq("bal", "tag"))
+    val sample = RuleRunner.samples(df, r)
+    assert(sample.columns.toSet === Set("bal", "tag", "doubled")) // no id
+    assert(sample.count() === 2) // rows 2 (bal<0) and 3 (null tag)
+  }
+
+  test("reports collect bounded samples when asked") {
+    val reps = RuleRunner.reports(df, rules, collectSamples = true)
+    assert(reps(0).sampleInvalid.map(_("bal")).toSet === Set("-5.0", "0.0"))
+    assert(reps(1).sampleInvalid === Seq(Map("tag" -> "null")))
+    // ...and stay empty (no extra jobs) by default.
+    assert(RuleRunner.reports(df, rules).forall(_.sampleInvalid.isEmpty))
+  }
+
   test("sampleWindows returns full ordered partitions containing invalid rows") {
     val d = Seq(
       ("c1", 1, 10.0), ("c1", 2, 999.0), ("c1", 3, 20.0),

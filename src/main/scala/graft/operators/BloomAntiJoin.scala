@@ -21,15 +21,20 @@ object BloomAntiJoin {
 
   /** Remove rows of `df` whose `keyCol` is possibly in `blockList`'s
     * `blockKeyCol` (false positives ≈ fpp for the chosen sizing;
-    * false negatives impossible). */
+    * false negatives impossible). NULL keys follow left-anti-join
+    * semantics and always survive: NULL equals nothing, and without the
+    * explicit guards a NULL on both sides would collide on XxHash64's
+    * seed hash and deterministically drop every NULL-keyed row. */
   def antiJoin(df: DataFrame, blockList: DataFrame,
       keyCol: String, blockKeyCol: String,
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     val bloomBytes = blockList
+      .where(col(blockKeyCol).isNotNull)
       .agg(BloomFilters.bloomAgg(col(blockKeyCol), expectedItems, numBits)
         .as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
     if (bloomBytes == null) df // empty blocklist blocks nothing
-    else df.where(!BloomFilters.mightContain(lit(bloomBytes), col(keyCol)))
+    else df.where(col(keyCol).isNull ||
+      !BloomFilters.mightContain(lit(bloomBytes), col(keyCol)))
   }
 }

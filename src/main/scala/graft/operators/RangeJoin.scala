@@ -22,26 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private val BinCol = "__graft_range_day"
+
   /** Inner-join `points` to `intervals` where
     * `points.pointKey == intervals.intervalKey` and `pointTs` falls in
     * `[intervalStart, intervalStart + lengthDays)` (date-boundary
     * inclusive start, exclusive end). Output columns: all interval
-    * columns followed by all point columns.
+    * columns followed by all point columns — rename shared names on one
+    * side first if downstream code selects them unqualified.
     */
   def pointsInInterval(points: DataFrame, intervals: DataFrame,
       pointKey: String, intervalKey: String,
       pointTs: String, intervalStart: String,
       lengthDays: Int): DataFrame = {
     require(lengthDays > 0, s"lengthDays must be positive, got $lengthDays")
+    // withColumn would silently OVERWRITE a caller column of the
+    // internal bin name and leak the synthetic day into the output.
+    require(!points.columns.contains(BinCol) &&
+      !intervals.columns.contains(BinCol),
+      s"input frames must not contain the reserved column $BinCol")
     // Explicit side aliases: both frames may derive from the SAME source
     // (self-attribution joins), where unqualified refs are ambiguous.
-    val binned = intervals.withColumn("__day",
+    val binned = intervals.withColumn(BinCol,
       explode(transform(sequence(lit(0), lit(lengthDays - 1)),
         d => date_add(col(intervalStart), d))))
       .alias("__ivl")
-    val pts = points.withColumn("__day", to_date(col(pointTs))).alias("__pt")
+    val pts = points.withColumn(BinCol, to_date(col(pointTs))).alias("__pt")
     binned.join(pts,
-      col("__ivl.__day") === col("__pt.__day") &&
+      col(s"__ivl.$BinCol") === col(s"__pt.$BinCol") &&
         col(s"__ivl.$intervalKey") === col(s"__pt.$pointKey") &&
         col(s"__pt.$pointTs") >= col(s"__ivl.$intervalStart").cast("timestamp") &&
         col(s"__pt.$pointTs") <

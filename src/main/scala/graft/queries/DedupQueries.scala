@@ -12,8 +12,10 @@ import graft.dedup.Dedup
   */
 object DedupQueries {
 
-  private val NumPerms = 16
-  private val BandSize = 8
+  // Shared with PipelineQueries.qpContamination, whose oracle embeds
+  // qdMinhashPairsSql — the Spark side and the SQL must tune together.
+  private[queries] val NumPerms = 16
+  private[queries] val BandSize = 8
 
   /** §2.20 — exact dedup groups by content hash. */
   def qdExact(spark: SparkSession, dir: String): DataFrame =

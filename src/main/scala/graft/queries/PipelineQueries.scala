@@ -78,7 +78,8 @@ object PipelineQueries {
     val labels = docs.select(col("doc_id"),
       when(bucket < 80, "train").when(bucket < 90, "valid")
         .otherwise("test").as("split"))
-    Dedup.minhashCandidatePairs(docs, "text", "doc_id", 16, 8)
+    Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      DedupQueries.NumPerms, DedupQueries.BandSize)
       .join(broadcast(labels.toDF("id_a", "sa")), "id_a")
       .join(broadcast(labels.toDF("id_b", "sb")), "id_b")
       .where(col("sa") =!= col("sb"))

@@ -94,9 +94,12 @@ object RuleRunner {
             .collect()(0)
           r.summary.keys.map(k => k -> sumRow.getAs[Any](k)).toMap
         }
+      // Sample from `prepared` (ALL rules' features applied): a rule
+      // whose query or features reference an earlier rule's feature
+      // would not resolve against the bare frame.
       val sample =
         if (!collectSamples || inv == 0) Seq.empty[Map[String, String]]
-        else samples(df, r).collect().toSeq.map(s =>
+        else sampleFrom(prepared, r).collect().toSeq.map(s =>
           s.schema.fieldNames.map(f =>
             f -> String.valueOf(s.getAs[Any](f))).toMap)
       RuleReport(r.query, r.description, r.threshold, total, inv, frac,
@@ -125,22 +128,30 @@ object RuleRunner {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(rule.query)
-      .collect { case a: UnresolvedAttribute => a.name }
-      .distinct
+      // Both the dotted name and its first part: "meta.bal" must match a
+      // struct column "meta", while plain "bal" matches "bal".
+      .collect { case a: UnresolvedAttribute => Seq(a.name, a.nameParts.head) }
+      .flatten.distinct
   }
 
-  /** Per-rule sample of invalid rows (bounded, for reports), projected
+  /** Bounded invalid-row sample of an ALREADY-FEATURED frame, projected
     * to the columns the rule references plus its feature columns — full
     * rows of a wide table would bloat every report
     * (reference: TnAssertionReport.scala:104-113). */
-  def samples(df: DataFrame, rule: Rule): DataFrame = {
-    val prepared = withFeatures(df, Seq(rule)).filter(invalidPred(rule))
+  private def sampleFrom(prepared: DataFrame, rule: Rule): DataFrame = {
+    val invalid = prepared.filter(invalidPred(rule))
     val wanted = (referencedColumns(rule) ++ rule.features.keys).distinct
-    val present = prepared.columns.filter(c =>
+    val present = invalid.columns.filter(c =>
       wanted.exists(_.equalsIgnoreCase(c)))
-    (if (present.nonEmpty) prepared.select(present.map(col).toSeq: _*)
-     else prepared).limit(SampleNum)
+    (if (present.nonEmpty) invalid.select(present.map(col).toSeq: _*)
+     else invalid).limit(SampleNum)
   }
+
+  /** Per-rule sample of invalid rows (bounded, for reports). NOTE: when
+    * sampling rules whose features reference OTHER rules' features, go
+    * through [[reports]] (which prepares all rules together). */
+  def samples(df: DataFrame, rule: Rule): DataFrame =
+    sampleFrom(withFeatures(df, Seq(rule)), rule)
 
   /** Distributed context windows: every row of `df` that shares its
     * window-partition key values with an invalid row, ranked within the

@@ -27,6 +27,17 @@ class BloomAntiJoinSpec extends SparkSpec {
     assert(gotCount >= (exactCount * 0.99).toLong)
   }
 
+  test("NULL keys follow anti-join semantics: they always survive") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "doc_1"), (2L, null.asInstanceOf[String]),
+      (3L, "doc_3")).toDF("id", "content")
+    val blocked = Seq("doc_1", null.asInstanceOf[String]).toDF("bad")
+    val got = BloomAntiJoin.antiJoin(corpus, blocked, "content", "bad")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L)) // null row survives, doc_1 dropped
+  }
+
   test("empty blocklist blocks nothing") {
     val s = spark
     import s.implicits._

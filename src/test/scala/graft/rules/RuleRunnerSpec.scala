@@ -59,6 +59,9 @@ class RuleRunnerSpec extends SparkSpec {
     val r = Rule("bal > 0 AND tag IS NOT NULL", "bal and tag ok", 0.0,
       features = Map("doubled" -> "bal * 2"))
     assert(RuleRunner.referencedColumns(r) === Seq("bal", "tag"))
+    // Struct/qualified references surface their root name too.
+    assert(RuleRunner.referencedColumns(Rule("meta.bal > 0", "d", 0.0))
+      .contains("meta"))
     val sample = RuleRunner.samples(df, r)
     assert(sample.columns.toSet === Set("bal", "tag", "doubled")) // no id
     assert(sample.count() === 2) // rows 2 (bal<0) and 3 (null tag)

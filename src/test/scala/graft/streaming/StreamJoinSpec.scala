@@ -80,12 +80,17 @@ class StreamJoinSpec extends SparkSpec {
       clicks.addData(events)
       query.processAllAvailable()
       // Two sentinel rounds push the watermark past every buffered row.
+      // The sentinels must carry event types that PASS the pre-join
+      // filters — a filtered-out row never reaches the EventTimeWatermark
+      // operator and advances nothing. Their user_id -1 rows join only
+      // each other; excluded from the comparison below by id < 0.
       for (i <- 1 to 2) {
-        purchases.addData(sentinel(maxTs, -i))
-        clicks.addData(sentinel(maxTs, -i))
+        purchases.addData(sentinel(maxTs, -i).copy(event_type = "purchase"))
+        clicks.addData(sentinel(maxTs, -i).copy(event_type = "click"))
         query.processAllAvailable()
       }
       val got = spark.table("ssj_out").select("p_id", "c_id")
+        .where(col("p_id") >= 0 && col("c_id") >= 0)
         .collect().map(_.toSeq).toSet
       val ev = Tables.load(spark, dir, "events")
       val want = ev.where(col("event_type") === "purchase")

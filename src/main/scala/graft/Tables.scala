@@ -19,17 +19,20 @@ object Tables {
       else spark.read.parquet(s"$dir/$name.parquet")
     // The driver test files are SINGLE-row-group parquet, which caps
     // scan parallelism at one task no matter how maxPartitionBytes is
-    // set — so every compute-heavy first stage (md5 signatures,
-    // shingling, JSON parsing, decimal partial aggregation) would run
-    // serially on one core and its wall time would swing with whatever
-    // that one thread contends with (measured ±5s on the dedup family).
-    // A production corpus arrives in many files/row groups and gets this
-    // parallelism from the scan for free; the rebalance (a shuffle of
-    // kilobytes here) restores the plan shape the operators are designed
-    // for. The fact tables keep scan-level pushdown: Catalyst pushes
-    // deterministic filters below Repartition.
-    val target = spark.sparkContext.defaultParallelism
-    if (name == "region" || name == "nation") df else df.repartition(target)
+    // set. For documents/embeddings that single task runs the md5
+    // signature / shingling / dot-product projections serially on one
+    // core, and its wall time swings with whatever that thread contends
+    // with (measured ±5s spikes across the dedup family). A production
+    // corpus arrives in many files/row groups and gets this parallelism
+    // from the scan for free; the rebalance (a shuffle of kilobytes
+    // here) restores the plan shape those operators are designed for.
+    // The OTHER tables stay scan-parallel as read: their first stages
+    // are cheap column work + partial aggregation, and a blanket
+    // repartition measurably slowed every TPC-H/QC query (extra
+    // exchange + stage per query) for no compute-balance gain.
+    if (name == "documents" || name == "embeddings")
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader

@@ -40,6 +40,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDups equals the mixed pairs of the full pair set") {
+    val rnd = new Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (_ <- 1 to 3) {
+      val docs = Seq.tabulate(30) { i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val s = spark
+      import s.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val existing = df.where($"doc_id" < 20)
+      val incoming = df.where($"doc_id" >= 20)
+
+      val got = Dedup.incrementalNearDups(existing, incoming,
+        "text", "doc_id", 16, 8)
+        .collect().map(r => r.getLong(0)).toSet
+      // Reference: incoming ids that appear in any candidate pair with an
+      // existing id (the pair set uses the same band-collision criterion).
+      val pairs = Dedup.minhashCandidatePairs(df, "text", "doc_id", 16, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = pairs.collect {
+        case (a, b) if a < 20 && b >= 20 => b
+        case (a, b) if b < 20 && a >= 20 => a
+      }.toSet
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
   test("asofJoin equals per-row brute-force lookup on random series") {
     val rnd = new Random(7)
     def ts(v: Long) = new Timestamp(1700000000000L + v * 60000L)

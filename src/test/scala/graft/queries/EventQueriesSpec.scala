@@ -34,6 +34,24 @@ class EventQueriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("count")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("gap sessionizer agrees with Spark's native session_window") {
+    // Same 30-minute gap, real data: the window-function composition and
+    // the built-in session_window operator must produce identical
+    // (user, start, end, n) session sets. (session_window can't number
+    // sessions cumulatively, which is why the composition exists.)
+    val sessions = EventQueries.qeSessions(spark, "/root/testdata/sf0.001")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val native = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(sessions == native)
+    assert(sessions.nonEmpty)
+  }
+
   test("streaming session numbering continues across event-time timeouts") {
     import graft.streaming.EventStreams
     val s = spark

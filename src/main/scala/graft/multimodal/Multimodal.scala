@@ -70,6 +70,26 @@ object Multimodal {
     }
   }
 
+  /** Fixed-window segmentation — the audio/waveform batch shape: every
+    * asset expands to ⌈len/window⌉ fixed-size chunks (last one ragged),
+    * each independently hashable/embeddable downstream. Pure Column
+    * expressions (generate + substring), so the expansion stays inside
+    * codegen and needs no shuffle; cardinality is data-dependent exactly
+    * like frame sampling. */
+  def fixedChunks(documents: DataFrame, textCol: String, idCol: String,
+      chunkChars: Int): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")
+    val nChunks = ceil(length(col(textCol)) / lit(chunkChars.toDouble)).cast("long")
+    documents
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        length(expr(s"substr($textCol, chunk_idx * $chunkChars + 1, $chunkChars)"))
+          .as("chunk_len"),
+        md5(expr(s"substr($textCol, chunk_idx * $chunkChars + 1, $chunkChars)"))
+          .as("chunk_md5"))
+  }
+
   /** Per-partition decode + feature extraction. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

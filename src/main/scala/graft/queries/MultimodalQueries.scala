@@ -56,11 +56,30 @@ object MultimodalQueries {
       |WHERE f.range < 1 + byte_sum % 7
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** §2 item 35 (fixed-window segmentation) — every doc expands to its
+    * ⌈len/256⌉ fixed-size chunks, last one ragged (the audio/waveform
+    * batch shape). */
+  def qmChunks(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.fixedChunks(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 256)
+      .orderBy("doc_id", "chunk_idx")
+
+  val qmChunksSql: String =
+    """SELECT doc_id, i.range AS chunk_idx,
+      |  length(substr(text, CAST(i.range * 256 + 1 AS INT), 256)) AS chunk_len,
+      |  md5(substr(text, CAST(i.range * 256 + 1 AS INT), 256)) AS chunk_md5
+      |FROM documents
+      |CROSS JOIN range(0, 64) i
+      |WHERE i.range < CAST(ceil(length(text) / 256.0) AS BIGINT)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_binary_features" -> (qmBinaryFeatures _),
-    "qm_frames" -> (qmFrames _))
+    "qm_frames" -> (qmFrames _),
+    "qm_chunks" -> (qmChunks _))
 
   val oracles: Map[String, String] = Map(
     "qm_binary_features" -> qmBinaryFeaturesSql,
-    "qm_frames" -> qmFramesSql)
+    "qm_frames" -> qmFramesSql,
+    "qm_chunks" -> qmChunksSql)
 }

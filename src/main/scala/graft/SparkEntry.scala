@@ -17,7 +17,10 @@ object SparkEntry {
       MultimodalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. The driver tolerates omissions (rows-only
+    * check), but graft's policy is an oracle for EVERY query —
+    * ContractSpec enforces totality; loosen it deliberately if an
+    * operator is genuinely not SQL-expressible. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ QualityQueries.oracles ++ DiffViewQueries.oracles ++
       EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++

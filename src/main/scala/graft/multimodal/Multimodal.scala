@@ -80,14 +80,16 @@ object Multimodal {
       chunkChars: Int): DataFrame = {
     require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")
     val nChunks = ceil(length(col(textCol)) / lit(chunkChars.toDouble)).cast("long")
+    // Empty text ⇒ nChunks = 0 ⇒ NO rows: sequence(0, -1) is a
+    // DESCENDING [0, -1] in Spark, so the guard is load-bearing
+    // (explode of the null branch emits nothing).
+    val indices = when(nChunks > lit(0L), sequence(lit(0L), nChunks - 1))
+    val chunk = col(textCol).substr(
+      (col("chunk_idx") * chunkChars + 1).cast("int"), lit(chunkChars))
     documents
-      .select(col(idCol), col(textCol),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col(textCol), explode(indices).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
-        length(expr(s"substr($textCol, chunk_idx * $chunkChars + 1, $chunkChars)"))
-          .as("chunk_len"),
-        md5(expr(s"substr($textCol, chunk_idx * $chunkChars + 1, $chunkChars)"))
-          .as("chunk_md5"))
+        length(chunk).as("chunk_len"), md5(chunk).as("chunk_md5"))
   }
 
   /** Per-partition decode + feature extraction. */

@@ -38,8 +38,10 @@ object RangeJoin {
     require(lengthDays > 0, s"lengthDays must be positive, got $lengthDays")
     // withColumn would silently OVERWRITE a caller column of the
     // internal bin name and leak the synthetic day into the output.
-    require(!points.columns.contains(BinCol) &&
-      !intervals.columns.contains(BinCol),
+    // Case-insensitive: withColumn replaces case-insensitively under the
+    // default spark.sql.caseSensitive=false.
+    require(!points.columns.exists(_.equalsIgnoreCase(BinCol)) &&
+      !intervals.columns.exists(_.equalsIgnoreCase(BinCol)),
       s"input frames must not contain the reserved column $BinCol")
     // Explicit side aliases: both frames may derive from the SAME source
     // (self-attribution joins), where unqualified refs are ambiguous.

@@ -64,13 +64,16 @@ object MultimodalQueries {
       "text", "doc_id", 256)
       .orderBy("doc_id", "chunk_idx")
 
+  // LATERAL unnest: the chunk range derives from each row's own length,
+  // so no fixed cap can silently diverge from the Spark side on long
+  // documents.
   val qmChunksSql: String =
-    """SELECT doc_id, i.range AS chunk_idx,
-      |  length(substr(text, CAST(i.range * 256 + 1 AS INT), 256)) AS chunk_len,
-      |  md5(substr(text, CAST(i.range * 256 + 1 AS INT), 256)) AS chunk_md5
-      |FROM documents
-      |CROSS JOIN range(0, 64) i
-      |WHERE i.range < CAST(ceil(length(text) / 256.0) AS BIGINT)
+    """SELECT doc_id, t.chunk_idx,
+      |  length(substr(text, CAST(t.chunk_idx * 256 + 1 AS INT), 256)) AS chunk_len,
+      |  md5(substr(text, CAST(t.chunk_idx * 256 + 1 AS INT), 256)) AS chunk_md5
+      |FROM documents, LATERAL (
+      |  SELECT unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_idx
+      |) t
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

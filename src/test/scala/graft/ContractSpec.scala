@@ -11,6 +11,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("every query has an oracle and every oracle has a query") {
+    // The driver tolerates oracle-less queries (weaker rows-only check);
+    // graft's own policy is stricter — every declared operator is
+    // value-verified. Loosen deliberately if an operator is truly not
+    // SQL-expressible (qs_knn_ivf was, until full-probe made it exact).
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q.diff(o).isEmpty, s"queries without oracle: ${q.diff(o)}")

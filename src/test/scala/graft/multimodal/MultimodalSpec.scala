@@ -19,7 +19,7 @@ class MultimodalSpec extends SparkSpec {
   test("fixed chunking covers every char once, last chunk ragged") {
     val s = spark
     import s.implicits._
-    val docs = Seq((1L, "a" * 10), (2L, "b" * 4), (3L, "c" * 8))
+    val docs = Seq((1L, "a" * 10), (2L, "b" * 4), (3L, "c" * 8), (4L, ""))
       .toDF("doc_id", "text")
     val out = Multimodal.fixedChunks(docs, "text", "doc_id", 4)
       .orderBy("doc_id", "chunk_idx")
@@ -28,7 +28,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq(
       (1L, 0L, 4), (1L, 1L, 4), (1L, 2L, 2), // 10 = 4+4+2 (ragged tail)
       (2L, 0L, 4),                           // exact multiple: one chunk
-      (3L, 0L, 4), (3L, 1L, 4)))
+      (3L, 0L, 4), (3L, 1L, 4)))             // doc 4 (empty): NO chunks
   }
 
   test("feature extraction is partition-local and deterministic") {

@@ -1,0 +1,70 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.SparkSession
+
+/** CLI entrypoint: run a JSON plan end-to-end, as the reference's
+  * spark-submit main does (reference: tnengine/TnEngine.scala:29-53).
+  *
+  * Usage (via spark-submit or `sbt runMain`):
+  * {{{
+  *   graft.RunPlan <plan.json>
+  *     [--var key=value ...]          # \${key} substitution in the plan
+  *     [--report-key name]            # report document name (default: plan)
+  *     [--report-dest dir]            # write <dir>/<key>.json (default: console)
+  * }}}
+  * Exit codes match the reference: 0 success, 3 when any assertion
+  * failed its threshold, 2 for invalid arguments.
+  */
+object RunPlan {
+
+  case class Config(planPath: String, variables: Map[String, String],
+    reportKey: String, reportDest: Option[String])
+
+  /** Pure argument parser: Left(error) or Right(config). */
+  def parseArgs(args: Seq[String]): Either[String, Config] = {
+    if (args.isEmpty) return Left("missing <plan.json> argument")
+    var vars = Map.empty[String, String]
+    var reportKey = "plan"
+    var reportDest = Option.empty[String]
+    var rest = args.tail
+    while (rest.nonEmpty) rest = rest match {
+      case "--var" +: kv +: tail =>
+        kv.split("=", 2) match {
+          case Array(k, v) => vars += (k -> v); tail
+          case _ => return Left(s"--var expects key=value, got '$kv'")
+        }
+      case "--report-key" +: k +: tail => reportKey = k; tail
+      case "--report-dest" +: d +: tail => reportDest = Some(d); tail
+      case other +: _ => return Left(s"unknown argument '$other'")
+    }
+    Right(Config(args.head, vars, reportKey, reportDest))
+  }
+
+  /** Run a parsed config against a session; returns the process exit
+    * code (separated from main so tests don't System.exit). */
+  def run(spark: SparkSession, config: Config): Int = {
+    val writer = config.reportDest
+      .map(new FsReportWriter(spark, _))
+      .getOrElse(new ConsoleReportWriter)
+    val plan = PlanParser.parseFile(config.planPath, config.variables)
+    new PlanRunner(spark, Some(writer)).run(plan, config.reportKey).exitCode
+  }
+
+  def main(args: Array[String]): Unit =
+    parseArgs(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(s"graft.RunPlan: $err")
+        sys.exit(2)
+      case Right(config) =>
+        // master comes from spark-submit in production; default local
+        // so `sbt runMain` works out of the box.
+        val spark = SparkSession.builder()
+          .appName("graft")
+          .config("spark.ui.enabled", "false")
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .getOrCreate()
+        try sys.exit(run(spark, config))
+        finally spark.stop()
+    }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+class RunPlanSpec extends SparkSpec {
+
+  private val planJson =
+    """{
+      |  "commands": [
+      |    {
+      |      "command": "assertion",
+      |      "input": {"ref": "${dir}/region.parquet", "onDisk": true},
+      |      "params": {
+      |        "assertions": [
+      |          {"query": "r_regionkey < ${maxKey}", "description": "key bound", "threshold": 0.0}
+      |        ]
+      |      },
+      |      "outputKey": "regionCheck"
+      |    }
+      |  ]
+      |}""".stripMargin
+
+  private def writePlan(): String = {
+    val p = Files.createTempFile("graft_plan", ".json")
+    Files.write(p, planJson.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("argument parsing: variables, report options, and errors") {
+    val parsed = RunPlan.parseArgs(Seq("p.json", "--var", "a=1", "--var",
+      "b=x=y", "--report-key", "r", "--report-dest", "/tmp/out"))
+    assert(parsed === Right(RunPlan.Config("p.json",
+      Map("a" -> "1", "b" -> "x=y"), "r", Some("/tmp/out"))))
+    assert(RunPlan.parseArgs(Seq.empty).isLeft)
+    assert(RunPlan.parseArgs(Seq("p.json", "--var", "novalue")).isLeft)
+    assert(RunPlan.parseArgs(Seq("p.json", "--bogus")).isLeft)
+  }
+
+  test("plan run exits 0 when assertions pass, 3 when they fail") {
+    val plan = writePlan()
+    val dest = Files.createTempDirectory("graft_report").toString
+    // All region keys are < 99 → pass.
+    val pass = RunPlan.run(spark, RunPlan.Config(plan,
+      Map("dir" -> "/root/testdata/sf0.001", "maxKey" -> "99"),
+      "regions", Some(dest)))
+    assert(pass === 0)
+    // No region key is < 0 → every row invalid → threshold 0 exceeded.
+    val fail = RunPlan.run(spark, RunPlan.Config(plan,
+      Map("dir" -> "/root/testdata/sf0.001", "maxKey" -> "0"),
+      "regions", Some(dest)))
+    assert(fail === 3)
+    val report = new String(
+      Files.readAllBytes(Paths.get(dest, "regions.json")), "UTF-8")
+    assert(report.contains("key bound"))
+    assert(report.contains("sampleInvalidData"))
+    assert(report.contains("r_regionkey")) // referenced-column sample
+  }
+}

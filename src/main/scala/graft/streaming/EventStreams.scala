@@ -130,6 +130,23 @@ object EventStreams {
       events(eventKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Continuous data-quality reporting: evaluate the rule set on every
+    * micro-batch and hand the per-batch report to a [[graft.engine.ReportWriter]]
+    * (file, console, or custom sink) — the streaming face of the
+    * assertion engine. Stateless by design: each batch is scored
+    * independently (the rules are row-local predicates), so state never
+    * grows and a report is available at micro-batch latency. Start the
+    * returned writer with `.start()` and manage it like any query. */
+  def ruleReportSink(events: DataFrame, rules: Seq[graft.rules.Rule],
+      writer: graft.engine.ReportWriter,
+      reportKeyPrefix: String = "batch"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val reports = graft.rules.RuleRunner.reports(batch, rules,
+          collectSamples = true)
+        writer.write(s"$reportKeyPrefix$batchId", Seq("stream" -> reports))
+    }
+
   /** Watermarked stream-stream interval join: (left, right) pairs with
     * equal keys where `rightTs` falls in [leftTs, leftTs + maxDelay].
     * Both sides carry watermarks and the join condition bounds event

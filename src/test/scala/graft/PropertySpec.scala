@@ -40,6 +40,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("report counts equal the invalid-row filter path on random rules") {
+    val rnd = new Random(23)
+    import graft.rules.{Rule, RuleRunner}
+    for (_ <- 1 to 3) {
+      val s = spark
+      import s.implicits._
+      val df = Seq.fill(40)((rnd.nextInt(100), rnd.nextInt(100) - 50,
+        if (rnd.nextBoolean()) "x" else null)).toDF("a", "b", "t")
+      val rules = Seq(
+        Rule(s"a < ${rnd.nextInt(100)}", "r1", 0.5),
+        Rule("b >= 0", "r2", 0.5),
+        Rule("t IS NOT NULL AND a % 2 = 0", "r3", 0.5))
+      val reps = RuleRunner.reports(df, rules)
+      // The one-pass conditional-sum aggregation must agree with the
+      // per-rule filter evaluation row for row.
+      rules.zip(reps).foreach { case (r, rep) =>
+        val filtered = RuleRunner.invalidRows(df, Seq(r)).count()
+        assert(rep.numInvalid === filtered, s"rule ${r.query}")
+        assert(rep.totalRows === 40)
+      }
+    }
+  }
+
   test("incrementalNearDups equals the mixed pairs of the full pair set") {
     val rnd = new Random(11)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")

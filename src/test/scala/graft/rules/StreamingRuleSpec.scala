@@ -36,4 +36,30 @@ class StreamingRuleSpec extends SparkSpec {
         s"non-negative${RuleRunner.ReasonJoiner}healthy sensor")
     } finally q.stop()
   }
+
+  test("ruleReportSink writes one quality report per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = Seq(Rule("value >= 0", "non-negative", 0.0))
+    val dest = java.nio.file.Files.createTempDirectory("graft_stream_qc").toString
+    val stream = MemoryStream[Reading]
+    val q = graft.streaming.EventStreams.ruleReportSink(
+      stream.toDF(), rules, new graft.engine.FsReportWriter(spark, dest))
+      .start()
+    try {
+      stream.addData(Reading(1L, "a", 1.0), Reading(2L, "a", -5.0))
+      q.processAllAvailable()
+      stream.addData(Reading(3L, "a", -1.0))
+      q.processAllAvailable()
+      val reports = new java.io.File(dest).listFiles().map(_.getName)
+        .filter(_.endsWith(".json")).sorted // skip Hadoop .crc shadows
+      assert(reports.length >= 2) // one per non-empty micro-batch
+      val first = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dest, reports.head)), "UTF-8")
+      assert(first.contains("non-negative"))
+      assert(first.contains("\"numInvalid\" : 1"))
+      assert(first.contains("sampleInvalidData"))
+    } finally q.stop()
+  }
 }

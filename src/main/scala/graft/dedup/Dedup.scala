@@ -32,24 +32,21 @@ object Dedup {
     * Hash family: permutation k reads 32-bit slot k%4 of
     * `md5(concat(k/4, ":", token))` — one md5 yields FOUR permutations,
     * so the dominant cost (md5 over every distinct token) drops 4×.
-    * The md5 hexes are materialised in their own projection;
-    * CollapseProject keeps non-cheap aliases referenced many times, so
-    * each md5 runs once even though 4 signature columns read it.
+    * The whole signature is computed by the native
+    * [[org.apache.spark.sql.graft.MinhashSignature]] expression in ONE
+    * pass over the tokens — value-identical to the portable
+    * `array_min(transform(..., conv(substring(md5(...)))))` composition
+    * (MinhashSignatureSpec pins the equivalence) but with no per-token
+    * hex strings and no base-16 string parsing in the inner loop.
     */
   def withMinhashSignature(df: DataFrame, textCol: String, numPerms: Int): DataFrame = {
     require(numPerms % 4 == 0, s"numPerms must be a multiple of 4, got $numPerms")
-    val groups = numPerms / 4
-    val toks = array_distinct(tokens(col(textCol)))
-    val withHexes = df.withColumn("__tok_md5",
-      transform(toks, t =>
-        array((0 until groups).map(g => md5(concat_ws(":", lit(g), t))): _*)))
-    val sigs = (0 until numPerms).map { k =>
-      val (g, s) = (k / 4, k % 4)
-      array_min(transform(col("__tok_md5"), h =>
-        conv(substring(element_at(h, g + 1), 1 + 8 * s, 8), 16, 10).cast("long")))
-        .as(s"sig_$k")
-    }
-    withHexes.select(df.columns.map(col) ++ sigs: _*)
+    val sig = org.apache.spark.sql.graft.MinhashSignature
+      .ofColumn(array_distinct(tokens(col(textCol))), numPerms)
+    val withSig = df.withColumn("__sig", sig)
+    val sigs = (0 until numPerms).map(k =>
+      element_at(col("__sig"), k + 1).as(s"sig_$k"))
+    withSig.select(df.columns.map(col) ++ sigs: _*)
   }
 
   /** LSH band values: md5 over each group of `bandSize` signature

@@ -17,6 +17,18 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(exprs.head, exprs(1))
+      }),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "minhash_signature takes (tokens array, numPerms literal)")
+        val numPerms = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numPerms must be an integer literal, got $other")
+        }
+        MinhashSignature(exprs.head, numPerms)
       }))
 
   /** Register into an existing session (tests, notebooks). Cluster jobs

@@ -15,4 +15,19 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("minhash_signature is callable from SQL after registration") {
+    GraftFunctions.install(spark)
+    val r = spark.sql(
+      "SELECT minhash_signature(array('a', 'b'), 8) AS sig").collect()(0)
+    val sig = r.getSeq[Long](0)
+    assert(sig.length == 8)
+    // First slot = unsigned 32-bit value of md5('0:a') or md5('0:b'),
+    // whichever is smaller — recompute via the portable SQL formula.
+    val want = spark.sql(
+      """SELECT least(CAST(conv(substring(md5('0:a'), 1, 8), 16, 10) AS BIGINT),
+        |             CAST(conv(substring(md5('0:b'), 1, 8), 16, 10) AS BIGINT)) AS v"""
+        .stripMargin).collect()(0).getLong(0)
+    assert(sig.head == want)
+  }
 }

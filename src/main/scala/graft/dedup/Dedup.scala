@@ -207,15 +207,10 @@ object Dedup {
     require(minJaccard > 0.0, "inverted index requires a positive threshold")
     // Raw word shingles: unlike ngramJaccardPairs' arrays these never
     // appear in output, so there is nothing to gain from hashing them —
-    // the string itself is the posting key.
-    // Tokens are materialised BEFORE the shingle transform: a lambda
-    // body re-evaluates non-lambda subexpressions per element, so an
-    // inline split would make shingling O(tokens²) per row.
-    val t = col("__toks")
-    val sh = when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    // the string itself is the posting key. Native one-pass expression;
+    // see Portable.shingles for the equivalence contract.
+    val sh = org.apache.spark.sql.graft.WordShingles
+      .ofColumn(col("__toks"), n, hashed = false)
     // explode_outer, not explode: InferFiltersFromGenerate would bolt a
     // size(...)>0 filter onto a plain explode, and predicate pushdown
     // then re-inlines the whole shingle transform into that filter —

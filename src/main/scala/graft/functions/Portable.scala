@@ -30,19 +30,14 @@ object Portable {
   def md5Hash32(seed: Int, c: Column): Column =
     md5Hash32(concat_ws(":", lit(seed), c))
 
-  /** Distinct word n-gram (shingle) md5 hashes of a token array.
-    *
-    * IMPORTANT: pass a MATERIALISED column (an attribute from a prior
-    * projection), not a raw `split(...)` expression. Lambda bodies in
-    * higher-order functions re-evaluate every non-lambda subexpression
-    * per element — an inline split makes this O(tokens²) per row.
-    */
+  /** Distinct word n-gram (shingle) md5 hashes of a token array — the
+    * native one-pass [[org.apache.spark.sql.graft.WordShingles]]
+    * expression, value-identical to the portable
+    * `array_distinct(transform(sequence(...), i => md5(concat_ws(" ",
+    * slice(toks, i, n)))))` composition that the DuckDB oracles
+    * recompute (WordShinglesSpec pins the equivalence). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.WordShingles.ofColumn(toks, n, hashed = true)
 
   /** Cast a float array to doubles (exact). */
   def asDoubles(a: Column): Column = a.cast("array<double>")

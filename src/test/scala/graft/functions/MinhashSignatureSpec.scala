@@ -13,7 +13,15 @@ class MinhashSignatureSpec extends SparkSpec {
 
   private val NumPerms = 16
 
-  test("native signature equals the portable HOF composition") {
+  // A doGenCode bug would otherwise silently fall back to interpreted
+  // eval and these specs would still pass — fail hard instead.
+  private def withNoCodegenFallback[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("native signature equals the portable HOF composition")(withNoCodegenFallback {
     val rnd = new Random(5)
     val s = spark
     import s.implicits._
@@ -45,7 +53,7 @@ class MinhashSignatureSpec extends SparkSpec {
     n.zip(h).zipWithIndex.foreach { case ((a, b), i) =>
       assert(a == b, s"doc $i: text='${docs(i)._2}'")
     }
-  }
+  })
 
   test("empty token array yields a null signature (as array_min does)") {
     val s = spark

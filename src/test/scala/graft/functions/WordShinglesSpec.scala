@@ -21,7 +21,15 @@ class WordShinglesSpec extends SparkSpec {
       .otherwise(array().cast("array<string>"))
   }
 
-  test("native shingles equal the portable composition, both variants") {
+  // A doGenCode bug would otherwise silently fall back to interpreted
+  // eval and this spec would still pass — fail hard instead.
+  private def withNoCodegenFallback[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("native shingles equal the portable composition, both variants")(withNoCodegenFallback {
     val rnd = new Random(3)
     val s = spark
     import s.implicits._
@@ -43,5 +51,5 @@ class WordShinglesSpec extends SparkSpec {
         assert(a == b, s"n=$n hashed=$hashed doc $i '${docs(i)._2}'")
       }
     }
-  }
+  })
 }

@@ -119,6 +119,60 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Characteristic character trigrams per language (space-padded ones
+    * anchor word boundaries). */
+  private val charProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "ing", "and"),
+    "es" -> Seq(" de", "que", "los", " la"),
+    "de" -> Seq("der", "sch", "ein", "ich"),
+    "fr" -> Seq(" le", "les", "ent", " et"),
+    "zh" -> Seq("zh", "ng ", "sh", "xi"))
+
+  /** §2.30b — language-ID via character n-gram counting: per language,
+    * total occurrences of its characteristic trigrams. Occurrences are
+    * counted with the replace/length identity (exact integer arithmetic
+    * in any engine, no regex dialect in play); same argmax + tie
+    * priority as the stopword variant. */
+  def qtLangidNgram(spark: SparkSession, dir: String): DataFrame = {
+    def occurrences(pat: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(pat), ""))) / pat.length
+    val scores = charProfiles.map { case (lang, grams) =>
+      lang -> grams.map(occurrences).reduce(_ + _).cast("bigint")
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und"): Column) {
+      case ((lang, score), els) =>
+        when(score === maxScore && maxScore > 0, lang).otherwise(els)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id") +:
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        predicted.as("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  val qtLangidNgramSql: String = {
+    def occ(pat: String) = {
+      val esc = pat.replace("'", "''")
+      s"(length(text) - length(replace(text, '$esc', ''))) / ${pat.length}"
+    }
+    def score(grams: Seq[String]) =
+      s"CAST(${grams.map(occ).mkString(" + ")} AS BIGINT)"
+    val scoreCols = charProfiles
+      .map { case (l, gs) => s"  ${score(gs)} AS score_$l," }.mkString("\n")
+    val greatestExpr =
+      "greatest(" + charProfiles.map(p => score(p._2)).mkString(", ") + ")"
+    val caseExpr = charProfiles.map { case (l, gs) =>
+      s"WHEN ${score(gs)} = $greatestExpr AND $greatestExpr > 0 THEN '$l'"
+    }.mkString("\n    ", "\n    ", "\n    ELSE 'und' END")
+    s"""SELECT doc_id,
+       |$scoreCols
+       |  CASE$caseExpr AS predicted_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.31 — document fingerprint: minimum md5 over 5-word shingles
     * (a 1-permutation MinHash — robust to local edits). */
   def qtFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -303,6 +357,7 @@ object TextQueries {
     "qt_tokens" -> (qtTokens _),
     "qt_quality" -> (qtQuality _),
     "qt_langid" -> (qtLangid _),
+    "qt_langid_ngram" -> (qtLangidNgram _),
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +369,6 @@ object TextQueries {
     "qt_tokens" -> qtTokensSql,
     "qt_quality" -> qtQualitySql,
     "qt_langid" -> qtLangidSql,
+    "qt_langid_ngram" -> qtLangidNgramSql,
     "qt_fingerprint" -> qtFingerprintSql)
 }

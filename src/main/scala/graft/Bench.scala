@@ -28,16 +28,17 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
-            failed += name
             System.err.println(s"[bench] $name FAILED: $e")
             false
           }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       // Min over SUCCESSFUL runs only — a fast failure must not stand in
-      // for the query's time. All-failed queries keep their attempt time
-      // and are listed in `failed`.
+      // for the query's time. `failed` lists only queries where EVERY
+      // iteration failed; a transient single-iteration flake reports its
+      // successful time and stays off the list.
       val good = times.collect { case (true, t) => t }
+      if (good.isEmpty) failed += name
       name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

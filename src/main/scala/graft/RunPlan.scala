@@ -64,7 +64,9 @@ object RunPlan {
           .config("spark.ui.enabled", "false")
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
           .getOrCreate()
-        try sys.exit(run(spark, config))
-        finally spark.stop()
+        // sys.exit halts the JVM before a finally around it could run —
+        // compute the code first, stop the session, THEN exit.
+        val code = try run(spark, config) finally spark.stop()
+        sys.exit(code)
     }
 }

@@ -30,8 +30,14 @@ object Tables {
     // are cheap column work + partial aggregation, and a blanket
     // repartition measurably slowed every TPC-H/QC query (extra
     // exchange + stage per query) for no compute-balance gain.
-    if (name == "documents" || name == "embeddings")
-      df.repartition(spark.sparkContext.defaultParallelism)
+    // Gated on OBSERVED scan parallelism (rdd.getNumPartitions is
+    // planning-time file-split math, no job runs): a real multi-file
+    // corpus already scans wide and must not pay a full-table shuffle
+    // of its text/embeddings on every read.
+    val target = spark.sparkContext.defaultParallelism
+    if ((name == "documents" || name == "embeddings") &&
+        df.rdd.getNumPartitions < target / 2)
+      df.repartition(target)
     else df
   }
 

@@ -182,6 +182,10 @@ object Dedup {
       .agg(sort_array(collect_list(col("__id"))).as("__ids"))
       .where(size(col("__ids")) > 1)
       .select(posexplode(col("__ids")).as(Seq("__pos", "id_a")), col("__ids"))
+      // Same hot-bucket barrier as minhashCandidatePairs/jaccardNeighbors:
+      // without it a stop-shingle shared by m docs generates its whole
+      // C(m,2) pair set in the one task holding that posting row.
+      .repartition(col("id_a"))
       .select(col("id_a"),
         explode(slice(col("__ids"), col("__pos") + 2, size(col("__ids")))).as("id_b"))
       .groupBy("id_a", "id_b")

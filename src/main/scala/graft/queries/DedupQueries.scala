@@ -53,6 +53,15 @@ object DedupQueries {
       "text", "doc_id", NumPerms, BandSize)
       .orderBy("id_a", "id_b")
 
+  /** UNION ALL branches unpivoting sigs' band_b columns to rows —
+    * generated from the same (0 until numBands) range as the band
+    * columns themselves, so changing NumPerms/BandSize retunes the
+    * whole oracle, never a hardcoded subset of bands. */
+  private def bandedUnionSql(extraCols: String = ""): String =
+    (0 until NumPerms / BandSize).map { b =>
+      s"  SELECT doc_id,$extraCols $b AS band_idx, band_$b AS band_val FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+
   val qdMinhashPairsSql: String = {
     val bands = (0 until NumPerms / BandSize).map { b =>
       val parts = (0 until BandSize).map(j => sigSqlExpr(b * BandSize + j))
@@ -62,9 +71,7 @@ object DedupQueries {
        |  SELECT doc_id, ${bands.mkString(",\n    ")}
        |  FROM documents
        |), banded AS (
-       |  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM sigs
-       |  UNION ALL
-       |  SELECT doc_id, 1 AS band_idx, band_1 AS band_val FROM sigs
+       |${bandedUnionSql()}
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
        |FROM banded a JOIN banded b
@@ -132,9 +139,7 @@ object DedupQueries {
        |    ${bands.mkString(",\n    ")}
        |  FROM documents
        |), banded AS (
-       |  SELECT doc_id, bucket, 0 AS band_idx, band_0 AS band_val FROM sigs
-       |  UNION ALL
-       |  SELECT doc_id, bucket, 1 AS band_idx, band_1 AS band_val FROM sigs
+       |${bandedUnionSql(" bucket,")}
        |), idx AS (
        |  SELECT DISTINCT band_idx, band_val FROM banded WHERE bucket < 80
        |)

@@ -14,7 +14,8 @@ object SparkEntry {
     Analytics.queries ++ QualityQueries.queries ++ DiffViewQueries.queries ++
       EngineQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries ++ PipelineQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries ++
+      ProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The driver tolerates omissions (rows-only
@@ -25,5 +26,6 @@ object SparkEntry {
     Analytics.oracles ++ QualityQueries.oracles ++ DiffViewQueries.oracles ++
       EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      MultimodalQueries.oracles ++ PipelineQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles ++
+      ProfileQueries.oracles
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable.md5Hash32
+
+/** Deterministic sampling operators for corpus construction.
+  *
+  * Sampling for a training corpus must be REPRODUCIBLE — the same
+  * inputs always elect the same rows, across engines, partitionings and
+  * reruns — so selection orders by a seeded md5 of the row id (a
+  * deterministic shuffle), never by `rand()`.
+  */
+object Sampling {
+
+  /** Stratified cap: keep at most `k` rows per stratum, chosen by
+    * seeded-md5 order, with the selection rank exposed as `sample_rank`
+    * (1-based, dense within each stratum).
+    *
+    * `salts > 1` enables the two-phase plan for skewed strata: rows
+    * first rank within (stratum, salt-of-id) partitions — `salts`-way
+    * parallel even when one stratum dominates the dataset — and only
+    * the ≤ `salts·k` per-stratum survivors enter the final per-stratum
+    * ranking window. The pre-filter is lossless (each salt partition
+    * keeps k rows, so every global top-k row survives phase 1), so both
+    * plans return identical rows; the contract query runs salted and is
+    * oracle-checked against the single-window SQL.
+    */
+  def stratifiedTopK(df: DataFrame, stratumCols: Seq[String], idCol: String,
+      k: Int, seed: String = "sample", salts: Int = 1): DataFrame = {
+    require(stratumCols.nonEmpty, "stratifiedTopK needs stratum columns")
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    val key = md5(concat_ws(":", lit(seed), col(idCol)))
+    val pruned =
+      if (salts > 1) {
+        val salted = Window
+          .partitionBy(stratumCols.map(col) :+
+            pmod(md5Hash32(col(idCol).cast("string")), lit(salts)): _*)
+          .orderBy(key, col(idCol))
+        df.withColumn("__pr", row_number().over(salted))
+          .where(col("__pr") <= k).drop("__pr")
+      } else df
+    val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(key, col(idCol))
+    pruned.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+}

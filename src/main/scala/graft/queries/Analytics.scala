@@ -241,7 +241,35 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact interpolated percentiles per group (p50/p90/p99 of extended
+    * price by return flag). `percentile` aggregates a per-group value
+    * map — order-independent accumulation, deterministic interpolation —
+    * in one shuffle; rounding to 6 absorbs cross-engine interpolation-
+    * arithmetic ulps. The 100 TB path swaps in approx_percentile
+    * (t-digest-style sketch, mergeable, no per-group value map) when the
+    * group cardinality × value cardinality stops fitting an aggregation
+    * buffer; the exact form IS the oracle-checkable contract. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__p"), 1), 6).as("p50"),
+        round(element_at(col("__p"), 2), 6).as("p90"),
+        round(element_at(col("__p"), 3), 6).as("p99"))
+      .orderBy("l_returnflag")
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (qPercentiles _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_running_total" -> (qRunningTotal _),
@@ -253,6 +281,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles" -> qPercentilesSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_running_total" -> qRunningTotalSql,

@@ -231,7 +231,89 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; each (cohort, week-offset) cell counts distinct active
+    * users. One aggregation builds the per-user cohort frame, which
+    * joins back onto the stream co-partitioned on user_id (both sides
+    * shuffle on the same key — no second pass shape). */
+  def qeRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("__cw"))
+    ev.join(cohorts, "user_id")
+      .select(col("user_id"), col("__cw"),
+        (datediff(date_trunc("week", col("ts")), col("__cw")) / 7)
+          .cast("int").as("week_offset"))
+      .groupBy(to_date(col("__cw")).as("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val qeRetentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cw
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT CAST(f.cw AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', f.cw, date_trunc('week', CAST(e.ts AS TIMESTAMP))) // 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Top event paths: each user's first five events (by time) joined
+    * into a `>`-separated path string, counted across users, top 20.
+    * The per-user window shuffles once on user_id; path assembly sorts
+    * a ≤5-element array inside the row — never a cross-row collect. */
+  def qePaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  val qePathsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id
+      |)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_users DESC, path
+      |LIMIT 20""".stripMargin
+
+  /** Fixed-width value histogram per event type — the distribution
+    * profile of a measure column, all-exact counts (one shuffle). */
+  def qeHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bin")
+
+  val qeHistogramSql: String =
+    """SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type, CAST(FLOOR(value / 50) AS BIGINT)
+      |ORDER BY event_type, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_retention" -> (qeRetention _),
+    "qe_paths" -> (qePaths _),
+    "qe_histogram" -> (qeHistogram _),
     "qe_props" -> (qeProps _),
     "qe_windows" -> (qeWindows _),
     "qe_sliding" -> (qeSliding _),
@@ -242,6 +324,9 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_retention" -> qeRetentionSql,
+    "qe_paths" -> qePathsSql,
+    "qe_histogram" -> qeHistogramSql,
     "qe_props" -> qePropsSql,
     "qe_windows" -> qeWindowsSql,
     "qe_sliding" -> qeSlidingSql,

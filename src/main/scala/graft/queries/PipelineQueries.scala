@@ -107,11 +107,35 @@ object PipelineQueries {
        |GROUP BY least(sa, sb), greatest(sa, sb)
        |ORDER BY split_a, split_b""".stripMargin
 
+  /** Deterministic stratified sample: at most 10 documents per source,
+    * elected by seeded-md5 order ([[graft.operators.Sampling]]). Runs
+    * the SALTED two-phase plan (4 salts); the oracle is the plain
+    * single-window SQL, so the check proves the two plans row-identical
+    * on top of value parity. */
+  def qpSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedTopK(
+      Tables.load(spark, dir, "documents"),
+      Seq("source"), "doc_id", k = 10, seed = "sample", salts = 4)
+      .select("source", "doc_id", "sample_rank")
+      .orderBy("source", "sample_rank")
+
+  val qpSampleSql: String =
+    """SELECT source, doc_id, sample_rank FROM (
+      |  SELECT source, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('sample:' || doc_id), doc_id) AS INT) AS sample_rank
+      |  FROM documents
+      |)
+      |WHERE sample_rank <= 10
+      |ORDER BY source, sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qp_corpus" -> (qpCorpus _),
+    "qp_sample" -> (qpSample _),
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
     "qp_corpus" -> qpCorpusSql,
+    "qp_sample" -> qpSampleSql,
     "qp_contamination" -> qpContaminationSql)
 }

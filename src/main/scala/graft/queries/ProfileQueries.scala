@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.rules.Profiler
+
+/** Driver-contract queries for the profiling / distribution-monitoring
+  * family ([[graft.rules.Profiler]]) — column profiles, z-score outlier
+  * detection, and PSI drift between dataset halves.
+  */
+object ProfileQueries {
+
+  private val profiledCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Column profile of `orders`: rows / nulls / exact distincts per
+    * column, one aggregation pass. */
+  def qcProfile(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.load(spark, dir, "orders"), profiledCols)
+      .orderBy("column_name")
+
+  val qcProfileSql: String = profiledCols.sorted.map { c =>
+    s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  COUNT(DISTINCT $c) AS n_distinct
+       |FROM orders""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  /** Orders whose total deviates ≥ 1.6σ from their priority class's
+    * mean — moment-based outlier detection, broadcast-join shaped. */
+  def qcAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Profiler.zOutliers(Tables.load(spark, dir, "orders"),
+      "o_totalprice", Seq("o_orderpriority"), 1.6)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "z_score")
+      .orderBy("o_orderkey")
+
+  // Identical arithmetic to Profiler.zOutliers: decimal-exact moments,
+  // Σ(cents²) through scale-0 decimal (single decimal→double rounding),
+  // the same double op order, comparison on the ROUNDED z.
+  val qcAnomalySql: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS q2
+      |  FROM (SELECT o_orderpriority, o_totalprice,
+      |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |        FROM orders)
+      |  GROUP BY o_orderpriority
+      |)
+      |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+      |  round((o.o_totalprice - m.s / m.n)
+      |    / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS z_score
+      |FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+      |WHERE abs(round((o.o_totalprice - m.s / m.n)
+      |    / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6)) >= 1.6
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** PSI drift between the two md5-split halves of `orders` over
+    * 50k-wide totalprice bins — the self-consistency fixture (same
+    * distribution ⇒ PSI ≈ 0; the VALUES are what the oracle checks). */
+  def qcDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    val orders = Tables.load(spark, dir, "orders")
+    val bucket = md5Hash32(concat_ws(":", lit("drift"), col("o_orderkey"))) % 100
+    Profiler.drift(orders.where(bucket < 50), orders.where(bucket >= 50),
+      "o_totalprice", 50000.0)
+      .orderBy("bin")
+  }
+
+  val qcDriftSql: String =
+    """WITH tagged AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      |    ('0x' || substr(md5('drift:' || o_orderkey), 1, 8))::BIGINT % 100 < 50 AS in_a
+      |  FROM orders
+      |), ca AS (
+      |  SELECT bin, COUNT(*) AS n_a,
+      |    COUNT(*) / SUM(COUNT(*)) OVER () AS p
+      |  FROM tagged WHERE in_a GROUP BY bin
+      |), cb AS (
+      |  SELECT bin, COUNT(*) AS n_b,
+      |    COUNT(*) / SUM(COUNT(*)) OVER () AS q
+      |  FROM tagged WHERE NOT in_a GROUP BY bin
+      |)
+      |SELECT ca.bin AS bin, ca.n_a, cb.n_b,
+      |  round(ca.p, 6) AS share_a, round(cb.q, 6) AS share_b,
+      |  round((ca.p - cb.q) * ln(ca.p / cb.q), 6) AS psi
+      |FROM ca JOIN cb ON ca.bin = cb.bin
+      |ORDER BY ca.bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_profile" -> (qcProfile _),
+    "qc_anomaly" -> (qcAnomaly _),
+    "qc_drift" -> (qcDrift _))
+
+  val oracles: Map[String, String] = Map(
+    "qc_profile" -> qcProfileSql,
+    "qc_anomaly" -> qcAnomalySql,
+    "qc_drift" -> qcDriftSql)
+}

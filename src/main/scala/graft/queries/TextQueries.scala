@@ -348,7 +348,84 @@ object TextQueries {
       |ORDER BY n_occurrences DESC, token
       |LIMIT 100""".stripMargin
 
+  /** Token-distribution entropy per document (unigram Shannon entropy,
+    * bits) — the repetitiveness quality signal: low entropy flags
+    * boilerplate/spam. Terms fold LEFT-TO-RIGHT over the token-sorted
+    * count array (Portable rule 2: never a float SUM over rows, whose
+    * distributed accumulation order is nondeterministic); the array is
+    * per-document, so its size is bounded by document length. */
+  def qtEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    counted.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("__tc"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        round(-aggregate(
+          transform(col("__tc"), x =>
+            (x.getField("c").cast("double") / col("n_tokens")) *
+              log(x.getField("c").cast("double") / col("n_tokens")) / log(lit(2.0))),
+          lit(0.0), (acc, t) => acc + t), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val qtEntropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+      |), g AS (
+      |  SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY tok) AS cs,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_unique
+      |  FROM c GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_unique,
+      |  round(-list_reduce(
+      |    list_transform(cs, x -> (x / n_tokens) * ln(x / n_tokens) / ln(2.0)),
+      |    (a, b) -> a + b), 6) AS entropy
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Cross-document repeated passages: 8-token windows (distinct within
+    * each document) occurring in ≥2 documents, with the document count —
+    * exact-substring dedup at passage granularity (the boilerplate
+    * detector). One explode + one count aggregation; the candidate
+    * space is the inverted window index, linear in text volume. */
+  def qtPassages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.WordShingles
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        WordShingles.ofColumn(col("__toks"), 8, hashed = false).as("__sh"))
+      .select(col("doc_id"), explode_outer(col("__sh")).as("passage"))
+      .where(col("passage").isNotNull)
+      .groupBy("passage")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .orderBy("passage")
+  }
+
+  val qtPassagesSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 8 THEN
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 6),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+      |  ELSE [] END AS g FROM documents
+      |)
+      |SELECT passage, COUNT(*) AS n_docs
+      |FROM (SELECT doc_id, unnest(g) AS passage FROM sh)
+      |GROUP BY passage
+      |HAVING COUNT(*) >= 2
+      |ORDER BY passage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_entropy" -> (qtEntropy _),
+    "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
     "qt_vocab" -> (qtVocab _),
     "qt_redact" -> (qtRedact _),
@@ -361,6 +438,8 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_entropy" -> qtEntropySql,
+    "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
     "qt_vocab" -> qtVocabSql,
     "qt_redact" -> qtRedactSql,

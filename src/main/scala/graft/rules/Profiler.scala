@@ -1,0 +1,120 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling and distribution-monitoring operators — the
+  * "what does this data look like" companion to the rule engine's
+  * "is this data valid" (reference scope: TopNotch asserts rules but
+  * never profiles; production QC needs both).
+  *
+  * Scale design: every operator is one aggregation pass over the fact
+  * table plus arithmetic over a tiny derived frame (per-column /
+  * per-group / per-bin rows). Nothing windows over the fact table and
+  * nothing collects to the driver.
+  */
+object Profiler {
+
+  /** Per-column profile — row count, null count, distinct count — in ONE
+    * aggregation pass, unpivoted to a row per column.
+    *
+    * Exact distinct counts make Spark plan an Expand (one input replica
+    * per profiled column) before the partial aggregate; correct but the
+    * pass reads N× rows for N columns. At corpus scale prefer
+    * [[profileApprox]]: HLL sketches aggregate all columns in a single
+    * non-expanded pass.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => count_distinct(col(c)))
+
+  /** [[profile]] with approximate distinct counts (HyperLogLog++, default
+    * 5% relative error) — the 100 TB path: one pass, no input expansion,
+    * sketches merge associatively across partitions. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c)))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinct: String => Column): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      distinct(c).as(s"__nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Unpivot the single aggregate row with stack() — a projection over
+    // one row, not a second pass.
+    val stackArgs = cols
+      .map(c => s"'$c', __n, `__nulls_$c`, `__nd_$c`")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_nulls, n_distinct)"))
+  }
+
+  /** Rows whose value deviates from its group mean by at least
+    * `zThreshold` standard deviations (population σ), annotated with the
+    * rounded z-score.
+    *
+    * The group moments (n, Σx, Σx²) are decimal-exact partial
+    * aggregates — order-independent, so distributed accumulation is
+    * deterministic — computed in one shuffle on the group key; the tiny
+    * moment frame then broadcasts back onto a second scan, making
+    * detection a broadcast hash join, never a window over the fact
+    * table. Σx² goes through integer cents² summed as decimal(38,0):
+    * scale-0 decimals convert to double with a SINGLE rounding in every
+    * engine, where a scaled decimal above 2^53 would double-round
+    * (int128→double, then ÷10^scale) and diverge across engines.
+    * z is computed in IEEE doubles from the exact moments and compared
+    * on the value ROUNDED to 6 places, so the cross-engine contract is
+    * exact arithmetic + one final rounding.
+    */
+  def zOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      zThreshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "zOutliers needs at least one group column")
+    // Integer cents (exact: inputs carry ≤2 true decimals).
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val stats = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      // Σx: unscaled decimal stays < 2^53 at scale 4 → single rounding.
+      sum(col(valueCol).cast("decimal(18,4)"))
+        .cast("decimal(38,4)").cast("double").as("__s"),
+      // Σ(cents²): exact integers, single rounding at scale 0.
+      sum((cents * cents).cast("decimal(38,0)"))
+        .cast("double").as("__q2"))
+    val mean = col("__s") / col("__n")
+    // c = 100·x so Σc² = 10⁴·Σx².
+    val variance = col("__q2") / lit(1.0e4) / col("__n") - mean * mean
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z_score",
+        round((col(valueCol) - mean) / sqrt(variance), 6))
+      .where(abs(col("z_score")) >= zThreshold)
+      .drop("__n", "__s", "__q2")
+  }
+
+  /** Population Stability Index between two datasets over fixed-width
+    * bins of `valueCol`: one row per bin present on BOTH sides with the
+    * bin shares and the PSI contribution `(p−q)·ln(p/q)`.
+    *
+    * Each side is one count-aggregation on the bin key; everything after
+    * runs on the per-bin frame (≈ value-range/binWidth rows). Bins
+    * present on only one side are dropped (their PSI term is infinite;
+    * production monitors them via the returned counts' outer variant —
+    * here the inner join IS the contract, matching standard PSI-with-
+    * epsilon-free practice).
+    */
+  def drift(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Shares are relative to each side's FULL total (computed on the
+    // per-side bin frame, before the join drops one-sided bins).
+    def binned(df: DataFrame, n: String, s: String) =
+      df.groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as(n))
+        .withColumn(s, col(n) / sum(col(n)).over(all))
+    val joined = binned(a, "n_a", "__p").join(binned(b, "n_b", "__q"), "bin")
+    joined.select(col("bin"), col("n_a"), col("n_b"),
+      round(col("__p"), 6).as("share_a"), round(col("__q"), 6).as("share_b"),
+      round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+        .as("psi"))
+  }
+}

@@ -27,7 +27,8 @@ class ContractSpec extends SparkSpec {
     val moduleSizes = Seq(Analytics.queries, QualityQueries.queries,
       DiffViewQueries.queries, EngineQueries.queries, TextQueries.queries,
       DedupQueries.queries, SimilarityQueries.queries, EventQueries.queries,
-      MultimodalQueries.queries, PipelineQueries.queries).map(_.size).sum
+      MultimodalQueries.queries, PipelineQueries.queries,
+      ProfileQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes)
   }
 }

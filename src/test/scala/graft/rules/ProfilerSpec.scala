@@ -1,0 +1,67 @@
+package graft.rules
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpec {
+
+  private lazy val people = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(20.0)),
+      (3L, None, Some(20.0)),
+      (4L, Some("a"), None),
+      (5L, Some("c"), Some(30.0))
+    ).toDF("id", "tag", "score")
+  }
+
+  test("profile counts rows, nulls and exact distincts per column") {
+    val rows = Profiler.profile(people, Seq("id", "tag", "score"))
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("id", 5L, 0L, 5L),
+      ("score", 5L, 1L, 3L),
+      ("tag", 5L, 1L, 3L)))
+  }
+
+  test("profileApprox matches exact counts on small-cardinality data") {
+    // HLL++ is exact at tiny cardinalities, so the whole row must agree.
+    val exact = Profiler.profile(people, Seq("id", "tag"))
+      .orderBy("column_name").collect().map(_.toSeq).toSeq
+    val approx = Profiler.profileApprox(people, Seq("id", "tag"))
+      .orderBy("column_name").collect().map(_.toSeq).toSeq
+    assert(approx == exact)
+  }
+
+  test("zOutliers flags exactly the values far from their group mean") {
+    val s = spark
+    import s.implicits._
+    // Group g: nine 100s and one 1000 — the 1000 is the lone outlier
+    // (z ≈ 3), and the 100s sit at z ≈ −0.33.
+    val df = ((1 to 9).map(i => (i.toLong, "g", 100.0)) :+ (10L, "g", 1000.0))
+      .toDF("id", "grp", "v")
+    val out = Profiler.zOutliers(df, "v", Seq("grp"), 2.0)
+      .select("id", "z_score").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(math.abs(out.head.getDouble(1) - 3.0) < 1e-6)
+  }
+
+  test("drift is zero between identical distributions and positive under shift") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).map(i => (i % 10) * 10.0).toDF("v")
+    val same = Profiler.drift(a, a, "v", 10.0).collect()
+    assert(same.length == 10)
+    assert(same.forall(r => r.getDouble(5) == 0.0))
+
+    // b shifts mass toward high bins; PSI total must be positive and
+    // one-sided bins (present in only a or only b) must be dropped.
+    val b = (1 to 100).map(i => ((i % 5) + 5) * 10.0).toDF("v")
+    val shifted = Profiler.drift(a, b, "v", 10.0).collect()
+    assert(shifted.map(_.getLong(0)).toSet == (5 to 9).map(_.toLong).toSet)
+    assert(shifted.map(_.getDouble(5)).sum > 0.1)
+  }
+}

@@ -275,32 +275,45 @@ object Dedup {
     val idCol = vertices.columns.head
     val Seq(ea, eb) = edges.columns.take(2).toSeq
     // The edge set is re-joined every round — materialise it once, or an
-    // expensive upstream (LSH, jaccard) recomputes per iteration.
+    // expensive upstream (LSH, jaccard) recomputes per iteration. Cache
+    // it PARTITIONED ON THE JOIN KEY: every round's propagation join
+    // then reuses the cached partitioning, so only the (smaller) label
+    // side exchanges — and the label side arrives hash-partitioned on
+    // __id from the previous round's aggregation, making the join
+    // exchange-free from round 2 on.
     val e = edges.select(col(ea).as("__src"), col(eb).as("__dst"))
       .union(edges.select(col(eb).as("__src"), col(ea).as("__dst")))
+      .repartition(col("__src"))
       .cache()
     var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__comp"))
       .cache()
+    // labels becomes a PROJECTION of the round's cached aggregate;
+    // unpersist must target the cached frame itself.
+    var cached = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val prop = e.join(labels, col("__src") === col("__id"))
-        .select(col("__dst").as("__id"), col("__comp"))
-      val next = labels.union(prop)
-        .groupBy("__id").agg(min("__comp").as("__comp"))
+        .select(col("__dst").as("__id"), col("__comp"), lit(0).as("__self"))
+      // Convergence detection folds into the SAME aggregation: the
+      // self row (one per vertex, flagged) carries the old label, so
+      // "did anything improve" is a filter on the aggregate — no
+      // next⋈labels comparison join per round.
+      val agg = labels.withColumn("__self", lit(1)).union(prop)
+        .groupBy("__id").agg(min("__comp").as("__comp"),
+          min(when(col("__self") === 1, col("__comp"))).as("__old"))
         .cache()
-      changed = next.as("n")
-        .join(labels.withColumnRenamed("__comp", "__old").as("o"), "__id")
-        .where(col("__comp") < col("__old")).count()
-      labels.unpersist()
-      labels = next
+      changed = agg.where(col("__comp") < col("__old")).count()
+      cached.unpersist()
+      cached = agg
+      labels = agg.select("__id", "__comp")
       iter += 1
     }
     e.unpersist()
     // Wrong-but-plausible labels are worse than failing: a graph whose
     // diameter exceeds maxIter must not silently mislabel the tail.
     if (changed > 0) {
-      labels.unpersist() // don't pin the partial result on failure
+      cached.unpersist() // don't pin the partial result on failure
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
           s"($changed labels still changing); raise maxIter")

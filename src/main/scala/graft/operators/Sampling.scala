@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable.md5Hash32
@@ -44,5 +44,34 @@ object Sampling {
     val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(key, col(idCol))
     pruned.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
+  }
+
+  /** Weighted downsampling ("source mixing"): keep each row with
+    * probability `weight` (a per-row Column in [0,1], typically a
+    * per-source mixing ratio), decided by a seeded md5 bucket of the
+    * id — deterministic, reproducible, and a pure scan-level filter
+    * (no shuffle; pushes into the scan). Rows with weight ≥ 1 always
+    * survive; weight ≤ 0 never. */
+  def weightedKeep(df: DataFrame, idCol: String, weight: Column,
+      seed: String = "mix"): DataFrame =
+    df.where(
+      md5Hash32(concat_ws(":", lit(seed), col(idCol).cast("string"))) % 1000 <
+        (weight * 1000).cast("long"))
+
+  /** Contiguous shard packing: within each stratum, rows ordered by id
+    * accumulate token counts and a new shard starts whenever the running
+    * total crosses `capacity` — the deterministic "pack documents into
+    * training shards" layout step. Shard id = exclusive-prefix-sum of
+    * `tokenCol` divided by capacity, so a document that overflows a
+    * shard joins the NEXT shard boundary rather than splitting. One
+    * window shuffle on the stratum key; strata are independent, so
+    * parallelism is the stratum count. */
+  def packShards(df: DataFrame, stratumCols: Seq[String], idCol: String,
+      tokenCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard_id",
+      ((sum(col(tokenCol)).over(w) - col(tokenCol)) / capacity).cast("long"))
   }
 }

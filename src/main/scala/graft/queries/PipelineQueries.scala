@@ -129,13 +129,72 @@ object PipelineQueries {
       |WHERE sample_rank <= 10
       |ORDER BY source, sample_rank""".stripMargin
 
+  /** Source-mixing report: high-priority sources keep every document,
+    * the long tail downsamples to 30%, decided per document by the
+    * seeded-md5 bucket ([[graft.operators.Sampling.weightedKeep]]'s
+    * rule, aggregated here so the report shows realised vs target
+    * ratios in one pass — the filter itself is a scan-level predicate,
+    * no shuffle). */
+  def qpMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    val priority = Seq("src0", "src1", "src2", "src3", "src4")
+    val weight = when(col("source").isin(priority.map(s => s: Any): _*), lit(1.0))
+      .otherwise(lit(0.3))
+    val kept = md5Hash32(concat_ws(":", lit("mix"), col("doc_id").cast("string"))) % 1000 <
+      (weight * 1000).cast("long")
+    Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        // weight is constant within a source; min() lifts it through
+        // the aggregation without a grouping-expression restriction.
+        round(min(weight), 6).as("target_ratio"))
+      .orderBy("source")
+  }
+
+  val qpMixSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 1000
+      |    < CAST((CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0 ELSE 0.3 END) * 1000 AS BIGINT)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0 ELSE 0.3 END, 6) AS target_ratio
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Shard packing: documents pack contiguously into 2000-token shards
+    * within each source ([[graft.operators.Sampling.packShards]]) —
+    * the deterministic training-shard layout step. */
+  def qpPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Sampling.packShards(docs, Seq("source"), "doc_id", "n_tok", 2000L)
+      .select("source", "doc_id", "n_tok", "shard_id")
+      .orderBy("source", "doc_id")
+  }
+
+  val qpPackSql: String =
+    """SELECT source, doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |          OVER (PARTITION BY source ORDER BY doc_id
+      |                ROWS UNBOUNDED PRECEDING)
+      |        - CAST(len(string_split(text, ' ')) AS BIGINT)) // 2000 AS BIGINT) AS shard_id
+      |FROM documents
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qp_corpus" -> (qpCorpus _),
     "qp_sample" -> (qpSample _),
+    "qp_mix" -> (qpMix _),
+    "qp_pack" -> (qpPack _),
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
     "qp_corpus" -> qpCorpusSql,
     "qp_sample" -> qpSampleSql,
+    "qp_mix" -> qpMixSql,
+    "qp_pack" -> qpPackSql,
     "qp_contamination" -> qpContaminationSql)
 }

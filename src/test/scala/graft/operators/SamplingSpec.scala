@@ -37,4 +37,30 @@ class SamplingSpec extends SparkSpec {
     assert(ids("sample") == ids("sample"))
     assert(ids("sample") != ids("other-seed")) // 5-of-200: collision ≈ 0
   }
+
+  test("weightedKeep honours boundary weights and roughly hits the ratio") {
+    import org.apache.spark.sql.functions._
+    val all = Sampling.weightedKeep(docs, "id", lit(1.0)).count()
+    val none = Sampling.weightedKeep(docs, "id", lit(0.0)).count()
+    assert(all == 203 && none == 0)
+    val half = Sampling.weightedKeep(docs, "id", lit(0.5)).count()
+    assert(half > 60 && half < 140) // md5 buckets: ~101 ± binomial noise
+    // Deterministic: the same call elects the same rows.
+    val a = Sampling.weightedKeep(docs, "id", lit(0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedKeep(docs, "id", lit(0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("packShards assigns contiguous shards that respect the capacity") {
+    val s = spark
+    import s.implicits._
+    // Ten docs of 300 tokens: capacity 1000 → shards of 4,4,2 docs
+    // (exclusive prefix 0,300,600,900 | 1200,... ).
+    val df = (1 to 10).map(i => (i.toLong, "s", 300L)).toDF("id", "src", "n")
+    val out = Sampling.packShards(df, Seq("src"), "id", "n", 1000L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
+  }
 }

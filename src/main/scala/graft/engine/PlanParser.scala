@@ -19,9 +19,29 @@ import scala.jdk.CollectionConverters._
 object PlanParser {
   private val mapper = new ObjectMapper()
 
+  /** Read a plan/params document from the filesystem, falling back to
+    * the classpath — the reference ships plan templates inside
+    * application jars and loads them the same way
+    * (tnengine/TnReader.scala:92-115). */
+  private[engine] def readText(path: String): String =
+    if (Files.exists(Paths.get(path)))
+      new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    else {
+      val fromClasspath = Option(getClass.getClassLoader.getResourceAsStream(
+        path.stripPrefix("/")))
+      fromClasspath match {
+        case Some(stream) =>
+          try scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+          finally stream.close()
+        case None => throw new java.nio.file.NoSuchFileException(
+          s"$path (not on filesystem or classpath)")
+      }
+    }
+
   def parseFile(path: String, variables: Map[String, String] = Map.empty): Plan = {
-    val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-    parse(text, variables, Some(Paths.get(path).toAbsolutePath.getParent))
+    val text = readText(path)
+    val baseDir = Option(Paths.get(path).toAbsolutePath.getParent)
+    parse(text, variables, baseDir)
   }
 
   def parse(json: String, variables: Map[String, String] = Map.empty,
@@ -53,10 +73,11 @@ object PlanParser {
       ext match {
         case Some(rel) =>
           val p = baseDir match {
-            case Some(b) if !rel.startsWith("/") => b.resolve(rel)
+            case Some(b) if !rel.startsWith("/") && Files.exists(b.resolve(rel)) =>
+              b.resolve(rel)
             case _ => Paths.get(rel)
           }
-          mapper.readTree(new String(Files.readAllBytes(p), "UTF-8"))
+          mapper.readTree(readText(p.toString))
         case None => node.path("params")
       }
     }

@@ -109,4 +109,17 @@ class PlanRunnerSpec extends SparkSpec {
       PlanParser.parse("""{"commands":[{"command":"bogus"}]}""")
     }
   }
+
+  test("parseFile falls back to the classpath, as the reference's file reader does") {
+    // plans/classpath_plan.json exists only in src/test/resources (a
+    // stand-in for a plan template shipped inside an application jar).
+    val plan = PlanParser.parseFile("plans/classpath_plan.json",
+      variables = Map("table" -> "resolved_input"))
+    val view = plan.commands.head.asInstanceOf[ViewCommand]
+    assert(view.inputs.head.ref === "resolved_input")
+    assert(view.query === "SELECT COUNT(*) AS n FROM t")
+    intercept[java.nio.file.NoSuchFileException] {
+      PlanParser.parseFile("plans/definitely_missing.json")
+    }
+  }
 }

@@ -110,17 +110,45 @@ object Dedup {
     * incoming doc that collides, with its colliding-band count. */
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String,
+      numPerms: Int, bandSize: Int): DataFrame =
+    bandedRows(incoming, textCol, idCol, numPerms, bandSize)
+      .join(bandIndex(existing, textCol, idCol, numPerms, bandSize),
+        Seq("band_idx", "band_val"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_colliding_bands"))
+
+  /** One row per (document, LSH band): (idCol, band_idx, band_val). A
+    * stateless projection + generate — works identically on batch and
+    * STREAMING DataFrames (the signature expression is row-local). */
+  def bandedRows(df: DataFrame, textCol: String, idCol: String,
       numPerms: Int, bandSize: Int): DataFrame = {
     val numBands = numPerms / bandSize
-    def banded(df: DataFrame) = withMinhashSignature(df, textCol, numPerms)
+    withMinhashSignature(df, textCol, numPerms)
       .select(col(idCol) +: bandColumns(numPerms, bandSize): _*)
       .select(col(idCol), posexplode(
         array((0 until numBands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_val")))
-    val index = banded(existing).select("band_idx", "band_val").distinct()
-    banded(incoming).join(index, Seq("band_idx", "band_val"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_colliding_bands"))
   }
+
+  /** The corpus's distinct (band_idx, band_val) index — in production
+    * precomputed once, persisted, and appended per ingest batch. */
+  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+      numPerms: Int, bandSize: Int): DataFrame =
+    bandedRows(df, textCol, idCol, numPerms, bandSize)
+      .select("band_idx", "band_val").distinct()
+
+  /** Streaming near-dup flagging: incoming STREAM documents probe a
+    * static corpus band index — [[incrementalNearDups]]'s continuous
+    * form. The band projection is stateless and the stream-static join
+    * keeps no state (the static side broadcasts or re-scans per
+    * micro-batch), so this composes with any watermark/sink; emitted
+    * rows are (id, band_idx, band_val) collisions, aggregated per doc
+    * by the caller's sink (a per-batch count in foreachBatch, or a
+    * windowed agg downstream). */
+  def streamingNearDupCollisions(stream: DataFrame, staticIndex: DataFrame,
+      textCol: String, idCol: String,
+      numPerms: Int, bandSize: Int): DataFrame =
+    bandedRows(stream, textCol, idCol, numPerms, bandSize)
+      .join(staticIndex, Seq("band_idx", "band_val"))
 
   /** 32-bit SimHash over distinct tokens: bit b is set when more token
     * hashes have bit b set than clear. One explode + one aggregation. */

@@ -35,4 +35,41 @@ class StreamingDedupSpec extends SparkSpec {
       assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("streaming band probe flags exactly the batch incremental near-dups") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different sentence about spark execution engines"),
+      (3L, "rows columns partitions shuffles and the joy of aggregation")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      Doc(10L, t(0), "the quick brown fox jumps over the lazy dog again and again"),
+      Doc(11L, t(1), "nothing like anything in the corpus whatsoever truly novel"),
+      Doc(12L, t(2), "rows columns partitions shuffles and the joy of aggregation"))
+
+    val index = Dedup.bandIndex(corpus, "text", "doc_id", 16, 8)
+    // Batch truth via the SAME index + the batch probe path.
+    val expected = Dedup.bandedRows(incoming.toDF(), "text", "doc_id", 16, 8)
+      .join(index, Seq("band_idx", "band_val"))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val stream = MemoryStream[Doc]
+    val flagged = Dedup.streamingNearDupCollisions(
+      stream.toDF(), index, "text", "doc_id", 16, 8)
+    val q = flagged.writeStream.format("memory").queryName("band_probe")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("band_probe").collect()
+        .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length.toLong).toMap
+      assert(got == expected)
+      assert(got.keySet == Set(10L, 12L)) // 11 is genuinely novel
+    } finally q.stop()
+  }
 }

@@ -43,6 +43,25 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Ingest real files as media records via Spark's `binaryFile` source
+    * — the production entry point for raw image/audio/video assets on
+    * disk or object store (each file one row: path, length, content;
+    * pushdown prunes by path/length, and `pathGlobFilter`-style options
+    * apply upstream of the scan). Ids are deterministic path hashes;
+    * the media type tag is the file extension. */
+  def fromBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+      pathGlob: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        conv(substring(md5(col("path")), 1, 8), 16, 10).cast("long").as("doc_id"),
+        concat(lit("file/"),
+          regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("media_type"),
+        col("content"),
+        col("length").cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
   /** One sampled frame of a media asset (stub decode). */
   case class MediaFrame(doc_id: Long, frame_idx: Long, frame_hash: String)
 

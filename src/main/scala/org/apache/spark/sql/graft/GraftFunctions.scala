@@ -29,6 +29,23 @@ object GraftFunctions {
             s"numPerms must be an integer literal, got $other")
         }
         MinhashSignature(exprs.head, numPerms)
+      }),
+    (new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "word_shingles takes (tokens array, n literal[, hashed literal])")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"n must be an integer literal, got $other")
+        }
+        val hashed = exprs.lift(2).forall {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed must be a boolean literal, got $other")
+        }
+        WordShingles(exprs.head, n, hashed)
       }))
 
   /** Register into an existing session (tests, notebooks). Cluster jobs

@@ -30,4 +30,20 @@ class GraftFunctionsSpec extends SparkSpec {
         .stripMargin).collect()(0).getLong(0)
     assert(sig.head == want)
   }
+
+  test("word_shingles is callable from SQL after registration") {
+    GraftFunctions.install(spark)
+    // Unhashed: raw distinct 2-gram strings.
+    val raw = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'c'), 2, false) AS sh")
+      .collect()(0).getSeq[String](0)
+    assert(raw == Seq("a b", "b c"))
+    // Default third argument hashes each shingle with md5.
+    val hashed = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'c'), 2) AS sh")
+      .collect()(0).getSeq[String](0)
+    val want = spark.sql("SELECT array(md5('a b'), md5('b c')) AS w")
+      .collect()(0).getSeq[String](0)
+    assert(hashed == want)
+  }
 }

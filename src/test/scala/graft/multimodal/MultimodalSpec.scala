@@ -43,4 +43,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f.resized_w <= 32 && f.resized_h <= 32)
     assert(f.content_md5.length == 32)
   }
+
+  test("binaryFile source ingests raw files into the media pipeline") {
+    val base = java.nio.file.Paths.get("/tmp/graft_binfiles")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val payloads = Map("one.img" -> Array[Byte](1, 2, 3, 4),
+      "two.wav" -> Array[Byte](9, 8, 7, 6, 5))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(base.resolve(name), bytes)
+    }
+    val media = Multimodal.fromBinaryFiles(spark, s"$base/*")
+    val rows = media.collect().sortBy(_.n_bytes)
+    assert(rows.length == 2)
+    assert(rows.map(_.media_type).toSet == Set("file/img", "file/wav"))
+    assert(rows.head.content.toSeq == payloads("one.img").toSeq)
+    assert(rows.head.n_bytes == 4 && rows(1).n_bytes == 5)
+    // The ingested records flow straight into feature extraction.
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.content_md5.length == 32))
+  }
 }

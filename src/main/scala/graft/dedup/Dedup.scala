@@ -150,6 +150,76 @@ object Dedup {
     bandedRows(stream, textCol, idCol, numPerms, bandSize)
       .join(staticIndex, Seq("band_idx", "band_val"))
 
+  /** Per-label-pair counts of LSH candidate pairs WITHOUT materializing
+    * the pair set — the monitoring-rollup shape of [[minhashCandidatePairs]]
+    * (cross-source contamination, train/test leakage): only the
+    * label-pair totals are wanted, and the pair set can be O(n²) in the
+    * worst (boilerplate-heavy) corpus exactly when the report matters
+    * most.
+    *
+    * A pair is a candidate when its docs share ≥1 band value, so by
+    * inclusion-exclusion over the non-empty band subsets S:
+    * count once = Σ_S (−1)^(|S|+1) · pairsAgreeingOnAll(S). Each term
+    * needs only per-(bucket, label) COUNTS: agreement on S groups docs
+    * by the S-band-value tuple, and within a bucket the label-pair
+    * product n_a·n_b (or C(n,2) on the diagonal) counts its pairs.
+    * Cost: 2^bands−1 count-aggregations + tiny per-bucket label joins —
+    * linear in the corpus, independent of how many pairs exist.
+    * Exponential in the BAND count, so this is for the wide-band/
+    * few-bands LSH configs used for high-similarity dedup (b ≤ 8);
+    * beyond that, materialize pairs.
+    *
+    * Returns (label_a, label_b, n_pairs), label_a < label_b (the
+    * diagonal label_a = label_b appears when `includeSameLabel`),
+    * value-identical to counting [[minhashCandidatePairs]] output.
+    */
+  def lshLabelPairReport(df: DataFrame, textCol: String, idCol: String,
+      labelCol: String, numPerms: Int, bandSize: Int,
+      includeSameLabel: Boolean = false): DataFrame = {
+    val numBands = numPerms / bandSize
+    require(numBands >= 1 && numBands <= 8,
+      s"inclusion-exclusion is exponential in bands; got $numBands (max 8)")
+    // One signature pass feeds every subset term (cache is a few
+    // hundred bytes per doc; Spark's cache manager dedups the entry
+    // across re-plans of the same logical subtree).
+    val labeledBands = withMinhashSignature(df, textCol, numPerms)
+      .select(col(labelCol).as("__label") +: bandColumns(numPerms, bandSize): _*)
+      .cache()
+    val contribs = (1 until (1 << numBands)).map { mask =>
+      val bands = (0 until numBands)
+        .filter(b => (mask & (1 << b)) != 0).map(b => col(s"band_$b"))
+      val sign = if (Integer.bitCount(mask) % 2 == 1) 1L else -1L
+      // Two-level aggregation, then the label-pair grid expands IN-ROW
+      // (labels per bucket are few — sources/splits, not documents), so
+      // each term is two shuffles and no join.
+      val perBucket = labeledBands
+        .groupBy(bands :+ col("__label"): _*).agg(count(lit(1)).as("__n"))
+        .groupBy(bands: _*)
+        .agg(sort_array(collect_list(struct(col("__label"), col("__n"))))
+          .as("__ln"))
+      val lst = col("__ln")
+      val crossPairs = flatten(transform(lst, (x, i) =>
+        transform(slice(lst, i + 2, size(lst)), y =>
+          struct(x.getField("__label").as("label_a"),
+            y.getField("__label").as("label_b"),
+            (x.getField("__n") * y.getField("__n") * sign).as("__pairs")))))
+      val samePairs = transform(lst, x =>
+        struct(x.getField("__label").as("label_a"),
+          x.getField("__label").as("label_b"),
+          // n·(n−1) is even, so the division is exact.
+          (x.getField("__n") * (x.getField("__n") - 1) / 2).cast("long")
+            .multiply(sign).as("__pairs")))
+      val expanded = if (includeSameLabel) concat(crossPairs, samePairs)
+        else crossPairs
+      perBucket.select(explode_outer(expanded).as("__p"))
+        .where(col("__p").isNotNull)
+        .select(col("__p.label_a"), col("__p.label_b"), col("__p.__pairs"))
+    }
+    contribs.reduce(_ union _)
+      .groupBy("label_a", "label_b").agg(sum("__pairs").as("n_pairs"))
+      .where(col("n_pairs") > 0)
+  }
+
   /** 32-bit SimHash over distinct tokens: bit b is set when more token
     * hashes have bit b set than clear. One explode + one aggregation. */
   def simhash32(df: DataFrame, textCol: String, idCol: String): DataFrame = {

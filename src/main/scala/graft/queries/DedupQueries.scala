@@ -86,19 +86,15 @@ object DedupQueries {
     * content shared ACROSS sources (the within-source view is
     * [qd_simhash_pairs]'s blocking). Two hash-joins annotate the pairs
     * with their sources; output is at most |sources|² rows. */
-  def qdCrossSource(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val src = docs.select(col("doc_id"), col("source"))
-    Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
-      .join(broadcast(src.toDF("id_a", "src_a")), "id_a")
-      .join(broadcast(src.toDF("id_b", "src_b")), "id_b")
-      .where(col("src_a") =!= col("src_b"))
-      .select(least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"))
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_pairs"))
+  def qdCrossSource(spark: SparkSession, dir: String): DataFrame =
+    // Count-only rollup: inclusion-exclusion over band subsets — the
+    // 2.3M-pair candidate set at sf0.1 is never materialized (the
+    // oracle still counts the materialized pairs, proving equivalence).
+    Dedup.lshLabelPairReport(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", "source", NumPerms, BandSize)
+      .select(col("label_a").as("source_a"), col("label_b").as("source_b"),
+        col("n_pairs"))
       .orderBy("source_a", "source_b")
-  }
 
   val qdCrossSourceSql: String =
     s"""WITH pairs AS ($qdMinhashPairsSql),

@@ -68,25 +68,19 @@ object PipelineQueries {
     * dedup + split primitives and summarised per split pair. */
   def qpContamination(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
-    val docs = Tables.load(spark, dir, "documents")
-    // Labels come from a broadcast-joined per-DOC frame, not inline
-    // expressions on the pair columns: pushdown would re-inline the md5
-    // CASE chain into a pre-aggregation filter and evaluate it per RAW
-    // pair (≥4 md5 chains × every band collision, measured 2× the whole
-    // query) — joined attributes cannot be substituted.
+    // Count-only rollup via inclusion-exclusion over band subsets
+    // (Dedup.lshLabelPairReport) — the candidate-pair set is never
+    // materialized; the split label is computed once per document in
+    // the signature projection (never per pair, where round-2 profiling
+    // caught pushdown re-inlining the md5 CASE chain per collision).
     val bucket = md5Hash32(concat_ws(":", lit("split"), col("doc_id"))) % 100
-    val labels = docs.select(col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "valid")
-        .otherwise("test").as("split"))
-    Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("split", when(bucket < 80, "train")
+        .when(bucket < 90, "valid").otherwise("test"))
+    Dedup.lshLabelPairReport(docs, "text", "doc_id", "split",
       DedupQueries.NumPerms, DedupQueries.BandSize)
-      .join(broadcast(labels.toDF("id_a", "sa")), "id_a")
-      .join(broadcast(labels.toDF("id_b", "sb")), "id_b")
-      .where(col("sa") =!= col("sb"))
-      .select(least(col("sa"), col("sb")).as("split_a"),
-        greatest(col("sa"), col("sb")).as("split_b"))
-      .groupBy("split_a", "split_b")
-      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("label_a").as("split_a"), col("label_b").as("split_b"),
+        col("n_pairs"))
       .orderBy("split_a", "split_b")
   }
 

@@ -293,7 +293,10 @@ object TextQueries {
       .agg(count(lit(1)).as("cnt"))
     // token window FIRST, doc_id window second: the later rank window is
     // also doc_id-partitioned, so it reuses the n_tok exchange (sort
-    // only) — token-between-doc_id windows would cost a third shuffle.
+    // only). A broadcast-joined df aggregate was measured equal here and
+    // WORSE at scale: its build side duplicates the scan+explode+tf
+    // subtree (no ReusedExchange across differing aggregates), and the
+    // scan is the dominant cost at corpus scale.
     val scored = tf
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("token")))
       .withColumn("__n_tok", sum(col("cnt")).over(Window.partitionBy("doc_id")))

@@ -92,6 +92,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lshLabelPairReport equals counting the materialized pair set") {
+    val rnd = new Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (_ <- 1 to 3) {
+      val docs = Seq.tabulate(30) { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), s"lab${rnd.nextInt(3)}")
+      }
+      val s = spark
+      import s.implicits._
+      val df = docs.toDF("doc_id", "text", "lab")
+      val got = Dedup.lshLabelPairReport(df, "text", "doc_id", "lab", 16, 8,
+        includeSameLabel = true)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      // Reference: materialize the candidate pairs, label them, count.
+      val labels = docs.map(d => d._1 -> d._3).toMap
+      val expected = Dedup.minhashCandidatePairs(df, "text", "doc_id", 16, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy { case (a, b) =>
+          val (la, lb) = (labels(a), labels(b))
+          (if (la <= lb) la else lb, if (la <= lb) lb else la)
+        }.view.mapValues(_.length.toLong).toMap
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
+  test("packShards equals the driver-side prefix-sum layout") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 3) {
+      val rows = Seq.tabulate(25)(i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", 1L + rnd.nextInt(500)))
+      val s = spark
+      import s.implicits._
+      val got = graft.operators.Sampling
+        .packShards(rows.toDF("id", "src", "n"), Seq("src"), "id", "n", 600L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(_._1).foldLeft((0L, List.empty[(Long, Long)])) {
+          case ((acc, out), (id, _, n)) => (acc + n, (id, acc / 600L) :: out)
+        }._2
+      }
+      assert(got == expected.toMap, s"rows=$rows")
+    }
+  }
+
   test("asofJoin equals per-row brute-force lookup on random series") {
     val rnd = new Random(7)
     def ts(v: Long) = new Timestamp(1700000000000L + v * 60000L)

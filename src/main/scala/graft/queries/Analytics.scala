@@ -268,7 +268,48 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
+    * parts ordering under 20% of their part's average quantity — the
+    * scalar-aggregate (correlated subquery) pattern, expressed as ONE
+    * pass: the per-part average is a window over the l_partkey
+    * partition (sum+count share the single shuffle), where the
+    * textbook aggregate-then-rejoin shape scans lineitem twice. The
+    * brand filter broadcasts the small part dim ahead of the shuffle.
+    * Averages are decimal-exact sums divided once in doubles —
+    * identical op order to the oracle, so the 20% threshold comparison
+    * agrees bit-for-bit. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .where(col("p_brand") === "Brand#13").select("p_partkey")
+    val byPart = Window.partitionBy("l_partkey")
+    val avgQ = (sum(dec(col("l_quantity"))).over(byPart)
+      .cast("decimal(38,4)").cast("double") /
+      count(lit(1)).over(byPart))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("__avg", avgQ)
+      .where(col("l_quantity") < lit(0.2) * col("__avg"))
+      .agg(count(lit(1)).as("n_items"),
+        (moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17SmallQuantitySql: String =
+    """WITH li AS (
+      |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+      |    CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+      |           OVER (PARTITION BY l.l_partkey) AS DECIMAL(38,4)) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY l.l_partkey) AS avg_q
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand = 'Brand#13'
+      |)
+      |SELECT COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+      |    / 7.0 AS avg_yearly
+      |FROM li
+      |WHERE l_quantity < 0.2 * avg_q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_quantity" -> (q17SmallQuantity _),
     "q_percentiles" -> (qPercentiles _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
@@ -281,6 +322,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q17_small_quantity" -> q17SmallQuantitySql,
     "q_percentiles" -> qPercentilesSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,

@@ -33,7 +33,13 @@ object Tables {
     // Gated on OBSERVED scan parallelism (rdd.getNumPartitions is
     // planning-time file-split math, no job runs): a real multi-file
     // corpus already scans wide and must not pay a full-table shuffle
-    // of its text/embeddings on every read.
+    // of its text/embeddings on every read. KNOWN LIMIT: splits are
+    // byte ranges, blind to row-group boundaries — a huge SINGLE-row-
+    // group file planning ≥ target/2 splits defeats the gate while
+    // still scanning serially (only one split holds the row group).
+    // The driver files are small single-split files, which the gate
+    // catches; a production corpus should simply be written with sane
+    // row-group sizes (Layout.scala's writers are).
     val target = spark.sparkContext.defaultParallelism
     if ((name == "documents" || name == "embeddings") &&
         df.rdd.getNumPartitions < target / 2)

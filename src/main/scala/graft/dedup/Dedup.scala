@@ -179,9 +179,13 @@ object Dedup {
     val numBands = numPerms / bandSize
     require(numBands >= 1 && numBands <= 8,
       s"inclusion-exclusion is exponential in bands; got $numBands (max 8)")
-    // One signature pass feeds every subset term (cache is a few
-    // hundred bytes per doc; Spark's cache manager dedups the entry
-    // across re-plans of the same logical subtree).
+    // One signature pass feeds every subset term. The cache (a few
+    // hundred bytes per doc; the manager dedups entries across
+    // re-plans of the same subtree) stays pinned for the session —
+    // the lazy return value forbids an in-function unpersist. At
+    // corpus scale, precompute and PERSIST the band frame explicitly
+    // (as the incremental-dedup index already is) and clear it via
+    // DataFrame.unpersist when the monitoring job retires.
     val labeledBands = withMinhashSignature(df, textCol, numPerms)
       .select(col(labelCol).as("__label") +: bandColumns(numPerms, bandSize): _*)
       .cache()
@@ -198,17 +202,23 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("__label"), col("__n"))))
           .as("__ln"))
       val lst = col("__ln")
+      // Pair arithmetic in decimal(38,0): a long n_a·n_b wraps past
+      // 2^63 for ~3e9-doc buckets, and long n·(n−1)/2 goes through IEEE
+      // double division, inexact above 2^53 — exactly the boilerplate-
+      // heavy regime this operator exists for. n·(n−1) is even, so the
+      // decimal division is exact; the final sum downcasts once.
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
       val crossPairs = flatten(transform(lst, (x, i) =>
         transform(slice(lst, i + 2, size(lst)), y =>
           struct(x.getField("__label").as("label_a"),
             y.getField("__label").as("label_b"),
-            (x.getField("__n") * y.getField("__n") * sign).as("__pairs")))))
+            (dec(x.getField("__n")) * dec(y.getField("__n")) * sign)
+              .cast("decimal(38,0)").as("__pairs")))))
       val samePairs = transform(lst, x =>
         struct(x.getField("__label").as("label_a"),
           x.getField("__label").as("label_b"),
-          // n·(n−1) is even, so the division is exact.
-          (x.getField("__n") * (x.getField("__n") - 1) / 2).cast("long")
-            .multiply(sign).as("__pairs")))
+          (dec(x.getField("__n")) * dec(x.getField("__n") - 1) / 2 * sign)
+            .cast("decimal(38,0)").as("__pairs")))
       val expanded = if (includeSameLabel) concat(crossPairs, samePairs)
         else crossPairs
       perBucket.select(explode_outer(expanded).as("__p"))
@@ -216,7 +226,8 @@ object Dedup {
         .select(col("__p.label_a"), col("__p.label_b"), col("__p.__pairs"))
     }
     contribs.reduce(_ union _)
-      .groupBy("label_a", "label_b").agg(sum("__pairs").as("n_pairs"))
+      .groupBy("label_a", "label_b")
+      .agg(sum("__pairs").cast("long").as("n_pairs"))
       .where(col("n_pairs") > 0)
   }
 
@@ -365,6 +376,13 @@ object Dedup {
     * blocking), so convergence is 2-3 rounds in practice — the standard
     * scalable formulation (driver only sees one count per round).
     *
+    * Components are computed over the subgraph INDUCED by `vertices`:
+    * edges touching an id outside the vertex set are dropped up front.
+    * (Without that filter, non-vertex endpoints enter the label frame
+    * with no self row, so their improvements never count toward the
+    * convergence check and a chain relayed through them can terminate
+    * early — silently underlabeled.)
+    *
     * @param vertices single-column DataFrame of vertex ids
     * @param edges    two-column DataFrame (id_a, id_b), undirected
     */
@@ -379,8 +397,11 @@ object Dedup {
     // side exchanges — and the label side arrives hash-partitioned on
     // __id from the previous round's aggregation, making the join
     // exchange-free from round 2 on.
+    val vset = vertices.select(col(idCol).as("__v"))
     val e = edges.select(col(ea).as("__src"), col(eb).as("__dst"))
       .union(edges.select(col(eb).as("__src"), col(ea).as("__dst")))
+      .join(vset.withColumnRenamed("__v", "__src"), Seq("__src"), "left_semi")
+      .join(vset.withColumnRenamed("__v", "__dst"), Seq("__dst"), "left_semi")
       .repartition(col("__src"))
       .cache()
     var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__comp"))

@@ -26,17 +26,16 @@ object PlanParser {
   private[engine] def readText(path: String): String =
     if (Files.exists(Paths.get(path)))
       new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
-    else {
-      val fromClasspath = Option(getClass.getClassLoader.getResourceAsStream(
-        path.stripPrefix("/")))
-      fromClasspath match {
-        case Some(stream) =>
-          try scala.io.Source.fromInputStream(stream, "UTF-8").mkString
-          finally stream.close()
-        case None => throw new java.nio.file.NoSuchFileException(
-          s"$path (not on filesystem or classpath)")
+    else readClasspath(path).getOrElse(
+      throw new java.nio.file.NoSuchFileException(
+        s"$path (not on filesystem or classpath)"))
+
+  private def readClasspath(path: String): Option[String] =
+    Option(getClass.getClassLoader.getResourceAsStream(path.stripPrefix("/")))
+      .map { stream =>
+        try scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+        finally stream.close()
       }
-    }
 
   def parseFile(path: String, variables: Map[String, String] = Map.empty): Plan = {
     val text = readText(path)
@@ -72,12 +71,23 @@ object PlanParser {
       val ext = Option(node.get("externalParamsFile")).map(_.asText())
       ext match {
         case Some(rel) =>
-          val p = baseDir match {
-            case Some(b) if !rel.startsWith("/") && Files.exists(b.resolve(rel)) =>
-              b.resolve(rel)
-            case _ => Paths.get(rel)
+          // Resolution order: plan-relative file, then classpath (for
+          // jar-shipped params), then — only when NO base dir exists —
+          // the raw path. Never fall back to a CWD-relative file when
+          // the plan has a base dir: a stale deploy there must fail
+          // loudly, not silently load whatever the launch directory
+          // happens to contain.
+          val text = baseDir match {
+            case Some(b) if !rel.startsWith("/") =>
+              val resolved = b.resolve(rel)
+              if (Files.exists(resolved))
+                new String(Files.readAllBytes(resolved), "UTF-8")
+              else readClasspath(rel).getOrElse(
+                throw new java.nio.file.NoSuchFileException(
+                  s"$resolved (also tried classpath '$rel')"))
+            case _ => readText(rel)
           }
-          mapper.readTree(readText(p.toString))
+          mapper.readTree(text)
         case None => node.path("params")
       }
     }

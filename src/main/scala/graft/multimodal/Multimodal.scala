@@ -47,14 +47,16 @@ object Multimodal {
     * — the production entry point for raw image/audio/video assets on
     * disk or object store (each file one row: path, length, content;
     * pushdown prunes by path/length, and `pathGlobFilter`-style options
-    * apply upstream of the scan). Ids are deterministic path hashes;
-    * the media type tag is the file extension. */
+    * apply upstream of the scan). Ids are deterministic 64-bit path
+    * hashes (xxhash64 — a 32-bit id would birthday-collide within
+    * ~80k files and silently merge distinct assets downstream); the
+    * media type tag is the file extension. */
   def fromBinaryFiles(spark: org.apache.spark.sql.SparkSession,
       pathGlob: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(
-        conv(substring(md5(col("path")), 1, 8), 16, 10).cast("long").as("doc_id"),
+        xxhash64(col("path")).as("doc_id"),
         concat(lit("file/"),
           regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("media_type"),
         col("content"),

@@ -54,9 +54,15 @@ object Sampling {
     * survive; weight ≤ 0 never. */
   def weightedKeep(df: DataFrame, idCol: String, weight: Column,
       seed: String = "mix"): DataFrame =
-    df.where(
-      md5Hash32(concat_ws(":", lit(seed), col(idCol).cast("string"))) % 1000 <
-        (weight * 1000).cast("long"))
+    df.where(keepPredicate(col(idCol), weight, seed))
+
+  /** The [[weightedKeep]] decision as a reusable predicate Column —
+    * reports aggregating realised-vs-target ratios (qp_mix) MUST share
+    * this exact definition, or the report describes a different filter
+    * than the operator applies. */
+  def keepPredicate(id: Column, weight: Column, seed: String): Column =
+    md5Hash32(concat_ws(":", lit(seed), id.cast("string"))) % 1000 <
+      (weight * 1000).cast("long")
 
   /** Contiguous shard packing: within each stratum, rows ordered by id
     * accumulate token counts and a new shard starts whenever the running

@@ -130,12 +130,12 @@ object PipelineQueries {
     * ratios in one pass — the filter itself is a scan-level predicate,
     * no shuffle). */
   def qpMix(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Portable.md5Hash32
     val priority = Seq("src0", "src1", "src2", "src3", "src4")
     val weight = when(col("source").isin(priority.map(s => s: Any): _*), lit(1.0))
       .otherwise(lit(0.3))
-    val kept = md5Hash32(concat_ws(":", lit("mix"), col("doc_id").cast("string"))) % 1000 <
-      (weight * 1000).cast("long")
+    // The operator's own predicate — the report must describe exactly
+    // the filter weightedKeep applies.
+    val kept = graft.operators.Sampling.keepPredicate(col("doc_id"), weight, "mix")
     Tables.load(spark, dir, "documents")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

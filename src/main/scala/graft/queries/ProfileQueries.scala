@@ -61,9 +61,10 @@ object ProfileQueries {
     * distribution ⇒ PSI ≈ 0; the VALUES are what the oracle checks). */
   def qcDrift(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.md5Hash32
-    val orders = Tables.load(spark, dir, "orders")
     val bucket = md5Hash32(concat_ws(":", lit("drift"), col("o_orderkey"))) % 100
-    Profiler.drift(orders.where(bucket < 50), orders.where(bucket >= 50),
+    // Single-pass variant: one conditional-sum scan tags both halves —
+    // the two-DataFrame drift would scan orders twice.
+    Profiler.driftBySide(Tables.load(spark, dir, "orders"), bucket < 50,
       "o_totalprice", 50000.0)
       .orderBy("bin")
   }

@@ -117,4 +117,27 @@ object Profiler {
       round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
         .as("psi"))
   }
+
+  /** [[drift]] for the split-one-dataset case: `sideA` tags each row,
+    * and both sides' bin counts come from ONE conditional-sum pass over
+    * the fact table — the two-DataFrame form would scan it twice. Same
+    * output contract (bins present on both sides, shares vs full
+    * per-side totals). */
+  def driftBySide(df: DataFrame, sideA: Column, valueCol: String,
+      binWidth: Double): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(sideA, 0L).otherwise(1L)).as("n_b"))
+      // Totals BEFORE dropping one-sided bins: shares are relative to
+      // each side's full distribution, as in the two-DataFrame form.
+      .withColumn("__p", col("n_a") / sum(col("n_a")).over(all))
+      .withColumn("__q", col("n_b") / sum(col("n_b")).over(all))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("__p"), 6).as("share_a"), round(col("__q"), 6).as("share_b"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+          .as("psi"))
+  }
 }

@@ -92,6 +92,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents ignores edges outside the vertex set") {
+    val s = spark
+    import s.implicits._
+    // Components are over the subgraph INDUCED by the vertices: the
+    // dangling edge's id 3 must neither label 5 nor appear as a row,
+    // and a chain relayed through the non-vertex 7 must NOT connect
+    // 1 and 9 (callers pass vertex subsets against wider edge sets).
+    val got = Dedup.connectedComponents(
+      Seq(5L, 1L, 9L).toDF("id"),
+      Seq((3L, 5L), (1L, 7L), (7L, 9L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 9L -> 9L))
+  }
+
   test("lshLabelPairReport equals counting the materialized pair set") {
     val rnd = new Random(31)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")

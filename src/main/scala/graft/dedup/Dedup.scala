@@ -412,8 +412,16 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val prop = e.join(labels, col("__src") === col("__id"))
-        .select(col("__dst").as("__id"), col("__comp"), lit(0).as("__self"))
+      // Round 1 propagates IDENTITY labels, so the label join collapses
+      // to a projection of the edge set — safe ONLY because e is
+      // already filtered to vertex endpoints (induced subgraph above):
+      // every __src is a vertex carrying its own id as label.
+      val prop =
+        if (iter == 0)
+          e.select(col("__dst").as("__id"), col("__src").as("__comp"),
+            lit(0).as("__self"))
+        else e.join(labels, col("__src") === col("__id"))
+          .select(col("__dst").as("__id"), col("__comp"), lit(0).as("__self"))
       // Convergence detection folds into the SAME aggregation: the
       // self row (one per vertex, flagged) carries the old label, so
       // "did anything improve" is a filter on the aggregate — no

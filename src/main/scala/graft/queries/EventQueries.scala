@@ -294,6 +294,45 @@ object EventQueries {
       |ORDER BY n_users DESC, path
       |LIMIT 20""".stripMargin
 
+  /** Daily/weekly active users + stickiness (DAU/WAU) — the classic
+    * engagement rollup, EXACT: sliding-window distinct is not window-
+    * expressible, so each (user, active-day) pair expands to the 7
+    * days it counts toward and WAU is a plain distinct count per day.
+    * Cost: a 7× explode of the (user, day) frame — already deduped, so
+    * orders of magnitude smaller than the event stream it came from. */
+  def qeStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    // Inner join on dau days drops the 6 phantom days past the stream's
+    // end that the explode manufactures.
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val qeStickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), dau AS (
+      |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+      |), cov AS (
+      |  SELECT DISTINCT user_id, day + x.o * INTERVAL 1 DAY AS day
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) x
+      |), wau AS (
+      |  SELECT CAST(day AS DATE) AS day, COUNT(*) AS wau FROM cov GROUP BY 1
+      |)
+      |SELECT d.day AS day, d.dau, w.wau,
+      |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY day""".stripMargin
+
   /** Fixed-width value histogram per event type — the distribution
     * profile of a measure column, all-exact counts (one shuffle). */
   def qeHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -311,6 +350,7 @@ object EventQueries {
       |ORDER BY event_type, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
     "qe_histogram" -> (qeHistogram _),
@@ -324,6 +364,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,
     "qe_histogram" -> qeHistogramSql,

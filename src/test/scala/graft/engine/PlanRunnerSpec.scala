@@ -122,4 +122,50 @@ class PlanRunnerSpec extends SparkSpec {
       PlanParser.parseFile("plans/definitely_missing.json")
     }
   }
+
+  test("parser covers sample windows, per-column thresholds, external params") {
+    // sampleWindowParams + diff thresholds parse into the typed configs.
+    val plan = PlanParser.parse(
+      """{"commands":[
+        |  {"command":"assertion","input":{"ref":"t","onDisk":false},
+        |   "outputKey":"a","params":{"assertions":[
+        |     {"query":"x > 0","description":"pos","threshold":0.1,
+        |      "sampleWindowParams":{
+        |        "idsForWindowPartitioning":["k"],
+        |        "orderEachWindowBy":["ts","id"]}}]}},
+        |  {"command":"diff","input1":{"ref":"t","onDisk":false},"input1Name":"a",
+        |   "input2":{"ref":"u","onDisk":false},"input2Name":"b",
+        |   "outputKey":"d",
+        |   "params":{
+        |     "input1Columns":{"joinColumns":["id"],"diffColumns":["v","w"]},
+        |     "input2Columns":{"joinColumns":["id"],"diffColumns":["v","w"]},
+        |     "thresholds":[0.5, 2.0]}}
+        |]}""".stripMargin)
+    val rule = plan.commands.head.asInstanceOf[AssertionCommand].rules.head
+    assert(rule.sampleWindow.get.partitionBy === Seq("k"))
+    assert(rule.sampleWindow.get.orderBy === Seq("ts", "id"))
+    val diff = plan.commands(1).asInstanceOf[DiffCommand]
+    assert(diff.perColumnThresholds === Some(Seq(0.5, 2.0)))
+  }
+
+  test("externalParamsFile resolves relative to the plan file") {
+    val dir = Files.createTempDirectory("graft_plan")
+    Files.write(dir.resolve("params.json"),
+      """{"tableAliases":["t"],"query":"SELECT 1 AS one"}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("plan.json"),
+      """{"commands":[{"command":"view","inputs":[{"ref":"x","onDisk":false}],
+        |"outputKey":"o","externalParamsFile":"params.json"}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    val plan = PlanParser.parseFile(dir.resolve("plan.json").toString)
+    assert(plan.commands.head.asInstanceOf[ViewCommand].query === "SELECT 1 AS one")
+    // Missing plan-relative params must FAIL (never fall back to CWD).
+    Files.write(dir.resolve("plan2.json"),
+      """{"commands":[{"command":"view","inputs":[{"ref":"x","onDisk":false}],
+        |"outputKey":"o","externalParamsFile":"nope.json"}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      PlanParser.parseFile(dir.resolve("plan2.json").toString)
+    }
+    assert(err.getCause.getMessage.contains("nope.json"))
+  }
 }

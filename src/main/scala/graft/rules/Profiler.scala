@@ -50,6 +50,29 @@ object Profiler {
       s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_nulls, n_distinct)"))
   }
 
+  /** [[profile]] via unpivot + two-level aggregation, avoiding the
+    * multi-distinct Expand: rows unpivot to (column, value-as-string)
+    * pairs at the SCAN (a generate, no shuffle), the first aggregation
+    * dedups (column, value) with map-side combine — the shuffle then
+    * carries only the distinct pairs, not an N-column replica of every
+    * row — and the second derives rows/nulls/distincts per column.
+    * Values compare as canonical strings, which is 1:1 for the
+    * primitive types a profile targets. Prefer this when columns have
+    * heavy value repetition; the Expand form wins on near-unique
+    * columns. */
+  def profileUnpivot(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val stackArgs = cols
+      .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $stackArgs) AS (column_name, __val)"))
+      .groupBy("column_name", "__val").agg(count(lit(1)).as("__c"))
+      .groupBy("column_name")
+      .agg(sum(col("__c")).as("n_rows"),
+        coalesce(sum(when(col("__val").isNull, col("__c"))), lit(0L))
+          .as("n_nulls"),
+        count(when(col("__val").isNotNull, lit(1))).as("n_distinct"))
+  }
+
   /** Rows whose value deviates from its group mean by at least
     * `zThreshold` standard deviations (population σ), annotated with the
     * rounded z-score.

@@ -27,6 +27,14 @@ class ProfilerSpec extends SparkSpec {
       ("tag", 5L, 1L, 3L)))
   }
 
+  test("profileUnpivot equals the expand-based exact profile") {
+    val a = Profiler.profile(people, Seq("id", "tag", "score"))
+      .orderBy("column_name").collect().map(_.toSeq).toSeq
+    val b = Profiler.profileUnpivot(people, Seq("id", "tag", "score"))
+      .orderBy("column_name").collect().map(_.toSeq).toSeq
+    assert(b == a)
+  }
+
   test("profileApprox matches exact counts on small-cardinality data") {
     // HLL++ is exact at tiny cardinalities, so the whole row must agree.
     val exact = Profiler.profile(people, Seq("id", "tag"))

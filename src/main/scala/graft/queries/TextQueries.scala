@@ -393,6 +393,98 @@ object TextQueries {
       |    (a, b) -> a + b), 6) AS entropy
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Unigram cross-entropy of each document against the CORPUS token
+    * distribution (bits/token) — the language-model-style quality
+    * filter: documents of improbable tokens score high, boilerplate of
+    * common tokens low. Two aggregations (per-doc-token and vocabulary)
+    * + a broadcast of the vocabulary; the per-document sum folds
+    * left-to-right over the token-sorted count array (Portable rule 2 —
+    * no float SUM over rows). */
+  def qtCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
+      .where(col("tok").isNotNull)
+    val docTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+    val total = vocab.agg(sum(col("ct")).as("N"))
+    docTok.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("c"), col("ct"))))
+        .as("__tc"), sum(col("c")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-aggregate(
+          transform(col("__tc"), x =>
+            x.getField("c") * (log(x.getField("ct") / col("N")) / log(lit(2.0)))),
+          lit(0.0), (acc, t) => acc + t) / col("n_tokens"), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val qtCrossEntropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), dt AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+      |), v AS (
+      |  SELECT tok, COUNT(*) AS ct FROM toks GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS N FROM v
+      |), g AS (
+      |  SELECT dt.doc_id,
+      |    list(struct_pack(c := dt.c, ct := v.ct) ORDER BY dt.tok) AS tc,
+      |    CAST(SUM(dt.c) AS BIGINT) AS n_tokens
+      |  FROM dt JOIN v ON dt.tok = v.tok
+      |  GROUP BY dt.doc_id
+      |)
+      |SELECT doc_id, n_tokens,
+      |  round(-list_reduce(
+      |    list_transform(tc, x -> x.c * (ln(x.ct / tot.N) / ln(2.0))),
+      |    (a, b) -> a + b) / n_tokens, 6) AS cross_entropy
+      |FROM g, tot ORDER BY doc_id""".stripMargin
+
+  /** Within-document repetition ratio: 1 − distinct/total 3-token
+    * windows — the quality signal that catches looping/boilerplate text
+    * (entropy's n-gram-order cousin). Pure projection over the native
+    * shingle expression: no explode, no shuffle. */
+  def qtRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.WordShingles
+    val nTok = size(col("__toks"))
+    val total = greatest(nTok - 2, lit(0))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), total.as("n_windows"),
+        size(WordShingles.ofColumn(col("__toks"), 3, hashed = true))
+          .as("n_distinct"))
+      .select(col("doc_id"),
+        col("n_windows").cast("long").as("n_windows"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        when(col("n_windows") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_windows").cast("double"), 6))
+          .otherwise(lit(0.0)).as("repetition"))
+      .orderBy("doc_id")
+  }
+
+  val qtRepetitionSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    greatest(len(string_split(text, ' ')) - 2, 0) AS n_windows,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      len(list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')))))
+      |    ELSE 0 END AS n_distinct
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CASE WHEN n_windows > 0 THEN
+      |    round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_windows AS DOUBLE), 6)
+      |  ELSE 0.0 END AS repetition
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   /** Cross-document repeated passages: 8-token windows (distinct within
     * each document) occurring in ≥2 documents, with the document count —
     * exact-substring dedup at passage granularity (the boilerplate
@@ -428,6 +520,8 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt_entropy" -> (qtEntropy _),
+    "qt_cross_entropy" -> (qtCrossEntropy _),
+    "qt_repetition" -> (qtRepetition _),
     "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
     "qt_vocab" -> (qtVocab _),
@@ -442,6 +536,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "qt_entropy" -> qtEntropySql,
+    "qt_cross_entropy" -> qtCrossEntropySql,
+    "qt_repetition" -> qtRepetitionSql,
     "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
     "qt_vocab" -> qtVocabSql,

@@ -406,13 +406,17 @@ object TextQueries {
       .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
       .where(col("tok").isNotNull)
     val docTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    // The corpus total rides the (tiny) vocabulary frame via a window,
+    // so no scalar cross join reaches the plan.
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
-    val total = vocab.agg(sum(col("ct")).as("N"))
+      .withColumn("N", sum(col("ct")).over(all))
     docTok.join(broadcast(vocab), "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("tok"), col("c"), col("ct"))))
-        .as("__tc"), sum(col("c")).as("n_tokens"))
-      .crossJoin(broadcast(total))
+        .as("__tc"), sum(col("c")).as("n_tokens"),
+        first(col("N")).as("N"))
       .select(col("doc_id"), col("n_tokens"),
         round(-aggregate(
           transform(col("__tc"), x =>

@@ -30,6 +30,12 @@ object Portable {
   def md5Hash32(seed: Int, c: Column): Column =
     md5Hash32(concat_ws(":", lit(seed), c))
 
+  /** Deterministic [0, buckets) assignment from a seeded md5 of an id —
+    * the reproducible split/sample/drift primitive. Oracle form:
+    * `('0x' || substr(md5('<seed>:' || id), 1, 8))::BIGINT % buckets`. */
+  def md5Bucket(seed: String, id: Column, buckets: Int): Column =
+    md5Hash32(concat_ws(":", lit(seed), id.cast("string"))) % buckets
+
   /** Distinct word n-gram (shingle) md5 hashes of a token array — the
     * native one-pass [[org.apache.spark.sql.graft.WordShingles]]
     * expression, value-identical to the portable

@@ -61,7 +61,7 @@ object Sampling {
     * this exact definition, or the report describes a different filter
     * than the operator applies. */
   def keepPredicate(id: Column, weight: Column, seed: String): Column =
-    md5Hash32(concat_ws(":", lit(seed), id.cast("string"))) % 1000 <
+    graft.functions.Portable.md5Bucket(seed, id, 1000) <
       (weight * 1000).cast("long")
 
   /** Contiguous shard packing: within each stratum, rows ordered by id

@@ -115,9 +115,9 @@ object DedupQueries {
     * against the band index of the "existing" 80% — which incoming
     * documents near-duplicate corpus content, without all-pairs work. */
   def qdIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Portable.md5Hash32
+    import graft.functions.Portable.md5Bucket
     val docs = Tables.load(spark, dir, "documents")
-    val bucket = md5Hash32(concat_ws(":", lit("split"), col("doc_id"))) % 100
+    val bucket = md5Bucket("split", col("doc_id"), 100)
     Dedup.incrementalNearDups(
       docs.where(bucket < 80), docs.where(bucket >= 80),
       "text", "doc_id", NumPerms, BandSize)

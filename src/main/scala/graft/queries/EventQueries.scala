@@ -301,17 +301,23 @@ object EventQueries {
     * Cost: a 7× explode of the (user, day) frame — already deduped, so
     * orders of magnitude smaller than the event stream it came from. */
   def qeStickiness(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.load(spark, dir, "events")
+    // ONE pass: each (user, active-day) expands to its 7 covered days
+    // tagged with the offset; per (user, covered-day) the MINIMUM
+    // offset tells whether the user was active that very day (offset
+    // 0 ⇒ DAU), so dau and wau fall out of the same aggregation chain
+    // instead of two scans of the event stream.
+    val covered = Tables.load(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = userDays
-      .select(col("user_id"),
-        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("wau"))
-    // Inner join on dau days drops the 6 phantom days past the stream's
-    // end that the explode manufactures.
-    dau.join(wau, "day")
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("o"))
+      .select(col("user_id"), date_add(col("day"), col("o")).as("day"), col("o"))
+      .groupBy("user_id", "day").agg(min(col("o")).as("__mo"))
+    covered.groupBy("day")
+      .agg(count(when(col("__mo") === 0, lit(1))).as("dau"),
+        count(lit(1)).as("wau"))
+      // Days with no direct activity are phantom window tails past the
+      // stream's end (or gaps) — the reported grain is active days.
+      .where(col("dau") > 0)
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
       .orderBy("day")
@@ -320,17 +326,19 @@ object EventQueries {
   val qeStickinessSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-      |), dau AS (
-      |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
       |), cov AS (
-      |  SELECT DISTINCT user_id, day + x.o * INTERVAL 1 DAY AS day
+      |  SELECT user_id, CAST(day + x.o * INTERVAL 1 DAY AS DATE) AS day,
+      |    MIN(x.o) AS mo
       |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) x
-      |), wau AS (
-      |  SELECT CAST(day AS DATE) AS day, COUNT(*) AS wau FROM cov GROUP BY 1
+      |  GROUP BY user_id, CAST(day + x.o * INTERVAL 1 DAY AS DATE)
+      |), agg AS (
+      |  SELECT day, COUNT(CASE WHEN mo = 0 THEN 1 END) AS dau,
+      |    COUNT(*) AS wau
+      |  FROM cov GROUP BY day
       |)
-      |SELECT d.day AS day, d.dau, w.wau,
-      |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
-      |FROM dau d JOIN wau w ON d.day = w.day
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM agg WHERE dau > 0
       |ORDER BY day""".stripMargin
 
   /** Fixed-width value histogram per event type — the distribution

@@ -73,7 +73,7 @@ object PipelineQueries {
     // materialized; the split label is computed once per document in
     // the signature projection (never per pair, where round-2 profiling
     // caught pushdown re-inlining the md5 CASE chain per collision).
-    val bucket = md5Hash32(concat_ws(":", lit("split"), col("doc_id"))) % 100
+    val bucket = graft.functions.Portable.md5Bucket("split", col("doc_id"), 100)
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("split", when(bucket < 80, "train")
         .when(bucket < 90, "valid").otherwise("test"))

@@ -61,8 +61,8 @@ object ProfileQueries {
     * 50k-wide totalprice bins — the self-consistency fixture (same
     * distribution ⇒ PSI ≈ 0; the VALUES are what the oracle checks). */
   def qcDrift(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Portable.md5Hash32
-    val bucket = md5Hash32(concat_ws(":", lit("drift"), col("o_orderkey"))) % 100
+    import graft.functions.Portable.md5Bucket
+    val bucket = md5Bucket("drift", col("o_orderkey"), 100)
     // Single-pass variant: one conditional-sum scan tags both halves —
     // the two-DataFrame drift would scan orders twice.
     Profiler.driftBySide(Tables.load(spark, dir, "orders"), bucket < 50,

@@ -357,14 +357,8 @@ object TextQueries {
     * count array (Portable rule 2: never a float SUM over rows, whose
     * distributed accumulation order is nondeterministic); the array is
     * per-document, so its size is bounded by document length. */
-  def qtEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val counted = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
-      .where(col("tok").isNotNull)
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("c"))
-    counted.groupBy("doc_id")
+  def qtEntropy(spark: SparkSession, dir: String): DataFrame =
+    docTokenCounts(spark, dir).groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("__tc"),
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_unique"))
@@ -375,7 +369,17 @@ object TextQueries {
               log(x.getField("c").cast("double") / col("n_tokens")) / log(lit(2.0))),
           lit(0.0), (acc, t) => acc + t), 6).as("entropy"))
       .orderBy("doc_id")
-  }
+
+  /** Per-(document, token) occurrence counts — the shared prelude of
+    * the entropy / cross-entropy scores (explode_outer: see simhash32
+    * note). */
+  private def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
 
   val qtEntropySql: String =
     """WITH toks AS (
@@ -401,16 +405,15 @@ object TextQueries {
     * left-to-right over the token-sorted count array (Portable rule 2 —
     * no float SUM over rows). */
   def qtCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), explode_outer(col("__toks")).as("tok"))
-      .where(col("tok").isNotNull)
-    val docTok = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    // The corpus total rides the (tiny) vocabulary frame via a window,
-    // so no scalar cross join reaches the plan.
+    val docTok = docTokenCounts(spark, dir)
+    // Vocabulary counts AGGREGATE the per-doc counts rather than
+    // re-exploding the token stream: both sides of the join then share
+    // the docTok subtree (one scan+explode, reused exchange). The
+    // corpus total rides the (tiny) vocabulary frame via a window, so
+    // no scalar cross join reaches the plan.
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+    val vocab = docTok.groupBy("tok").agg(sum(col("c")).as("ct"))
       .withColumn("N", sum(col("ct")).over(all))
     docTok.join(broadcast(vocab), "tok")
       .groupBy("doc_id")

@@ -134,12 +134,16 @@ object Profiler {
       df.groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
         .agg(count(lit(1)).as(n))
         .withColumn(s, col(n) / sum(col(n)).over(all))
-    val joined = binned(a, "n_a", "__p").join(binned(b, "n_b", "__q"), "bin")
-    joined.select(col("bin"), col("n_a"), col("n_b"),
+    psiSelect(binned(a, "n_a", "__p").join(binned(b, "n_b", "__q"), "bin"))
+  }
+
+  /** Shared output shape of the drift variants: rounded shares + the
+    * per-bin PSI contribution from the __p/__q share columns. */
+  private def psiSelect(binsWithShares: DataFrame): DataFrame =
+    binsWithShares.select(col("bin"), col("n_a"), col("n_b"),
       round(col("__p"), 6).as("share_a"), round(col("__q"), 6).as("share_b"),
       round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
         .as("psi"))
-  }
 
   /** [[drift]] for the split-one-dataset case: `sideA` tags each row,
     * and both sides' bin counts come from ONE conditional-sum pass over
@@ -158,9 +162,6 @@ object Profiler {
       .withColumn("__p", col("n_a") / sum(col("n_a")).over(all))
       .withColumn("__q", col("n_b") / sum(col("n_b")).over(all))
       .where(col("n_a") > 0 && col("n_b") > 0)
-      .select(col("bin"), col("n_a"), col("n_b"),
-        round(col("__p"), 6).as("share_a"), round(col("__q"), 6).as("share_b"),
-        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
-          .as("psi"))
+      .transform(psiSelect)
   }
 }

@@ -38,7 +38,9 @@ object Profiler {
       distinct: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // coalesce: SUM over an empty input is NULL, not 0.
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__nulls_$c"),
       distinct(c).as(s"__nd_$c")))
     val one = df.agg(aggs.head, aggs.tail: _*)
     // Unpivot the single aggregate row with stack() — a projection over
@@ -64,13 +66,23 @@ object Profiler {
     require(cols.nonEmpty, "profile needs at least one column")
     val stackArgs = cols
       .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    df.select(expr(s"stack(${cols.size}, $stackArgs) AS (column_name, __val)"))
+    val counted = df
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (column_name, __val)"))
       .groupBy("column_name", "__val").agg(count(lit(1)).as("__c"))
       .groupBy("column_name")
       .agg(sum(col("__c")).as("n_rows"),
         coalesce(sum(when(col("__val").isNull, col("__c"))), lit(0L))
           .as("n_nulls"),
         count(when(col("__val").isNotNull, lit(1))).as("n_distinct"))
+    // Right-join a one-row-per-column skeleton so an EMPTY input still
+    // yields a zero row per profiled column, as the Expand form does.
+    val skeleton = df.sparkSession
+      .createDataFrame(cols.map(Tuple1(_))).toDF("column_name")
+    counted.join(broadcast(skeleton), Seq("column_name"), "right")
+      .select(col("column_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
   /** Rows whose value deviates from its group mean by at least

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empty-input behavior of the core operator families: a production QC
+  * run over a table that happens to be empty (new partition, filtered
+  * source) must report zeros, not throw. */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  }
+
+  test("rule reports on an empty table are all-zero, none failed") {
+    import graft.rules.{Rule, RuleRunner}
+    val df = emptyDocs.withColumnRenamed("text", "v")
+    val reps = RuleRunner.reports(df,
+      Seq(Rule("doc_id > 0", "positive id", 0.1)))
+    assert(reps.head.totalRows === 0)
+    assert(reps.head.numInvalid === 0)
+    assert(reps.head.fractionInvalid === 0.0)
+    assert(!reps.head.failed)
+  }
+
+  test("profile variants emit one zero row per column on an empty table") {
+    import graft.rules.Profiler
+    val expected = Seq(
+      Seq("doc_id", 0L, 0L, 0L), Seq("text", 0L, 0L, 0L))
+    for (p <- Seq(
+        Profiler.profile(emptyDocs, Seq("doc_id", "text")),
+        Profiler.profileUnpivot(emptyDocs, Seq("doc_id", "text")))) {
+      assert(p.orderBy("column_name").collect().map(_.toSeq).toSeq == expected)
+    }
+  }
+
+  test("dedup operators yield empty results on an empty corpus") {
+    import graft.dedup.Dedup
+    assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.minhashCandidatePairs(emptyDocs, "text", "doc_id", 16, 8)
+      .count() === 0)
+    assert(Dedup.simhash32(emptyDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.lshLabelPairReport(emptyDocs, "text", "doc_id", "source",
+      16, 8).count() === 0)
+    assert(Dedup.connectedComponents(
+      emptyDocs.select("doc_id"), emptyDocs.select("doc_id", "source")
+        .toDF("id_a", "id_b")).count() === 0)
+  }
+
+  test("diff of two empty frames validates and emits nothing") {
+    import graft.diff._
+    val cfg = DiffConfig(
+      left = DiffSide(Seq("doc_id"), Seq("text")),
+      right = DiffSide(Seq("doc_id"), Seq("text")),
+      leftName = "a", rightName = "b")
+    assert(DatasetDiff.diff(emptyDocs, emptyDocs, cfg).count() === 0)
+  }
+}

@@ -41,11 +41,17 @@ object Bench {
       if (good.isEmpty) failed += name
       name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line short: the harness that
+    // captures this output holds only the last few KB of stdout, and the
+    // full-precision line (17 digits per query) overflowed that buffer
+    // once the query count passed ~70, truncating the line mid-number
+    // and breaking the parse. 3 decimals ≈ 22 bytes/query.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -177,18 +177,32 @@ object Dedup {
       labelCol: String, numPerms: Int, bandSize: Int,
       includeSameLabel: Boolean = false): DataFrame = {
     val numBands = numPerms / bandSize
-    require(numBands >= 1 && numBands <= 8,
-      s"inclusion-exclusion is exponential in bands; got $numBands (max 8)")
-    // One signature pass feeds every subset term. The cache (a few
-    // hundred bytes per doc; the manager dedups entries across
-    // re-plans of the same subtree) stays pinned for the session —
-    // the lazy return value forbids an in-function unpersist. At
-    // corpus scale, precompute and PERSIST the band frame explicitly
-    // (as the incremental-dedup index already is) and clear it via
-    // DataFrame.unpersist when the monitoring job retires.
+    // One signature pass feeds every subset term, so the band frame is
+    // cached for the duration of the computation ONLY: the result is a
+    // few label-pair rows, so it is materialized eagerly (checkpoint)
+    // and the cache released before returning — repeated calls over
+    // changing inputs (incremental monitors) must not accumulate pinned
+    // storage for the session. Callers that already hold a persisted
+    // band frame (as the incremental-dedup index does) use the
+    // band-frame overload directly and keep control of its lifecycle.
     val labeledBands = withMinhashSignature(df, textCol, numPerms)
       .select(col(labelCol).as("__label") +: bandColumns(numPerms, bandSize): _*)
       .cache()
+    try lshLabelPairReportFromBands(labeledBands, numBands, includeSameLabel)
+      .localCheckpoint(true)
+    finally labeledBands.unpersist()
+  }
+
+  /** [[lshLabelPairReport]] over a precomputed labeled band frame with
+    * schema (`__label`, `band_0` … `band_{numBands-1}`) — for callers
+    * that persist the band frame themselves (long-lived indexes,
+    * repeated reports over one corpus snapshot). Lazy: no caching or
+    * materialization happens here; persist the input or every subset
+    * term recomputes the signatures. */
+  def lshLabelPairReportFromBands(labeledBands: DataFrame, numBands: Int,
+      includeSameLabel: Boolean = false): DataFrame = {
+    require(numBands >= 1 && numBands <= 8,
+      s"inclusion-exclusion is exponential in bands; got $numBands (max 8)")
     val contribs = (1 until (1 << numBands)).map { mask =>
       val bands = (0 until numBands)
         .filter(b => (mask & (1 << b)) != 0).map(b => col(s"band_$b"))

@@ -19,6 +19,19 @@ import scala.jdk.CollectionConverters._
 object PlanParser {
   private val mapper = new ObjectMapper()
 
+  /** Where a plan document was loaded from. Relative `externalParamsFile`
+    * paths resolve against this location — a filesystem plan resolves
+    * siblings on the filesystem, a classpath (jar-shipped) plan resolves
+    * siblings on the classpath. Without the distinction, a classpath
+    * plan's params would probe `$CWD/<dir>/` first (the stale-local-file
+    * hazard) and could never find `plans/params.json` shipped beside
+    * `plans/plan.json` in the jar. */
+  private[engine] sealed trait PlanBase
+  private[engine] final case class FsBase(dir: Path) extends PlanBase
+  /** `dir` is the resource-path prefix of the plan inside the classpath:
+    * "" for a root resource, "plans/" for "plans/foo.json". */
+  private[engine] final case class ClasspathBase(dir: String) extends PlanBase
+
   /** Read a plan/params document from the filesystem, falling back to
     * the classpath — the reference ships plan templates inside
     * application jars and loads them the same way
@@ -38,20 +51,36 @@ object PlanParser {
       }
 
   def parseFile(path: String, variables: Map[String, String] = Map.empty): Plan = {
-    val text = readText(path)
-    val baseDir = Option(Paths.get(path).toAbsolutePath.getParent)
-    parse(text, variables, baseDir)
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      parseWithBase(new String(Files.readAllBytes(p), "UTF-8"), variables,
+        Some(FsBase(p.toAbsolutePath.getParent)))
+    else {
+      val resource = path.stripPrefix("/")
+      val text = readClasspath(resource).getOrElse(
+        throw new java.nio.file.NoSuchFileException(
+          s"$path (not on filesystem or classpath)"))
+      val dir = resource.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => resource.substring(0, i + 1)
+      }
+      parseWithBase(text, variables, Some(ClasspathBase(dir)))
+    }
   }
 
   def parse(json: String, variables: Map[String, String] = Map.empty,
-      baseDir: Option[Path] = None): Plan = {
+      baseDir: Option[Path] = None): Plan =
+    parseWithBase(json, variables, baseDir.map(FsBase.apply))
+
+  private def parseWithBase(json: String, variables: Map[String, String],
+      base: Option[PlanBase]): Plan = {
     val substituted = variables.foldLeft(json) { case (s, (k, v)) =>
       s.replace("${" + k + "}", v)
     }
-    planFromNode(mapper.readTree(substituted), baseDir)
+    planFromNode(mapper.readTree(substituted), base)
   }
 
-  private def planFromNode(root: JsonNode, baseDir: Option[Path]): Plan = {
+  private def planFromNode(root: JsonNode, baseDir: Option[PlanBase]): Plan = {
     val dest = Option(root.path("io").path("dest").asText(null))
     val commands = root.path("commands").elements().asScala.zipWithIndex.map {
       case (node, i) =>
@@ -65,26 +94,31 @@ object PlanParser {
     Plan(commands, dest)
   }
 
-  private def commandFromNode(node: JsonNode, baseDir: Option[Path]): Command = {
+  private def commandFromNode(node: JsonNode, baseDir: Option[PlanBase]): Command = {
     // merge externalParamsFile content under "params" when present
     val params: JsonNode = {
       val ext = Option(node.get("externalParamsFile")).map(_.asText())
       ext match {
         case Some(rel) =>
-          // Resolution order: plan-relative file, then classpath (for
-          // jar-shipped params), then — only when NO base dir exists —
-          // the raw path. Never fall back to a CWD-relative file when
-          // the plan has a base dir: a stale deploy there must fail
-          // loudly, not silently load whatever the launch directory
-          // happens to contain.
+          // Resolution order: plan-relative (same medium the plan came
+          // from), then classpath root, then — only when NO base
+          // exists — the raw path. Never fall back to a CWD-relative
+          // file when the plan has a base: a stale deploy there must
+          // fail loudly, not silently load whatever the launch
+          // directory happens to contain. A classpath plan never
+          // probes the filesystem at all.
           val text = baseDir match {
-            case Some(b) if !rel.startsWith("/") =>
+            case Some(FsBase(b)) if !rel.startsWith("/") =>
               val resolved = b.resolve(rel)
               if (Files.exists(resolved))
                 new String(Files.readAllBytes(resolved), "UTF-8")
               else readClasspath(rel).getOrElse(
                 throw new java.nio.file.NoSuchFileException(
                   s"$resolved (also tried classpath '$rel')"))
+            case Some(ClasspathBase(dir)) if !rel.startsWith("/") =>
+              readClasspath(dir + rel).orElse(readClasspath(rel)).getOrElse(
+                throw new java.nio.file.NoSuchFileException(
+                  s"classpath '$dir$rel' (also tried classpath '$rel')"))
             case _ => readText(rel)
           }
           mapper.readTree(text)

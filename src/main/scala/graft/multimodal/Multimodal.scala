@@ -57,8 +57,11 @@ object Multimodal {
     spark.read.format("binaryFile").load(pathGlob)
       .select(
         xxhash64(col("path")).as("doc_id"),
+        // lower(): extensions are case-insensitive on most filesystems,
+        // and 'a.JPG' vs 'a.jpg' must not split per-type aggregations.
         concat(lit("file/"),
-          regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("media_type"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)))
+          .as("media_type"),
         col("content"),
         col("length").cast("long").as("n_bytes"))
       .as[MediaRecord]

@@ -65,11 +65,15 @@ object Sampling {
       (weight * 1000).cast("long")
 
   /** Contiguous shard packing: within each stratum, rows ordered by id
-    * accumulate token counts and a new shard starts whenever the running
-    * total crosses `capacity` — the deterministic "pack documents into
+    * accumulate token counts — the deterministic "pack documents into
     * training shards" layout step. Shard id = exclusive-prefix-sum of
-    * `tokenCol` divided by capacity, so a document that overflows a
-    * shard joins the NEXT shard boundary rather than splitting. One
+    * `tokenCol` divided by capacity: shards are START-OFFSET buckets, so
+    * a document whose start offset lands in shard k stays whole in
+    * shard k even when its tokens run past the boundary — a shard's
+    * total may exceed `capacity` by up to one document. (Training-shard
+    * packing wants whole documents and a soft size target; for a hard
+    * cap, switch the window frame to an inclusive prefix sum and accept
+    * that a shard then UNDERFILLS by up to one document instead.) One
     * window shuffle on the stratum key; strata are independent, so
     * parallelism is the stratum count. */
   def packShards(df: DataFrame, stratumCols: Seq[String], idCol: String,

@@ -123,6 +123,18 @@ class PlanRunnerSpec extends SparkSpec {
     }
   }
 
+  test("classpath plan resolves externalParamsFile beside the plan resource") {
+    // plans/classpath_ext_plan.json references classpath_params.json —
+    // both live under plans/ on the classpath (a jar-shipped pair). The
+    // relative ref must resolve against the plan RESOURCE's directory,
+    // never against $CWD/plans/ on the filesystem.
+    val plan = PlanParser.parseFile("plans/classpath_ext_plan.json",
+      variables = Map("table" -> "t_in"))
+    val view = plan.commands.head.asInstanceOf[ViewCommand]
+    assert(view.query === "SELECT 42 AS answer FROM t")
+    assert(view.inputs.head.ref === "t_in")
+  }
+
   test("parser covers sample windows, per-column thresholds, external params") {
     // sampleWindowParams + diff thresholds parse into the typed configs.
     val plan = PlanParser.parse(

@@ -53,11 +53,13 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("packShards assigns contiguous shards that respect the capacity") {
+  test("packShards buckets docs by start offset (whole docs; soft capacity)") {
     val s = spark
     import s.implicits._
-    // Ten docs of 300 tokens: capacity 1000 → shards of 4,4,2 docs
-    // (exclusive prefix 0,300,600,900 | 1200,... ).
+    // Ten docs of 300 tokens: capacity 1000 → shards of 4,3,3 docs
+    // (exclusive prefixes 0,300,600,900 | 1200,1500,1800 | 2100,…).
+    // Shard 0 holds 1200 tokens: a doc STARTING inside the shard stays
+    // whole in it, so totals may overflow by up to one document.
     val df = (1 to 10).map(i => (i.toLong, "s", 300L)).toDF("id", "src", "n")
     val out = Sampling.packShards(df, Seq("src"), "id", "n", 1000L)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))

@@ -23,7 +23,7 @@ object Bench {
     val iterations = 2
     val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      def timedRun(): (Boolean, Double) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -33,6 +33,15 @@ object Bench {
           }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      val base = (1 to iterations).map(_ => timedRun())
+      // Min-of-2 misses when ambient load (shared host) collides with
+      // BOTH runs — measured: an 11s bench outlier on a query whose
+      // steady state is 2s. Strongly disagreeing runs mean at least one
+      // was noise, so buy one more sample; agreeing runs stop at 2.
+      val ts = base.map(_._2)
+      val times =
+        if (base.forall(_._1) && ts.max > 1.5 * ts.min) base :+ timedRun()
+        else base
       // Min over SUCCESSFUL runs only — a fast failure must not stand in
       // for the query's time. `failed` lists only queries where EVERY
       // iteration failed; a transient single-iteration flake reports its

@@ -55,7 +55,11 @@ object Bench {
     // full-precision line (17 digits per query) overflowed that buffer
     // once the query count passed ~70, truncating the line mid-number
     // and breaking the parse. 3 decimals ≈ 22 bytes/query.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT pins the decimal separator to '.': the default-locale
+    // f-interpolator emits "1,234" under comma-decimal locales (de_DE,
+    // fr_FR), which is invalid JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -179,8 +179,12 @@ object Dedup {
     val numBands = numPerms / bandSize
     // One signature pass feeds every subset term, so the band frame is
     // cached for the duration of the computation ONLY: the result is a
-    // few label-pair rows, so it is materialized eagerly (checkpoint)
-    // and the cache released before returning — repeated calls over
+    // few label-pair rows, so it is collected to the driver and
+    // re-parallelized (not localCheckpoint: checkpointed blocks live on
+    // executors, so executor loss under dynamic allocation /
+    // decommission before the caller consumes the frame would make it
+    // unrecoverable, and the blocks would stay persisted per call).
+    // The cache is released before returning — repeated calls over
     // changing inputs (incremental monitors) must not accumulate pinned
     // storage for the session. Callers that already hold a persisted
     // band frame (as the incremental-dedup index does) use the
@@ -188,9 +192,14 @@ object Dedup {
     val labeledBands = withMinhashSignature(df, textCol, numPerms)
       .select(col(labelCol).as("__label") +: bandColumns(numPerms, bandSize): _*)
       .cache()
-    try lshLabelPairReportFromBands(labeledBands, numBands, includeSameLabel)
-      .localCheckpoint(true)
-    finally labeledBands.unpersist()
+    try {
+      val report =
+        lshLabelPairReportFromBands(labeledBands, numBands, includeSameLabel)
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(report.collect().toIndexedSeq, 1),
+        report.schema)
+    } finally labeledBands.unpersist()
   }
 
   /** [[lshLabelPairReport]] over a precomputed labeled band frame with

@@ -106,7 +106,8 @@ object PlanParser {
           // file when the plan has a base: a stale deploy there must
           // fail loudly, not silently load whatever the launch
           // directory happens to contain. A classpath plan never
-          // probes the filesystem at all.
+          // probes the filesystem at all — absolute refs included: a
+          // jar-shipped plan must not read the host filesystem.
           val text = baseDir match {
             case Some(FsBase(b)) if !rel.startsWith("/") =>
               val resolved = b.resolve(rel)
@@ -115,10 +116,13 @@ object PlanParser {
               else readClasspath(rel).getOrElse(
                 throw new java.nio.file.NoSuchFileException(
                   s"$resolved (also tried classpath '$rel')"))
-            case Some(ClasspathBase(dir)) if !rel.startsWith("/") =>
-              readClasspath(dir + rel).orElse(readClasspath(rel)).getOrElse(
+            case Some(ClasspathBase(dir)) =>
+              val refs =
+                if (rel.startsWith("/")) Seq(rel.stripPrefix("/"))
+                else Seq(dir + rel, rel)
+              refs.view.flatMap(readClasspath).headOption.getOrElse(
                 throw new java.nio.file.NoSuchFileException(
-                  s"classpath '$dir$rel' (also tried classpath '$rel')"))
+                  refs.map(r => s"classpath '$r'").mkString(", ")))
             case _ => readText(rel)
           }
           mapper.readTree(text)

@@ -173,6 +173,12 @@ object Dedup {
     * diagonal label_a = label_b appears when `includeSameLabel`),
     * value-identical to counting [[minhashCandidatePairs]] output.
     */
+  /** Cap on distinct labels accepted by [[lshLabelPairReport]]: 1024
+    * labels bound the collected report at ~0.5M rows (few tens of MB on
+    * the driver) — far above any sources/splits use, far below the
+    * per-document cardinality the guard exists to reject. */
+  val maxReportLabels = 1024L
+
   def lshLabelPairReport(df: DataFrame, textCol: String, idCol: String,
       labelCol: String, numPerms: Int, bandSize: Int,
       includeSameLabel: Boolean = false): DataFrame = {
@@ -193,6 +199,18 @@ object Dedup {
       .select(col(labelCol).as("__label") +: bandColumns(numPerms, bandSize): _*)
       .cache()
     try {
+      // The report is O(|labels|²) rows and the collect() below brings it
+      // to the driver, so this entry point is for FEW-label columns
+      // (sources, splits, shards) — guard before computing 2^bands terms
+      // over a per-document label column, where the "report" would be the
+      // pair set itself and the collect a driver OOM. The exact distinct
+      // count is one aggregation over the already-cached band frame.
+      val nLabels = labeledBands.select(countDistinct(col("__label"))).head.getLong(0)
+      require(nLabels <= maxReportLabels,
+        s"lshLabelPairReport saw $nLabels distinct '$labelCol' labels " +
+          s"(max $maxReportLabels): the report is O(labels^2) rows and is " +
+          "collected to the driver. For high-cardinality labels use " +
+          "lshLabelPairReportFromBands and keep the result distributed.")
       val report =
         lshLabelPairReportFromBands(labeledBands, numBands, includeSameLabel)
       val spark = df.sparkSession

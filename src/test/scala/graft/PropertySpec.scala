@@ -133,6 +133,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lshLabelPairReport rejects per-document label cardinality") {
+    val s = spark
+    import s.implicits._
+    // A label column with one value per document makes the collected
+    // report the pair set itself — the guard must refuse before the
+    // 2^bands inclusion-exclusion terms and the driver collect.
+    val docs = Seq.tabulate(Dedup.maxReportLabels.toInt + 1)(i =>
+      (i.toLong, s"tok$i tok${i + 1}", s"doc$i")).toDF("doc_id", "text", "lab")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshLabelPairReport(docs, "text", "doc_id", "lab", 4, 4)
+    }
+    assert(ex.getMessage.contains("distinct 'lab' labels"))
+  }
+
   test("packShards equals the driver-side prefix-sum layout") {
     val rnd = new Random(13)
     for (_ <- 1 to 3) {

@@ -308,7 +308,178 @@ object Analytics {
       |FROM li
       |WHERE l_quantity < 0.2 * avg_q""".stripMargin
 
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed k non-urgent orders, INCLUDING k = 0. The
+    * left-join-then-count textbook form shuffles every order row onto
+    * its customer; here orders pre-aggregate to (custkey, count) first —
+    * map-side combine collapses the fact table before the join, and the
+    * join input is one row per ordering customer, not one per order.
+    * Zero-order customers survive via the left join's null → 0. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+    Tables.load(spark, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q4-style late-shipment priority check: orders in a window
+    * with ≥1 lineitem shipping >90 days after the order date — the
+    * correlated-EXISTS-with-inequality pattern. A LEFT SEMI join keeps
+    * each order once no matter how many lineitems qualify; the
+    * inequality rides the join condition, so no post-join dedup. The
+    * orderdate window filter pushes into the orders scan BEFORE the
+    * shuffle. */
+  def q4LateShipped(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    orders.join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4LateShippedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share: % of one month's discounted
+    * revenue from PROMO-type parts — conditional aggregation over a
+    * broadcast dim join, both sums sharing one pass. The part join is
+    * broadcast (dim table); the month filter pushes into the lineitem
+    * scan. Ratio arithmetic: decimal-exact numerator and denominator,
+    * ONE double division at the end (same op order as the oracle). */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part").select("p_partkey", "p_type")
+    val disc = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,4)").cast("double") /
+          sum(disc).cast("decimal(38,4)").cast("double"))
+          .as("promo_revenue_pct"))
+  }
+
+  val q14PromoRevenueSql: String =
+    """SELECT 100.0 *
+      |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+      |  AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds 300, with their customer — the IN-subquery-with-HAVING
+    * pattern. One aggregation over lineitem produces BOTH the filter
+    * and the output quantity (the textbook form aggregates twice); the
+    * surviving orders are few, so the customer/orders attachments are
+    * joins against a tiny filtered set. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(moneySum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 300.0)
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    bigOrders
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |) big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE total_qty > 300.0
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22-style idle high-balance customers: customers whose
+    * balance beats the positive-balance average but placed no URGENT
+    * order — scalar subquery + anti join. The 1-row average broadcasts
+    * as a cross join (never a driver collect); the anti join's right
+    * side pre-filters to urgent orders only, shrinking the build side
+    * before the shuffle. Average = decimal-exact sum ÷ count in ONE
+    * double division, matching the oracle bit-for-bit so the threshold
+    * comparison agrees on every row. */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val avgBal = customer.where(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("decimal(38,4)").cast("double") /
+        count(lit(1))).as("__avg"))
+    val urgent = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    customer
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("__avg"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22IdleRichSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13CustDist _),
+    "q4_late_shipped" -> (q4LateShipped _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_idle_rich" -> (q22IdleRich _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q_percentiles" -> (qPercentiles _),
     "q_cube" -> (qCube _),
@@ -322,6 +493,11 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13CustDistSql,
+    "q4_late_shipped" -> q4LateShippedSql,
+    "q14_promo_revenue" -> q14PromoRevenueSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q22_idle_rich" -> q22IdleRichSql,
     "q17_small_quantity" -> q17SmallQuantitySql,
     "q_percentiles" -> qPercentilesSql,
     "q_cube" -> qCubeSql,

@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ QualityQueries.queries ++ DiffViewQueries.queries ++
+    Analytics.queries ++ AnalyticsTpch.queries ++ QualityQueries.queries ++
+      DiffViewQueries.queries ++
       EngineQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries ++
@@ -23,7 +24,8 @@ object SparkEntry {
     * ContractSpec enforces totality; loosen it deliberately if an
     * operator is genuinely not SQL-expressible. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ QualityQueries.oracles ++ DiffViewQueries.oracles ++
+    Analytics.oracles ++ AnalyticsTpch.oracles ++ QualityQueries.oracles ++
+      DiffViewQueries.oracles ++
       EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles ++

@@ -1,0 +1,581 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The remaining TPC-H query *shapes* (Q2, Q6..Q12, Q15, Q16, Q19..Q21),
+  * completing the 22-pattern suite started in [[Analytics]]. The driver
+  * test schema has no `partsupp` table and no
+  * `l_shipmode`/`l_commitdate`/`l_receiptdate`, so the four
+  * partsupp-based queries keep their architectural pattern (groupwise
+  * min, HAVING vs global scalar, NOT-IN + count-distinct, nested INs)
+  * over lineitem-derived quantities, and "late" means
+  * `l_shipdate > o_orderdate + N days` (reference capability: View over
+  * arbitrary HiveQL, tnview/TnViewCreator.scala:20-26 — these prove the
+  * engine handles every TPC-H plan shape, not just the reference's
+  * point queries).
+  *
+  * Oracle-parity + scale disciplines are the same as [[Analytics]]:
+  * decimal-exact money sums, one double division at the end, broadcast
+  * dim joins, filters pushed below the shuffle, deterministic ORDER BY.
+  * Group years are `CAST(YEAR(..) AS BIGINT)` on both sides so dtypes
+  * agree.
+  */
+object AnalyticsTpch {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** See [[Analytics.moneySum]]: exact decimal accumulate, downcast to
+    * scale 4 (unscaled < 2^53) before ONE double conversion. */
+  private def moneySum(c: Column): Column =
+    sum(dec(c)).cast("decimal(38,4)").cast("double")
+
+  private def productSum(c: Column): Column =
+    sum(c).cast("decimal(38,4)").cast("double")
+
+  /** Discounted revenue for one lineitem row, decimal-exact. */
+  private def vol: Column =
+    dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // ---------------------------------------------------------------------
+  // Q6: forecasting revenue change — pure single-table conditional agg.
+  // The whole query is one scan: every predicate pushes into the parquet
+  // reader, the sum is a map-side partial + 1-row final.
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(productSum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .as("revenue"))
+
+  val q6ForecastSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q7: volume shipping between two nations — the disjunctive
+  // nation-pair join. Both nation attachments are broadcast (supplier
+  // and customer are dims); only lineitem⋈orders shuffles. The
+  // two-nation filter lands on the dim side BEFORE broadcast, so the
+  // fact stream is pre-filtered by the supplier hash join.
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val pair = Seq("NATION_1", "NATION_2")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation.where(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nation.where(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(productSum(vol).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name <> cn.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q8: national market share — conditional-aggregation share per year.
+  // Numerator and denominator come from ONE pass; the customer-region
+  // restriction is a dim-side semi filter (customer⋈nation⋈region all
+  // broadcast), never a fact-side subquery.
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val asiaNations = nation
+      .join(broadcast(Tables.load(spark, dir, "region")
+        .where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("__ank"))
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("__ank"))
+      .select("c_custkey")
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_type") === "PROMO").select("p_partkey")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, dir, "orders")
+        .where(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(38,4)").cast("double") /
+        sum(vol).cast("decimal(38,4)").cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) /
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+      |  AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q9: product-type profit by nation and year. No ps_supplycost in the
+  // schema, so unit cost is proxied as half the part's retail price
+  // (0.5 * double is exact — power of two — so both engines round the
+  // same binary value into the decimal). The LIKE filter prunes part
+  // BEFORE broadcast; profit is one decimal-exact expression summed in
+  // one pass.
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_name").like("%gear%"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = vol -
+      dec(col("l_quantity")) * dec(col("p_retailprice") * lit(0.5))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(productSum(amount).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+      |    - CAST(l_quantity AS DECIMAL(18,4)) * CAST(p_retailprice * 0.5 AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q10: returned-item reporting, top 20 customers by lost revenue.
+  // The revenue aggregation runs keyed on o_custkey BEFORE the customer
+  // join, so the (broadcast) join sees one row per customer, not one
+  // per lineitem — at 100 TB that is the difference between joining
+  // billions of fact rows and joining the customer count.
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(productSum(vol).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |GROUP BY 1, 2, 4, 5
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q11: important stock — per-part value vs a fraction of the global
+  // total (HAVING vs scalar subquery). The global total is a RE-AGG of
+  // the small per-part frame (never a second fact scan), broadcast back
+  // as a 1-row cross join. All comparisons stay decimal so the
+  // value > 0.001 * total cut is exact; the double conversion happens
+  // only in the output projection.
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .where(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(38,4)").as("value_dec"))
+    val total = perPart
+      .agg(sum(col("value_dec")).cast("decimal(38,4)").as("__total"))
+    perPart.crossJoin(broadcast(total))
+      .where(col("value_dec") > col("__total") * lit(0.001).cast("decimal(4,3)"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  val q11ImportantStockSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS value_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_5'
+      |  GROUP BY 1)
+      |SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+      |FROM per_part
+      |WHERE value_dec > (SELECT CAST(SUM(value_dec) AS DECIMAL(38,4)) FROM per_part)
+      |  * CAST(0.001 AS DECIMAL(4,3))
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q12: shipping-priority classes for late lines (no l_shipmode in the
+  // schema; the grouping key is l_linestatus). The lateness inequality
+  // rides the join; high/low counts are conditional sums in ONE pass.
+  def q12LateClasses(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12LateClassesSql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q15: top supplier — max over an aggregated view. The max is a
+  // re-agg of the per-supplier frame broadcast back as one row; the
+  // equality filter compares DECIMALS (exact), so ties surface
+  // identically in both engines.
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(vol).cast("decimal(38,4)").as("rev_dec"))
+    val maxRev = rev.agg(max(col("rev_dec")).as("__max"))
+    rev.crossJoin(broadcast(maxRev))
+      .where(col("rev_dec") === col("__max"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q16: parts/supplier relationship — count-distinct suppliers per part
+  // attribute, excluding a supplier blocklist (NOT IN ≡ broadcast anti
+  // join; the blocklist is negative-balance suppliers since the schema
+  // has no comments). The distinct runs inside the aggregation, one
+  // shuffle on the group key.
+  def q16SupplierParts(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.load(spark, dir, "supplier")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16SupplierPartsSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q19: discounted revenue under disjunctive brand/size/quantity
+  // predicates — the OR-of-ANDs join. The partkey equi-key still drives
+  // a broadcast hash join; the disjunction evaluates as the join's
+  // residual filter, never a nested-loop.
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 15))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey") && cond)
+      .agg(productSum(vol).as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q20: nested-IN supplier promotion — suppliers in one nation who
+  // moved >50 units of some 'red%' part in a year. Both INs become
+  // broadcast semi joins; the per-(supplier, part) quantity cut stays
+  // decimal-exact.
+  def q20PartPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.load(spark, dir, "part")
+      .where(col("p_name").like("red%")).select("p_partkey")
+    val heavy = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("qty_dec"))
+      .where(col("qty_dec") > 50)
+      .select("l_suppkey")
+    Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name")
+      .orderBy("s_name")
+  }
+
+  val q20PartPromotionSql: String =
+    """SELECT s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) > 50)
+      |ORDER BY s_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q21: suppliers who kept orders waiting — the multi-EXISTS pattern.
+  // The reference form correlates lineitem three times per order;
+  // graft folds all three correlations into ONE per-order aggregation
+  // (distinct suppliers, distinct LATE suppliers, the single late
+  // supplier when there is exactly one) — one shuffle on orderkey
+  // instead of three correlated probes.
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perOrder = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(late, col("l_suppkey"))).as("nlate"),
+        min(when(late, col("l_suppkey"))).as("late_supp"))
+      .where(col("nsupp") >= 2 && col("nlate") === 1)
+    perOrder
+      .groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("late_supp") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS nsupp,
+      |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS nlate,
+      |    MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE nsupp >= 2 AND nlate = 1
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Q2: minimum-cost supplier — the groupwise-min correlated subquery.
+  // Unit cost is revenue/quantity per (part, supplier) from lineitem
+  // (no ps_supplycost in the schema). The min is a window over the
+  // small aggregated frame, NOT a re-join; equality is exact because
+  // both sides divide identical decimal→double operands.
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_size") === 15 && col("p_type") === "LARGE")
+      .select("p_partkey")
+    val supp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")
+        .where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val costs = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(
+        moneySum(col("l_extendedprice")).as("ep_sum"),
+        moneySum(col("l_quantity")).as("qty_sum"))
+      .withColumn("unit_cost", col("ep_sum") / col("qty_sum"))
+    costs
+      .withColumn("__min", min(col("unit_cost")).over(Window.partitionBy("p_partkey")))
+      .where(col("unit_cost") === col("__min"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        round(col("unit_cost"), 6).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH costs AS (
+      |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) /
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS unit_cost
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |m AS (SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      |      FROM costs)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(unit_cost, 6) AS unit_cost
+      |FROM m WHERE unit_cost = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q6_forecast" -> (q6Forecast _),
+    "q7_volume" -> (q7Volume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q10_returned" -> (q10Returned _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_late_classes" -> (q12LateClasses _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_parts" -> (q16SupplierParts _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q20_part_promotion" -> (q20PartPromotion _),
+    "q21_waiting" -> (q21Waiting _))
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q7_volume" -> q7VolumeSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q10_returned" -> q10ReturnedSql,
+    "q11_important_stock" -> q11ImportantStockSql,
+    "q12_late_classes" -> q12LateClassesSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q16_supplier_parts" -> q16SupplierPartsSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q20_part_promotion" -> q20PartPromotionSql,
+    "q21_waiting" -> q21WaitingSql)
+}

@@ -24,7 +24,8 @@ class ContractSpec extends SparkSpec {
   test("no module silently shadows another's query name") {
     // SparkEntry.queries is built with Map ++, which would silently keep
     // only the LAST definition of a duplicated name.
-    val moduleSizes = Seq(Analytics.queries, QualityQueries.queries,
+    val moduleSizes = Seq(Analytics.queries, AnalyticsTpch.queries,
+      QualityQueries.queries,
       DiffViewQueries.queries, EngineQueries.queries, TextQueries.queries,
       DedupQueries.queries, SimilarityQueries.queries, EventQueries.queries,
       MultimodalQueries.queries, PipelineQueries.queries,

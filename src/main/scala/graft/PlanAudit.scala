@@ -23,7 +23,13 @@ object PlanAudit {
     //    corpus row with only a non-equi self-exclusion predicate; BNLJ
     //    over a broadcast side IS the exhaustive-scoring plan (the scale
     //    path is qs_knn_lsh / qs_knn_ivf, which join on bucket keys).
-    val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered")
+    //  - q11/q22 compare every group row against a broadcast ONE-ROW
+    //    re-aggregate (scalar-subquery pattern) under an inequality, so
+    //    no hash join is possible; a 1-row broadcast BNLJ is a plain
+    //    filter at any scale (q15's scalar compare is an equality and
+    //    becomes a BroadcastHashJoin on its own).
+    val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
+      "q11_important_stock", "q22_idle_rich")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

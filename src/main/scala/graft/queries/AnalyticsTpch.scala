@@ -415,7 +415,7 @@ object AnalyticsTpch {
 
   // ---------------------------------------------------------------------
   // Q20: nested-IN supplier promotion — suppliers in one nation who
-  // moved >50 units of some 'red%' part in a year. Both INs become
+  // moved >40 units of some 'red%' part in a year. Both INs become
   // broadcast semi joins; the per-(supplier, part) quantity cut stays
   // decimal-exact.
   def q20PartPromotion(spark: SparkSession, dir: String): DataFrame = {
@@ -427,7 +427,7 @@ object AnalyticsTpch {
       .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("qty_dec"))
-      .where(col("qty_dec") > 50)
+      .where(col("qty_dec") > 40)
       .select("l_suppkey")
     Tables.load(spark, dir, "supplier")
       .join(broadcast(Tables.load(spark, dir, "nation")
@@ -448,7 +448,7 @@ object AnalyticsTpch {
       |      AND l_shipdate >= TIMESTAMP '1997-01-01'
       |      AND l_shipdate < TIMESTAMP '1998-01-01'
       |    GROUP BY l_suppkey, l_partkey
-      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) > 50)
+      |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) > 40)
       |ORDER BY s_name""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -357,7 +357,41 @@ object EventQueries {
       |GROUP BY event_type, CAST(FLOOR(value / 50) AS BIGINT)
       |ORDER BY event_type, bin""".stripMargin
 
+  /** §2.33h — last-touch attribution: every purchase is credited to the
+    * user's most recent earlier non-purchase event. ONE window pass
+    * (partition user_id, order ts) carries the last-seen source type
+    * forward — no self-join of the event stream against itself, so the
+    * cost at 100 TB is a single shuffle on user_id. Purchases with no
+    * prior touch credit 'none'. */
+  def qeAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .withColumn("__src",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("__src"), lit("none")).as("source_type"))
+      .agg(count(lit(1)).as("purchases"))
+      .orderBy("source_type")
+  }
+
+  val qeAttributionSql: String =
+    """WITH attributed AS (
+      |  SELECT event_type,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+      |  FROM events)
+      |SELECT COALESCE(src, 'none') AS source_type,
+      |  CAST(COUNT(*) AS BIGINT) AS purchases
+      |FROM attributed
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_attribution" -> (qeAttribution _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -372,6 +406,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_attribution" -> qeAttributionSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

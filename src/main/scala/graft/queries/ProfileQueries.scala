@@ -90,13 +90,82 @@ object ProfileQueries {
       |FROM ca JOIN cb ON ca.bin = cb.bin
       |ORDER BY ca.bin""".stripMargin
 
+  private val topValueCols = Seq("o_orderstatus", "o_orderpriority")
+
+  /** §2.13f — per-column heavy hitters: the top-3 most frequent values
+    * of each profiled column, exact. ONE scan: values unpivot at the
+    * scan into (column, value) pairs, the count aggregation gets
+    * map-side combine on a domain bounded by the columns' cardinality,
+    * and the rank window runs over that tiny counted frame — never the
+    * data. The 100 TB swap-in for unbounded-cardinality columns is a
+    * count-min/approx top-k sketch; for the bounded QC columns this
+    * exact form is already one cheap pass. */
+  def qcTopValues(spark: SparkSession, dir: String): DataFrame = {
+    val stackExpr = topValueCols
+      .map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("cnt").desc, col("col_value"))
+    Tables.load(spark, dir, "orders")
+      .select(expr(s"stack(${topValueCols.size}, $stackExpr) AS (column_name, col_value)"))
+      .groupBy("column_name", "col_value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= 3)
+      .orderBy("column_name", "rnk")
+  }
+
+  val qcTopValuesSql: String = {
+    val unioned = topValueCols
+      .map(c => s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS col_value FROM orders")
+      .mkString("\nUNION ALL\n")
+    s"""WITH uv AS (
+       |$unioned
+       |), counts AS (
+       |  SELECT column_name, col_value, COUNT(*) AS cnt
+       |  FROM uv GROUP BY 1, 2
+       |)
+       |SELECT column_name, col_value, cnt, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY column_name
+       |    ORDER BY cnt DESC, col_value) AS BIGINT) AS rnk
+       |  FROM counts) t
+       |WHERE rnk <= 3
+       |ORDER BY column_name, rnk""".stripMargin
+  }
+
+  /** §2.13g — key-sequence gap detection (sequential-integrity QC):
+    * missing ranges in the distinct l_orderkey sequence. A global
+    * LEAD window would funnel every key through ONE task; instead keys
+    * bucket by `key div 4096`, in-bucket gaps come from a lead window
+    * partitioned by bucket (parallel across buckets), and cross-bucket
+    * gaps from a lead over the tiny per-bucket (min, max) frame. The
+    * two gap sets are disjoint by construction (a gap either has both
+    * endpoints' neighbors in one bucket or spans a boundary), and
+    * their union is exactly the global-lead answer — which is what the
+    * oracle computes. */
+  def qcGaps(spark: SparkSession, dir: String): DataFrame =
+    Profiler.sequenceGaps(Tables.load(spark, dir, "lineitem"), "l_orderkey")
+      .orderBy("gap_start")
+
+  val qcGapsSql: String =
+    """WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      |g AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nxt FROM keys)
+      |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+      |  nxt - k - 1 AS n_missing
+      |FROM g WHERE nxt > k + 1
+      |ORDER BY gap_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_profile" -> (qcProfile _),
     "qc_anomaly" -> (qcAnomaly _),
-    "qc_drift" -> (qcDrift _))
+    "qc_drift" -> (qcDrift _),
+    "qc_topvalues" -> (qcTopValues _),
+    "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
     "qc_profile" -> qcProfileSql,
     "qc_anomaly" -> qcAnomalySql,
-    "qc_drift" -> qcDriftSql)
+    "qc_drift" -> qcDriftSql,
+    "qc_topvalues" -> qcTopValuesSql,
+    "qc_gaps" -> qcGapsSql)
 }

@@ -117,13 +117,103 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.25f — semantic (embedding-space) dedup: LSH hyperplane buckets
+    * block the candidate space, same-bucket pairs above the cosine
+    * threshold elect a 1-hop canonical (the minimum neighbor id — full
+    * transitive closure is [[DedupQueries]] qd_components). The pair
+    * join shuffles on the bucket key, never all-pairs; norms are
+    * precomputed per row, not per pair. */
+  def qdSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{asDoubles, dot}
+    import graft.similarity.Knn
+    val planes = Knn.planes(NumPlanes, Dims)
+    val bucketed = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .withColumn("bucket", Knn.bucketId(col("v"), planes))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val pairs = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= 0.15)
+    val mins = pairs.groupBy("b_id").agg(min(col("a_id")).as("min_nb"))
+    Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(mins, col("vec_id") === col("b_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("min_nb"), col("vec_id")).as("canonical_id"),
+        col("min_nb").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  val qdSemanticSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.15
+       |), mins AS (
+       |  SELECT b_id, MIN(a_id) AS min_nb FROM pairs GROUP BY 1
+       |)
+       |SELECT e.vec_id, COALESCE(m.min_nb, e.vec_id) AS canonical_id,
+       |  (m.min_nb IS NOT NULL) AS is_dup
+       |FROM embeddings e LEFT JOIN mins m ON e.vec_id = m.b_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** §2.26c — int8 scalar quantization of the embedding column
+    * (symmetric max-abs scaling, the standard ANN-index compression):
+    * per-vector scale = max|x|/127, codes = round(x/scale). Pure
+    * projection — no shuffle, no UDF; the codes and the reconstruction
+    * error are checked via the quantized-sum and max-error columns.
+    * The scale is materialized BEFORE the code transform so the HOF
+    * lambda never re-evaluates the array_max fold per element. */
+  def qsQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.asDoubles
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vd"))
+      .withColumn("scale",
+        array_max(transform(col("vd"), x => abs(x))) / lit(127.0))
+      .withColumn("qv",
+        transform(col("vd"), x => round(x / col("scale")).cast("bigint")))
+      .select(col("vec_id"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        round(array_max(zip_with(col("qv"), col("vd"),
+          (q, x) => abs(q * col("scale") - x))), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val qsQuantizeSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id, scale, vd,
+       |    list_transform(vd, x -> CAST(round(x / scale, 0) AS BIGINT)) AS qv
+       |  FROM s
+       |)
+       |SELECT vec_id,
+       |  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+       |  round(list_max(list_transform(range(1, ${Dims + 1}),
+       |    i -> abs(qv[i] * scale - vd[i]))), 6) AS max_err
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_semantic" -> (qdSemantic _),
+    "qs_quantize" -> (qsQuantize _),
     "qs_knn_brute" -> (qsKnnBrute _),
     "qs_knn_filtered" -> (qsKnnFiltered _),
     "qs_knn_lsh" -> (qsKnnLsh _),
     "qs_knn_ivf" -> (qsKnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "qd_semantic" -> qdSemanticSql,
+    "qs_quantize" -> qsQuantizeSql,
     "qs_knn_brute" -> qsKnnBruteSql,
     "qs_knn_filtered" -> qsKnnFilteredSql,
     "qs_knn_lsh" -> qsKnnLshSql,

@@ -176,4 +176,36 @@ object Profiler {
       .where(col("n_a") > 0 && col("n_b") > 0)
       .transform(psiSelect)
   }
+
+  /** Gaps (missing ranges) in an integer key sequence — sequential-
+    * integrity QC. Returns (gap_start, gap_end, n_missing), one row per
+    * maximal missing range between the observed min and max key.
+    *
+    * A global LEAD window would funnel EVERY key through one task, so
+    * keys bucket by `key div bucketSize`: in-bucket gaps come from a
+    * lead window partitioned by bucket (parallel across buckets), and
+    * cross-bucket gaps from a lead over the tiny per-bucket (min, max)
+    * frame. The two sets are disjoint (a gap's flanking keys are either
+    * in one bucket or astride a boundary — empty buckets fold into the
+    * boundary case) and their union is exactly the global-lead answer;
+    * SequenceGapsSpec pins the equivalence on randomized key sets. */
+  def sequenceGaps(df: DataFrame, keyCol: String,
+      bucketSize: Long = 4096): DataFrame = {
+    val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
+      .withColumn("bucket", floor(col("k") / lit(bucketSize)).cast("long"))
+    val inBucket = keys
+      .withColumn("nxt", lead(col("k"), 1)
+        .over(Window.partitionBy("bucket").orderBy("k")))
+      .where(col("nxt") > col("k") + 1)
+      .select(col("k"), col("nxt"))
+    val crossBucket = keys.groupBy("bucket")
+      .agg(min(col("k")).as("bmin"), max(col("k")).as("bmax"))
+      .withColumn("next_min", lead(col("bmin"), 1)
+        .over(Window.orderBy("bucket")))
+      .where(col("next_min") > col("bmax") + 1)
+      .select(col("bmax").as("k"), col("next_min").as("nxt"))
+    inBucket.unionByName(crossBucket)
+      .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col("k") - 1).as("n_missing"))
+  }
 }

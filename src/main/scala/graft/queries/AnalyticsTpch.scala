@@ -549,7 +549,84 @@ object AnalyticsTpch {
       |FROM m WHERE unit_cost = min_cost
       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Full analytic-window surface in one query: row_number / lag / lead /
+  // first_value / ntile / percent_rank / cume_dist / framed sliding
+  // aggregate, all sharing ONE shuffle on the partition key (the framed
+  // sum is decimal-exact, so the sliding average is order-independent —
+  // a double SUM over a frame would depend on the engine's segment-tree
+  // accumulation order).
+  def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val w3 = w.rowsBetween(-2, 0)
+    Tables.load(spark, dir, "orders")
+      .where(col("o_custkey") < 50)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("first_price", first("o_totalprice").over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("avg3",
+        sum(dec(col("o_totalprice"))).over(w3).cast("decimal(38,4)").cast("double") /
+          count(lit(1)).over(w3))
+      .select("o_custkey", "o_orderkey", "rn", "prev_price", "next_price",
+        "first_price", "quartile", "pct_rank", "cume", "avg3")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowSuiteSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w3 AS DECIMAL(38,4)) AS DOUBLE)
+      |    / (COUNT(*) OVER w3) AS avg3
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Set-operation surface: customers ordering in both 1996 and 1997
+  // (INTERSECT) minus customers who ever placed an urgent order
+  // (EXCEPT). Both set ops are distinct-semantics in Spark and SQL;
+  // each leg is a pruned 1-column scan.
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    def inYear(y: Int) = o
+      .where(col("o_orderdate") >= ts(s"$y-01-01") &&
+        col("o_orderdate") < ts(s"${y + 1}-01-01"))
+      .select("o_custkey")
+    inYear(1996).intersect(inYear(1997))
+      .except(o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      .select(col("o_custkey").as("custkey"))
+      .orderBy("custkey")
+  }
+
+  val qSetOpsSql: String =
+    """SELECT o_custkey AS custkey FROM (
+      |  (SELECT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |     AND o_orderdate < TIMESTAMP '1997-01-01'
+      |   INTERSECT
+      |   SELECT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |     AND o_orderdate < TIMESTAMP '1998-01-01')
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_suite" -> (qWindowSuite _),
+    "q_set_ops" -> (qSetOps _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q6_forecast" -> (q6Forecast _),
     "q7_volume" -> (q7Volume _),
@@ -565,6 +642,8 @@ object AnalyticsTpch {
     "q21_waiting" -> (q21Waiting _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_suite" -> qWindowSuiteSql,
+    "q_set_ops" -> qSetOpsSql,
     "q2_min_cost_supplier" -> q2MinCostSupplierSql,
     "q6_forecast" -> q6ForecastSql,
     "q7_volume" -> q7VolumeSql,

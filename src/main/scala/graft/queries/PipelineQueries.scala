@@ -178,7 +178,97 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY source, doc_id""".stripMargin
 
+  /** §2.31l — C4-style boilerplate passage removal: 8-token windows
+    * appearing in ≥2 documents are cut from every document, and the
+    * survivors re-assemble in order. All positional bookkeeping stays
+    * IN ROW ARRAYS until the final anti join: windows come from a
+    * transform over the materialized token array (never re-tokenizing
+    * per window — HOF lambda law), repeated-window detection is one
+    * count on (passage), and coverage positions explode only for
+    * window OCCURRENCES that matched a repeated passage. Re-assembly
+    * is the in-row array_sort/array_join idiom (no cross-row collect
+    * ordering assumptions beyond the per-doc group). */
+  def qpCleanPassages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val tok = toks
+      .select(col("doc_id"), posexplode_outer(col("ts")).as(Seq("pos", "token")))
+      .where(col("token").isNotNull)
+    // Window list is null (→ one null row via posexplode_outer, dropped
+    // below) for docs under 8 tokens: a where(size>=8) would re-inline
+    // the tokenization into a pushed filter (InferFiltersFromGenerate).
+    val win = toks
+      .select(col("doc_id"), posexplode_outer(
+        when(size(col("ts")) >= 8,
+          transform(sequence(lit(0), size(col("ts")) - 8),
+            i => array_join(slice(col("ts"), i + 1, lit(8)), " "))))
+        .as(Seq("pos", "passage")))
+      .where(col("passage").isNotNull)
+    val rep = win.select("doc_id", "passage").distinct()
+      .groupBy("passage").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("passage")
+    val covered = win.join(rep, "passage")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 7)).as("cpos"))
+      .distinct()
+    val kept = tok.join(covered,
+      tok("doc_id") === covered("doc_id") && col("pos") === col("cpos"),
+      "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("__clean"),
+        count(lit(1)).as("__n_kept"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val qpCleanPassagesSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |tok AS (
+      |  SELECT doc_id, s.pos AS pos, s.tok AS token
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
+      |         i -> {'pos': i, 'tok': ts[i]})) AS s FROM toks)
+      |),
+      |win AS (
+      |  SELECT doc_id, s.pos AS pos, s.passage AS passage
+      |  FROM (SELECT doc_id, unnest(CASE WHEN len(ts) >= 8 THEN
+      |          list_transform(range(1, len(ts)-6),
+      |            i -> {'pos': i, 'passage': array_to_string(ts[i:i+7], ' ')})
+      |        ELSE [] END) AS s FROM toks)
+      |),
+      |rep AS (
+      |  SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM win)
+      |  GROUP BY passage HAVING COUNT(*) >= 2
+      |),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, unnest(range(pos, pos+8)) AS cpos
+      |  FROM win JOIN rep USING (passage)
+      |),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.token
+      |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+      |  WHERE c.cpos IS NULL
+      |),
+      |agg AS (
+      |  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_clean_passages" -> (qpCleanPassages _),
     "qp_corpus" -> (qpCorpus _),
     "qp_sample" -> (qpSample _),
     "qp_mix" -> (qpMix _),
@@ -186,6 +276,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_clean_passages" -> qpCleanPassagesSql,
     "qp_corpus" -> qpCorpusSql,
     "qp_sample" -> qpSampleSql,
     "qp_mix" -> qpMixSql,

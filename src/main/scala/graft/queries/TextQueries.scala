@@ -525,7 +525,44 @@ object TextQueries {
       |HAVING COUNT(*) >= 2
       |ORDER BY passage""".stripMargin
 
+  /** §2.28d — out-of-vocabulary rate per document against the corpus
+    * top-10 vocabulary: the tokenizer-coverage signal (how much of each
+    * document a fixed vocab fails to cover). The vocabulary is tiny by
+    * construction, so membership is a BROADCAST left join against the
+    * exploded token stream — at 100 TB the vocab side is still a few
+    * thousand rows; the per-document rollup is the only shuffle. */
+  def qtOov(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(10)
+      .select(col("tok").as("vtok"))
+    tok.join(broadcast(vocab), col("tok") === col("vtok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  val qtOovSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS c FROM tok
+      |    GROUP BY 1 ORDER BY c DESC, tok LIMIT 10)
+      |)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
+      |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_oov" -> (qtOov _),
     "qt_entropy" -> (qtEntropy _),
     "qt_cross_entropy" -> (qtCrossEntropy _),
     "qt_repetition" -> (qtRepetition _),
@@ -542,6 +579,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_oov" -> qtOovSql,
     "qt_entropy" -> qtEntropySql,
     "qt_cross_entropy" -> qtCrossEntropySql,
     "qt_repetition" -> qtRepetitionSql,

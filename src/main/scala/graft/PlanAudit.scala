@@ -28,8 +28,11 @@ object PlanAudit {
     //    no hash join is possible; a 1-row broadcast BNLJ is a plain
     //    filter at any scale (q15's scalar compare is an equality and
     //    becomes a BroadcastHashJoin on its own).
+    //  - qe_gapfill crosses the generated hour spine with the distinct
+    //    event types (constant-folded join key → BNLJ): both sides are
+    //    derived frames bounded by hours × types at any data scale.
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
-      "q11_important_stock", "q22_idle_rich")
+      "q11_important_stock", "q22_idle_rich", "qe_gapfill")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

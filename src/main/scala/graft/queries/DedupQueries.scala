@@ -318,7 +318,77 @@ object DedupQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** §2.22b — sketch-accuracy report: for every LSH candidate pair, the
+    * MinHash Jaccard ESTIMATE (matching signature positions / numPerms)
+    * next to the TRUE distinct-token Jaccard and the absolute error —
+    * the calibration table for choosing numPerms/threshold before a
+    * production run. Sets ride along as in-row arrays; the only
+    * per-pair work is two array ops and a position-match sum — no
+    * re-shingling per pair. */
+  def qdMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    val docs = Tables.load(spark, dir, "documents")
+    val sigs = Dedup.withMinhashSignature(docs, "text", NumPerms)
+      .withColumn("toks", array_distinct(tokens(col("text"))))
+    def side(tag: String) = sigs.select(
+      col("doc_id").as(s"${tag}_id") +: col("toks").as(s"${tag}_toks") +:
+        (0 until NumPerms).map(k => col(s"sig_$k").as(s"${tag}_sig_$k")): _*)
+    val nMatch = (0 until NumPerms)
+      .map(k => when(col(s"a_sig_$k") === col(s"b_sig_$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = nMatch.cast("double") / NumPerms
+    val truth = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+      size(array_union(col("a_toks"), col("b_toks")))
+    Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
+      .select("id_a", "id_b")
+      .join(side("a"), col("id_a") === col("a_id"))
+      .join(side("b"), col("id_b") === col("b_id"))
+      .select(col("id_a"), col("id_b"),
+        round(est, 6).as("est_jaccard"),
+        round(truth, 6).as("true_jaccard"),
+        round(abs(est - truth), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qdMinhashEstSql: String = {
+    val sigCols = (0 until NumPerms)
+      .map(k => s"${sigSqlExpr(k)} AS sig_$k").mkString(",\n    ")
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => s"sig_${b * BandSize + j}")
+      s"md5(concat_ws('_', ${parts.mkString(", ")})) AS band_$b"
+    }.mkString(",\n    ")
+    val matches = (0 until NumPerms)
+      .map(k => s"CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+       |    $sigCols
+       |  FROM documents
+       |), withbands AS (
+       |  SELECT *, $bands FROM sigs
+       |), banded AS (
+       |${(0 until NumPerms / BandSize).map(b =>
+            s"  SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM withbands")
+            .mkString("\n  UNION ALL\n")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |  ROUND(($matches) / ${NumPerms}.0, 6) AS est_jaccard,
+       |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS true_jaccard,
+       |  ROUND(ABS(($matches) / ${NumPerms}.0
+       |    - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.toks, b.toks)))), 6) AS abs_err
+       |FROM pairs JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_minhash_est" -> (qdMinhashEst _),
     "qd_report" -> (qdReport _),
     "qd_components" -> (qdComponents _),
     "qd_exact" -> (qdExact _),
@@ -332,6 +402,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_minhash_est" -> qdMinhashEstSql,
     "qd_report" -> qdReportSql,
     "qd_components" -> qdComponentsSql,
     "qd_exact" -> qdExactSql,

@@ -390,7 +390,52 @@ object EventQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** §2.33i — time-spine gap fill: every (hour, event_type) cell over
+    * the observed range, zero-filled where no events landed — the
+    * densification step dashboards and downsampling need. The spine is
+    * generated (1-row bounds → sequence → explode), never scanned:
+    * at ANY data scale it is hours × types rows (a decade is ~88k
+    * hours). The spine×types join rides a constant key so it plans as
+    * a broadcast hash join, not a cartesian product. */
+  def qeGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      .withColumn("__k", lit(1))
+    val types = ev.select("event_type").distinct().withColumn("__k", lit(1))
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(broadcast(types), "__k")
+      .join(counts, Seq("hour", "event_type"), "left_outer")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("hour", "event_type")
+  }
+
+  val qeGapfillSql: String =
+    """WITH bounds AS (
+      |  SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+      |         date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT s.hour, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+      |ORDER BY s.hour, t.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_gapfill" -> (qeGapfill _),
     "qe_attribution" -> (qeAttribution _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
@@ -406,6 +451,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_gapfill" -> qeGapfillSql,
     "qe_attribution" -> qeAttributionSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,

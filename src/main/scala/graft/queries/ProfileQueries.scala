@@ -155,7 +155,38 @@ object ProfileQueries {
       |FROM g WHERE nxt > k + 1
       |ORDER BY gap_start""".stripMargin
 
+  /** §2.13h — freshness / volume-completeness QC by month: row counts,
+    * null rate of the money column, and a low-volume flag for months
+    * under half the average monthly count. One fact-table aggregation;
+    * the global average is a window over the tiny per-month frame (≈12
+    * rows per year at ANY data scale), never a second scan. */
+  def qcFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null_price"))
+      .withColumn("null_rate", round(col("n_null_price") / col("n_orders"), 6))
+      .withColumn("low_volume",
+        col("n_orders") < lit(0.5) * avg(col("n_orders")).over(all))
+      .orderBy("month")
+  }
+
+  val qcFreshnessSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, n_null_price,
+      |  ROUND(n_null_price / n_orders, 6) AS null_rate,
+      |  (n_orders < 0.5 * AVG(n_orders) OVER ()) AS low_volume
+      |FROM m ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_freshness" -> (qcFreshness _),
     "qc_profile" -> (qcProfile _),
     "qc_anomaly" -> (qcAnomaly _),
     "qc_drift" -> (qcDrift _),
@@ -163,6 +194,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_freshness" -> qcFreshnessSql,
     "qc_profile" -> qcProfileSql,
     "qc_anomaly" -> qcAnomalySql,
     "qc_drift" -> qcDriftSql,

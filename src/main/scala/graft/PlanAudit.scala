@@ -32,7 +32,8 @@ object PlanAudit {
     //    event types (constant-folded join key → BNLJ): both sides are
     //    derived frames bounded by hours × types at any data scale.
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
-      "q11_important_stock", "q22_idle_rich", "qe_gapfill")
+      "q11_important_stock", "q22_idle_rich", "qe_gapfill",
+      "qe_anomaly_hours")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

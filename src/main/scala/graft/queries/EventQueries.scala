@@ -434,7 +434,56 @@ object EventQueries {
       |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
       |ORDER BY s.hour, t.event_type""".stripMargin
 
+  /** §2.33j — hourly volume anomaly detection: z-score outliers on the
+    * GAP-FILLED (hour, event_type) grid — zero-filled hours are exactly
+    * why the spine matters (an outage hour scores as an outlier instead
+    * of silently missing from the grouped frame). Composition of
+    * [[qeGapfill]] and [[graft.rules.Profiler.zOutliers]]'s decimal-
+    * exact moments; the stats side is per-type (5 rows), broadcast. */
+  def qeAnomalyHours(spark: SparkSession, dir: String): DataFrame =
+    graft.rules.Profiler.zOutliers(qeGapfill(spark, dir).drop("__k"),
+      "n_events", Seq("event_type"), 2.0)
+      .select("hour", "event_type", "n_events", "z_score")
+      .orderBy("event_type", "hour")
+
+  private val gapfillGridSql: String =
+    """bounds AS (
+      |  SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+      |         date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.hour, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type)""".stripMargin
+
+  val qeAnomalyHoursSql: String =
+    s"""WITH $gapfillGridSql,
+       |m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(CAST(SUM(CAST(n_events AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS q2
+       |  FROM (SELECT event_type, n_events,
+       |          CAST(CAST(n_events AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |        FROM grid)
+       |  GROUP BY event_type)
+       |SELECT g.hour, g.event_type, g.n_events,
+       |  round((g.n_events - m.s / m.n)
+       |    / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS z_score
+       |FROM grid g JOIN m USING (event_type)
+       |WHERE abs(round((g.n_events - m.s / m.n)
+       |    / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6)) >= 2.0
+       |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_anomaly_hours" -> (qeAnomalyHours _),
     "qe_gapfill" -> (qeGapfill _),
     "qe_attribution" -> (qeAttribution _),
     "qe_stickiness" -> (qeStickiness _),
@@ -451,6 +500,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_anomaly_hours" -> qeAnomalyHoursSql,
     "qe_gapfill" -> qeGapfillSql,
     "qe_attribution" -> qeAttributionSql,
     "qe_stickiness" -> qeStickinessSql,

@@ -84,4 +84,27 @@ object Sampling {
     df.withColumn("shard_id",
       ((sum(col(tokenCol)).over(w) - col(tokenCol)) / capacity).cast("long"))
   }
+
+  /** Deterministic sharded corpus shuffle: every row gets a `shard`
+    * (seeded-md5 bucket) and a `pos` (1-based rank within the shard by
+    * the full md5 hex, id tiebreak) — global training order is
+    * (shard, pos), a reproducible permutation of the corpus.
+    *
+    * A single global `row_number` would funnel the whole corpus through
+    * one ordered partition; sharding makes each rank window independent,
+    * so parallelism is `shards` — callers size it so a shard is one
+    * training file (e.g. total_tokens / file_budget), which keeps the
+    * per-window row count bounded as data grows. Readers that stripe
+    * round-robin across shards still see md5-uniform order. */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int,
+      seed: String = "shuffle"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard",
+        graft.functions.Portable.md5Bucket(seed, col(idCol), shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
 }

@@ -482,8 +482,52 @@ object EventQueries {
        |    / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6)) >= 2.0
        |ORDER BY event_type, hour""".stripMargin
 
+  /** §2.33k — inter-arrival gap statistics: time between consecutive
+    * events of the same (user, event_type), rolled up per type as
+    * count / mean / exact p50 / p90 seconds (the cadence profile that
+    * drives session-gap and watermark tuning). The lag window is
+    * partitioned by (user, type) — parallel across users at any scale —
+    * and the percentile aggregation is the one shuffle; gaps stay
+    * integer MICROS until the final divide so the float work is one
+    * division + interpolation per group (approx_percentile is the
+    * documented swap-in when per-group value maps stop fitting). */
+  def qeInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1.0e6, 6)
+          .as("avg_gap_s"),
+        expr("percentile(gap_us, array(0.5D, 0.9D))").as("__p"))
+      .select(col("event_type"), col("n_gaps"), col("avg_gap_s"),
+        round(element_at(col("__p"), 1) / 1.0e6, 6).as("p50_gap_s"),
+        round(element_at(col("__p"), 2) / 1.0e6, 6).as("p90_gap_s"))
+      .orderBy("event_type")
+  }
+
+  val qeInterarrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1.0e6, 6) AS avg_gap_s,
+      |  round(quantile_cont(gap_us, 0.5) / 1.0e6, 6) AS p50_gap_s,
+      |  round(quantile_cont(gap_us, 0.9) / 1.0e6, 6) AS p90_gap_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_anomaly_hours" -> (qeAnomalyHours _),
+    "qe_interarrival" -> (qeInterarrival _),
     "qe_gapfill" -> (qeGapfill _),
     "qe_attribution" -> (qeAttribution _),
     "qe_stickiness" -> (qeStickiness _),
@@ -501,6 +545,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "qe_anomaly_hours" -> qeAnomalyHoursSql,
+    "qe_interarrival" -> qeInterarrivalSql,
     "qe_gapfill" -> qeGapfillSql,
     "qe_attribution" -> qeAttributionSql,
     "qe_stickiness" -> qeStickinessSql,

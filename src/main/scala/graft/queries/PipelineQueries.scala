@@ -267,7 +267,107 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** §2.31m — filter-cascade attrition report: the quality gates a
+    * corpus passes through in order (token floor → language → repetition
+    * → length cap), with per-stage entering / dropped / surviving
+    * counts — the "where did my documents go" diagnostic every cleaning
+    * pipeline publishes. ONE scan computes each document's first-failing
+    * stage; everything after (stage join, cumulative window) runs on the
+    * ≤ stages+1-row counts frame, so the report costs a count-agg
+    * regardless of corpus size. */
+  def qpAttrition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(col("text"))
+    val stages: Seq[(Long, String, org.apache.spark.sql.Column)] = Seq(
+      (1L, "min_tokens", size(toks) >= 20),
+      (2L, "lang_en", col("lang") === "en"),
+      (3L, "repetition",
+        size(array_distinct(toks)).cast("double") / size(toks) >= 0.3),
+      (4L, "max_chars", col("n_chars") <= 1500))
+    val failStage = stages.foldLeft(when(lit(false), 0L)) {
+      case (acc, (i, _, p)) => acc.when(!p, i)
+    }.otherwise(0L)
+    val counts = Tables.load(spark, dir, "documents")
+      .select(failStage.as("fail_stage"))
+      .groupBy("fail_stage").agg(count(lit(1)).as("n"))
+    // Survivors ride along as a sentinel row ordered LAST, so the full
+    // total and the drops-before-stage prefix both come from windows
+    // over this tiny frame — no second scan, no 1-row cross join.
+    val dim = (stages.map { case (i, name, _) => (i, name) } :+
+      (0L, "__pass")).toDF("stage_idx", "stage")
+    val ord = when(col("stage_idx") === 0L, Long.MaxValue)
+      .otherwise(col("stage_idx"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = Window.partitionBy(lit(1)).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dim.join(broadcast(counts), col("stage_idx") === col("fail_stage"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n"), lit(0L)).as("n_dropped"))
+      .withColumn("n_in", sum(col("n_dropped")).over(all) -
+        coalesce(sum(col("n_dropped")).over(prev), lit(0L)))
+      .where(col("stage_idx") =!= 0L)
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+      .orderBy("stage_idx")
+  }
+
+  val qpAttritionSql: String =
+    """WITH f AS (
+      |  SELECT CASE
+      |    WHEN NOT (len(string_split(text, ' ')) >= 20) THEN 1
+      |    WHEN NOT (lang = 'en') THEN 2
+      |    WHEN NOT (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.3) THEN 3
+      |    WHEN NOT (n_chars <= 1500) THEN 4
+      |    ELSE 0 END AS fail_stage
+      |  FROM documents
+      |), c AS (
+      |  SELECT fail_stage, COUNT(*) AS n FROM f GROUP BY fail_stage
+      |), s(stage_idx, stage) AS (
+      |  VALUES (1, 'min_tokens'), (2, 'lang_en'), (3, 'repetition'),
+      |         (4, 'max_chars'), (0, '__pass')
+      |), d AS (
+      |  SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS n_dropped,
+      |    CASE WHEN s.stage_idx = 0 THEN 9223372036854775807
+      |         ELSE s.stage_idx END AS ord
+      |  FROM s LEFT JOIN c ON c.fail_stage = s.stage_idx
+      |)
+      |SELECT stage_idx, stage, n_in, n_dropped, n_in - n_dropped AS n_out
+      |FROM (
+      |  SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+      |    CAST(n_dropped AS BIGINT) AS n_dropped,
+      |    CAST(SUM(n_dropped) OVER ()
+      |      - COALESCE(SUM(n_dropped) OVER (ORDER BY ord
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_in
+      |  FROM d
+      |)
+      |WHERE stage_idx <> 0
+      |ORDER BY stage_idx""".stripMargin
+
+  /** §2.31n — deterministic sharded corpus shuffle
+    * ([[graft.operators.Sampling.shuffleShards]]): reproducible
+    * training order (shard, pos) with rank windows parallel across the
+    * 8 shards. */
+  def qpShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleShards(
+      Tables.load(spark, dir, "documents"), "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
+  val qpShuffleSql: String =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5('shuffle:' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY ('0x' || substr(md5('shuffle:' || doc_id), 1, 8))::BIGINT % 8
+      |    ORDER BY md5('shuffle:' || doc_id), doc_id) AS BIGINT) AS pos
+      |FROM documents
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_attrition" -> (qpAttrition _),
+    "qp_shuffle" -> (qpShuffle _),
     "qp_clean_passages" -> (qpCleanPassages _),
     "qp_corpus" -> (qpCorpus _),
     "qp_sample" -> (qpSample _),
@@ -276,6 +376,8 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_attrition" -> qpAttritionSql,
+    "qp_shuffle" -> qpShuffleSql,
     "qp_clean_passages" -> qpCleanPassagesSql,
     "qp_corpus" -> qpCorpusSql,
     "qp_sample" -> qpSampleSql,

@@ -90,6 +90,40 @@ object ProfileQueries {
       |FROM ca JOIN cb ON ca.bin = cb.bin
       |ORDER BY ca.bin""".stripMargin
 
+  /** §2.13i — binned Kolmogorov–Smirnov drift between the two md5-split
+    * halves of `orders` over 20k-wide totalprice bins
+    * ([[Profiler.ksDriftBySide]]); the cumulative complement of
+    * [[qcDrift]]'s PSI, with no one-sided-bin blind spot. */
+  def qcKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val bucket = md5Bucket("ks", col("o_orderkey"), 100)
+    Profiler.ksDriftBySide(Tables.load(spark, dir, "orders"), bucket < 50,
+      "o_totalprice", 20000.0)
+      .orderBy("bin")
+  }
+
+  val qcKsDriftSql: String =
+    """WITH tagged AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bin,
+      |    ('0x' || substr(md5('ks:' || o_orderkey), 1, 8))::BIGINT % 100 < 50 AS in_a
+      |  FROM orders
+      |), c AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM tagged GROUP BY bin
+      |), k AS (
+      |  SELECT bin, n_a, n_b,
+      |    CAST(SUM(n_a) OVER (ORDER BY bin) AS DOUBLE)
+      |      / CAST(SUM(n_a) OVER () AS DOUBLE) AS ca,
+      |    CAST(SUM(n_b) OVER (ORDER BY bin) AS DOUBLE)
+      |      / CAST(SUM(n_b) OVER () AS DOUBLE) AS cb
+      |  FROM c
+      |)
+      |SELECT bin, n_a, n_b, round(ca, 6) AS cdf_a, round(cb, 6) AS cdf_b,
+      |  round(abs(ca - cb), 6) AS ks_dist
+      |FROM k ORDER BY bin""".stripMargin
+
   private val topValueCols = Seq("o_orderstatus", "o_orderpriority")
 
   /** §2.13f — per-column heavy hitters: the top-3 most frequent values
@@ -190,6 +224,7 @@ object ProfileQueries {
     "qc_profile" -> (qcProfile _),
     "qc_anomaly" -> (qcAnomaly _),
     "qc_drift" -> (qcDrift _),
+    "qc_ks_drift" -> (qcKsDrift _),
     "qc_topvalues" -> (qcTopValues _),
     "qc_gaps" -> (qcGaps _))
 
@@ -198,6 +233,7 @@ object ProfileQueries {
     "qc_profile" -> qcProfileSql,
     "qc_anomaly" -> qcAnomalySql,
     "qc_drift" -> qcDriftSql,
+    "qc_ks_drift" -> qcKsDriftSql,
     "qc_topvalues" -> qcTopValuesSql,
     "qc_gaps" -> qcGapsSql)
 }

@@ -177,6 +177,39 @@ object Profiler {
       .transform(psiSelect)
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov drift between the `sideA` /
+    * `!sideA` halves of one dataset: per bin, both sides' counts, the
+    * empirical CDFs at the bin's upper edge, and the |CDF_a − CDF_b|
+    * distance (whose max over bins is the KS statistic). Complements
+    * [[driftBySide]] (PSI): KS is cumulative, so it keeps one-sided
+    * bins (a bin empty on one side still moves only the other CDF)
+    * and has no infinite-term edge case.
+    *
+    * Binning bounds the frame at value-range/binWidth rows regardless
+    * of data volume — exact-CDF KS would sort every distinct value
+    * through one ordered window. One conditional-sum scan; the
+    * cumulative windows run over the tiny bin frame only. */
+  def ksDriftBySide(df: DataFrame, sideA: Column, valueCol: String,
+      binWidth: Double): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.partitionBy(lit(1)).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Integer cumulative / integer total, ONE double division per side
+    // (both operands exact in double) — the oracle mirrors this op order.
+    val cdfA = sum(col("n_a")).over(cum).cast("double") /
+      sum(col("n_a")).over(all).cast("double")
+    val cdfB = sum(col("n_b")).over(cum).cast("double") /
+      sum(col("n_b")).over(all).cast("double")
+    df.groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(sideA, 0L).otherwise(1L)).as("n_b"))
+      .withColumn("__ca", cdfA).withColumn("__cb", cdfB)
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("__ca"), 6).as("cdf_a"), round(col("__cb"), 6).as("cdf_b"),
+        round(abs(col("__ca") - col("__cb")), 6).as("ks_dist"))
+  }
+
   /** Gaps (missing ranges) in an integer key sequence — sequential-
     * integrity QC. Returns (gap_start, gap_end, n_missing), one row per
     * maximal missing range between the observed min and max key.

@@ -65,4 +65,25 @@ class SamplingSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(out.map(_._2).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
   }
+
+  test("shuffleShards is a reproducible permutation with dense per-shard ranks") {
+    val out = Sampling.shuffleShards(docs, "id", shards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == docs.collect().map(_.getLong(0)).toSet)
+    assert(out.length == out.map(_._1).distinct.length) // each row exactly once
+    out.groupBy(_._2).foreach { case (_, rows) =>       // pos dense 1..n
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = Sampling.shuffleShards(docs, "id", shards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq) // deterministic
+    // A different seed produces a different order (203 rows: the chance
+    // two md5 orders agree is ~1/203!).
+    val other = Sampling.shuffleShards(docs, "id", shards = 4, seed = "other")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sorted.toSeq != out.sorted.toSeq)
+  }
 }

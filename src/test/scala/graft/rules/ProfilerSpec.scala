@@ -72,4 +72,35 @@ class ProfilerSpec extends SparkSpec {
     assert(shifted.map(_.getLong(0)).toSet == (5 to 9).map(_.toLong).toSet)
     assert(shifted.map(_.getDouble(5)).sum > 0.1)
   }
+
+  test("ksDriftBySide: hand-computed CDFs, one-sided bins kept, max = KS") {
+    val s = spark
+    import s.implicits._
+    // Side A (even id): values 0,0,10,20 → bins 0,0,1,2
+    // Side B (odd id):  values 0,10,10,30 → bins 0,1,1,3
+    val df = Seq((0L, 0.0), (2L, 0.0), (4L, 10.0), (6L, 20.0),
+      (1L, 0.0), (3L, 10.0), (5L, 10.0), (7L, 30.0)).toDF("id", "v")
+    val out = Profiler.ksDriftBySide(df, col("id") % 2 === 0, "v", 10.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 0.5, 0.25, 0.25),
+      (1L, 1L, 2L, 0.75, 0.75, 0.0),
+      (2L, 1L, 0L, 1.0, 0.75, 0.25), // bin empty on B still reported
+      (3L, 0L, 1L, 1.0, 1.0, 0.0)))
+    assert(out.map(_._6).max == 0.25) // the KS statistic
+  }
+
+  test("ksDriftBySide is zero everywhere for identical halves") {
+    val s = spark
+    import s.implicits._
+    // Duplicate every value onto both sides → CDFs coincide per bin.
+    val df = (1 to 100).flatMap(i => Seq((0L, i * 1.0), (1L, i * 1.0)))
+      .toDF("side", "v")
+    val out = Profiler.ksDriftBySide(df, col("side") === 0, "v", 25.0)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(5) == 0.0))
+  }
 }

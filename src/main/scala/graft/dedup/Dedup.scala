@@ -347,6 +347,34 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over document PREFIXES,
+    * blocked by `blockCol`: pairs in the same block whose first
+    * `prefixLen` chars are within `maxDist` edits. Levenshtein is
+    * O(len²) per pair, so it can never run over full documents at
+    * corpus scale — the prefix cap bounds per-pair cost to a constant
+    * and the |len_a − len_b| ≤ maxDist pre-filter (a length difference
+    * of d already forces ≥ d edits on the FULL strings) prunes the
+    * block grid before the quadratic compare. The built-in
+    * `levenshtein` is codegen'd; the block equi-join is one shuffle on
+    * the block key. At 100 TB this is the re-rank stage behind an LSH /
+    * band blocking pass (qd_minhash_pairs), not a standalone scan.
+    * Returns (id_a, id_b, len_a, len_b, edit_dist). */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      lenCol: String, blockCol: String, prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    val prepared = df.select(col(blockCol).as("__block"),
+      col(idCol).as("__id"), col(lenCol).as("__len"),
+      substring(col(textCol), 1, prefixLen).as("__pre"))
+    val a = prepared.toDF("__block", "id_a", "len_a", "__pre_a")
+    val b = prepared.toDF("__block", "id_b", "len_b", "__pre_b")
+    a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
+      .where(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__pre_a"), col("__pre_b")).cast("bigint"))
+      .where(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "len_a", "len_b", "edit_dist")
+  }
+
   /** Thresholded n-gram Jaccard pairs via an inverted shingle index:
     * explode shingles, self-join on (block, shingle) so intersection
     * counts accrue ONLY for pairs that actually share a shingle, then

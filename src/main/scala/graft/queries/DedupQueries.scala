@@ -228,6 +228,30 @@ object DedupQueries {
       |WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.24b — Levenshtein near-dup pairs over 40-char prefixes within
+    * each source block ([[Dedup.editDistancePairs]]): the character-level
+    * re-rank complement of shingle Jaccard (catches single-char typo
+    * edits that shift every overlapping shingle). Length pre-filter +
+    * prefix cap keep the quadratic compare bounded — see the operator
+    * doc for the 100 TB blocking contract. */
+  def qdEditDistance(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", "n_chars", "source", 40, 16)
+      .orderBy("id_a", "id_b")
+
+  val qdEditDistanceSql: String =
+    """WITH p AS (
+      |  SELECT source, doc_id, n_chars, left(text, 40) AS pre
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  a.n_chars AS len_a, b.n_chars AS len_b,
+      |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+      |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE abs(a.n_chars - b.n_chars) <= 16
+      |  AND levenshtein(a.pre, b.pre) <= 16
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.25 — embedding cosine near-dup pairs blocked by label. */
   def qdEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
@@ -399,6 +423,7 @@ object DedupQueries {
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
+    "qd_edit_distance" -> (qdEditDistance _),
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -413,5 +438,6 @@ object DedupQueries {
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
+    "qd_edit_distance" -> qdEditDistanceSql,
     "qd_embedding" -> qdEmbeddingSql)
 }

@@ -525,7 +525,123 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33l — Markov event-transition matrix: counts and row-normalized
+    * probabilities of each (event_type → next event_type) step along
+    * every user's time-ordered stream. One lead window parallel across
+    * users + a 25-cell aggregation; the per-from-type normalization is
+    * a window over the tiny transition frame (|types|² rows at ANY
+    * scale), never the event stream. The behavioural fingerprint that
+    * drives next-event prediction baselines and bot detection (uniform
+    * rows ⇒ no structure). */
+  def qeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byFrom = Window.partitionBy("from_type")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_trans",
+        round(col("n_trans") / sum(col("n_trans")).over(byFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qeTransitionsSql: String =
+    """WITH l AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n_trans,
+      |  round(n_trans / SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p_trans
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** §2.33m — burst (rate-spike) detection: events that are the 3rd in
+    * ≤ 60 minutes for their user, i.e. `ts - lag(ts, 2) ≤ 1h` — the
+    * exact sliding-count trigger, as ONE lag window parallel across
+    * users (no self-join, no range join; the k-th-previous-timestamp
+    * trick turns "≥ k events in any W window" into a per-row
+    * predicate). Gaps stay integer micros. The abuse/bot-rate-limit
+    * monitor; per-user rollup output. */
+  def qeBursts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("__p2", lag(col("ts"), 2).over(w))
+      .where(col("__p2").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("__p2")) <= 3600000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_bursts"),
+        min(col("ts")).as("first_burst"), max(col("ts")).as("last_burst"))
+      .orderBy("user_id")
+  }
+
+  val qeBurstsSql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts,
+      |    lag(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      |  FROM events
+      |)
+      |SELECT user_id, COUNT(*) AS n_bursts,
+      |  MIN(ts) AS first_burst, MAX(ts) AS last_burst
+      |FROM l
+      |WHERE p2 IS NOT NULL AND epoch_us(ts) - epoch_us(p2) <= 3600000000
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.33n — exponentially time-decayed engagement score per user:
+    * Σ value·e^(−0.1·age_days), age relative to the corpus max event
+    * time (one 1-row aggregate broadcast via cross join — never a
+    * window over the fact table). The recency-weighted ranking signal
+    * behind trending/engagement feeds. Per-user sums fold LEFT-TO-RIGHT
+    * over the event_id-sorted weight array (Portable rule 2: float SUM
+    * over rows has nondeterministic accumulation order in a distributed
+    * engine); at 100 TB the per-user array is bounded by per-user
+    * activity, and the documented swap-in is pre-aggregating by (user,
+    * day) — day weights are equal, so in-day sums stay exact integers
+    * scaled by cents before one decayed fold over ≤ retention-window
+    * days. */
+  def qeDecay(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+    events.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("event_id"),
+        (col("value") * exp(lit(-0.1) *
+          ((col("anchor_us") - unix_micros(col("ts"))).cast("double") /
+            lit(86400000000.0)))).as("wv"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("event_id"), col("wv"))))
+          .as("__ws"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(col("__ws"), lit(0.0),
+          (acc, x) => acc + x.getField("wv")), 6).as("decayed_value"))
+      .orderBy("user_id")
+  }
+
+  val qeDecaySql: String =
+    """WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor_us FROM events),
+      |w AS (
+      |  SELECT user_id, event_id,
+      |    value * exp(-0.1 * (CAST(anchor_us - epoch_us(ts) AS DOUBLE)
+      |      / 86400000000.0)) AS wv
+      |  FROM events CROSS JOIN a
+      |)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  round(list_reduce(list(wv ORDER BY event_id), (x, y) -> x + y), 6)
+      |    AS decayed_value
+      |FROM w GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_transitions" -> (qeTransitions _),
+    "qe_bursts" -> (qeBursts _),
+    "qe_decay" -> (qeDecay _),
     "qe_anomaly_hours" -> (qeAnomalyHours _),
     "qe_interarrival" -> (qeInterarrival _),
     "qe_gapfill" -> (qeGapfill _),
@@ -544,6 +660,9 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_transitions" -> qeTransitionsSql,
+    "qe_bursts" -> qeBurstsSql,
+    "qe_decay" -> qeDecaySql,
     "qe_anomaly_hours" -> qeAnomalyHoursSql,
     "qe_interarrival" -> qeInterarrivalSql,
     "qe_gapfill" -> qeGapfillSql,

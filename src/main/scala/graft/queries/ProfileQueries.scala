@@ -219,7 +219,122 @@ object ProfileQueries {
       |  (n_orders < 0.5 * AVG(n_orders) OVER ()) AS low_volume
       |FROM m ORDER BY month""".stripMargin
 
+  /** §2.13j — chi-square categorical drift between the two md5-split
+    * halves of `events` over event_type: the two-sample homogeneity
+    * test that complements PSI (13e, share-based) and KS (13i,
+    * cumulative-numeric) for CATEGORICAL columns. ONE conditional-sum
+    * scan builds the contingency table; expected counts and per-cell
+    * chi² terms come from windows over the tiny category frame
+    * (|categories| rows at any scale). All float arithmetic runs over
+    * exact integer counts in a fixed expression order, so the oracle
+    * agrees bit-for-bit before the final round. */
+  def qcChi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    import org.apache.spark.sql.expressions.Window
+    val inA = md5Bucket("chi2", col("event_id"), 100) < 50
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val eA = (col("n_a") + col("n_b")).cast("double") * col("tot_a") /
+      (col("tot_a") + col("tot_b"))
+    val eB = (col("n_a") + col("n_b")).cast("double") * col("tot_b") /
+      (col("tot_a") + col("tot_b"))
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(all))
+      .withColumn("tot_b", sum(col("n_b")).over(all))
+      .withColumn("e_a", eA)
+      .withColumn("e_b", eB)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("e_a"), 6).as("exp_a"), round(col("e_b"), 6).as("exp_b"),
+        round((col("n_a") - col("e_a")) * (col("n_a") - col("e_a")) / col("e_a") +
+          (col("n_b") - col("e_b")) * (col("n_b") - col("e_b")) / col("e_b"), 6)
+          .as("chi2_term"))
+      .orderBy("event_type")
+  }
+
+  val qcChi2DriftSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('chi2:' || event_id), 1, 8))::BIGINT % 100 < 50
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('chi2:' || event_id), 1, 8))::BIGINT % 100 < 50
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM events GROUP BY event_type
+      |), w AS (
+      |  SELECT *, CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+      |    CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b FROM t
+      |), e AS (
+      |  SELECT *,
+      |    CAST(n_a + n_b AS DOUBLE) * tot_a / (tot_a + tot_b) AS e_a,
+      |    CAST(n_a + n_b AS DOUBLE) * tot_b / (tot_a + tot_b) AS e_b
+      |  FROM w
+      |)
+      |SELECT event_type, n_a, n_b,
+      |  round(e_a, 6) AS exp_a, round(e_b, 6) AS exp_b,
+      |  round((n_a - e_a) * (n_a - e_a) / e_a
+      |      + (n_b - e_b) * (n_b - e_b) / e_b, 6) AS chi2_term
+      |FROM e ORDER BY event_type""".stripMargin
+
+  /** §2.13k — Tukey-fence (IQR) outlier detection on event values per
+    * event type: the distribution-free robust complement of 13d's
+    * moment-based z-score (a handful of extreme rows cannot drag the
+    * fences the way they drag a mean/stddev). TWO passes by nature of
+    * the statistic — an exact interpolated p25/p75 aggregation (tiny
+    * output frame, broadcast back) and one counting pass over the fact
+    * — with no third pass because both fences come from ONE percentile
+    * aggregation (unlike MAD's median-of-deviations chain).
+    * Fences are compared ROUNDED (qc_anomaly discipline) so the
+    * boundary decision is taken on the same 6-dp value in both
+    * engines. 100 TB swap-in: approx_percentile for the fence pass. */
+  def qcIqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val fences = events.groupBy(col("event_type").as("f_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("__p"))
+      .select(col("f_type"),
+        round(element_at(col("__p"), 1), 6).as("p25"),
+        round(element_at(col("__p"), 2), 6).as("p75"),
+        round(element_at(col("__p"), 1) -
+          lit(1.5) * (element_at(col("__p"), 2) - element_at(col("__p"), 1)), 6)
+          .as("lo_fence"),
+        round(element_at(col("__p"), 2) +
+          lit(1.5) * (element_at(col("__p"), 2) - element_at(col("__p"), 1)), 6)
+          .as("hi_fence"))
+    events.join(broadcast(fences), col("event_type") === col("f_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first(col("p25")).as("p25"), first(col("p75")).as("p75"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        sum(when(col("value") < col("lo_fence") ||
+          col("value") > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val qcIqrOutliersSql: String =
+    """WITH f AS (
+      |  SELECT event_type AS f_type,
+      |    round(quantile_cont(value, 0.25), 6) AS p25,
+      |    round(quantile_cont(value, 0.75), 6) AS p75,
+      |    round(quantile_cont(value, 0.25)
+      |      - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS lo_fence,
+      |    round(quantile_cont(value, 0.75)
+      |      + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS hi_fence
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  MIN(f.p25) AS p25, MIN(f.p75) AS p75,
+      |  MIN(f.lo_fence) AS lo_fence, MIN(f.hi_fence) AS hi_fence,
+      |  CAST(SUM(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN f ON e.event_type = f.f_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_chi2_drift" -> (qcChi2Drift _),
+    "qc_iqr_outliers" -> (qcIqrOutliers _),
     "qc_freshness" -> (qcFreshness _),
     "qc_profile" -> (qcProfile _),
     "qc_anomaly" -> (qcAnomaly _),
@@ -229,6 +344,8 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_chi2_drift" -> qcChi2DriftSql,
+    "qc_iqr_outliers" -> qcIqrOutliersSql,
     "qc_freshness" -> qcFreshnessSql,
     "qc_profile" -> qcProfileSql,
     "qc_anomaly" -> qcAnomalySql,

@@ -31,9 +31,13 @@ object PlanAudit {
     //  - qe_gapfill crosses the generated hour spine with the distinct
     //    event types (constant-folded join key → BNLJ): both sides are
     //    derived frames bounded by hours × types at any data scale.
+    //  - qe_decay crosses the fact table with a broadcast ONE-ROW
+    //    max-timestamp aggregate (scalar-subquery pattern, same as
+    //    q11/q22): a 1-row broadcast BNLJ is a plain per-row anchor
+    //    lookup at any scale.
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
-      "qe_anomaly_hours")
+      "qe_anomaly_hours", "qe_decay")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

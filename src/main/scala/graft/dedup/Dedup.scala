@@ -356,18 +356,51 @@ object Dedup {
     * of d already forces ≥ d edits on the FULL strings) prunes the
     * block grid before the quadratic compare. The built-in
     * `levenshtein` is codegen'd; the block equi-join is one shuffle on
-    * the block key. At 100 TB this is the re-rank stage behind an LSH /
-    * band blocking pass (qd_minhash_pairs), not a standalone scan.
+    * the block key. This raw-block form is for SMALL, BOUNDED blocks
+    * only (the join is O(|block|²) before the length pre-filter):
+    * `maxBlockSize` enforces that contract by dropping oversized blocks
+    * — at corpus scale use [[editDistanceRerank]], which runs the same
+    * compare over LSH candidates instead of block grids.
     * Returns (id_a, id_b, len_a, len_b, edit_dist). */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       lenCol: String, blockCol: String, prefixLen: Int,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBlockSize: Int = 10000): DataFrame = {
     val prepared = df.select(col(blockCol).as("__block"),
       col(idCol).as("__id"), col(lenCol).as("__len"),
       substring(col(textCol), 1, prefixLen).as("__pre"))
+      // Guard: count per block rides a window over the already-shuffled
+      // block key (no second scan); blocks past the cap are excluded
+      // rather than allowed to explode the grid join.
+      .withColumn("__bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("__block")))
+      .where(col("__bn") <= maxBlockSize)
+      .drop("__bn")
     val a = prepared.toDF("__block", "id_a", "len_a", "__pre_a")
     val b = prepared.toDF("__block", "id_b", "len_b", "__pre_b")
     a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
+      .where(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__pre_a"), col("__pre_b")).cast("bigint"))
+      .where(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "len_a", "len_b", "edit_dist")
+  }
+
+  /** Edit-distance re-rank over a CANDIDATE pair set — the corpus-scale
+    * composition the prefix-Levenshtein compare is designed for: the
+    * quadratic stage runs only on `candidates` (id_a, id_b) rows, e.g.
+    * [[minhashCandidatePairs]] output, which is O(band collisions) and
+    * never O(n²). Two hash-joins annotate the pair set with each side's
+    * prefix + length; the |len_a − len_b| ≤ maxDist pre-filter (d chars
+    * of length difference force ≥ d edits) prunes before the codegen'd
+    * `levenshtein`. Returns (id_a, id_b, len_a, len_b, edit_dist). */
+  def editDistanceRerank(df: DataFrame, candidates: DataFrame,
+      textCol: String, idCol: String, lenCol: String, prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    val prepared = df.select(col(idCol).as("__id"),
+      col(lenCol).as("__len"), substring(col(textCol), 1, prefixLen).as("__pre"))
+    candidates.select("id_a", "id_b")
+      .join(prepared.toDF("id_a", "len_a", "__pre_a"), Seq("id_a"))
+      .join(prepared.toDF("id_b", "len_b", "__pre_b"), Seq("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col("__pre_a"), col("__pre_b")).cast("bigint"))

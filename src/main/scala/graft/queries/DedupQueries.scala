@@ -228,26 +228,34 @@ object DedupQueries {
       |WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** §2.24b — Levenshtein near-dup pairs over 40-char prefixes within
-    * each source block ([[Dedup.editDistancePairs]]): the character-level
-    * re-rank complement of shingle Jaccard (catches single-char typo
-    * edits that shift every overlapping shingle). Length pre-filter +
-    * prefix cap keep the quadratic compare bounded — see the operator
-    * doc for the 100 TB blocking contract. */
-  def qdEditDistance(spark: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(Tables.load(spark, dir, "documents"),
-      "text", "doc_id", "n_chars", "source", 40, 16)
+  /** §2.24b — Levenshtein near-dup re-rank over 40-char prefixes of the
+    * MinHash-LSH candidate pairs ([[Dedup.editDistanceRerank]] over
+    * [[Dedup.minhashCandidatePairs]]): the character-level re-rank
+    * complement of shingle Jaccard (catches single-char typo edits that
+    * shift every overlapping shingle). The quadratic compare touches
+    * only O(band-collision) candidate rows — never block grids — so the
+    * composition IS the 100 TB shape; the oracle composes the same two
+    * stages. */
+  def qdEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.editDistanceRerank(docs,
+      Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize),
+      "text", "doc_id", "n_chars", 40, 16)
       .orderBy("id_a", "id_b")
+  }
 
   val qdEditDistanceSql: String =
-    """WITH p AS (
-      |  SELECT source, doc_id, n_chars, left(text, 40) AS pre
+    s"""WITH cand AS ($qdMinhashPairsSql),
+      |p AS (
+      |  SELECT doc_id, n_chars, left(text, 40) AS pre
       |  FROM documents
       |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |SELECT c.id_a, c.id_b,
       |  a.n_chars AS len_a, b.n_chars AS len_b,
       |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
-      |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+      |FROM cand c
+      |JOIN p a ON c.id_a = a.doc_id
+      |JOIN p b ON c.id_b = b.doc_id
       |WHERE abs(a.n_chars - b.n_chars) <= 16
       |  AND levenshtein(a.pre, b.pre) <= 16
       |ORDER BY id_a, id_b""".stripMargin

@@ -598,44 +598,58 @@ object EventQueries {
     * Σ value·e^(−0.1·age_days), age relative to the corpus max event
     * time (one 1-row aggregate broadcast via cross join — never a
     * window over the fact table). The recency-weighted ranking signal
-    * behind trending/engagement feeds. Per-user sums fold LEFT-TO-RIGHT
-    * over the event_id-sorted weight array (Portable rule 2: float SUM
-    * over rows has nondeterministic accumulation order in a distributed
-    * engine); at 100 TB the per-user array is bounded by per-user
-    * activity, and the documented swap-in is pre-aggregating by (user,
-    * day) — day weights are equal, so in-day sums stay exact integers
-    * scaled by cents before one decayed fold over ≤ retention-window
-    * days. */
+    * behind trending/engagement feeds. Float accumulation order is
+    * pinned by a deterministic TWO-LEVEL fold (Portable rule 2: float
+    * SUM over rows has nondeterministic accumulation order in a
+    * distributed engine): first fold per (user, day) over the
+    * (event_id, wv)-sorted in-day array — bounded by one day of one
+    * user's activity, never full history — then fold per user over the
+    * day-sorted subtotals, bounded by the retention window. The sort
+    * key includes wv so duplicate event_ids cannot make the fold order
+    * (and the 6-dp result) engine-dependent; the oracle orders both
+    * folds identically. */
   def qeDecay(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor_us"))
-    events.crossJoin(broadcast(anchor))
-      .select(col("user_id"), col("event_id"),
+    val daily = events.crossJoin(broadcast(anchor))
+      .select(col("user_id"), to_date(col("ts")).as("__day"), col("event_id"),
         (col("value") * exp(lit(-0.1) *
           ((col("anchor_us") - unix_micros(col("ts"))).cast("double") /
             lit(86400000000.0)))).as("wv"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
+      .groupBy("user_id", "__day")
+      .agg(count(lit(1)).as("__n"),
         sort_array(collect_list(struct(col("event_id"), col("wv"))))
           .as("__ws"))
+      .select(col("user_id"), col("__day"), col("__n"),
+        aggregate(col("__ws"), lit(0.0),
+          (acc, x) => acc + x.getField("wv")).as("__dsum"))
+    daily.groupBy("user_id")
+      .agg(sum(col("__n")).as("n_events"),
+        sort_array(collect_list(struct(col("__day"), col("__dsum"))))
+          .as("__ds"))
       .select(col("user_id"), col("n_events"),
-        round(aggregate(col("__ws"), lit(0.0),
-          (acc, x) => acc + x.getField("wv")), 6).as("decayed_value"))
+        round(aggregate(col("__ds"), lit(0.0),
+          (acc, x) => acc + x.getField("__dsum")), 6).as("decayed_value"))
       .orderBy("user_id")
   }
 
   val qeDecaySql: String =
     """WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor_us FROM events),
       |w AS (
-      |  SELECT user_id, event_id,
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
       |    value * exp(-0.1 * (CAST(anchor_us - epoch_us(ts) AS DOUBLE)
       |      / 86400000000.0)) AS wv
       |  FROM events CROSS JOIN a
+      |),
+      |d AS (
+      |  SELECT user_id, day, COUNT(*) AS n,
+      |    list_reduce(list(wv ORDER BY event_id, wv), (x, y) -> x + y) AS dsum
+      |  FROM w GROUP BY user_id, day
       |)
-      |SELECT user_id, COUNT(*) AS n_events,
-      |  round(list_reduce(list(wv ORDER BY event_id), (x, y) -> x + y), 6)
+      |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  round(list_reduce(list(dsum ORDER BY day), (x, y) -> x + y), 6)
       |    AS decayed_value
-      |FROM w GROUP BY user_id
+      |FROM d GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

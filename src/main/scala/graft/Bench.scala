@@ -50,21 +50,30 @@ object Bench {
       if (good.isEmpty) failed += name
       name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
     }
-    // Millisecond precision keeps the JSON line short: the harness that
-    // captures this output holds only the last few KB of stdout, and the
-    // full-precision line (17 digits per query) overflowed that buffer
-    // once the query count passed ~70, truncating the line mid-number
-    // and breaking the parse. 3 decimals ≈ 22 bytes/query.
+    // The harness that captures this output holds only the last ~2 KB
+    // of stdout — 116 queries at ~22 bytes each (3-decimal times) no
+    // longer fit, and a truncated line parses as nothing. So: the FULL
+    // per-query map goes to a file in the repo (committed with the
+    // round, so round-over-round comparison covers every query), and
+    // the stdout line stays small enough to survive the tail buffer by
+    // carrying only the slowest queries — the ones a perf reader asks
+    // about first — plus a pointer to the file.
     // Locale.ROOT pins the decimal separator to '.': the default-locale
     // f-interpolator emits "1,234" under comma-decimal locales (de_DE,
     // fr_FR), which is invalid JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}""")
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val fullLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), fullLine + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: $e") }
+    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(slowest)},"failed":$failedJson,"iterations":$iterations,"n_queries":${results.size},"all_queries_in":"$benchFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

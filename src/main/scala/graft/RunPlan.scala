@@ -42,14 +42,25 @@ object RunPlan {
   }
 
   /** Run a parsed config against a session; returns the process exit
-    * code (separated from main so tests don't System.exit). */
-  def run(spark: SparkSession, config: Config): Int = {
-    val writer = config.reportDest
-      .map(new FsReportWriter(spark, _))
-      .getOrElse(new ConsoleReportWriter)
-    val plan = PlanParser.parseFile(config.planPath, config.variables)
-    new PlanRunner(spark, Some(writer)).run(plan, config.reportKey).exitCode
-  }
+    * code (separated from main so tests don't System.exit). The whole
+    * plan is pre-validated before anything executes (reference:
+    * tnengine/TnEngine.scala:113-143, `haltIfPotentialErrors`): every
+    * config error is reported at once and nothing runs — never a
+    * half-executed plan that dies at command 17's typo. */
+  def run(spark: SparkSession, config: Config): Int =
+    PlanParser.validateFile(config.planPath, config.variables) match {
+      case Left(errors) =>
+        errors.foreach { e =>
+          val at = if (e.path.isEmpty) "" else s" at ${e.path}"
+          System.err.println(s"graft.RunPlan: invalid plan$at: ${e.message}")
+        }
+        2
+      case Right(plan) =>
+        val writer = config.reportDest
+          .map(new FsReportWriter(spark, _))
+          .getOrElse(new ConsoleReportWriter)
+        new PlanRunner(spark, Some(writer)).run(plan, config.reportKey).exitCode
+    }
 
   def main(args: Array[String]): Unit =
     parseArgs(args.toSeq) match {

@@ -31,6 +31,19 @@ object PlanParser {
   /** `dir` is the resource-path prefix of the plan inside the classpath:
     * "" for a root resource, "plans/" for "plans/foo.json". */
   private[engine] final case class ClasspathBase(dir: String) extends PlanBase
+  /** A user-supplied document loader (REST config server, object store,
+    * database — anything `String => String`); graft ships no transport
+    * client, matching the reference's reader abstraction
+    * (tnengine/TnReader.scala:44-73, `TnRESTReader`). Relative
+    * `externalParamsFile` refs resolve against the plan's path prefix
+    * THROUGH THE SAME LOADER — a REST-served plan must fetch its params
+    * from the server, never from the local filesystem. */
+  private[engine] final case class LoaderBase(dir: String,
+      load: String => String) extends PlanBase
+
+  /** One invalid command, located by its JSON path (e.g.
+    * "commands[2]" or "commands[1].commands[0]" inside a nested plan). */
+  final case class PlanError(path: String, message: String)
 
   /** Read a plan/params document from the filesystem, falling back to
     * the classpath — the reference ships plan templates inside
@@ -72,6 +85,89 @@ object PlanParser {
       baseDir: Option[Path] = None): Plan =
     parseWithBase(json, variables, baseDir.map(FsBase.apply))
 
+  /** Parse a plan served by a user-supplied loader (e.g. an HTTP GET
+    * against a plan/config server): `load` maps a document path to its
+    * text, and ALL document reads — the root plan, every
+    * `externalParamsFile`, nested plans' params — go through it. */
+  def parseFetched(path: String, load: String => String,
+      variables: Map[String, String] = Map.empty): Plan =
+    parseWithBase(load(path), variables, Some(LoaderBase(pathDir(path), load)))
+
+  private def pathDir(path: String): String =
+    path.lastIndexOf('/') match {
+      case -1 => ""
+      case i  => path.substring(0, i + 1)
+    }
+
+  /** Whole-plan pre-validation (reference: tnengine/TnEngine.scala:113-143,
+    * `haltIfPotentialErrors`): walk EVERY command — nested plans
+    * included — and return all config errors at once, so a 30-command
+    * plan's author fixes them in one round trip instead of one at a
+    * time. Right(plan) only when every command parsed. */
+  def validate(json: String, variables: Map[String, String] = Map.empty,
+      baseDir: Option[Path] = None): Either[Seq[PlanError], Plan] =
+    validateWithBase(json, variables, baseDir.map(FsBase.apply))
+
+  /** [[validate]] for a filesystem-or-classpath plan document. */
+  def validateFile(path: String, variables: Map[String, String] = Map.empty)
+      : Either[Seq[PlanError], Plan] =
+    try {
+      val p = Paths.get(path)
+      if (Files.exists(p))
+        validateWithBase(new String(Files.readAllBytes(p), "UTF-8"), variables,
+          Some(FsBase(p.toAbsolutePath.getParent)))
+      else {
+        val resource = path.stripPrefix("/")
+        readClasspath(resource) match {
+          case Some(text) =>
+            validateWithBase(text, variables, Some(ClasspathBase(pathDir(resource))))
+          case None => Left(Seq(PlanError("",
+            s"$path (not on filesystem or classpath)")))
+        }
+      }
+    } catch {
+      case e: Exception => Left(Seq(PlanError("", e.getMessage)))
+    }
+
+  /** [[validate]] for a loader-served plan document. */
+  def validateFetched(path: String, load: String => String,
+      variables: Map[String, String] = Map.empty)
+      : Either[Seq[PlanError], Plan] =
+    try validateWithBase(load(path), variables,
+      Some(LoaderBase(pathDir(path), load)))
+    catch { case e: Exception => Left(Seq(PlanError("", e.getMessage))) }
+
+  private def validateWithBase(json: String, variables: Map[String, String],
+      base: Option[PlanBase]): Either[Seq[PlanError], Plan] = {
+    val substituted = variables.foldLeft(json) { case (s, (k, v)) =>
+      s.replace("${" + k + "}", v)
+    }
+    try planValidated(mapper.readTree(substituted), base, "")
+    catch { case e: Exception => Left(Seq(PlanError("", e.getMessage))) }
+  }
+
+  private def planValidated(root: JsonNode, base: Option[PlanBase],
+      prefix: String): Either[Seq[PlanError], Plan] = {
+    val dest = Option(root.path("io").path("dest").asText(null))
+    val results: Seq[Either[Seq[PlanError], Command]] =
+      root.path("commands").elements().asScala.zipWithIndex.map {
+        case (node, i) =>
+          val at = s"${prefix}commands[$i]"
+          if (node.path("command").asText() == "plan")
+            // Recurse so a nested plan reports ALL its bad commands,
+            // not just the first, each located by its full path.
+            (try planValidated(resolveParams(node, base), base, s"$at.")
+             catch { case e: Exception => Left(Seq(PlanError(at, e.getMessage))) })
+              .map(PlanCommand.apply)
+          else
+            try Right(commandFromNode(node, base))
+            catch { case e: Exception => Left(Seq(PlanError(at, e.getMessage))) }
+      }.toSeq
+    val errors = results.collect { case Left(es) => es }.flatten
+    if (errors.nonEmpty) Left(errors)
+    else Right(Plan(results.collect { case Right(c) => c }, dest))
+  }
+
   private def parseWithBase(json: String, variables: Map[String, String],
       base: Option[PlanBase]): Plan = {
     val substituted = variables.foldLeft(json) { case (s, (k, v)) =>
@@ -94,41 +190,46 @@ object PlanParser {
     Plan(commands, dest)
   }
 
-  private def commandFromNode(node: JsonNode, baseDir: Option[PlanBase]): Command = {
-    // merge externalParamsFile content under "params" when present
-    val params: JsonNode = {
-      val ext = Option(node.get("externalParamsFile")).map(_.asText())
-      ext match {
-        case Some(rel) =>
-          // Resolution order: plan-relative (same medium the plan came
-          // from), then classpath root, then — only when NO base
-          // exists — the raw path. Never fall back to a CWD-relative
-          // file when the plan has a base: a stale deploy there must
-          // fail loudly, not silently load whatever the launch
-          // directory happens to contain. A classpath plan never
-          // probes the filesystem at all — absolute refs included: a
-          // jar-shipped plan must not read the host filesystem.
-          val text = baseDir match {
-            case Some(FsBase(b)) if !rel.startsWith("/") =>
-              val resolved = b.resolve(rel)
-              if (Files.exists(resolved))
-                new String(Files.readAllBytes(resolved), "UTF-8")
-              else readClasspath(rel).getOrElse(
-                throw new java.nio.file.NoSuchFileException(
-                  s"$resolved (also tried classpath '$rel')"))
-            case Some(ClasspathBase(dir)) =>
-              val refs =
-                if (rel.startsWith("/")) Seq(rel.stripPrefix("/"))
-                else Seq(dir + rel, rel)
-              refs.view.flatMap(readClasspath).headOption.getOrElse(
-                throw new java.nio.file.NoSuchFileException(
-                  refs.map(r => s"classpath '$r'").mkString(", ")))
-            case _ => readText(rel)
-          }
-          mapper.readTree(text)
-        case None => node.path("params")
-      }
+  /** Merge externalParamsFile content under "params" when present. */
+  private def resolveParams(node: JsonNode, baseDir: Option[PlanBase]): JsonNode = {
+    val ext = Option(node.get("externalParamsFile")).map(_.asText())
+    ext match {
+      case Some(rel) =>
+        // Resolution order: plan-relative (same medium the plan came
+        // from), then classpath root, then — only when NO base
+        // exists — the raw path. Never fall back to a CWD-relative
+        // file when the plan has a base: a stale deploy there must
+        // fail loudly, not silently load whatever the launch
+        // directory happens to contain. A classpath plan never
+        // probes the filesystem at all — absolute refs included: a
+        // jar-shipped plan must not read the host filesystem; a
+        // loader-served plan likewise fetches ONLY through its loader.
+        val text = baseDir match {
+          case Some(FsBase(b)) if !rel.startsWith("/") =>
+            val resolved = b.resolve(rel)
+            if (Files.exists(resolved))
+              new String(Files.readAllBytes(resolved), "UTF-8")
+            else readClasspath(rel).getOrElse(
+              throw new java.nio.file.NoSuchFileException(
+                s"$resolved (also tried classpath '$rel')"))
+          case Some(ClasspathBase(dir)) =>
+            val refs =
+              if (rel.startsWith("/")) Seq(rel.stripPrefix("/"))
+              else Seq(dir + rel, rel)
+            refs.view.flatMap(readClasspath).headOption.getOrElse(
+              throw new java.nio.file.NoSuchFileException(
+                refs.map(r => s"classpath '$r'").mkString(", ")))
+          case Some(LoaderBase(dir, load)) =>
+            load(if (rel.startsWith("/")) rel else dir + rel)
+          case _ => readText(rel)
+        }
+        mapper.readTree(text)
+      case None => node.path("params")
     }
+  }
+
+  private def commandFromNode(node: JsonNode, baseDir: Option[PlanBase]): Command = {
+    val params: JsonNode = resolveParams(node, baseDir)
     node.path("command").asText() match {
       case "assertion" =>
         AssertionCommand(

@@ -268,6 +268,25 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** [[qPercentiles]]' 100 TB swap-in, shipped callable: approx_percentile
+    * (GK sketch — bounded per-group state, mergeable across partitions,
+    * no per-group value map). `accuracy` bounds rank error to
+    * n/accuracy; at the 10000 default a within-group rank error of
+    * ≤ 0.01% of rows. Same output schema as the exact form, so a
+    * pipeline swaps one call — ApproxVariantsSpec pins it to the exact
+    * form's values at sf0.01 tolerance. */
+  def qPercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $accuracy)")
+        .as("__p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__p"), 1), 6).as("p50"),
+        round(element_at(col("__p"), 2), 6).as("p90"),
+        round(element_at(col("__p"), 3), 6).as("p99"))
+      .orderBy("l_returnflag")
+
   /** TPC-H Q17-style small-quantity revenue: lineitems of one brand's
     * parts ordering under 20% of their part's average quantity — the
     * scalar-aggregate (correlated subquery) pattern, expressed as ONE

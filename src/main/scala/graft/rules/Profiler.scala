@@ -102,6 +102,44 @@ object Profiler {
     * on the value ROUNDED to 6 places, so the cross-engine contract is
     * exact arithmetic + one final rounding.
     */
+  /** Approximate heavy hitters — top-k values per column — for
+    * UNBOUNDED-cardinality columns, where the exact unpivot+count form
+    * (ProfileQueries qc_topvalues) would push the full value domain
+    * through the shuffle. Two bounded passes:
+    *   1. candidate sketch: `stat.freqItems` (Karp et al. frequent
+    *      items) streams each partition once with ≤ 1/support counters
+    *      per column — every value with frequency ≥ support survives,
+    *      so for support ≤ 1/(k·colCardinality-skew) the true top-k is
+    *      a subset of the candidates;
+    *   2. exact recount of ONLY the candidate values (conditional
+    *      aggregation over one scan; the count frame is ≤ cols/support
+    *      rows), then rank.
+    * Counts in the output are EXACT for every surfaced value — the
+    * approximation is only whether a sub-support value could be missed.
+    * Returns (column_name, col_value, cnt, rnk), rnk ≤ k, ties broken
+    * by value for determinism. */
+  def topValuesApprox(df: DataFrame, cols: Seq[String], k: Int,
+      support: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty, "topValuesApprox needs at least one column")
+    val freqRow = df.stat.freqItems(cols.toArray, support).head()
+    val candidates: Map[String, Seq[String]] = cols.zipWithIndex.map {
+      case (c, i) => c -> freqRow.getSeq[Any](i).map(String.valueOf(_)).toSeq
+    }.toMap
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val isCandidate = cols.map { c =>
+      col("column_name") === c &&
+        col("col_value").isin(candidates(c): _*)
+    }.reduce(_ || _)
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("cnt").desc, col("col_value"))
+    df.select(expr(s"stack(${cols.size}, $stackArgs) AS (column_name, col_value)"))
+      .where(isCandidate)
+      .groupBy("column_name", "col_value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+  }
+
   def zOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
       zThreshold: Double): DataFrame = {
     require(groupCols.nonEmpty, "zOutliers needs at least one group column")

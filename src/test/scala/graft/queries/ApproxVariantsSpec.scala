@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.rules.Profiler
+import graft.Tables
+
+/** Pins each approximate 100 TB swap-in against its exact counterpart
+  * on real sf0.01 data: the approx forms are the shapes a cluster would
+  * run (bounded state, mergeable sketches), and these cases prove they
+  * stay within tolerance of the oracle-checked exact forms. */
+class ApproxVariantsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("profileApprox distinct counts stay within HLL tolerance of exact at sf0.01") {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = byCol(Profiler.profile(Tables.load(spark, dir, "orders"), cols))
+    val approx = byCol(Profiler.profileApprox(Tables.load(spark, dir, "orders"), cols))
+    assert(approx.keySet === exact.keySet)
+    for (c <- cols) {
+      val (en, enulls, end) = exact(c)
+      val (an, anulls, and) = approx(c)
+      // Row/null counts are not sketched — they must agree exactly.
+      assert(an === en && anulls === enulls)
+      // HLL++ default rsd is 5%; allow 3 sigma.
+      assert(math.abs(and - end) <= math.max(3, 0.15 * end),
+        s"$c: approx ndv $and vs exact $end")
+    }
+  }
+
+  test("approx_percentile stays within rank tolerance of exact percentiles at sf0.01") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag(Analytics.qPercentiles(spark, dir))
+    val approx = byFlag(Analytics.qPercentilesApprox(spark, dir))
+    assert(approx.keySet === exact.keySet)
+    for ((flag, es) <- exact; (e, a) <- es.zip(approx(flag))) {
+      // accuracy=10000 → rank error ≤ n/10000; on this price
+      // distribution that is well inside 1% of the value.
+      assert(math.abs(a - e) <= 0.01 * math.abs(e),
+        s"$flag: approx $a vs exact $e")
+    }
+  }
+
+  test("topValuesApprox recovers the exact top-3 at sf0.01 (counts exact)") {
+    val cols = Seq("o_orderstatus", "o_orderpriority")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("column_name", "rnk").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // Support 0.01 keeps every value with ≥1% frequency as a candidate;
+    // both columns' full domains clear that bar, so the sketch+recount
+    // must equal the exact unpivot+count top-3 row for row.
+    val approx = rows(Profiler.topValuesApprox(
+      Tables.load(spark, dir, "orders"), cols, 3, 0.01))
+    val exact = rows(ProfileQueries.qcTopValues(spark, dir)
+      .select("column_name", "col_value", "cnt", "rnk"))
+    assert(approx === exact)
+  }
+}

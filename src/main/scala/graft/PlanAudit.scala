@@ -35,9 +35,13 @@ object PlanAudit {
     //    max-timestamp aggregate (scalar-subquery pattern, same as
     //    q11/q22): a 1-row broadcast BNLJ is a plain per-row anchor
     //    lookup at any scale.
+    //  - qt_keywords crosses the candidate frame with a broadcast
+    //    ONE-ROW corpus-total aggregate; qe_rfm crosses the fact table
+    //    with a broadcast ONE-ROW max-date anchor (same scalar-subquery
+    //    pattern as qe_decay).
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
-      "qe_anomaly_hours", "qe_decay")
+      "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -420,6 +420,44 @@ object Dedup {
   def jaccardNeighbors(df: DataFrame, textCol: String, idCol: String,
       n: Int, blockCol: String, minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0, "inverted index requires a positive threshold")
+    val (counts, inter) = shingleIntersections(df, textCol, idCol, n, blockCol)
+    inter
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("n_a") + col("n_b") - col("__inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Thresholded shingle CONTAINMENT pairs over the same inverted index
+    * as [[jaccardNeighbors]]: containment |A∩B|/|A| is the asymmetric
+    * near-dup measure — a short document wholly embedded in a long one
+    * scores ~1.0 where Jaccard (diluted by the union) stays low, so
+    * this is the quote/excerpt/boilerplate-inclusion detector Jaccard
+    * misses. Emits both directions per unordered pair; keeps pairs
+    * where EITHER direction clears `minContainment`. */
+  def containmentNeighbors(df: DataFrame, textCol: String, idCol: String,
+      n: Int, blockCol: String, minContainment: Double): DataFrame = {
+    require(minContainment > 0.0, "inverted index requires a positive threshold")
+    val (counts, inter) = shingleIntersections(df, textCol, idCol, n, blockCol)
+    inter
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / col("n_a").cast("double"))
+          .as("containment_in_a"),
+        (col("__inter").cast("double") / col("n_b").cast("double"))
+          .as("containment_in_b"))
+      .where(col("containment_in_a") >= minContainment ||
+        col("containment_in_b") >= minContainment)
+  }
+
+  /** Shared inverted-index core of [[jaccardNeighbors]] /
+    * [[containmentNeighbors]]: per-doc distinct-shingle counts and
+    * per-pair intersection counts, pairs generated bucket-locally. */
+  private def shingleIntersections(df: DataFrame, textCol: String,
+      idCol: String, n: Int, blockCol: String): (DataFrame, DataFrame) = {
     // Raw word shingles: unlike ngramJaccardPairs' arrays these never
     // appear in output, so there is nothing to gain from hashing them —
     // the string itself is the posting key. Native one-pass expression;
@@ -458,13 +496,7 @@ object Dedup {
         explode(slice(col("__ids"), col("__pos") + 2, size(col("__ids")))).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(counts.toDF("id_a", "n_a"), "id_a")
-      .join(counts.toDF("id_b", "n_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("__inter").cast("double") /
-          (col("n_a") + col("n_b") - col("__inter")).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    (counts, inter)
   }
 
   /** Connected components over a near-duplicate pair graph: every vertex

@@ -228,6 +228,40 @@ object DedupQueries {
       |WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.24c — asymmetric shingle-containment pairs
+    * ([[Dedup.containmentNeighbors]]): |A∩B|/|A| per direction over the
+    * same inverted shingle index as 25b's edges — the quote/excerpt
+    * detector for short docs embedded in long ones, where Jaccard is
+    * diluted by the union. The oracle recomputes containment
+    * quadratically per source block; the Spark side only ever touches
+    * posting-join candidates. */
+  def qdContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentNeighbors(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 3, "source", 0.05)
+      .orderBy("id_a", "id_b")
+
+  val qdContainmentSql: String =
+    """WITH sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(a.g) AS DOUBLE) AS containment_in_a,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(b.g) AS DOUBLE) AS containment_in_b
+      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(a.g) > 0 AND len(b.g) > 0
+      |  AND len(list_intersect(a.g, b.g)) > 0
+      |  AND (len(list_intersect(a.g, b.g)) / CAST(len(a.g) AS DOUBLE) >= 0.05
+      |    OR len(list_intersect(a.g, b.g)) / CAST(len(b.g) AS DOUBLE) >= 0.05)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.24b — Levenshtein near-dup re-rank over 40-char prefixes of the
     * MinHash-LSH candidate pairs ([[Dedup.editDistanceRerank]] over
     * [[Dedup.minhashCandidatePairs]]): the character-level re-rank
@@ -429,6 +463,7 @@ object DedupQueries {
     "qd_simhash" -> (qdSimhash _),
     "qd_simhash_pairs" -> (qdSimhashPairs _),
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
+    "qd_containment" -> (qdContainment _),
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
@@ -444,6 +479,7 @@ object DedupQueries {
     "qd_simhash" -> qdSimhashSql,
     "qd_simhash_pairs" -> qdSimhashPairsSql,
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
+    "qd_containment" -> qdContainmentSql,
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,

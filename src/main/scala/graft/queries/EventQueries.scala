@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -652,7 +652,157 @@ object EventQueries {
       |FROM d GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** §2.33o — longest consecutive-day activity streak per user
+    * (gaps-and-islands): distinct active days collapse the fact table
+    * to ≤ |users|·|days| rows in one map-side-combined aggregation;
+    * the island key `day − row_number` is a per-user date window over
+    * that tiny frame (parallel across users — never a global window),
+    * and streaks aggregate twice more within the same partitioning.
+    * The engagement-contract metric behind "N-day streak" features. */
+  def qeStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("__day")
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("__day"))
+      .distinct()
+    days
+      .withColumn("__anchor", date_sub(col("__day"), row_number().over(w)))
+      .groupBy("user_id", "__anchor")
+      .agg(count(lit(1)).as("__len"), min("__day").as("__start"))
+      .withColumn("__maxlen",
+        max(col("__len")).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("max_streak_days"),
+        min(when(col("__len") === col("__maxlen"), col("__start")))
+          .as("best_streak_start"))
+      .orderBy("user_id")
+  }
+
+  val qeStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (
+      |      PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      |  FROM days
+      |),
+      |streaks AS (
+      |  SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start
+      |  FROM isl GROUP BY user_id, anchor
+      |),
+      |marked AS (
+      |  SELECT *, MAX(len) OVER (PARTITION BY user_id) AS maxlen
+      |  FROM streaks
+      |)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks, MAX(len) AS max_streak_days,
+      |  MIN(CASE WHEN len = maxlen THEN start END) AS best_streak_start
+      |FROM marked
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.33p — RFM (recency / frequency / monetary) user segmentation:
+    * one pass rolls the fact table up to a per-user (recency-days,
+    * frequency, decimal-exact monetary) frame; quartile scores are
+    * INTEGER rank arithmetic — `1 + floor(4·(rank−1)/n)` over a total
+    * order with user_id tie-break — never interpolated thresholds,
+    * whose last-ulp placement could classify boundary users differently
+    * across engines. The rank windows run over the per-user rollup
+    * (|users| rows), not the fact table; at extreme user counts the
+    * documented swap-in is approx-quantile thresholds per score. */
+  def qeRfm(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val anchor = events.agg(max(to_date(col("ts"))).as("__anchor"))
+    val peruser = events.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(min(datediff(col("__anchor"), to_date(col("ts"))))
+          .cast("bigint").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        valueSum(col("value")).as("monetary"))
+    val n = Window.partitionBy()
+    def score(orderBy: Column): Column =
+      (lit(1) + floor(lit(4) * (row_number().over(
+        Window.orderBy(orderBy, col("user_id"))) - lit(1)) /
+        count(lit(1)).over(n))).cast("bigint")
+    peruser
+      .withColumn("r_score", score(col("recency_days").desc))
+      .withColumn("f_score", score(col("frequency")))
+      .withColumn("m_score", score(col("monetary")))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("monetary"), 4).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+      .orderBy("user_id")
+  }
+
+  val qeRfmSql: String =
+    """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(MIN(date_diff('day', CAST(ts AS DATE), anchor)) AS BIGINT)
+      |      AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |  FROM events CROSS JOIN a
+      |  GROUP BY user_id
+      |),
+      |s AS (
+      |  SELECT *,
+      |    1 + CAST(floor(4.0 * (row_number() OVER (
+      |      ORDER BY recency_days DESC, user_id) - 1)
+      |      / COUNT(*) OVER ()) AS BIGINT) AS r_score,
+      |    1 + CAST(floor(4.0 * (row_number() OVER (
+      |      ORDER BY frequency, user_id) - 1)
+      |      / COUNT(*) OVER ()) AS BIGINT) AS f_score,
+      |    1 + CAST(floor(4.0 * (row_number() OVER (
+      |      ORDER BY monetary, user_id) - 1)
+      |      / COUNT(*) OVER ()) AS BIGINT) AS m_score
+      |  FROM u
+      |)
+      |SELECT user_id, recency_days, frequency, round(monetary, 4) AS monetary,
+      |  r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm
+      |FROM s ORDER BY user_id""".stripMargin
+
+  /** §2.33q — seasonality profile: event volume by (event_type,
+    * day-of-week, hour-of-day) with each cell's share of its type —
+    * the weekly-rhythm fingerprint behind staffing/alerting baselines
+    * (a cell whose share collapses vs its historical value is an
+    * outage; compare via 13e/13i drift). One aggregation pass; the
+    * share divides by a windowed per-type total over the ≤ type×168
+    * cell frame. */
+  def qeSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("dow").cast("bigint"),
+        col("hod").cast("bigint"), col("n_events"),
+        round(col("n_events") / sum(col("n_events")).over(byType), 6)
+          .as("share"))
+      .orderBy("event_type", "dow", "hod")
+  }
+
+  val qeSeasonalitySql: String =
+    """SELECT event_type,
+      |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |  CAST(hour(ts) AS BIGINT) AS hod,
+      |  COUNT(*) AS n_events,
+      |  round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+      |    AS share
+      |FROM events
+      |GROUP BY event_type, dayofweek(ts), hour(ts)
+      |ORDER BY event_type, dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_streaks" -> (qeStreaks _),
+    "qe_rfm" -> (qeRfm _),
+    "qe_seasonality" -> (qeSeasonality _),
     "qe_transitions" -> (qeTransitions _),
     "qe_bursts" -> (qeBursts _),
     "qe_decay" -> (qeDecay _),
@@ -674,6 +824,9 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_streaks" -> qeStreaksSql,
+    "qe_rfm" -> qeRfmSql,
+    "qe_seasonality" -> qeSeasonalitySql,
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
     "qe_decay" -> qeDecaySql,

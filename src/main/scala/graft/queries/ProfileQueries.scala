@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.rules.Profiler
@@ -332,7 +333,111 @@ object ProfileQueries {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** §2.13l — Benford first-digit conformance of order totals: the
+    * leading significant digit's observed share vs Benford's
+    * log10(1+1/d) expectation — the classic fabricated-numbers /
+    * corrupted-feed tripwire for financial-style columns. The digit is
+    * extracted from the decimal's STRING form (first char — totals are
+    * ≥ 1), never via float log10, whose placement at powers of ten is
+    * ulp-fragile; the expected shares are Scala-computed constants
+    * inlined into BOTH engines' queries, so parity is arithmetic-free.
+    * One aggregation pass; the share window runs over the ≤ 9-row digit
+    * frame. */
+  def qcBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = (1 to 9).map(d =>
+      d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val expectedCol = (e: Column) => expected.foldLeft(lit(0.0)) {
+      case (acc, (d, p)) => when(e === d, lit(p)).otherwise(acc)
+    }
+    val all = Window.partitionBy()
+    // decimal(18,4) first: double→decimal cast parity is the proven
+    // pattern (EventQueries.valueSum), and decimal→string always prints
+    // plain digits — double→string flips to scientific notation at
+    // engine-specific magnitudes.
+    Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") >= 1)
+      .groupBy(substring(col("o_totalprice").cast("decimal(18,4)")
+        .cast("string"), 1, 1).cast("bigint").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(col("n") / sum(col("n")).over(all), 6).as("share"),
+        expectedCol(col("digit")).as("expected"))
+      .withColumn("deviation", round(col("share") - col("expected"), 6))
+      .orderBy("digit")
+  }
+
+  val qcBenfordSql: String = {
+    val expected = (1 to 9).map(d =>
+      s"WHEN $d THEN ${BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble}")
+      .mkString(" ")
+    s"""WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS BIGINT)
+      |    AS digit, COUNT(*) AS n
+      |  FROM orders WHERE o_totalprice >= 1
+      |  GROUP BY 1
+      |),
+      |s AS (
+      |  SELECT digit, n, round(n / SUM(n) OVER (), 6) AS share,
+      |    CASE digit $expected ELSE 0.0 END AS expected
+      |  FROM c
+      |)
+      |SELECT digit, n, share, expected,
+      |  round(share - expected, 6) AS deviation
+      |FROM s ORDER BY digit""".stripMargin
+  }
+
+  /** §2.13m — Pearson correlation between value columns per group
+    * (quantity vs extended price by return flag), decimal-exact: all
+    * five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL sums — order-independent, so one shuffle-stage aggregation
+    * is deterministic — and the correlation assembles in doubles over
+    * the tiny per-group frame with an op order the oracle mirrors
+    * exactly. The built-in `corr` (float accumulation over rows) is the
+    * single-engine shortcut; this form is the cross-engine-stable one. */
+  def qcCorr(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val x = col("l_quantity").cast("decimal(18,4)")
+    val y = col("l_extendedprice").cast("decimal(18,4)")
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        dsum(x).as("__sx"), dsum(y).as("__sy"),
+        dsum(x * y).as("__sxy"), dsum(x * x).as("__sxx"),
+        dsum(y * y).as("__syy"))
+      .select(col("l_returnflag"), col("__n").cast("bigint").as("n"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val qcCorrSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS DECIMAL(19,4)) AS x,
+      |          CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |    AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_benford" -> (qcBenford _),
+    "qc_corr" -> (qcCorr _),
     "qc_chi2_drift" -> (qcChi2Drift _),
     "qc_iqr_outliers" -> (qcIqrOutliers _),
     "qc_freshness" -> (qcFreshness _),
@@ -344,6 +449,8 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_benford" -> qcBenfordSql,
+    "qc_corr" -> qcCorrSql,
     "qc_chi2_drift" -> qcChi2DriftSql,
     "qc_iqr_outliers" -> qcIqrOutliersSql,
     "qc_freshness" -> qcFreshnessSql,

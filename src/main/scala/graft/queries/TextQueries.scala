@@ -561,7 +561,70 @@ object TextQueries {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** §2.28e — distinctive keywords per source: top-5 tokens by
+    * frequency lift (share within source ÷ share in corpus) — the
+    * corpus-composition fingerprint that surfaces what a crawl slice is
+    * actually about (and catches template/boilerplate leakage as
+    * absurdly lifted tokens). All counts aggregate once from the
+    * (source, token) frame; the two totals join back as a broadcast
+    * source frame and a 1-row corpus total, the per-token corpus count
+    * joins on the token key — no window ever spans a full vocabulary
+    * partition. The rank ORDERS BY the single-division ratio
+    * tf_s/tf_c (IEEE-exact in any engine) rather than the log lift,
+    * whose libm placement is ulp-fragile; the reported log_lift rounds
+    * to 6dp. */
+  def qtKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("tf_s"))
+    val perToken = bySource.groupBy("token").agg(sum("tf_s").as("tf_c"))
+    val perSource = bySource.groupBy("source").agg(sum("tf_s").as("total_s"))
+    val total = bySource.agg(sum("tf_s").as("total_c"))
+    val rnk = Window.partitionBy("source")
+      .orderBy((col("tf_s").cast("double") / col("tf_c")).desc, col("token"))
+    bySource.where(col("tf_s") >= 5)
+      .join(perToken, "token")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(rnk).cast("bigint"))
+      .where(col("rnk") <= 5)
+      .select(col("source"), col("token"),
+        col("tf_s").as("n_in_source"), col("tf_c").as("n_in_corpus"),
+        round(log((col("tf_s").cast("double") / col("total_s")) /
+          (col("tf_c").cast("double") / col("total_c"))), 6).as("log_lift"),
+        col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  val qtKeywordsSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |),
+      |c AS (SELECT source, token, COUNT(*) AS tf_s FROM t GROUP BY 1, 2),
+      |w AS (
+      |  SELECT source, token, tf_s,
+      |    CAST(SUM(tf_s) OVER (PARTITION BY token) AS BIGINT) AS tf_c,
+      |    CAST(SUM(tf_s) OVER (PARTITION BY source) AS BIGINT) AS total_s,
+      |    CAST(SUM(tf_s) OVER () AS BIGINT) AS total_c
+      |  FROM c
+      |),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY CAST(tf_s AS DOUBLE) / tf_c DESC, token) AS BIGINT) AS rnk
+      |  FROM w WHERE tf_s >= 5
+      |)
+      |SELECT source, token, tf_s AS n_in_source, tf_c AS n_in_corpus,
+      |  round(ln((CAST(tf_s AS DOUBLE) / total_s)
+      |    / (CAST(tf_c AS DOUBLE) / total_c)), 6) AS log_lift,
+      |  rnk
+      |FROM r WHERE rnk <= 5
+      |ORDER BY source, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_keywords" -> (qtKeywords _),
     "qt_oov" -> (qtOov _),
     "qt_entropy" -> (qtEntropy _),
     "qt_cross_entropy" -> (qtCrossEntropy _),
@@ -579,6 +642,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_keywords" -> qtKeywordsSql,
     "qt_oov" -> qtOovSql,
     "qt_entropy" -> qtEntropySql,
     "qt_cross_entropy" -> qtCrossEntropySql,

@@ -674,8 +674,9 @@ object EventQueries {
       .agg(sum(col("__len")).as("n_active_days"),
         count(lit(1)).as("n_streaks"),
         max(col("__len")).as("max_streak_days"),
-        min(when(col("__len") === col("__maxlen"), col("__start")))
-          .as("best_streak_start"))
+        date_format(
+          min(when(col("__len") === col("__maxlen"), col("__start"))),
+          "yyyy-MM-dd").as("best_streak_start"))
       .orderBy("user_id")
   }
 
@@ -699,7 +700,8 @@ object EventQueries {
       |)
       |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
       |  COUNT(*) AS n_streaks, MAX(len) AS max_streak_days,
-      |  MIN(CASE WHEN len = maxlen THEN start END) AS best_streak_start
+      |  CAST(MIN(CASE WHEN len = maxlen THEN start END) AS VARCHAR)
+      |    AS best_streak_start
       |FROM marked
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin

@@ -39,9 +39,12 @@ object PlanAudit {
     //    ONE-ROW corpus-total aggregate; qe_rfm crosses the fact table
     //    with a broadcast ONE-ROW max-date anchor (same scalar-subquery
     //    pattern as qe_decay).
+    //  - qs_recall embeds the qs_knn_brute plan as its ground-truth side
+    //    (same broadcast-query exhaustive-scoring BNLJ as above).
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
-      "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm")
+      "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
+      "qs_recall")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

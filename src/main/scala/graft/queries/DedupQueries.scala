@@ -453,7 +453,71 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** §2.22c — dedup-threshold operating-curve sweep: for each candidate
+    * near-dup threshold, how many pairs the MinHash ESTIMATE keeps, how
+    * many the TRUE Jaccard keeps, and the precision/recall of estimate
+    * against truth — the table an operator reads to pick the production
+    * threshold (and the numPerms budget) before a 100 TB dedup run.
+    * Builds on the same bounded LSH candidate frame as
+    * [[qdMinhashEst]]; the sweep explodes each pair across the 5
+    * thresholds (bounded 5× of an already-small frame, no join) and
+    * reduces with conditional sums — one extra shuffle on the 5-row
+    * threshold key. */
+  def qdThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)
+    qdMinhashEst(spark, dir)
+      .select(col("est_jaccard"), col("true_jaccard"),
+        explode(thresholds).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("est_jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_est"),
+        sum(when(col("true_jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_true"),
+        sum(when(col("est_jaccard") >= col("threshold") &&
+            col("true_jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("threshold"),
+        col("n_est").cast("bigint").as("n_est"),
+        col("n_true").cast("bigint").as("n_true"),
+        col("n_both").cast("bigint").as("n_both"),
+        when(col("n_est") > 0,
+          round(col("n_both").cast("double") / col("n_est"), 6))
+          .as("precision"),
+        when(col("n_true") > 0,
+          round(col("n_both").cast("double") / col("n_true"), 6))
+          .as("recall"))
+      .orderBy("threshold")
+  }
+
+  val qdThresholdSweepSql: String = {
+    val est = qdMinhashEstSql.replace("\nORDER BY id_a, id_b", "")
+    s"""WITH est AS (
+       |$est
+       |), t AS (
+       |  SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+       |), s AS (
+       |  SELECT t.threshold,
+       |    CAST(SUM(CASE WHEN e.est_jaccard >= t.threshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+       |    CAST(SUM(CASE WHEN e.true_jaccard >= t.threshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN e.est_jaccard >= t.threshold
+       |      AND e.true_jaccard >= t.threshold
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |  FROM t CROSS JOIN est e
+       |  GROUP BY t.threshold
+       |)
+       |SELECT threshold, n_est, n_true, n_both,
+       |  CASE WHEN n_est > 0
+       |    THEN round(CAST(n_both AS DOUBLE) / n_est, 6) END AS precision,
+       |  CASE WHEN n_true > 0
+       |    THEN round(CAST(n_both AS DOUBLE) / n_true, 6) END AS recall
+       |FROM s ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_threshold_sweep" -> (qdThresholdSweep _),
     "qd_minhash_est" -> (qdMinhashEst _),
     "qd_report" -> (qdReport _),
     "qd_components" -> (qdComponents _),
@@ -470,6 +534,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_threshold_sweep" -> qdThresholdSweepSql,
     "qd_minhash_est" -> qdMinhashEstSql,
     "qd_report" -> qdReportSql,
     "qd_components" -> qdComponentsSql,

@@ -801,7 +801,199 @@ object EventQueries {
       |GROUP BY event_type, dayofweek(ts), hour(ts)
       |ORDER BY event_type, dow, hod""".stripMargin
 
+  /** §2.33r — behavioral diversity: Shannon entropy of each user's
+    * event-type distribution (bot / single-purpose accounts score near
+    * 0, organic users near log2 |types|). One map-side-combinable
+    * count per (user, type), then a per-user fold over the ≤ |types|
+    * sorted entries — bounded state per user (the type alphabet, not
+    * the event history), so a heavy user costs the same as a light
+    * one. The fold runs over a sort_array'd list, making the float
+    * summation order deterministic and oracle-mirrorable. */
+  def qeDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_type"), col("__c"))))
+          .as("__tc"),
+        sum(col("__c")).as("__n"),
+        count(lit(1)).as("n_types"))
+      .select(col("user_id"),
+        col("__n").cast("bigint").as("n_events"),
+        col("n_types"),
+        round(-aggregate(
+          transform(col("__tc"), x =>
+            (x.getField("__c").cast("double") / col("__n")) *
+              log(x.getField("__c").cast("double") / col("__n")) / log(lit(2.0))),
+          lit(0.0), (acc, t) => acc + t), 6).as("type_entropy"))
+      .orderBy("user_id")
+
+  val qeDiversitySql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c FROM events
+      |  GROUP BY user_id, event_type
+      |), g AS (
+      |  SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY event_type) AS cs,
+      |    CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
+      |  FROM c GROUP BY user_id
+      |)
+      |SELECT user_id, n AS n_events, n_types,
+      |  round(-list_reduce(list_transform(cs,
+      |      x -> (x / n) * ln(x / n) / ln(2.0)), (a, b) -> a + b), 6)
+      |    AS type_entropy
+      |FROM g ORDER BY user_id""".stripMargin
+
+  /** §2.33s — time-weighted average event value per user: each value
+    * holds until the next event (step interpolation), TWA =
+    * Σ value·Δt / Σ Δt — the standard gauge-metric rollup (queue
+    * depth, balance, session temperature) where arithmetic means
+    * over-weight bursts. One lead() window per user (single shuffle),
+    * and each value·Δt product is cast to DECIMAL before the sum so
+    * accumulation is order-independent — the final division is the
+    * only float op, over the two exact totals. */
+  def qeTwa(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__dt_us",
+        unix_micros(lead(col("ts"), 1).over(byUser)) - unix_micros(col("ts")))
+      .where(col("__dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum((col("value") * col("__dt_us")).cast("decimal(38,6)")).as("__wsum"),
+        sum(col("__dt_us")).as("__tsum"))
+      .select(col("user_id"), col("n_segments"),
+        round(col("__tsum").cast("double") / 1000000.0 / col("n_segments"), 6)
+          .as("avg_gap_s"),
+        round(col("__wsum").cast("double") / col("__tsum").cast("double"), 6)
+          .as("twa_value"))
+      .orderBy("user_id")
+  }
+
+  val qeTwaSql: String =
+    """WITH seg AS (
+      |  SELECT user_id, value,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+      |  FROM events
+      |)
+      |SELECT user_id, COUNT(*) AS n_segments,
+      |  round(CAST(SUM(dt_us) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+      |    AS avg_gap_s,
+      |  round(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa_value
+      |FROM seg WHERE dt_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** §2.33t — heavy-tail (power-law) fit of the user-activity
+    * distribution: OLS of ln(count) on ln(rank) over the rank-ordered
+    * per-user event counts. The slope is the tail exponent a capacity
+    * planner / bot-detector reads first: a steep slope means traffic
+    * concentrates in few accounts (and salting those keys matters at
+    * 100 TB). Per-user counts are one combinable aggregation; the
+    * rank is a single window over the (small) user frame; the five
+    * OLS sufficient statistics accumulate as DECIMAL-cast exact sums
+    * (qc_corr pattern), assembled in doubles on the 1-row result. */
+  def qeHeavytail(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    val ranked = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("__c"))
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("__c").desc, col("user_id"))))
+      .select(log(col("__r").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    ranked
+      .agg(count(lit(1)).cast("double").as("__n"),
+        dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+        dsum(col("__x") * col("__y")).as("__sxy"),
+        dsum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n").cast("bigint").as("n_users"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("tail_slope"),
+        round((col("__sy") - col("__sx") *
+            ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+              (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) /
+            col("__n"), 6)
+          .as("intercept"))
+  }
+
+  val qeHeavytailSql: String =
+    """WITH ranked AS (
+      |  SELECT ln(CAST(ROW_NUMBER() OVER (
+      |      ORDER BY COUNT(*) DESC, user_id) AS DOUBLE)) AS x,
+      |    ln(CAST(COUNT(*) AS DOUBLE)) AS y
+      |  FROM events GROUP BY user_id
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      |  FROM ranked
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS tail_slope,
+      |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6)
+      |    AS intercept
+      |FROM s""".stripMargin
+
+  /** §2.33u — session-level distribution summary: composes the
+    * sessionization of [[qeSessions]] and reduces it to the 1-row
+    * stats frame (counts, exact interpolated percentiles of session
+    * length and duration) an experience dashboard tracks. The
+    * expensive part is the same single per-user window shuffle as
+    * qe_sessions; the percentile aggregation runs over the session
+    * frame, which is already orders of magnitude smaller than the
+    * fact table. */
+  def qeSessionStats(spark: SparkSession, dir: String): DataFrame =
+    qeSessions(spark, dir)
+      .select(col("n_events"),
+        ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .cast("double") / 1000000.0).as("__dur_s"))
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile(n_events, array(0.5D, 0.9D))").as("__pe"),
+        expr("percentile(__dur_s, array(0.5D, 0.9D))").as("__pd"),
+        sum(col("n_events")).as("__tot"))
+      .select(col("n_sessions"),
+        round(col("__tot").cast("double") / col("n_sessions"), 6)
+          .as("avg_events"),
+        round(element_at(col("__pe"), 1), 6).as("p50_events"),
+        round(element_at(col("__pe"), 2), 6).as("p90_events"),
+        round(element_at(col("__pd"), 1), 6).as("p50_duration_s"),
+        round(element_at(col("__pd"), 2), 6).as("p90_duration_s"))
+
+  val qeSessionStatsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked
+      |), agg AS (
+      |  SELECT COUNT(*) AS n_events,
+      |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS dur_s
+      |  FROM sess GROUP BY user_id, session_id
+      |)
+      |SELECT COUNT(*) AS n_sessions,
+      |  round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+      |  round(quantile_cont(n_events, 0.5), 6) AS p50_events,
+      |  round(quantile_cont(n_events, 0.9), 6) AS p90_events,
+      |  round(quantile_cont(dur_s, 0.5), 6) AS p50_duration_s,
+      |  round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_diversity" -> (qeDiversity _),
+    "qe_twa" -> (qeTwa _),
+    "qe_heavytail" -> (qeHeavytail _),
+    "qe_session_stats" -> (qeSessionStats _),
     "qe_streaks" -> (qeStreaks _),
     "qe_rfm" -> (qeRfm _),
     "qe_seasonality" -> (qeSeasonality _),
@@ -826,6 +1018,10 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_diversity" -> qeDiversitySql,
+    "qe_twa" -> qeTwaSql,
+    "qe_heavytail" -> qeHeavytailSql,
+    "qe_session_stats" -> qeSessionStatsSql,
     "qe_streaks" -> qeStreaksSql,
     "qe_rfm" -> qeRfmSql,
     "qe_seasonality" -> qeSeasonalitySql,

@@ -435,7 +435,61 @@ object ProfileQueries {
       |    AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** §2.13n — key-uniqueness audit across entities: for each declared
+    * (table, key) pair, one row of row count, distinct-key count,
+    * duplicated-key count, surplus-row count, and worst multiplicity.
+    * The classic pre-join data-quality gate (a dup-keyed dimension
+    * silently fans out every downstream join). Each entity is one
+    * map-side-combinable groupBy on its key followed by a single-row
+    * global fold — one shuffle per entity, no collect; the per-entity
+    * rows union into the tiny report frame. o_custkey is deliberately
+    * a NON-unique key so the dup columns carry real signal. */
+  def qcUnique(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, keyCols: Seq[String]): DataFrame =
+      Tables.load(spark, dir, table)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("__rows"), count(lit(1)).as("__keys"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("__dupkeys"),
+          sum(when(col("__c") > 1, col("__c") - 1L).otherwise(0L)).as("__duprows"),
+          max(col("__c")).as("__maxdup"))
+        .select(lit(s"$table.${keyCols.mkString("+")}").as("entity"),
+          col("__rows").cast("bigint").as("n_rows"),
+          col("__keys").cast("bigint").as("n_keys"),
+          col("__dupkeys").cast("bigint").as("n_dup_keys"),
+          col("__duprows").cast("bigint").as("n_dup_rows"),
+          col("__maxdup").cast("bigint").as("max_dup"))
+    audit("orders", Seq("o_orderkey"))
+      .unionByName(audit("orders", Seq("o_custkey")))
+      .unionByName(audit("lineitem", Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit("events", Seq("event_id")))
+      .unionByName(audit("documents", Seq("doc_id")))
+      .orderBy("entity")
+  }
+
+  val qcUniqueSql: String = {
+    def auditSql(table: String, keys: Seq[String]): String = {
+      val entity = s"$table.${keys.mkString("+")}"
+      s"""SELECT '$entity' AS entity,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_keys,
+         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
+         |  CAST(MAX(c) AS BIGINT) AS max_dup
+         |FROM (SELECT COUNT(*) AS c FROM $table
+         |      GROUP BY ${keys.mkString(", ")})""".stripMargin
+    }
+    Seq(
+      auditSql("orders", Seq("o_orderkey")),
+      auditSql("orders", Seq("o_custkey")),
+      auditSql("lineitem", Seq("l_orderkey", "l_linenumber")),
+      auditSql("events", Seq("event_id")),
+      auditSql("documents", Seq("doc_id")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY entity")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_unique" -> (qcUnique _),
     "qc_benford" -> (qcBenford _),
     "qc_corr" -> (qcCorr _),
     "qc_chi2_drift" -> (qcChi2Drift _),
@@ -449,6 +503,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_unique" -> qcUniqueSql,
     "qc_benford" -> qcBenfordSql,
     "qc_corr" -> qcCorrSql,
     "qc_chi2_drift" -> qcChi2DriftSql,

@@ -203,13 +203,68 @@ object SimilarityQueries {
        |    i -> abs(qv[i] * scale - vd[i]))), 6) AS max_err
        |FROM q ORDER BY vec_id""".stripMargin
 
+  /** §2.27e — ANN index-quality evaluation: recall@3 of the LSH
+    * bucketed search against the exact brute-force top-3 on the
+    * 10-vector query panel. The measurement a pipeline runs before
+    * trusting an approximate index for retrieval dedup. The eval
+    * itself is a tiny (q_id, neighbor_id) join over ≤ 3·|panel| rows
+    * per side; the expensive sides reuse the existing plans — the
+    * q_id panel predicate pushes below the LSH window (it is the
+    * partition key), so the bucketed join only ranks the panel's
+    * buckets, and the brute side broadcasts the panel as usual. */
+  def qsRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val brute = Knn.bruteForce(emb, emb.where(col("vec_id") < 10),
+        "embedding", "vec_id", 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val lsh = Knn.lshTopK(emb, "embedding", "vec_id", NumPlanes, Dims, 3)
+      .where(col("q_id") < 10)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("__hit"))
+    brute.join(lsh, Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("bigint").as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / lit(3.0), 6).as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  val qsRecallSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), lsh AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+       |    FROM bucketed a JOIN bucketed b
+       |      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 10) t
+       |  WHERE rank <= 3
+       |), brute AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10) t
+       |  WHERE rank <= 3
+       |)
+       |SELECT b.q_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+       |  round(COUNT(l.neighbor_id) / 3.0, 6) AS recall_at_3
+       |FROM brute b LEFT JOIN lsh l
+       |  ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_semantic" -> (qdSemantic _),
     "qs_quantize" -> (qsQuantize _),
     "qs_knn_brute" -> (qsKnnBrute _),
     "qs_knn_filtered" -> (qsKnnFiltered _),
     "qs_knn_lsh" -> (qsKnnLsh _),
-    "qs_knn_ivf" -> (qsKnnIvf _))
+    "qs_knn_ivf" -> (qsKnnIvf _),
+    "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
     "qd_semantic" -> qdSemanticSql,
@@ -218,5 +273,6 @@ object SimilarityQueries {
     "qs_knn_filtered" -> qsKnnFilteredSql,
     "qs_knn_lsh" -> qsKnnLshSql,
     // Full-probe IVF == exact top-k, so it shares the brute-force oracle.
-    "qs_knn_ivf" -> qsKnnBruteSql)
+    "qs_knn_ivf" -> qsKnnBruteSql,
+    "qs_recall" -> qsRecallSql)
 }

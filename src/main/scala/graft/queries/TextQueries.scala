@@ -623,7 +623,52 @@ object TextQueries {
       |FROM r WHERE rnk <= 5
       |ORDER BY source, rnk""".stripMargin
 
+  /** §2.28f — readability scoring per document: words-per-sentence,
+    * vowel-group ("syllable") density, and the Flesch reading-ease
+    * assembly — the standard curriculum/complexity feature a training
+    * pipeline buckets documents by. Pure per-row column arithmetic
+    * over integer counts (sentence terminators, whitespace tokens,
+    * vowel runs), so it is embarrassingly parallel — one scan, no
+    * shuffle, fully inside whole-stage codegen; double math happens
+    * per row on integer inputs, so cross-engine results are exact. */
+  def qtReadability(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(col("text"), " "))
+    // [.!?]+ runs ≈ sentence boundaries; GREATEST(1) guards headline-only
+    // or fragment documents against divide-by-zero.
+    val nSents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val nVgroups = regexp_count(col("text"), lit("[aeiouAEIOU]+"))
+    val wps = nWords.cast("double") / nSents.cast("double")
+    val vpw = nVgroups.cast("double") / nWords.cast("double")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        nWords.cast("bigint").as("n_words"),
+        nSents.cast("bigint").as("n_sentences"),
+        round(wps, 6).as("words_per_sentence"),
+        round(vpw, 6).as("vowel_groups_per_word"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * vpw, 4)
+          .as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  val qtReadabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |    len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_vgroups
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  round(CAST(n_words AS DOUBLE) / n_sentences, 6) AS words_per_sentence,
+      |  round(CAST(n_vgroups AS DOUBLE) / n_words, 6) AS vowel_groups_per_word,
+      |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_vgroups AS DOUBLE) / n_words), 4) AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_readability" -> (qtReadability _),
     "qt_keywords" -> (qtKeywords _),
     "qt_oov" -> (qtOov _),
     "qt_entropy" -> (qtEntropy _),
@@ -642,6 +687,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_readability" -> qtReadabilitySql,
     "qt_keywords" -> qtKeywordsSql,
     "qt_oov" -> qtOovSql,
     "qt_entropy" -> qtEntropySql,

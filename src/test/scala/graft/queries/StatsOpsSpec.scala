@@ -1,0 +1,139 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Edge-semantics pins for the statistical / evaluation operators
+  * (diversity entropy, TWA, heavy-tail fit, session stats, uniqueness
+  * audit, readability, ANN recall, threshold sweep). The DuckDB oracle
+  * proves cross-engine parity on real data; these pin the math on
+  * crafted fixtures where the expected value is known in closed form. */
+class StatsOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("diversity: single-type user scores 0, uniform two-type scores 1 bit") {
+    val s = spark
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val dir = "/tmp/graft_stats_diversity"
+    Seq(
+      (1L, t0, 1L, "view", 0.0, ""),
+      (2L, plus(1), 1L, "view", 0.0, ""),
+      (3L, plus(2), 2L, "view", 0.0, ""),
+      (4L, plus(3), 2L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventQueries.qeDiversity(spark, dir).collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[Double]("type_entropy")).toMap
+    assert(byUser(1L) == 0.0)     // one type → no uncertainty
+    assert(byUser(2L) == 1.0)     // 50/50 over two types → exactly 1 bit
+  }
+
+  test("TWA: value holding 3x longer dominates the average 3:1") {
+    val s = spark
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val dir = "/tmp/graft_stats_twa"
+    // value 10 holds 30 min, value 2 holds 10 min, final event unweighted.
+    Seq(
+      (1L, t0, 1L, "m", 10.0, ""),
+      (2L, plus(30), 1L, "m", 2.0, ""),
+      (3L, plus(40), 1L, "m", 99.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventQueries.qeTwa(spark, dir).collect().head
+    assert(r.getAs[Long]("n_segments") == 2)
+    // (10*30 + 2*10) / 40 = 8.0 — the arithmetic mean (37.0) would be
+    // wildly off; the last value contributes no segment.
+    assert(r.getAs[Double]("twa_value") == 8.0)
+  }
+
+  test("heavy-tail: counts proportional to 1/rank fit slope -1") {
+    val s = spark
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = "/tmp/graft_stats_tail"
+    // user u gets 60/u events, u = 1..5 → count = 60/rank exactly.
+    val rows = for {
+      u <- 1 to 5
+      i <- 1 to 60 / u
+    } yield (u * 1000L + i, new Timestamp(t0 + (u * 1000 + i) * 1000L),
+      u.toLong, "view", 0.0, "")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventQueries.qeHeavytail(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == 5)
+    assert(math.abs(r.getAs[Double]("tail_slope") - (-1.0)) < 0.01)
+  }
+
+  test("session stats agree with the session frame they summarize") {
+    val sessions = EventQueries.qeSessions(spark, sf)
+    val stats = EventQueries.qeSessionStats(spark, sf).collect().head
+    assert(stats.getAs[Long]("n_sessions") == sessions.count())
+    val expectedAvg = {
+      val agg = sessions.agg(sum("n_events"), count(lit(1))).collect().head
+      math.rint(agg.getLong(0).toDouble / agg.getLong(1) * 1e6) / 1e6
+    }
+    assert(stats.getAs[Double]("avg_events") == expectedAvg)
+    assert(stats.getAs[Double]("p90_events") >= stats.getAs[Double]("p50_events"))
+  }
+
+  test("uniqueness audit: surplus rows = rows - keys on every entity") {
+    val rows = ProfileQueries.qcUnique(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))
+      assert(r.getAs[Long]("n_dup_rows") == n - k, r.getAs[String]("entity"))
+      assert(r.getAs[Long]("max_dup") >= 1)
+    }
+    // primary keys really are unique; the fan-out key really fans out
+    val byEntity = rows.map(r => r.getAs[String]("entity") -> r).toMap
+    assert(byEntity("orders.o_orderkey").getAs[Long]("n_dup_keys") == 0)
+    assert(byEntity("orders.o_custkey").getAs[Long]("n_dup_keys") > 0)
+  }
+
+  test("readability: flesch assembles from the two reported ratios") {
+    val rows = TextQueries.qtReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      val wps = r.getAs[Double]("words_per_sentence")
+      val vpw = r.getAs[Double]("vowel_groups_per_word")
+      val flesch = r.getAs[Double]("flesch")
+      // reported ratios are rounded to 6dp, flesch to 4dp: reassembling
+      // from the rounded ratios must land within the rounding slack
+      assert(math.abs(flesch - (206.835 - 1.015 * wps - 84.6 * vpw)) < 1e-3)
+      assert(r.getAs[Long]("n_sentences") >= 1)
+    }
+  }
+
+  test("ANN recall: bounded by 1, and exact-on-panel when buckets align") {
+    val rows = SimilarityQueries.qsRecall(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= 3)
+      assert(r.getAs[Double]("recall_at_3") ==
+        math.rint(hit / 3.0 * 1e6) / 1e6)
+    }
+  }
+
+  test("threshold sweep: kept-pair counts decrease monotonically") {
+    val rows = DedupQueries.qdThresholdSweep(spark, sf)
+      .orderBy("threshold").collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_est") >= hi.getAs[Long]("n_est"))
+      assert(lo.getAs[Long]("n_true") >= hi.getAs[Long]("n_true"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_est"), r.getAs[Long]("n_true")))
+    }
+  }
+}

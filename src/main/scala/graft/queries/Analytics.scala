@@ -493,7 +493,41 @@ object Analytics {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** §2.19n — deterministic per-group mode: most frequent l_quantity
+    * per return flag, ties broken toward the smaller value (the
+    * built-in `mode` leaves tie order engine-defined, which would make
+    * cross-engine hashes flap — so the mode is composed as count +
+    * rank with an explicit tie key). Two aggregations that share the
+    * same first shuffle; the ranking window runs per group over the
+    * ≤ |distinct values| frame. */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("__c").desc, col("l_quantity").asc)
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)").as("mode_quantity"),
+        col("__c").cast("bigint").as("n_occurrences"))
+      .orderBy("l_returnflag")
+  }
+
+  val qModeSql: String =
+    """SELECT l_returnflag,
+      |  CAST(l_quantity AS DECIMAL(12,2)) AS mode_quantity,
+      |  CAST(c AS BIGINT) AS n_occurrences
+      |FROM (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY COUNT(*) DESC, l_quantity ASC) AS r
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity
+      |) t WHERE r = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode" -> (qMode _),
     "q13_custdist" -> (q13CustDist _),
     "q4_late_shipped" -> (q4LateShipped _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -512,6 +546,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_mode" -> qModeSql,
     "q13_custdist" -> q13CustDistSql,
     "q4_late_shipped" -> q4LateShippedSql,
     "q14_promo_revenue" -> q14PromoRevenueSql,

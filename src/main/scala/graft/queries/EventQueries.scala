@@ -989,7 +989,53 @@ object EventQueries {
       |  round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s
       |FROM agg""".stripMargin
 
+  /** §2.33v — growth accounting: per active day, how many users are
+    * new (first-ever day), retained (active within the last 7 days),
+    * or resurrected (returning after a 7+ day gap) — the
+    * new/retained/resurrected decomposition every DAU chart hides.
+    * Facts collapse to distinct (user, day) in one combinable
+    * aggregation; the per-user lag window runs over that tiny frame;
+    * the day rollup is a second small shuffle. Day is reported as a
+    * yyyy-MM-dd string so the cross-engine compare never depends on
+    * date/timestamp surfacing. */
+  def qeLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("__day")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("__day"))
+      .distinct()
+      .withColumn("__gap", datediff(col("__day"), lag(col("__day"), 1).over(w)))
+      .groupBy(date_format(col("__day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__gap").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__gap").between(1, 7), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("__gap") > 7, 1L).otherwise(0L)).as("n_resurrected"))
+      .select(col("day"), col("n_active"),
+        col("n_new").cast("bigint").as("n_new"),
+        col("n_retained").cast("bigint").as("n_retained"),
+        col("n_resurrected").cast("bigint").as("n_resurrected"))
+      .orderBy("day")
+  }
+
+  val qeLifecycleSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), lagged AS (
+      |  SELECT user_id, day,
+      |    day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      |  FROM days
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN gap BETWEEN 1 AND 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(SUM(CASE WHEN gap > 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected
+      |FROM lagged
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_lifecycle" -> (qeLifecycle _),
     "qe_diversity" -> (qeDiversity _),
     "qe_twa" -> (qeTwa _),
     "qe_heavytail" -> (qeHeavytail _),
@@ -1018,6 +1064,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_lifecycle" -> qeLifecycleSql,
     "qe_diversity" -> qeDiversitySql,
     "qe_twa" -> qeTwaSql,
     "qe_heavytail" -> qeHeavytailSql,

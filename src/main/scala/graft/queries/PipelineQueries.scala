@@ -365,7 +365,46 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY shard, pos""".stripMargin
 
+  /** §2.31o — token-budget accounting per source: document count,
+    * exact whitespace-token totals, corpus share, and the cumulative
+    * coverage share when sources are taken biggest-first — the table
+    * behind "the top k sources are n% of the training budget" mix
+    * decisions. Per-doc token counts combine map-side into one row per
+    * source; the share/cumulative windows run over the tiny source
+    * frame. Counts are exact integers, so shares divide exactly the
+    * same in both engines. */
+  def qpTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val bySize = Window.orderBy(col("n_tokens").desc, col("source"))
+    val total = Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("__t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+      .select(col("source"), col("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(total), 6).as("share"),
+        round(sum(col("n_tokens")).over(bySize).cast("double") /
+          sum(col("n_tokens")).over(total), 6).as("cumulative_share"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
+  val qpTokenBudgetSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS share,
+      |  round(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / SUM(n_tokens) OVER (), 6) AS cumulative_share
+      |FROM s
+      |ORDER BY n_tokens DESC, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_token_budget" -> (qpTokenBudget _),
     "qp_attrition" -> (qpAttrition _),
     "qp_shuffle" -> (qpShuffle _),
     "qp_clean_passages" -> (qpCleanPassages _),
@@ -376,6 +415,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_token_budget" -> qpTokenBudgetSql,
     "qp_attrition" -> qpAttritionSql,
     "qp_shuffle" -> qpShuffleSql,
     "qp_clean_passages" -> qpCleanPassagesSql,

@@ -123,6 +123,53 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("mode: tie between two equally frequent values picks the smaller") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_mode"
+    // flag A: 7.0 ×2 vs 3.0 ×2 (tie → 3.0); flag B: clear winner 5.0
+    Seq(("A", 7.0), ("A", 7.0), ("A", 3.0), ("A", 3.0), ("A", 9.0),
+      ("B", 5.0), ("B", 5.0), ("B", 1.0))
+      .toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Analytics.qMode(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[java.math.BigDecimal]("mode_quantity").doubleValue()).toMap
+    assert(rows("A") == 3.0)
+    assert(rows("B") == 5.0)
+  }
+
+  test("lifecycle: first day is new, short gap retained, long gap resurrected") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_lifecycle"
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq(
+      (1L, ts(1), 1L, "view", 0.0, ""),
+      (2L, ts(3), 1L, "view", 0.0, ""),   // gap 2 → retained
+      (3L, ts(20), 1L, "view", 0.0, ""))  // gap 17 → resurrected
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byDay = EventQueries.qeLifecycle(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"))).toMap
+    assert(byDay("2024-01-01") == ((1L, 0L, 0L)))
+    assert(byDay("2024-01-03") == ((0L, 1L, 0L)))
+    assert(byDay("2024-01-20") == ((0L, 0L, 1L)))
+  }
+
+  test("token budget: shares sum to 1 and cumulative coverage reaches 1") {
+    val rows = PipelineQueries.qpTokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    // biggest-first ordering makes cumulative_share monotone, ending at 1
+    val cums = rows.map(_.getAs[Double]("cumulative_share"))
+    assert(cums.sliding(2).forall { case Array(a, b) => b >= a })
+    assert(math.abs(cums.last - 1.0) < 1e-6)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

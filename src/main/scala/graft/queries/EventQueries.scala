@@ -1034,7 +1034,42 @@ object EventQueries {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** §2.33w — rolling 7-day activity per user: for each (user, active
+    * day), the day's event count and the trailing-week sum via a
+    * RANGE frame over epoch-day (value-based, so missing days inside
+    * the window are handled by the frame bound, not by gap-filling a
+    * dense spine first — at 100 TB the dense (user × day) spine is
+    * the thing to avoid). One combinable (user, day) count, then the
+    * range window over that collapsed frame, parallel across users. */
+  def qeRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("__epochday"))
+      .rangeBetween(-6, 0)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("__day"))
+      .groupBy("user_id", "__day")
+      .agg(count(lit(1)).as("n_day"))
+      .withColumn("__epochday", datediff(col("__day"), lit("1970-01-01")))
+      .select(col("user_id"),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("n_day"),
+        sum(col("n_day")).over(w).cast("bigint").as("n_7d"))
+      .orderBy("user_id", "day")
+  }
+
+  val qeRollingSql: String =
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_day
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_day,
+      |  CAST(SUM(n_day) OVER (PARTITION BY user_id ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_7d
+      |FROM d
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_rolling" -> (qeRolling _),
     "qe_lifecycle" -> (qeLifecycle _),
     "qe_diversity" -> (qeDiversity _),
     "qe_twa" -> (qeTwa _),
@@ -1064,6 +1099,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_rolling" -> qeRollingSql,
     "qe_lifecycle" -> qeLifecycleSql,
     "qe_diversity" -> qeDiversitySql,
     "qe_twa" -> qeTwaSql,

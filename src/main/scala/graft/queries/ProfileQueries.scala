@@ -488,6 +488,34 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY entity")
   }
 
+  /** [[qcUnique]]'s 100 TB swap-in, shipped callable: HLL
+    * approx_count_distinct replaces the per-key groupBy, collapsing
+    * the audit to ONE sketch pass per entity — no shuffle wider than
+    * the mergeable sketch, for the monitoring cadence where a ±2%
+    * distinct estimate answers "did the key break" without paying for
+    * exactness. Same output shape (n_keys/n_dup_rows estimated), so a
+    * dashboard swaps one call; ApproxVariantsSpec pins it to the
+    * exact audit at sf0.01 tolerance. */
+  def qcUniqueApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame = {
+    def audit(table: String, keyCols: Seq[String]): DataFrame =
+      Tables.load(spark, dir, table)
+        .agg(count(lit(1)).as("__rows"),
+          approx_count_distinct(struct(keyCols.map(col): _*), rsd)
+            .as("__keys"))
+        .select(lit(s"$table.${keyCols.mkString("+")}").as("entity"),
+          col("__rows").cast("bigint").as("n_rows"),
+          col("__keys").cast("bigint").as("n_keys"),
+          greatest(col("__rows") - col("__keys"), lit(0L))
+            .cast("bigint").as("n_dup_rows"))
+    audit("orders", Seq("o_orderkey"))
+      .unionByName(audit("orders", Seq("o_custkey")))
+      .unionByName(audit("lineitem", Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit("events", Seq("event_id")))
+      .unionByName(audit("documents", Seq("doc_id")))
+      .orderBy("entity")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_unique" -> (qcUnique _),
     "qc_benford" -> (qcBenford _),

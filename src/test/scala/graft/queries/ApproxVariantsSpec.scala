@@ -61,4 +61,21 @@ class ApproxVariantsSpec extends SparkSpec {
       .select("column_name", "col_value", "cnt", "rnk"))
     assert(approx === exact)
   }
+
+  test("approx uniqueness audit stays within HLL tolerance of exact at sf0.01") {
+    def byEntity(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("entity") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))).toMap
+    val exact = byEntity(ProfileQueries.qcUnique(spark, dir))
+    val approx = byEntity(ProfileQueries.qcUniqueApprox(spark, dir))
+    assert(approx.keySet === exact.keySet)
+    for ((e, (en, ek)) <- exact) {
+      val (an, ak) = approx(e)
+      // Row counts are not sketched — exact agreement required.
+      assert(an === en, s"$e rows")
+      // rsd 2%, allow 3 sigma.
+      assert(math.abs(ak - ek) <= math.max(3, 0.06 * ek),
+        s"$e: approx keys $ak vs exact $ek")
+    }
+  }
 }

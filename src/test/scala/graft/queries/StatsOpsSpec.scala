@@ -170,6 +170,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(cums.last - 1.0) < 1e-6)
   }
 
+  test("rolling 7d: window spans exactly the trailing week, gaps excluded") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_rolling"
+    def ts(day: Int, i: Int) = Timestamp.valueOf(f"2024-01-$day%02d 0$i:00:00")
+    // user 1: 2 events day1, 3 events day2, 5 events day10
+    val rows = Seq.tabulate(2)(i => (10L + i, ts(1, i), 1L)) ++
+      Seq.tabulate(3)(i => (20L + i, ts(2, i), 1L)) ++
+      Seq.tabulate(5)(i => (30L + i, ts(10, i), 1L))
+    rows.map { case (id, t, u) => (id, t, u, "view", 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.qeRolling(spark, dir).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_day"), r.getAs[Long]("n_7d"))).toMap
+    assert(out("2024-01-01") == ((2L, 2L)))
+    assert(out("2024-01-02") == ((3L, 5L)))   // day1 still inside the week
+    assert(out("2024-01-10") == ((5L, 5L)))   // days 1-2 aged out
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

@@ -526,7 +526,43 @@ object Analytics {
       |) t WHERE r = 1
       |ORDER BY l_returnflag""".stripMargin
 
+  /** §2.19o — explicit GROUPING SETS (the general form rollup/cube
+    * specialize): the four chosen sets in ONE pass with grouping()
+    * flags disambiguating "value is NULL" from "column not grouped".
+    * Spark expands the sets before the single aggregation shuffle —
+    * same plan shape as cube, only the chosen sets are produced. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("__gs_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS sum_total
+        |FROM __gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      |    AS DOUBLE) AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_mode" -> (qMode _),
     "q13_custdist" -> (q13CustDist _),
     "q4_late_shipped" -> (q4LateShipped _),
@@ -546,6 +582,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_mode" -> qModeSql,
     "q13_custdist" -> q13CustDistSql,
     "q4_late_shipped" -> q4LateShippedSql,

@@ -667,7 +667,63 @@ object TextQueries {
       |    - 84.6 * (CAST(n_vgroups AS DOUBLE) / n_words), 4) AS flesch
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** §2.28g — cross-source n-gram novelty: per source, how many of its
+    * distinct trigram shingles appear in NO other source — low novelty
+    * flags mirrored/recycled corpora before they double-count in a
+    * training mix. Inverted-index shaped: (source, shingle) distinct
+    * rows, then a per-shingle source count whose n==1 rows carry their
+    * only source — so exclusivity needs NO join back to the big frame
+    * (two combinable aggregations + a tiny per-source join; pair
+    * grids never appear). Shingles are the same native one-pass md5
+    * expression the dedup family uses. */
+  def qtNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("__sh"))
+      .distinct()
+    val perShingle = sh.groupBy("__sh")
+      .agg(count(lit(1)).as("__nsrc"), min("source").as("__only"))
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("n_trigrams"))
+    val exclusive = perShingle.where(col("__nsrc") === 1)
+      .groupBy(col("__only").as("source"))
+      .agg(count(lit(1)).as("n_exclusive"))
+    totals.join(exclusive, Seq("source"), "left_outer")
+      .select(col("source"), col("n_trigrams"),
+        coalesce(col("n_exclusive"), lit(0L)).cast("bigint").as("n_exclusive"),
+        round(coalesce(col("n_exclusive"), lit(0L)).cast("double") /
+          col("n_trigrams"), 6).as("novelty_ratio"))
+      .orderBy("source")
+  }
+
+  val qtNoveltySql: String =
+    """WITH docsh AS (
+      |  SELECT source,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source, unnest(g) AS s FROM docsh
+      |), persh AS (
+      |  SELECT s, COUNT(*) AS nsrc, MIN(source) AS only_src
+      |  FROM sh GROUP BY s
+      |), tot AS (
+      |  SELECT source, COUNT(*) AS n_trigrams FROM sh GROUP BY source
+      |), exc AS (
+      |  SELECT only_src AS source, COUNT(*) AS n_exclusive
+      |  FROM persh WHERE nsrc = 1 GROUP BY only_src
+      |)
+      |SELECT t.source, t.n_trigrams,
+      |  CAST(COALESCE(e.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+      |  round(CAST(COALESCE(e.n_exclusive, 0) AS DOUBLE) / t.n_trigrams, 6)
+      |    AS novelty_ratio
+      |FROM tot t LEFT JOIN exc e ON t.source = e.source
+      |ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_novelty" -> (qtNovelty _),
     "qt_readability" -> (qtReadability _),
     "qt_keywords" -> (qtKeywords _),
     "qt_oov" -> (qtOov _),
@@ -687,6 +743,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_novelty" -> qtNoveltySql,
     "qt_readability" -> qtReadabilitySql,
     "qt_keywords" -> qtKeywordsSql,
     "qt_oov" -> qtOovSql,

@@ -190,6 +190,38 @@ class StatsOpsSpec extends SparkSpec {
     assert(out("2024-01-10") == ((5L, 5L)))   // days 1-2 aged out
   }
 
+  test("grouping sets: per-set subtotals re-sum to the grand total") {
+    val rows = Analytics.qGroupingSets(spark, sf).collect()
+    val grand = rows.filter(r =>
+      r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_priority") == 1)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_orders")
+    // each grouping set partitions the data, so each re-sums to the total
+    for ((gs, gp) <- Seq((0L, 0L), (0L, 1L), (1L, 0L))) {
+      val part = rows.filter(r => r.getAs[Long]("g_status") == gs &&
+        r.getAs[Long]("g_priority") == gp)
+      assert(part.map(_.getAs[Long]("n_orders")).sum == total, s"set ($gs,$gp)")
+    }
+  }
+
+  test("novelty: disjoint sources are fully novel, a clone has zero novelty") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_novelty"
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "srcA", 22L),
+      (2L, "epsilon zeta eta theta", "en", "srcB", 22L),
+      (3L, "alpha beta gamma delta", "en", "srcC", 22L)) // clone of doc 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.qtNovelty(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("novelty_ratio")).toMap
+    assert(out("srcB") == 1.0)   // nothing shared
+    assert(out("srcA") == 0.0)   // everything also in srcC
+    assert(out("srcC") == 0.0)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

@@ -41,10 +41,13 @@ object PlanAudit {
     //    pattern as qe_decay).
     //  - qs_recall embeds the qs_knn_brute plan as its ground-truth side
     //    (same broadcast-query exhaustive-scoring BNLJ as above).
+    //  - qe_cooccurrence crosses the tiny type-pair frame with a
+    //    broadcast ONE-ROW session-total aggregate (scalar-subquery
+    //    pattern, same as qe_decay/qt_keywords).
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
       "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
-      "qs_recall")
+      "qs_recall", "qe_cooccurrence")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1068,7 +1068,90 @@ object EventQueries {
       |FROM d
       |ORDER BY user_id, day""".stripMargin
 
+  /** §2.33x — in-session event-type co-occurrence with lift: for each
+    * unordered type pair, how many sessions contain both, against the
+    * independence expectation (the market-basket read on behavioral
+    * data: "users who X in a session also Y"). The pair space is the
+    * session's DISTINCT TYPE ALPHABET (≤ |types|, bounded), never the
+    * event list — a session with 10k events still contributes ≤
+    * C(|types|,2) pairs, so the self-join runs on the collapsed
+    * (session, type) frame and the lift assembly on the tiny
+    * type-pair frame. */
+  def qeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(lagTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(lagTs) > 1800000000L, 1).otherwise(0)
+    val sessTypes = Tables.load(spark, dir, "events")
+      .withColumn("__sid", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("__sid"), col("event_type"))
+      .distinct()
+    // Session total stays a LAZY 1-row broadcast (scalar-subquery
+    // pattern, qe_decay precedent) — no eager driver action.
+    val nSessions = sessTypes.select("user_id", "__sid").distinct()
+      .agg(count(lit(1)).as("__ns"))
+    val typeCounts = sessTypes.groupBy("event_type")
+      .agg(count(lit(1)).as("__n"))
+    val pairs = sessTypes.alias("a")
+      .join(sessTypes.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.__sid") === col("b.__sid") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+        col("__n").as("__na"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+        col("__n").as("__nb"))), Seq("type_b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"),
+        col("n_both").cast("bigint").as("n_both"),
+        round(col("n_both").cast("double") * col("__ns") /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qeCooccurrenceSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), st AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid,
+      |    event_type
+      |  FROM marked
+      |), ns AS (
+      |  SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, sid FROM st)
+      |), tc AS (
+      |  SELECT event_type, COUNT(*) AS n FROM st GROUP BY event_type
+      |), p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.sid = b.sid
+      |   AND a.event_type < b.event_type
+      |  GROUP BY a.event_type, b.event_type
+      |)
+      |SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+      |  round(CAST(p.n_both AS DOUBLE) * ns.n
+      |    / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)), 6) AS lift
+      |FROM p
+      |CROSS JOIN ns
+      |JOIN tc ta ON p.type_a = ta.event_type
+      |JOIN tc tb ON p.type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_cooccurrence" -> (qeCooccurrence _),
     "qe_rolling" -> (qeRolling _),
     "qe_lifecycle" -> (qeLifecycle _),
     "qe_diversity" -> (qeDiversity _),
@@ -1099,6 +1182,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_cooccurrence" -> qeCooccurrenceSql,
     "qe_rolling" -> qeRollingSql,
     "qe_lifecycle" -> qeLifecycleSql,
     "qe_diversity" -> qeDiversitySql,

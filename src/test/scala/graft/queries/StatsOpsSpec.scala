@@ -222,6 +222,30 @@ class StatsOpsSpec extends SparkSpec {
     assert(out("srcC") == 0.0)
   }
 
+  test("co-occurrence: always-together types lift 1, diluted pairs below 1") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_cooc"
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int, m: Int) = new Timestamp(t0.getTime + (h * 60L + m) * 3600000L)
+    // 4 users = 4 sessions (far apart): {A,B}, {A,B}, {A}, {B}
+    val rows = Seq(
+      (1L, ts(0, 0), 1L, "A"), (2L, ts(0, 0), 1L, "B"),
+      (3L, ts(1, 0), 2L, "A"), (4L, ts(1, 0), 2L, "B"),
+      (5L, ts(2, 0), 3L, "A"),
+      (6L, ts(3, 0), 4L, "B"))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.qeCooccurrence(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[String]("type_a"), r.getAs[String]("type_b")) == (("A", "B")))
+    assert(r.getAs[Long]("n_both") == 2)
+    // lift = n_both * n_sessions / (nA * nB) = 2*4/(3*3)
+    assert(r.getAs[Double]("lift") == math.rint(8.0 / 9.0 * 1e6) / 1e6)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

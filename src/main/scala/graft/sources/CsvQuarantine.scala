@@ -25,31 +25,61 @@ object CsvQuarantine {
 
   val CorruptCol = "__corrupt_record"
 
-  /** (clean rows in `schema`, quarantined raw lines).
-    *
-    * The corrupt-record column must be materialized before it can be
-    * filtered on (Spark refuses a query that selects ONLY the internal
-    * corrupt column from a lazy parse — SPARK-21610), so the parsed
-    * frame is cached: one parse serves both splits.
-    */
+  /** (clean rows in `schema`, quarantined raw lines) from one batch
+    * parse. */
   def read(spark: SparkSession, path: String, schema: StructType,
       delimiter: String = ",", header: Boolean = true)
       : (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains(CorruptCol),
-      s"schema may not already contain $CorruptCol")
-    val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
     val parsed = spark.read.format("csv")
       .option("header", header.toString)
       .option("delimiter", delimiter)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .schema(withCorrupt)
+      .schema(withCorrupt(schema))
       .load(path)
-      .cache()
+    split(parsed.cache(), schema)
+  }
+
+  /** Streaming variant for continuous ingest: the same PERMISSIVE parse
+    * over a file-source stream. Route each micro-batch with [[split]]
+    * inside `foreachBatch` — clean rows to the pipeline sink,
+    * quarantined raw lines to the audit sink; exactly the batch
+    * semantics, one micro-batch at a time:
+    * {{{
+    * CsvQuarantine.readStream(spark, dir, schema).writeStream
+    *   .foreachBatch { (batch, _) =>
+    *     val (clean, bad) = CsvQuarantine.split(batch.cache(), schema)
+    *     clean.write.mode("append").parquet(cleanDir)
+    *     bad.write.mode("append").parquet(auditDir)
+    *   }.trigger(Trigger.AvailableNow()).start()
+    * }}}
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ",", header: Boolean = true): DataFrame =
+    spark.readStream.format("csv")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt(schema))
+      .load(path)
+
+  /** One parsed-with-corrupt-column frame → (clean, quarantined raw
+    * lines). The caller caches `parsed` first: one parse serves both
+    * splits, and Spark refuses filtering ONLY the lazy internal
+    * corrupt column (SPARK-21610) on an uncached parse. */
+  def split(parsed: DataFrame, schema: StructType)
+      : (DataFrame, DataFrame) = {
     val clean = parsed.where(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val quarantined = parsed.where(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
     (clean, quarantined)
+  }
+
+  private def withCorrupt(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema may not already contain $CorruptCol")
+    schema.add(CorruptCol, StringType, nullable = true)
   }
 }

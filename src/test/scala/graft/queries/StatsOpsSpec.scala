@@ -246,6 +246,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == math.rint(8.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("event stat operators survive an empty partition without throwing") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_empty"
+    Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // per-user/per-day frames: zero rows
+    assert(EventQueries.qeDiversity(spark, dir).count() == 0)
+    assert(EventQueries.qeTwa(spark, dir).count() == 0)
+    assert(EventQueries.qeLifecycle(spark, dir).count() == 0)
+    assert(EventQueries.qeRolling(spark, dir).count() == 0)
+    assert(EventQueries.qeCooccurrence(spark, dir).count() == 0)
+    // global folds: one row of zero counts, no throw
+    val tail = EventQueries.qeHeavytail(spark, dir).collect()
+    assert(tail.length == 1 && tail.head.getAs[Long]("n_users") == 0)
+    val sess = EventQueries.qeSessionStats(spark, dir).collect()
+    assert(sess.length == 1 && sess.head.getAs[Long]("n_sessions") == 0)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

@@ -40,6 +40,41 @@ class CsvQuarantineSpec extends SparkSpec {
     assert(clean.count() + bad.count() == 4)
   }
 
+  test("streaming ingest routes micro-batches through the same split") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createDirectories(
+      Paths.get("/tmp/graft_csv_quarantine_stream/in")).toString
+    Files.writeString(Paths.get(s"$dir/part1.csv"),
+      """id,name,score
+        |1,alpha,1.5
+        |2,beta,broken_score
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/part2.csv"),
+      """id,name,score
+        |3,gamma,0.25
+        |""".stripMargin)
+    val cleanIds = scala.collection.mutable.Set.empty[Long]
+    val badLines = scala.collection.mutable.Set.empty[String]
+    val q = CsvQuarantine.readStream(spark, dir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (clean, bad) = CsvQuarantine.split(batch.cache(), schema)
+        cleanIds.synchronized {
+          cleanIds ++= clean.collect().map(_.getLong(0))
+          badLines ++= bad.collect().map(_.getString(0))
+        }
+        batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        "/tmp/graft_csv_quarantine_stream/ckpt_" + System.nanoTime())
+      .start()
+    q.awaitTermination(60000)
+    assert(cleanIds == Set(1L, 3L))
+    assert(badLines.size == 1 && badLines.head.contains("broken_score"))
+  }
+
   test("rejects a schema that collides with the corrupt column") {
     val bad = schema.add(CsvQuarantine.CorruptCol, StringType)
     intercept[IllegalArgumentException] {

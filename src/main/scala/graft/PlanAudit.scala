@@ -44,10 +44,12 @@ object PlanAudit {
     //  - qe_cooccurrence crosses the tiny type-pair frame with a
     //    broadcast ONE-ROW session-total aggregate (scalar-subquery
     //    pattern, same as qe_decay/qt_keywords).
+    //  - qp_dataset_card crosses two ONE-ROW aggregates (1×1 broadcast
+    //    no-op) before the stack() unpivot.
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
       "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
-      "qs_recall", "qe_cooccurrence")
+      "qs_recall", "qe_cooccurrence", "qp_dataset_card")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

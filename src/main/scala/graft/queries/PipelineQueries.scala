@@ -403,7 +403,68 @@ object PipelineQueries {
       |FROM s
       |ORDER BY n_tokens DESC, source""".stripMargin
 
+  /** §2.31p — dataset card: the one-frame "datasheet" a corpus release
+    * ships with — sizes, composition, duplication, and concentration
+    * in a tall (metric, value) layout dashboards and diffs consume
+    * directly. Everything reduces in ONE combinable aggregation pass
+    * plus a per-source count for the concentration metric; the 1×1
+    * cross of the two single-row frames is a broadcast no-op. Counts
+    * are exact integers, so every reported ratio divides identically
+    * in both engines. */
+  def qpDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("__docs"),
+      count_distinct(col("source")).as("__sources"),
+      count_distinct(col("lang")).as("__langs"),
+      sum(size(split(col("text"), " "))).as("__tokens"),
+      count_distinct(md5(col("text"))).as("__uniq"))
+    val top = docs.groupBy("source").agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__topsrc"))
+    base.crossJoin(broadcast(top))
+      .selectExpr(
+        """stack(7,
+          |  'n_docs', CAST(__docs AS DOUBLE),
+          |  'n_sources', CAST(__sources AS DOUBLE),
+          |  'n_langs', CAST(__langs AS DOUBLE),
+          |  'n_tokens_total', CAST(__tokens AS DOUBLE),
+          |  'avg_doc_tokens', round(CAST(__tokens AS DOUBLE) / __docs, 6),
+          |  'exact_dup_ratio', round(1.0 - CAST(__uniq AS DOUBLE) / __docs, 6),
+          |  'top_source_share', round(CAST(__topsrc AS DOUBLE) / __docs, 6)
+          |) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+  }
+
+  val qpDatasetCardSql: String =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS docs,
+      |    COUNT(DISTINCT source) AS sources,
+      |    COUNT(DISTINCT lang) AS langs,
+      |    SUM(len(string_split(text, ' '))) AS tokens,
+      |    COUNT(DISTINCT md5(text)) AS uniq
+      |  FROM documents
+      |), top AS (
+      |  SELECT MAX(c) AS topsrc FROM (
+      |    SELECT COUNT(*) AS c FROM documents GROUP BY source)
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, CAST(docs AS DOUBLE) AS value
+      |    FROM base, top
+      |  UNION ALL SELECT 'n_sources', CAST(sources AS DOUBLE) FROM base, top
+      |  UNION ALL SELECT 'n_langs', CAST(langs AS DOUBLE) FROM base, top
+      |  UNION ALL SELECT 'n_tokens_total', CAST(tokens AS DOUBLE)
+      |    FROM base, top
+      |  UNION ALL SELECT 'avg_doc_tokens',
+      |    round(CAST(tokens AS DOUBLE) / docs, 6) FROM base, top
+      |  UNION ALL SELECT 'exact_dup_ratio',
+      |    round(1.0 - CAST(uniq AS DOUBLE) / docs, 6) FROM base, top
+      |  UNION ALL SELECT 'top_source_share',
+      |    round(CAST(topsrc AS DOUBLE) / docs, 6) FROM base, top
+      |)
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_dataset_card" -> (qpDatasetCard _),
     "qp_token_budget" -> (qpTokenBudget _),
     "qp_attrition" -> (qpAttrition _),
     "qp_shuffle" -> (qpShuffle _),
@@ -415,6 +476,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_dataset_card" -> qpDatasetCardSql,
     "qp_token_budget" -> qpTokenBudgetSql,
     "qp_attrition" -> qpAttritionSql,
     "qp_shuffle" -> qpShuffleSql,

@@ -516,7 +516,62 @@ object ProfileQueries {
       .orderBy("entity")
   }
 
+  /** §2.13o — MAD (median absolute deviation) robust outlier summary
+    * per event type: median, MAD, and the count beyond the standard
+    * 3·1.4826·MAD fence. The robust sibling of 13d's z-score (mean/σ
+    * are dragged by the very outliers they hunt; the median pair is
+    * not) — the right default for heavy-tailed value columns. Three
+    * passes by construction (median → MAD → fence count), each a
+    * combinable aggregation with the tiny per-type medians broadcast
+    * back; the approx-percentile swap-in collapses it to two sketch
+    * passes at 100 TB. Fence arithmetic is written in the same literal
+    * order in both engines so the boundary double is bit-identical. */
+  def qcMad(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("__med"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - __med), 0.5D)").as("__mad"))
+    events.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first(col("__med")).as("__m"),
+        first(col("__mad")).as("__d"),
+        sum(when(abs(col("value") - col("__med")) >
+            lit(3.0) * lit(1.4826) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("__m"), 6).as("median_value"),
+        round(col("__d"), 6).as("mad"),
+        col("n_outliers").cast("bigint").as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val qcMadSql: String =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type
+      |), s AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN m ON e.event_type = m.event_type
+      |  GROUP BY e.event_type
+      |)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  round(m.med, 6) AS median_value,
+      |  round(s.mad, 6) AS mad,
+      |  CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * s.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e
+      |JOIN m ON e.event_type = m.event_type
+      |JOIN s ON e.event_type = s.event_type
+      |GROUP BY e.event_type, m.med, s.mad
+      |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_mad" -> (qcMad _),
     "qc_unique" -> (qcUnique _),
     "qc_benford" -> (qcBenford _),
     "qc_corr" -> (qcCorr _),
@@ -531,6 +586,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_mad" -> qcMadSql,
     "qc_unique" -> qcUniqueSql,
     "qc_benford" -> qcBenfordSql,
     "qc_corr" -> qcCorrSql,

@@ -266,6 +266,34 @@ class StatsOpsSpec extends SparkSpec {
     assert(sess.length == 1 && sess.head.getAs[Long]("n_sessions") == 0)
   }
 
+  test("MAD: a single spike is the outlier, the tight cluster is not") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_mad"
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 9 values near 10, one at 1000 → median 10, MAD small, 1 outlier
+    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 9.0, 1000.0)
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(t0.getTime + i * 1000L), 1L, "m", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ProfileQueries.qcMad(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("median_value") == 10.0)
+    assert(r.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("dataset card: ratios reassemble from the corpus they describe") {
+    val card = PipelineQueries.qpDatasetCard(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(card.keySet.size == 7)
+    assert(card("n_docs") > 0)
+    assert(card("avg_doc_tokens") ==
+      math.rint(card("n_tokens_total") / card("n_docs") * 1e6) / 1e6)
+    assert(card("top_source_share") >= 1.0 / card("n_sources"))
+    assert(card("exact_dup_ratio") >= 0.0 && card("exact_dup_ratio") < 1.0)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

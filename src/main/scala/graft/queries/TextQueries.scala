@@ -722,7 +722,50 @@ object TextQueries {
       |FROM tot t LEFT JOIN exc e ON t.source = e.source
       |ORDER BY t.source""".stripMargin
 
+  /** §2.28h — fixed-size token chunking (training-window prep): each
+    * document splits into consecutive 100-token chunks plus a final
+    * partial chunk, each with its token count and content fingerprint
+    * — the unit a packing/sharding stage consumes. Pure per-row
+    * explode of a bounded index sequence (≤ ceil(len/100) rows per
+    * doc), no shuffle, whole-stage codegen; chunk hashes make the
+    * chunks themselves dedupable downstream. */
+  def qtChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunkTokens = 100
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("__toks"), nChunks.as("__n"))
+      .where(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * chunkTokens + lit(1),
+          lit(chunkTokens)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        size(col("__chunk")).cast("bigint").as("chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val qtChunksSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(ceil(len(string_split(text, ' ')) / 100.0) AS INT) AS n
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, toks, unnest(range(0, n)) AS chunk_idx
+      |  FROM d WHERE n > 0
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(toks[chunk_idx * 100 + 1 : chunk_idx * 100 + 100]) AS BIGINT)
+      |    AS chunk_tokens,
+      |  md5(array_to_string(toks[chunk_idx * 100 + 1 : chunk_idx * 100 + 100],
+      |    ' ')) AS chunk_hash
+      |FROM idx
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_chunks" -> (qtChunks _),
     "qt_novelty" -> (qtNovelty _),
     "qt_readability" -> (qtReadability _),
     "qt_keywords" -> (qtKeywords _),
@@ -743,6 +786,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_chunks" -> qtChunksSql,
     "qt_novelty" -> qtNoveltySql,
     "qt_readability" -> qtReadabilitySql,
     "qt_keywords" -> qtKeywordsSql,

@@ -36,6 +36,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state to the horizon") {
+    // The state-TTL variant: duplicates are only suppressed within the
+    // watermark window, and old keys are EVICTED — the form that runs
+    // forever on an unbounded feed, where plain dropDuplicates grows
+    // state monotonically. A doc re-ingested long after the horizon is
+    // intentionally re-emitted (state for its hash is gone).
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val stream = MemoryStream[Doc]
+    val deduped = stream.toDF()
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Doc(1L, t(0), "alpha"), Doc(2L, t(1), "alpha"))
+      q.processAllAvailable()
+      // advance watermark far past t(1)+10s, evicting alpha's state
+      stream.addData(Doc(3L, t(100), "beta"))
+      q.processAllAvailable()
+      // same content, re-ingested after eviction → re-emitted
+      stream.addData(Doc(4L, t(101), "alpha"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ttl_out").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming band probe flags exactly the batch incremental near-dups") {
     val s = spark
     import s.implicits._

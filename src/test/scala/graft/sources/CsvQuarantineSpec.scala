@@ -75,6 +75,24 @@ class CsvQuarantineSpec extends SparkSpec {
     assert(badLines.size == 1 && badLines.head.contains("broken_score"))
   }
 
+  test("JSON-lines quarantine routes broken objects like the CSV reader") {
+    val dir = Files.createDirectories(
+      Paths.get("/tmp/graft_json_quarantine")).toString
+    val f = s"$dir/input.jsonl"
+    Files.writeString(Paths.get(f),
+      """{"id": 1, "name": "alpha", "score": 1.5}
+        |{"id": 2, "name": "beta", "score": TRUNCATED
+        |{"id": 3, "name": "gamma", "score": 0.25}
+        |not json at all
+        |""".stripMargin)
+    val (clean, bad) = JsonQuarantine.read(spark, f, schema)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val raw = bad.collect().map(_.getString(0)).toSet
+    assert(raw.exists(_.contains("TRUNCATED")))
+    assert(raw.exists(_.contains("not json at all")))
+    assert(clean.count() + bad.count() == 4)
+  }
+
   test("rejects a schema that collides with the corrupt column") {
     val bad = schema.add(CsvQuarantine.CorruptCol, StringType)
     intercept[IllegalArgumentException] {

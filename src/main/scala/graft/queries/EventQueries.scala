@@ -1150,7 +1150,65 @@ object EventQueries {
       |JOIN tc tb ON p.type_b = tb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** §2.33y — time-bounded conversion: of all `view` events, how many
+    * are followed by a `purchase` BY THE SAME USER within 1 hour, plus
+    * the mean delay of conversions. The windowed form of [[qeFunnel]]
+    * (whole-history order) — product funnels are almost always
+    * deadline-bounded. The "next purchase at-or-after each view" is a
+    * conditional min over a FOLLOWING window frame per user (one
+    * shuffle, no self-join, no per-user array); delays sum as exact
+    * integer microseconds. */
+  def qeConversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val horizon = 3600000000L // 1 hour in microseconds
+    Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__next_buy_us",
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .over(w))
+      .where(col("event_type") === "view")
+      .select((col("__next_buy_us") - unix_micros(col("ts"))).as("__delay_us"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("__delay_us") <= horizon, 1L).otherwise(0L))
+          .as("n_converted"),
+        sum(when(col("__delay_us") <= horizon, col("__delay_us")))
+          .as("__delay_sum"))
+      .select(col("n_views"),
+        col("n_converted").cast("bigint").as("n_converted"),
+        round(col("n_converted").cast("double") / col("n_views"), 6)
+          .as("conversion_rate"),
+        round(col("__delay_sum").cast("double") / 1000000.0 /
+          col("n_converted"), 6).as("avg_delay_s"))
+  }
+
+  val qeConversionSql: String =
+    """WITH vp AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS next_buy_us
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase')
+      |), v AS (
+      |  SELECT next_buy_us - epoch_us(ts) AS delay_us
+      |  FROM vp WHERE event_type = 'view'
+      |)
+      |SELECT COUNT(*) AS n_views,
+      |  CAST(SUM(CASE WHEN delay_us <= 3600000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_converted,
+      |  round(CAST(SUM(CASE WHEN delay_us <= 3600000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+      |  round(CAST(SUM(CASE WHEN delay_us <= 3600000000 THEN delay_us END)
+      |    AS DOUBLE) / 1000000.0
+      |    / SUM(CASE WHEN delay_us <= 3600000000 THEN 1 ELSE 0 END), 6)
+      |    AS avg_delay_s
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_conversion" -> (qeConversion _),
     "qe_cooccurrence" -> (qeCooccurrence _),
     "qe_rolling" -> (qeRolling _),
     "qe_lifecycle" -> (qeLifecycle _),
@@ -1182,6 +1240,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_conversion" -> qeConversionSql,
     "qe_cooccurrence" -> qeCooccurrenceSql,
     "qe_rolling" -> qeRollingSql,
     "qe_lifecycle" -> qeLifecycleSql,

@@ -294,6 +294,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(card("exact_dup_ratio") >= 0.0 && card("exact_dup_ratio") < 1.0)
   }
 
+  test("conversion: only purchases within the hour count, delay is exact") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_conv"
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      (1L, t0, 1L, "view", 0.0, ""),
+      (2L, plus(30), 1L, "purchase", 0.0, ""),   // converts, 30 min
+      (3L, plus(100), 2L, "view", 0.0, ""),
+      (4L, plus(170), 2L, "purchase", 0.0, ""),  // 70 min → too late
+      (5L, plus(200), 3L, "view", 0.0, ""))      // never buys
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventQueries.qeConversion(spark, dir).collect().head
+    assert(r.getAs[Long]("n_views") == 3)
+    assert(r.getAs[Long]("n_converted") == 1)
+    assert(r.getAs[Double]("avg_delay_s") == 1800.0)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

@@ -176,19 +176,14 @@ object PlanParser {
     planFromNode(mapper.readTree(substituted), base)
   }
 
-  private def planFromNode(root: JsonNode, baseDir: Option[PlanBase]): Plan = {
-    val dest = Option(root.path("io").path("dest").asText(null))
-    val commands = root.path("commands").elements().asScala.zipWithIndex.map {
-      case (node, i) =>
-        try commandFromNode(node, baseDir)
-        catch {
-          case e: Exception =>
-            throw new IllegalArgumentException(
-              s"Invalid command at index $i: ${e.getMessage}", e)
-        }
-    }.toSeq
-    Plan(commands, dest)
-  }
+  // Parse delegates to the SAME walk as validation — one tree walk to
+  // maintain, so validate can never accept a plan parse rejects (or
+  // vice versa); the throwing surface just folds the error list.
+  private def planFromNode(root: JsonNode, baseDir: Option[PlanBase]): Plan =
+    planValidated(root, baseDir, "").fold(
+      errs => throw new IllegalArgumentException(
+        errs.map(e => s"${e.path}: ${e.message}").mkString("; ")),
+      identity)
 
   /** Merge externalParamsFile content under "params" when present. */
   private def resolveParams(node: JsonNode, baseDir: Option[PlanBase]): JsonNode = {

@@ -52,8 +52,20 @@ class BoundedSample(k: Int, seed: String)
 }
 
 object BoundedSample {
-  /** Column form for `groupBy(...).agg(...)` use. */
+  /** Typed-column form for the `Dataset` API ONLY — the input encoder
+    * binds to `Dataset[Long]` values, so use it after `groupByKey`:
+    * `ds.groupByKey(_.key).mapValues(_.id).agg(sampleIds(k))`.
+    * For untyped `DataFrame.groupBy(...).agg(...)` use [[sampleIdsUdf]]
+    * (a registered UDAF over an id column) — the typed column would
+    * fail to bind against Row-encoded input at runtime. */
   def sampleIds(k: Int, seed: String = "sample")
       : org.apache.spark.sql.TypedColumn[Long, Seq[Long]] =
     new BoundedSample(k, seed).toColumn
+
+  /** UDAF form for untyped DataFrames:
+    * `df.groupBy("source").agg(sampleIdsUdf(5)(col("doc_id")))`. */
+  def sampleIdsUdf(k: Int, seed: String = "sample")
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new BoundedSample(k, seed),
+      Encoders.scalaLong)
 }

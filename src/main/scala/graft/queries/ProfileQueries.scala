@@ -493,9 +493,11 @@ object ProfileQueries {
     * the audit to ONE sketch pass per entity — no shuffle wider than
     * the mergeable sketch, for the monitoring cadence where a ±2%
     * distinct estimate answers "did the key break" without paying for
-    * exactness. Same output shape (n_keys/n_dup_rows estimated), so a
-    * dashboard swaps one call; ApproxVariantsSpec pins it to the
-    * exact audit at sf0.01 tolerance. */
+    * exactness. Output keeps the shared columns (entity, n_rows,
+    * n_keys, n_dup_rows — estimated) but NOT the per-key multiplicity
+    * columns (n_dup_keys, max_dup), which have no sketch analogue —
+    * a consumer of those needs the exact audit. ApproxVariantsSpec
+    * pins this to the exact audit at sf0.01 tolerance. */
   def qcUniqueApprox(spark: SparkSession, dir: String,
       rsd: Double = 0.02): DataFrame = {
     def audit(table: String, keyCols: Seq[String]): DataFrame =

@@ -121,9 +121,14 @@ object Profiler {
   def topValuesApprox(df: DataFrame, cols: Seq[String], k: Int,
       support: Double = 0.01): DataFrame = {
     require(cols.nonEmpty, "topValuesApprox needs at least one column")
-    val freqRow = df.stat.freqItems(cols.toArray, support).head()
+    // Sketch over the SAME Spark string cast the stacked recount uses —
+    // JVM toString (String.valueOf on the raw sketch values) and
+    // CAST(col AS STRING) disagree for timestamps ("...00:00:00.0" vs
+    // "...00:00:00"), which would silently match zero candidates.
+    val strDf = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    val freqRow = strDf.stat.freqItems(cols.toArray, support).head()
     val candidates: Map[String, Seq[String]] = cols.zipWithIndex.map {
-      case (c, i) => c -> freqRow.getSeq[Any](i).map(String.valueOf(_)).toSeq
+      case (c, i) => c -> freqRow.getSeq[String](i).toSeq
     }.toMap
     val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
     val isCandidate = cols.map { c =>

@@ -25,11 +25,21 @@ object CsvQuarantine {
 
   val CorruptCol = "__corrupt_record"
 
-  /** (clean rows in `schema`, quarantined raw lines) from one batch
-    * parse. */
+  /** The routed pair plus the cache handle: the parsed frame is cached
+    * so ONE parse serves both splits, and the cache must be released
+    * once both sides are written — without the handle, repeated read()
+    * calls in a long-lived session would pin every parsed input in
+    * storage until eviction thrash. */
+  final case class QuarantineResult(clean: DataFrame, quarantined: DataFrame,
+      private val parsed: DataFrame) {
+    /** Drop the shared parse cache (call after consuming both frames). */
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
+  /** Clean rows in `schema` + quarantined raw lines from one batch
+    * parse; `release()` the result when both are consumed. */
   def read(spark: SparkSession, path: String, schema: StructType,
-      delimiter: String = ",", header: Boolean = true)
-      : (DataFrame, DataFrame) = {
+      delimiter: String = ",", header: Boolean = true): QuarantineResult = {
     val parsed = spark.read.format("csv")
       .option("header", header.toString)
       .option("delimiter", delimiter)
@@ -37,7 +47,9 @@ object CsvQuarantine {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(withCorrupt(schema))
       .load(path)
-    split(parsed.cache(), schema)
+      .cache()
+    val (clean, bad) = split(parsed, schema)
+    QuarantineResult(clean, bad, parsed)
   }
 
   /** Streaming variant for continuous ingest: the same PERMISSIVE parse
@@ -48,9 +60,11 @@ object CsvQuarantine {
     * {{{
     * CsvQuarantine.readStream(spark, dir, schema).writeStream
     *   .foreachBatch { (batch, _) =>
-    *     val (clean, bad) = CsvQuarantine.split(batch.cache(), schema)
+    *     val cached = batch.cache()
+    *     val (clean, bad) = CsvQuarantine.split(cached, schema)
     *     clean.write.mode("append").parquet(cleanDir)
     *     bad.write.mode("append").parquet(auditDir)
+    *     cached.unpersist()   // micro-batch cache must not outlive it
     *   }.trigger(Trigger.AvailableNow()).start()
     * }}}
     */
@@ -77,7 +91,9 @@ object CsvQuarantine {
     (clean, quarantined)
   }
 
-  private def withCorrupt(schema: StructType): StructType = {
+  /** Shared by the CSV and JSON readers — the corrupt-column contract
+    * lives in one place. */
+  private[sources] def withCorrupt(schema: StructType): StructType = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema may not already contain $CorruptCol")
     schema.add(CorruptCol, StringType, nullable = true)

@@ -11,15 +11,17 @@ import org.apache.spark.sql.types.StructType
   * so the two readers share [[CsvQuarantine.split]]. */
 object JsonQuarantine {
 
-  /** (clean rows in `schema`, quarantined raw lines). */
+  /** Clean rows + quarantined raw lines; `release()` when consumed. */
   def read(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : CsvQuarantine.QuarantineResult = {
     val parsed = spark.read.format("json")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CsvQuarantine.CorruptCol)
-      .schema(withCorrupt(schema))
+      .schema(CsvQuarantine.withCorrupt(schema))
       .load(path)
-    CsvQuarantine.split(parsed.cache(), schema)
+      .cache()
+    val (clean, bad) = CsvQuarantine.split(parsed, schema)
+    CsvQuarantine.QuarantineResult(clean, bad, parsed)
   }
 
   /** Streaming variant; route micro-batches with [[CsvQuarantine.split]]
@@ -29,13 +31,6 @@ object JsonQuarantine {
     spark.readStream.format("json")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CsvQuarantine.CorruptCol)
-      .schema(withCorrupt(schema))
+      .schema(CsvQuarantine.withCorrupt(schema))
       .load(path)
-
-  private def withCorrupt(schema: StructType): StructType = {
-    require(!schema.fieldNames.contains(CsvQuarantine.CorruptCol),
-      s"schema may not already contain ${CsvQuarantine.CorruptCol}")
-    schema.add(CsvQuarantine.CorruptCol,
-      org.apache.spark.sql.types.StringType, nullable = true)
-  }
 }

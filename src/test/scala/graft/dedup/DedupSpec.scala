@@ -87,4 +87,24 @@ class DedupSpec extends SparkSpec {
     assert(values.size == 1)
     assert(values.forall(v => v >= 0 && v < (1L << 32)))
   }
+
+  test("editDistancePairs enforces its small-block contract: oversized blocks drop") {
+    val s = spark
+    import s.implicits._
+    // block A: 2 near-identical docs (1 pair); block B: 3 docs — over
+    // the cap of 2, so by contract it contributes NOTHING.
+    val d = Seq(
+      (1L, "alpha beta gamma", "A"), (2L, "alpha beta gamma!", "A"),
+      (3L, "x", "B"), (4L, "x", "B"), (5L, "x", "B"))
+      .map { case (id, t, b) => (id, t, b, t.length.toLong) }
+      .toDF("doc_id", "text", "block", "n_chars")
+    val out = Dedup.editDistancePairs(d, "text", "doc_id", "n_chars",
+      "block", prefixLen = 40, maxDist = 4, maxBlockSize = 2).collect()
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSeq == Seq((1L, 2L)))
+    // raising the cap re-admits block B's grid
+    val full = Dedup.editDistancePairs(d, "text", "doc_id", "n_chars",
+      "block", prefixLen = 40, maxDist = 4, maxBlockSize = 10).count()
+    assert(full == 4) // (1,2) + C(3,2) identical pairs in B
+  }
 }

@@ -178,6 +178,6 @@ class PlanRunnerSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] {
       PlanParser.parseFile(dir.resolve("plan2.json").toString)
     }
-    assert(err.getCause.getMessage.contains("nope.json"))
+    assert(err.getMessage.contains("nope.json"))
   }
 }

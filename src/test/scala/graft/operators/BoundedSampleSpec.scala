@@ -26,6 +26,12 @@ class BoundedSampleSpec extends SparkSpec {
       .map { case (src, ids) => src -> ids.toSet }.toMap
     assert(got == expected)
     assert(got.values.forall(_.size <= 5))
+    // the untyped UDAF form selects the same ids from a plain DataFrame
+    val viaUdf = docs.groupBy("source")
+      .agg(BoundedSample.sampleIdsUdf(5, "sample")(docs("doc_id")).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaUdf == expected)
   }
 
   test("merge order cannot change the sample (hash-determinism)") {

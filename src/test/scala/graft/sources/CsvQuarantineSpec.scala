@@ -26,7 +26,8 @@ class CsvQuarantineSpec extends SparkSpec {
         |3,gamma,0.25
         |4,delta,2.0,EXTRA_FIELD_MAKES_THIS_MALFORMED_TOO
         |""".stripMargin)
-    val (clean, bad) = CsvQuarantine.read(spark, f, schema)
+    val result = CsvQuarantine.read(spark, f, schema)
+    val (clean, bad) = (result.clean, result.quarantined)
     val cleanRows = clean.collect()
     assert(cleanRows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
     // parsed values survive intact on the clean side
@@ -38,6 +39,7 @@ class CsvQuarantineSpec extends SparkSpec {
     assert(rawLines.size == 2)
     // together: no row lost
     assert(clean.count() + bad.count() == 4)
+    result.release() // drop the shared parse cache
   }
 
   test("streaming ingest routes micro-batches through the same split") {
@@ -85,12 +87,13 @@ class CsvQuarantineSpec extends SparkSpec {
         |{"id": 3, "name": "gamma", "score": 0.25}
         |not json at all
         |""".stripMargin)
-    val (clean, bad) = JsonQuarantine.read(spark, f, schema)
-    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
-    val raw = bad.collect().map(_.getString(0)).toSet
+    val result = JsonQuarantine.read(spark, f, schema)
+    assert(result.clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val raw = result.quarantined.collect().map(_.getString(0)).toSet
     assert(raw.exists(_.contains("TRUNCATED")))
     assert(raw.exists(_.contains("not json at all")))
-    assert(clean.count() + bad.count() == 4)
+    assert(result.clean.count() + result.quarantined.count() == 4)
+    result.release()
   }
 
   test("rejects a schema that collides with the corrupt column") {

@@ -1207,7 +1207,55 @@ object EventQueries {
       |    AS avg_delay_s
       |FROM v""".stripMargin
 
+  /** §2.33z — customer-value decile table: users ranked by total
+    * purchase value into 10 equal buckets, each with population, total
+    * and boundary values — the "top decile drives n% of revenue" frame
+    * every monetization review opens with. The per-user rollup is one
+    * combinable decimal-exact aggregation; the ntile window runs over
+    * the collapsed user frame (≪ fact table), with a unique
+    * (value, user) sort so bucket edges are deterministic in both
+    * engines. */
+  def qeLtvDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,4)")).as("__spend"))
+    val w = Window.orderBy(col("__spend").desc, col("user_id"))
+    perUser.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__spend")).cast("decimal(38,4)").cast("double")
+          .as("__total"),
+        min(col("__spend")).cast("double").as("__lo"),
+        max(col("__spend")).cast("double").as("__hi"))
+      .select(col("decile").cast("bigint").as("decile"), col("n_users"),
+        round(col("__total"), 4).as("total_spend"),
+        round(col("__hi"), 4).as("max_spend"),
+        round(col("__lo"), 4).as("min_spend"))
+      .orderBy("decile")
+  }
+
+  val qeLtvDecilesSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS spend
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id
+      |), d AS (
+      |  SELECT spend,
+      |    ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+      |  FROM u
+      |)
+      |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_users,
+      |  round(CAST(CAST(SUM(spend) AS DECIMAL(38,4)) AS DOUBLE), 4)
+      |    AS total_spend,
+      |  round(CAST(MAX(spend) AS DOUBLE), 4) AS max_spend,
+      |  round(CAST(MIN(spend) AS DOUBLE), 4) AS min_spend
+      |FROM d GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_ltv_deciles" -> (qeLtvDeciles _),
     "qe_conversion" -> (qeConversion _),
     "qe_cooccurrence" -> (qeCooccurrence _),
     "qe_rolling" -> (qeRolling _),
@@ -1240,6 +1288,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_ltv_deciles" -> qeLtvDecilesSql,
     "qe_conversion" -> qeConversionSql,
     "qe_cooccurrence" -> qeCooccurrenceSql,
     "qe_rolling" -> qeRollingSql,

@@ -764,7 +764,40 @@ object TextQueries {
       |FROM idx
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** §2.30b — language-ID quality evaluation: confusion counts of the
+    * stopword classifier against the corpus's labeled `lang` column,
+    * with per-true-language recall share — the eval gate before
+    * trusting a heuristic classifier to route a 100 TB corpus (the
+    * same eval-layer pattern as qs_recall for ANN). Composes the
+    * existing scorer; the confusion frame is ≤ |langs|² rows, the
+    * share window runs over that tiny frame. */
+  def qtLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Tables.load(spark, dir, "documents").select("doc_id", "lang")
+    qtLangid(spark, dir).select("doc_id", "predicted_lang")
+      .join(truth, Seq("doc_id"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_true",
+        round(col("n") / sum(col("n")).over(
+          Window.partitionBy("lang")), 6))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  val qtLangidEvalSql: String = {
+    val pred = qtLangidSql.replace("\nORDER BY doc_id", "")
+    s"""WITH p AS (
+       |$pred
+       |)
+       |SELECT d.lang, p.predicted_lang, COUNT(*) AS n,
+       |  round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY d.lang), 6)
+       |    AS share_of_true
+       |FROM p JOIN documents d ON p.doc_id = d.doc_id
+       |GROUP BY d.lang, p.predicted_lang
+       |ORDER BY d.lang, p.predicted_lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_langid_eval" -> (qtLangidEval _),
     "qt_chunks" -> (qtChunks _),
     "qt_novelty" -> (qtNovelty _),
     "qt_readability" -> (qtReadability _),
@@ -786,6 +819,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_langid_eval" -> qtLangidEvalSql,
     "qt_chunks" -> qtChunksSql,
     "qt_novelty" -> qtNoveltySql,
     "qt_readability" -> qtReadabilitySql,

@@ -314,6 +314,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_delay_s") == 1800.0)
   }
 
+  test("langid eval: per-true-language shares sum to 1") {
+    val rows = TextQueries.qtLangidEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val sum = rs.map(_.getAs[Double]("share_of_true")).sum
+      assert(math.abs(sum - 1.0) < 1e-4, lang)
+    }
+  }
+
+  test("LTV deciles: populations balance and bucket edges are ordered") {
+    val rows = EventQueries.qeLtvDeciles(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    val pops = rows.map(_.getAs[Long]("n_users"))
+    assert(pops.max - pops.min <= 1)   // ntile splits evenly ±1
+    // deciles descend: every bucket's max ≤ previous bucket's min
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo.getAs[Double]("max_spend") <= hi.getAs[Double]("min_spend"))
+    }
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

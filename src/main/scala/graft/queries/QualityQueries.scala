@@ -149,7 +149,62 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  /** §2.5c — orphan-key triage examples: for each FK relation, up to 5
+    * concrete orphaned key values chosen by seeded-md5 order (the same
+    * deterministic-election rule as qp_sample) — the row a 13-orphan
+    * alert needs next to it ("WHICH keys broke?"). Distinct child keys
+    * anti-join the parent (one shuffle each); the rank window runs
+    * over the ORPHAN set only, which is an error set — orders of
+    * magnitude below the fact table whenever the pipeline is healthy
+    * enough to be worth triaging. */
+  def qcOrphans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def t(n: String) = Tables.load(spark, dir, n)
+    def examples(child: DataFrame, parent: DataFrame, ck: String,
+        pk: String, name: String): DataFrame = {
+      val w = Window.orderBy(
+        md5(concat_ws(":", lit("orphan"), col("__k"))), col("__k"))
+      child.select(col(ck).as("__k")).where(col("__k").isNotNull).distinct()
+        .join(parent.select(col(pk).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .withColumn("orphan_rank", row_number().over(w).cast("bigint"))
+        .where(col("orphan_rank") <= 5)
+        .select(lit(name).as("relation"), col("orphan_rank"),
+          col("__k").cast("bigint").as("orphan_key"))
+    }
+    examples(t("orders"), t("customer"), "o_custkey", "c_custkey",
+      "orders->customer")
+      .unionByName(examples(t("lineitem"), t("orders"), "l_orderkey",
+        "o_orderkey", "lineitem->orders"))
+      .unionByName(examples(t("events"), t("customer"), "user_id",
+        "c_custkey", "events->customer"))
+      .orderBy("relation", "orphan_rank")
+  }
+
+  val qcOrphansSql: String = {
+    def piece(child: String, ck: String, parent: String, pk: String,
+        name: String) =
+      s"""SELECT '$name' AS relation, orphan_rank, orphan_key FROM (
+         |  SELECT CAST(ROW_NUMBER() OVER (
+         |      ORDER BY md5('orphan:' || k), k) AS BIGINT) AS orphan_rank,
+         |    CAST(k AS BIGINT) AS orphan_key
+         |  FROM (
+         |    SELECT DISTINCT $ck AS k FROM $child
+         |    WHERE $ck IS NOT NULL
+         |      AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)
+         |  )
+         |) WHERE orphan_rank <= 5""".stripMargin
+    Seq(piece("orders", "o_custkey", "customer", "c_custkey",
+        "orders->customer"),
+      piece("lineitem", "l_orderkey", "orders", "o_orderkey",
+        "lineitem->orders"),
+      piece("events", "user_id", "customer", "c_custkey",
+        "events->customer"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation, orphan_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_orphans" -> (qcOrphans _),
     "qc_ref_integrity" -> (qcRefIntegrity _),
     "qc_assert_invalid" -> (qcAssertInvalid _),
     "qc_assert_report" -> (qcAssertReport _),
@@ -158,6 +213,7 @@ object QualityQueries {
     "qc_assert_window" -> (qcAssertWindow _))
 
   val oracles: Map[String, String] = Map(
+    "qc_orphans" -> qcOrphansSql,
     "qc_ref_integrity" -> qcRefIntegritySql,
     "qc_assert_invalid" -> qcAssertInvalidSql,
     "qc_assert_report" -> qcAssertReportSql,

@@ -336,6 +336,25 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("orphan examples are real orphans, bounded at 5 per relation") {
+    val orphans = QualityQueries.qcOrphans(spark, sf).collect()
+    val integrity = QualityQueries.qcRefIntegrity(spark, sf).collect()
+      .map(r => r.getAs[String]("relation") -> r.getAs[Long]("n_orphans"))
+      .toMap
+    val byRel = orphans.groupBy(_.getAs[String]("relation"))
+    byRel.foreach { case (rel, rs) => assert(rs.length <= 5, rel) }
+    // a relation reports examples iff the integrity check counts orphans
+    integrity.foreach { case (rel, n) =>
+      assert(byRel.contains(rel) == (n > 0), s"$rel n=$n")
+    }
+    // every example key really is absent from its parent table
+    val custKeys = graft.Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    byRel.getOrElse("events->customer", Array.empty).foreach { r =>
+      assert(!custKeys.contains(r.getAs[Long]("orphan_key")))
+    }
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

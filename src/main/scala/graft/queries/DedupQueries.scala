@@ -516,7 +516,49 @@ object DedupQueries {
        |FROM s ORDER BY threshold""".stripMargin
   }
 
+  /** §2.22d — LSH index-health histogram: the distribution of band
+    * bucket sizes, with each size's candidate-pair yield C(size, 2) —
+    * the table that says whether pair generation is about to explode
+    * (one 10k-row bucket = 50M pairs) BEFORE the expensive stage runs;
+    * this is the measurement behind the pair generator's hot-bucket
+    * guard. Two combinable aggregations over the banded rows; per-row
+    * C(size,2) is cast to integer exactly before the sum. */
+  def qdBandStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandedRows(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", NumPerms, BandSize)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("CAST(__sz * (__sz - 1) / 2 AS BIGINT)"))
+          .cast("bigint").as("n_pair_candidates"))
+      .select(col("bucket_size").cast("bigint").as("bucket_size"),
+        col("n_buckets"), col("n_pair_candidates"))
+      .orderBy("bucket_size")
+
+  val qdBandStatsSql: String = {
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => sigSqlExpr(b * BandSize + j))
+      s"md5(concat_ws('_', ${parts.mkString(", ")})) AS band_$b"
+    }
+    s"""WITH sigs AS (
+       |  SELECT doc_id, ${bands.mkString(",\n    ")}
+       |  FROM documents
+       |), banded AS (
+       |${bandedUnionSql()}
+       |), buckets AS (
+       |  SELECT band_idx, band_val, COUNT(*) AS sz
+       |  FROM banded GROUP BY band_idx, band_val
+       |)
+       |SELECT CAST(sz AS BIGINT) AS bucket_size,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(CAST(sz * (sz - 1) / 2 AS BIGINT)) AS BIGINT)
+       |    AS n_pair_candidates
+       |FROM buckets GROUP BY sz
+       |ORDER BY bucket_size""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_band_stats" -> (qdBandStats _),
     "qd_threshold_sweep" -> (qdThresholdSweep _),
     "qd_minhash_est" -> (qdMinhashEst _),
     "qd_report" -> (qdReport _),
@@ -534,6 +576,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_band_stats" -> qdBandStatsSql,
     "qd_threshold_sweep" -> qdThresholdSweepSql,
     "qd_minhash_est" -> qdMinhashEstSql,
     "qd_report" -> qdReportSql,

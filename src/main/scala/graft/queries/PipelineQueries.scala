@@ -463,7 +463,56 @@ object PipelineQueries {
       |)
       |ORDER BY metric""".stripMargin
 
+  /** §2.31q — dedup savings per source: how many documents AND tokens
+    * exact dedup removes from each source's budget (a duplicate whose
+    * canonical lives in another source still counts against the source
+    * holding the copy). The number that justifies running dedup at
+    * all: tokens_dup / tokens_total is compute saved per epoch. One
+    * min-over-content-hash window elects the same canonical as
+    * qd_exact; the per-source rollup is a second combinable
+    * aggregation. */
+  def qpDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("__h")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("__t"), md5(col("text")).as("__h"))
+      .withColumn("__canon", min(col("doc_id")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("__canon"), 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum(col("__t")).as("__tok"),
+        sum(when(col("doc_id") =!= col("__canon"), col("__t"))
+          .otherwise(0L)).as("__tok_dup"))
+      .select(col("source"), col("n_docs"),
+        col("n_dup_docs").cast("bigint").as("n_dup_docs"),
+        col("__tok").cast("bigint").as("tokens_total"),
+        col("__tok_dup").cast("bigint").as("tokens_dup"),
+        round(col("__tok_dup").cast("double") / col("__tok"), 6)
+          .as("savings_ratio"))
+      .orderBy("source")
+  }
+
+  val qpDedupSavingsSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    len(string_split(text, ' ')) AS t,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(SUM(t) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN doc_id <> canon THEN t ELSE 0 END) AS BIGINT)
+      |    AS tokens_dup,
+      |  round(CAST(SUM(CASE WHEN doc_id <> canon THEN t ELSE 0 END)
+      |    AS DOUBLE) / SUM(t), 6) AS savings_ratio
+      |FROM d GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_dedup_savings" -> (qpDedupSavings _),
     "qp_dataset_card" -> (qpDatasetCard _),
     "qp_token_budget" -> (qpTokenBudget _),
     "qp_attrition" -> (qpAttrition _),
@@ -476,6 +525,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_dedup_savings" -> qpDedupSavingsSql,
     "qp_dataset_card" -> qpDatasetCardSql,
     "qp_token_budget" -> qpTokenBudgetSql,
     "qp_attrition" -> qpAttritionSql,

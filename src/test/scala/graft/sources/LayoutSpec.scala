@@ -30,6 +30,24 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("overwritePartitions replaces only the partitions being written") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_part_dyn"
+    Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "c"))
+      .toDF("id", "day", "v")
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    // rerun of day d2 with corrected data: d1 must survive untouched
+    Layout.overwritePartitions(
+      Seq((9L, "d2", "fixed")).toDF("id", "day", "v"), path, "day")
+    val back = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("day"))).toSet
+    assert(back == Set((1L, "d1"), (2L, "d1"), (9L, "d2")))
+    // the session setting is restored, not leaked
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+  }
+
   test("partition filters prune partitioned reads at planning time") {
     Layout.writePartitioned(
       Tables.load(spark, dir, "documents"), "/tmp/graft_part/documents", "source")

@@ -1254,7 +1254,56 @@ object EventQueries {
       |FROM d GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  /** §2.33aa — seasonality-adjusted volume anomaly: hours whose event
+    * count deviates ≥2× (or ≤½) from the mean of their OWN
+    * (day-of-week, hour-of-day) peers — the weekly-rhythm-aware
+    * complement of [[qeAnomalyHours]]' trailing-window baseline (a
+    * quiet Sunday 3am is normal against Sunday-3am peers, alarming
+    * against a Friday-evening trailing window). Hourly counts collapse
+    * the facts once; the peer baseline is a share window over the
+    * tiny hourly frame; counts are exact ints so the ratio compares
+    * identically cross-engine. */
+  def qeSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val peers = Window.partitionBy("__dow", "__hod")
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("__hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__dow", dayofweek(col("__hour")))
+      .withColumn("__hod", hour(col("__hour")))
+    hourly
+      .withColumn("__base",
+        sum(col("n_events")).over(peers).cast("double") /
+          count(lit(1)).over(peers))
+      .where(col("n_events") > lit(2.0) * col("__base") ||
+        col("n_events") < lit(0.5) * col("__base"))
+      .select(date_format(col("__hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n_events"),
+        round(col("__base"), 6).as("peer_baseline"),
+        when(col("n_events") > lit(2.0) * col("__base"), "high")
+          .otherwise("low").as("direction"))
+      .orderBy("hour")
+  }
+
+  val qeSeasonalAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events
+      |  FROM events GROUP BY date_trunc('hour', ts)
+      |), based AS (
+      |  SELECT h, n_events,
+      |    CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w AS base
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY dayofweek(h), hour(h))
+      |)
+      |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n_events,
+      |  round(base, 6) AS peer_baseline,
+      |  CASE WHEN n_events > 2.0 * base THEN 'high' ELSE 'low' END
+      |    AS direction
+      |FROM based
+      |WHERE n_events > 2.0 * base OR n_events < 0.5 * base
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_seasonal_anomaly" -> (qeSeasonalAnomaly _),
     "qe_ltv_deciles" -> (qeLtvDeciles _),
     "qe_conversion" -> (qeConversion _),
     "qe_cooccurrence" -> (qeCooccurrence _),
@@ -1288,6 +1337,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_seasonal_anomaly" -> qeSeasonalAnomalySql,
     "qe_ltv_deciles" -> qeLtvDecilesSql,
     "qe_conversion" -> qeConversionSql,
     "qe_cooccurrence" -> qeCooccurrenceSql,

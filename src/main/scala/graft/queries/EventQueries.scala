@@ -1302,7 +1302,81 @@ object EventQueries {
       |WHERE n_events > 2.0 * base OR n_events < 0.5 * base
       |ORDER BY hour""".stripMargin
 
+  /** §2.33ab — keep-latest compaction (CDC/upsert semantics): one row
+    * per user, the most recent event by (ts, event_id) — the dedup
+    * every change-capture feed needs before joining as a dimension.
+    * row_number over the user partition keeps the WHOLE latest row
+    * without a self-join back (max(ts) + join would pay a second
+    * shuffle and break on ts ties; the unique event_id tie-break makes
+    * the winner deterministic). */
+  def qeLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(spark, dir, "events")
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
+  val qeLatestSql: String =
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |  event_type AS last_type
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS r
+      |  FROM events
+      |)
+      |WHERE r = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.33ac — deterministic experiment split + A/A balance report:
+    * users assign to variants by seeded md5 (reproducible across runs
+    * and engines — no RNG, no assignment table to store), and the
+    * report shows the balance check an experimenter runs BEFORE
+    * trusting the split: population, activity, and value per variant
+    * should be statistically indistinguishable on pre-experiment
+    * data. One per-user rollup, then a 2-row variant fold. */
+  def qeAbBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val variant = when(md5Bucket("exp1", col("user_id"), 2) === 0, "A")
+      .otherwise("B")
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(18,4)")).as("__v"))
+      .withColumn("variant", variant)
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__n")).cast("bigint").as("n_events"),
+        round(sum(col("__n")).cast("double") / count(lit(1)), 6)
+          .as("events_per_user"),
+        round(sum(col("__v")).cast("decimal(38,4)").cast("double"), 4)
+          .as("total_value"))
+      .orderBy("variant")
+  }
+
+  val qeAbBalanceSql: String =
+    """WITH u AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT CASE WHEN ('0x' || substr(md5('exp1:' || user_id), 1, 8))::BIGINT
+      |    % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS events_per_user,
+      |  round(CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS DOUBLE), 4)
+      |    AS total_value
+      |FROM u
+      |GROUP BY 1
+      |ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_ab_balance" -> (qeAbBalance _),
+    "qe_latest" -> (qeLatest _),
     "qe_seasonal_anomaly" -> (qeSeasonalAnomaly _),
     "qe_ltv_deciles" -> (qeLtvDeciles _),
     "qe_conversion" -> (qeConversion _),
@@ -1337,6 +1411,8 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_ab_balance" -> qeAbBalanceSql,
+    "qe_latest" -> qeLatestSql,
     "qe_seasonal_anomaly" -> qeSeasonalAnomalySql,
     "qe_ltv_deciles" -> qeLtvDecilesSql,
     "qe_conversion" -> qeConversionSql,

@@ -355,6 +355,33 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("keep-latest: ties on ts resolve to the larger event_id") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_latest"
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t0, 1L, "a", 0.0, ""), (2L, t0, 1L, "b", 0.0, ""),
+      (3L, new Timestamp(t0.getTime - 1000), 1L, "c", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventQueries.qeLatest(spark, dir).collect().head
+    assert(r.getAs[Long]("last_event_id") == 2L)
+    assert(r.getAs[String]("last_type") == "b")
+  }
+
+  test("A/B split is deterministic and near-balanced on real users") {
+    val rows = EventQueries.qeAbBalance(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("variant")).sorted.toSeq == Seq("A", "B"))
+    val pops = rows.map(_.getAs[Long]("n_users"))
+    assert(pops.sum > 0)
+    // seeded-hash split of n users: both arms populated, no 90/10 skew
+    assert(pops.min.toDouble / pops.sum > 0.3)
+    // rerun must produce the identical assignment (no RNG anywhere)
+    val again = EventQueries.qeAbBalance(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+
   test("threshold sweep: kept-pair counts decrease monotonically") {
     val rows = DedupQueries.qdThresholdSweep(spark, sf)
       .orderBy("threshold").collect()

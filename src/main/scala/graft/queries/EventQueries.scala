@@ -1343,6 +1343,12 @@ object EventQueries {
     val variant = when(md5Bucket("exp1", col("user_id"), 2) === 0, "A")
       .otherwise("B")
     Tables.load(spark, dir, "events")
+      // NULL ids are excluded EXPLICITLY on both sides: Spark's
+      // concat_ws would silently hash a NULL id as md5(seed) while the
+      // oracle's '||' nulls out to the ELSE arm — whether they agree
+      // would depend on the seed's hash parity. A NULL user is not an
+      // experiment subject; it belongs to a nullability check.
+      .where(col("user_id").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("__n"),
         sum(col("value").cast("decimal(18,4)")).as("__v"))
@@ -1361,7 +1367,7 @@ object EventQueries {
     """WITH u AS (
       |  SELECT user_id, COUNT(*) AS n,
       |    SUM(CAST(value AS DECIMAL(18,4))) AS v
-      |  FROM events GROUP BY user_id
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
       |)
       |SELECT CASE WHEN ('0x' || substr(md5('exp1:' || user_id), 1, 8))::BIGINT
       |    % 2 = 0 THEN 'A' ELSE 'B' END AS variant,

@@ -156,7 +156,13 @@ object QualityQueries {
     * anti-join the parent (one shuffle each); the rank window runs
     * over the ORPHAN set only, which is an error set — orders of
     * magnitude below the fact table whenever the pipeline is healthy
-    * enough to be worth triaging. */
+    * enough to be worth triaging.
+    *
+    * Scope note: this triages NON-NULL orphan keys. [[qcRefIntegrity]]
+    * counts every child row that fails to join — including NULL-keyed
+    * rows — so its n_orphans can exceed the relations represented
+    * here; a NULL FK is a nullability defect (one rule predicate),
+    * not a key anyone can go look up. */
   def qcOrphans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def t(n: String) = Tables.load(spark, dir, n)

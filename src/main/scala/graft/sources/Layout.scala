@@ -35,20 +35,14 @@ object Layout {
   /** Idempotent backfill write: replace ONLY the partitions present in
     * `df`, leaving the rest of the dataset untouched — the rerun-safe
     * daily-job primitive at scale (static overwrite would wipe the
-    * whole table; append would duplicate the rerun day). Uses dynamic
-    * partitionOverwriteMode scoped to this one write, restoring the
-    * session's previous setting after. */
-  def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+    * whole table; append would duplicate the rerun day). The dynamic
+    * mode rides as a WRITER-scoped option (it takes precedence over
+    * the session conf), so concurrent writers on the same session are
+    * never affected. */
+  def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

@@ -336,22 +336,36 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
-  test("orphan examples are real orphans, bounded at 5 per relation") {
-    val orphans = QualityQueries.qcOrphans(spark, sf).collect()
-    val integrity = QualityQueries.qcRefIntegrity(spark, sf).collect()
-      .map(r => r.getAs[String]("relation") -> r.getAs[Long]("n_orphans"))
-      .toMap
-    val byRel = orphans.groupBy(_.getAs[String]("relation"))
-    byRel.foreach { case (rel, rs) => assert(rs.length <= 5, rel) }
-    // a relation reports examples iff the integrity check counts orphans
-    integrity.foreach { case (rel, n) =>
-      assert(byRel.contains(rel) == (n > 0), s"$rel n=$n")
-    }
-    // every example key really is absent from its parent table
-    val custKeys = graft.Tables.load(spark, sf, "customer")
-      .select("c_custkey").collect().map(_.getLong(0)).toSet
-    byRel.getOrElse("events->customer", Array.empty).foreach { r =>
-      assert(!custKeys.contains(r.getAs[Long]("orphan_key")))
+  test("orphan examples: planted orphans surface, capped at 5, really absent") {
+    // The shipped scale factors have ZERO orphans (healthy fixtures), so
+    // this test must plant its own or every assertion is vacuous.
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_orphans"
+    // customers 1..3; orders reference 7 missing custkeys (exercises the
+    // ≤5 cut) and all order keys exist for lineitem (that relation clean)
+    Seq(1L, 2L, 3L).map(k => (k, s"c$k"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (Seq((10L, 1L)) ++ (11L to 17L).map(o => (o, 100L + o)))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L)).toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t0, 1L, "view", 0.0, ""), (2L, t0, 999L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byRel = QualityQueries.qcOrphans(spark, dir).collect()
+      .groupBy(_.getAs[String]("relation"))
+    // 7 planted orphan custkeys → capped at exactly 5 examples
+    assert(byRel("orders->customer").length == 5)
+    assert(byRel("events->customer").map(_.getAs[Long]("orphan_key"))
+      .toSeq == Seq(999L))
+    assert(!byRel.contains("lineitem->orders")) // clean relation: no rows
+    // every surfaced key really is absent from the parent
+    byRel("orders->customer").foreach { r =>
+      assert(r.getAs[Long]("orphan_key") > 100L)
     }
   }
 
@@ -380,6 +394,26 @@ class StatsOpsSpec extends SparkSpec {
     val again = EventQueries.qeAbBalance(spark, sf).collect()
       .map(_.toSeq).toSet
     assert(again == rows.map(_.toSeq).toSet)
+  }
+
+  test("dedup savings: dup tokens attribute to the copy's source, not the canonical's") {
+    // The shipped fixtures have zero exact duplicates, so the election
+    // and attribution logic must be exercised on planted dups.
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stats_savings"
+    Seq(
+      (1L, "alpha beta gamma", "en", "srcA", 16L),    // canonical (min id)
+      (2L, "unique text here", "en", "srcA", 16L),
+      (3L, "alpha beta gamma", "en", "srcB", 16L),    // copy in srcB
+      (4L, "alpha beta gamma", "en", "srcB", 16L))    // second copy in srcB
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.qpDedupSavings(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_dup_docs"), r.getAs[Long]("tokens_dup"))).toMap
+    assert(out("srcA") == ((0L, 0L)))   // holds the canonical: saves nothing
+    assert(out("srcB") == ((2L, 6L)))   // both copies + their 3+3 tokens
   }
 
   test("threshold sweep: kept-pair counts decrease monotonically") {

@@ -561,7 +561,37 @@ object Analytics {
       |ORDER BY g_status, g_priority,
       |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** §2.19p — correlated LATERAL join (top-2 orders per customer by
+    * value): the SQL-standard top-N-per-group form that does NOT need
+    * a window function — Catalyst decorrelates the LIMIT subquery into
+    * a per-key ranked join, so the surface works for plan authors who
+    * write LATERAL (the engine's SQL entry point must accept it, not
+    * just the DataFrame API's windows). Bounded to a 19-customer panel
+    * so the oracle result stays small. */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("__lat_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("__lat_orders")
+    spark.sql(
+      """SELECT c.c_custkey, l.o_orderkey,
+        |  CAST(l.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM (SELECT c_custkey FROM __lat_customer WHERE c_custkey < 20) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM __lat_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT c.c_custkey, l.o_orderkey,
+      |  CAST(l.o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM (SELECT c_custkey FROM customer WHERE c_custkey < 20) c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral" -> (qLateral _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_mode" -> (qMode _),
     "q13_custdist" -> (q13CustDist _),
@@ -582,6 +612,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_lateral" -> qLateralSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_mode" -> qModeSql,
     "q13_custdist" -> q13CustDistSql,

@@ -1082,11 +1082,20 @@ object EventQueries {
     val lagTs = lag(col("ts"), 1).over(byUser)
     val newSession = when(lagTs.isNull ||
       unix_micros(col("ts")) - unix_micros(lagTs) > 1800000000L, 1).otherwise(0)
+    // The collapsed (user, session, type) frame feeds FOUR consumers
+    // (both self-join sides, the type counts, the session total); an
+    // eager localCheckpoint materializes the expensive sessionization
+    // window ONCE and truncates lineage, instead of re-running the
+    // full-fact window per branch (no cache(): Spark's CacheManager
+    // matches canonicalized plans ACROSS query constructions, which
+    // would leak reuse between bench iterations; checkpoint blocks are
+    // instance-scoped). The frame is already ≪ the fact table.
     val sessTypes = Tables.load(spark, dir, "events")
       .withColumn("__sid", sum(newSession).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("__sid"), col("event_type"))
       .distinct()
+      .localCheckpoint()
     // Session total stays a LAZY 1-row broadcast (scalar-subquery
     // pattern, qe_decay precedent) — no eager driver action.
     val nSessions = sessTypes.select("user_id", "__sid").distinct()

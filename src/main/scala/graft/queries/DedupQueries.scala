@@ -557,7 +557,75 @@ object DedupQueries {
        |ORDER BY bucket_size""".stripMargin
   }
 
+  /** §2.24d — corpus provenance: pairwise source-vocabulary overlap
+    * (Jaccard over each source's distinct 3-gram shingle vocabulary).
+    * The "are these two crawls actually the same feed" signal read
+    * before mixing sources into a training run. Scale shape: the
+    * inverted index collapses to distinct (source, shingle) postings
+    * — O(total shingles), never doc-pair anything — and pair
+    * generation is bucket-local per shingle with the ordered-
+    * combination slice, bounded by C(|sources|, 2) per shingle;
+    * per-source vocabulary sizes join back as two broadcast maps.
+    * Only pairs sharing ≥ 1 shingle appear (a zero-overlap pair
+    * carries no signal). */
+  def qdSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = org.apache.spark.sql.graft.WordShingles
+      .ofColumn(col("__toks"), 3, hashed = false)
+    val posting = Tables.load(spark, dir, "documents")
+      .select(col("source"), graft.functions.Portable.tokens(col("text")).as("__toks"))
+      .select(col("source"), explode_outer(sh).as("__shingle"))
+      .where(col("__shingle").isNotNull)
+      .distinct()
+    val vocab = posting.groupBy("source").agg(count(lit(1)).as("__n"))
+    val inter = posting
+      .groupBy("__shingle")
+      .agg(sort_array(collect_list(col("source"))).as("__ss"))
+      .where(size(col("__ss")) > 1)
+      .select(posexplode(col("__ss")).as(Seq("__pos", "source_a")), col("__ss"))
+      .select(col("source_a"),
+        explode(slice(col("__ss"), col("__pos") + 2, size(col("__ss"))))
+          .as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(broadcast(vocab.select(col("source").as("source_a"),
+        col("__n").as("__na"))), Seq("source_a"))
+      .join(broadcast(vocab.select(col("source").as("source_b"),
+        col("__n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("__inter").cast("bigint").as("n_common"),
+        round(col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val qdSourceOverlapSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, unnest(
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |    ELSE [] END) AS g
+      |  FROM documents
+      |), v AS (
+      |  SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+      |), p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.source_a, p.source_b, CAST(p.n_common AS BIGINT) AS n_common,
+      |  round(CAST(p.n_common AS DOUBLE)
+      |    / CAST(va.n + vb.n - p.n_common AS DOUBLE), 6) AS jaccard
+      |FROM p
+      |JOIN v va ON p.source_a = va.source
+      |JOIN v vb ON p.source_b = vb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_source_overlap" -> (qdSourceOverlap _),
     "qd_band_stats" -> (qdBandStats _),
     "qd_threshold_sweep" -> (qdThresholdSweep _),
     "qd_minhash_est" -> (qdMinhashEst _),
@@ -576,6 +644,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_source_overlap" -> qdSourceOverlapSql,
     "qd_band_stats" -> qdBandStatsSql,
     "qd_threshold_sweep" -> qdThresholdSweepSql,
     "qd_minhash_est" -> qdMinhashEstSql,

@@ -1389,7 +1389,92 @@ object EventQueries {
       |GROUP BY 1
       |ORDER BY variant""".stripMargin
 
+  /** §2.33ad — per-user engagement trend: OLS slope of daily event
+    * count on epoch-day (events/day per day), the "is this account
+    * ramping or decaying" signal behind churn triage and bot-ramp
+    * detection. Grouped closed-form regression: the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) are INTEGER sums over the
+    * collapsed (user, day) frame — exact under any accumulation order,
+    * so the result is engine-independent with no decimal cast at all;
+    * one double division per user assembles the slope. Two combinable
+    * aggregations, no window, no per-user array (contrast a
+    * regr_slope over raw doubles, whose accumulation order a
+    * distributed engine cannot pin). */
+  def qeTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("__x"))
+      .groupBy("user_id", "__x").agg(count(lit(1)).as("__y"))
+    daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .where(col("n_days") >= 2)
+      .select(col("user_id"), col("n_days"),
+        round((col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"), 6).as("slope"))
+      .orderBy("user_id")
+  }
+
+  val qeTrendSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM d GROUP BY user_id
+      |)
+      |SELECT user_id, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+      |FROM s WHERE n >= 2
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.33ae — rolling 7-day distinct active users per day (windowed
+    * COUNT DISTINCT): the trailing-week reach curve product teams
+    * watch. Exact sliding distinct WITHOUT per-day user sets or a
+    * range self-join: the collapsed (user, day) frame fans out to its
+    * ≤ 7 contributing window-ends via a generated date sequence
+    * (bounded ×7 row expansion, map-side, no BNLJ), a broadcast
+    * semi-join keeps only window-ends that are real active days, and
+    * one exact two-phase count-distinct per day finishes. At 100 TB
+    * the expansion is 7 × |users × days| — linear, shuffle on day. */
+  def qeWauRolling(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("__day")).distinct()
+    val days = ud.select(col("__day").as("__end")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("__day"), date_add(col("__day"), 6))).as("__end"))
+      .join(broadcast(days), Seq("__end"), "left_semi")
+      .groupBy("__end")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("__end"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
+  val qeWauRollingSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), days AS (
+      |  SELECT DISTINCT day FROM ud
+      |), x AS (
+      |  SELECT u.user_id, d.day AS day_end
+      |  FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 6
+      |)
+      |SELECT strftime(day_end, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |FROM x GROUP BY day_end
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_trend" -> (qeTrend _),
+    "qe_wau_rolling" -> (qeWauRolling _),
     "qe_ab_balance" -> (qeAbBalance _),
     "qe_latest" -> (qeLatest _),
     "qe_seasonal_anomaly" -> (qeSeasonalAnomaly _),
@@ -1426,6 +1511,8 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_trend" -> qeTrendSql,
+    "qe_wau_rolling" -> qeWauRollingSql,
     "qe_ab_balance" -> qeAbBalanceSql,
     "qe_latest" -> qeLatestSql,
     "qe_seasonal_anomaly" -> qeSeasonalAnomalySql,

@@ -1472,6 +1472,30 @@ object EventQueries {
       |FROM x GROUP BY day_end
       |ORDER BY day""".stripMargin
 
+  /** [[qeWauRolling]]'s 100 TB swap-in, shipped callable (test-pinned
+    * in ApproxVariantsSpec; sketches are not SQL-oracle-able): per-day
+    * HLL sketches of the user set are built ONCE from the fact table
+    * (Spark 4's DataSketches hll_sketch_agg), and each 7-day window
+    * then unions 7 tiny fixed-size sketches (hll_union_agg) instead of
+    * re-scanning users — the fanout ships kilobyte sketches, not the
+    * (user, day) rows, and per-day sketches are reusable across any
+    * window length. Exact path fans out rows ×7; this fans out
+    * |days| × 7 sketches. */
+  def qeWauRollingSketch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("__day"))
+      .groupBy("__day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("__sk"))
+    val days = daily.select(col("__day").as("__end"))
+    daily.select(col("__sk"),
+        explode(sequence(col("__day"), date_add(col("__day"), 6))).as("__end"))
+      .join(broadcast(days), Seq("__end"), "left_semi")
+      .groupBy("__end")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk, true))").as("wau"))
+      .select(date_format(col("__end"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_trend" -> (qeTrend _),
     "qe_wau_rolling" -> (qeWauRolling _),

@@ -511,7 +511,63 @@ object PipelineQueries {
       |FROM d GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** §2.31r — temperature-scaled source mixing weights: wᵢ ∝ pᵢ^α
+    * (α = 0.7), the standard up-weighting of small sources when
+    * compositing a multilingual/multi-domain training corpus (raw
+    * proportional sampling starves tail sources; uniform over-trains
+    * them). Reports per source the raw token share, the temperature
+    * mix weight, and the effective epochs (> 1 for small sources = how
+    * often their data repeats per pass over the mixture). Scale shape:
+    * one combinable rollup collapses the corpus to the |sources| frame;
+    * the normalizer Σpᵢ^α and total run as windows over that tiny
+    * frame, with the float p^α terms DECIMAL-cast before summation so
+    * the normalizer's accumulation order cannot move the 6-dp result
+    * (Portable rule 2). */
+  def qpTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val total = Window.partitionBy()
+    val alpha = 0.7
+    val s = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("__t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).cast("bigint").as("n_tokens"))
+    s.select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(total).cast("double")).as("__p"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("__p"),
+        pow(col("__p"), lit(alpha)).as("__pa"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("__p"), 6).as("share"),
+        round((col("__pa") /
+          sum(col("__pa").cast("decimal(38,12)")).over(total).cast("double"))
+          , 6).as("mix_weight"),
+        round((col("__pa") /
+          sum(col("__pa").cast("decimal(38,12)")).over(total).cast("double"))
+          / col("__p"), 6).as("effective_epochs"))
+      .orderBy("source")
+  }
+
+  val qpTemperatureSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), p AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+      |  FROM s
+      |), a AS (
+      |  SELECT source, n_docs, n_tokens, p, pow(p, 0.7) AS pa FROM p
+      |)
+      |SELECT source, n_docs, n_tokens, round(p, 6) AS share,
+      |  round(pa / CAST(SUM(CAST(pa AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+      |    AS mix_weight,
+      |  round(pa / CAST(SUM(CAST(pa AS DECIMAL(38,12))) OVER () AS DOUBLE) / p, 6)
+      |    AS effective_epochs
+      |FROM a
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_temperature" -> (qpTemperature _),
     "qp_dedup_savings" -> (qpDedupSavings _),
     "qp_dataset_card" -> (qpDatasetCard _),
     "qp_token_budget" -> (qpTokenBudget _),
@@ -525,6 +581,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_temperature" -> qpTemperatureSql,
     "qp_dedup_savings" -> qpDedupSavingsSql,
     "qp_dataset_card" -> qpDatasetCardSql,
     "qp_token_budget" -> qpTokenBudgetSql,

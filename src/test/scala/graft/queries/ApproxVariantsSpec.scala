@@ -62,6 +62,20 @@ class ApproxVariantsSpec extends SparkSpec {
     assert(approx === exact)
   }
 
+  test("sketch-merge rolling WAU stays within HLL tolerance of exact at sf0.01") {
+    def byDay(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = byDay(EventQueries.qeWauRolling(spark, dir))
+    val approx = byDay(EventQueries.qeWauRollingSketch(spark, dir))
+    assert(approx.keySet === exact.keySet)
+    for ((day, e) <- exact) {
+      val a = approx(day)
+      // lgK=14 → rsd ≈ 0.8%; allow 3 sigma with a small-count floor.
+      assert(math.abs(a - e) <= math.max(3, 0.03 * e),
+        s"$day: sketch wau $a vs exact $e")
+    }
+  }
+
   test("approx uniqueness audit stays within HLL tolerance of exact at sf0.01") {
     def byEntity(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[String]("entity") ->

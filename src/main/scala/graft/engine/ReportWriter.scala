@@ -59,6 +59,19 @@ class FsReportWriter(spark: SparkSession, dest: String) extends ReportWriter {
   }
 }
 
+/** Ships each report through a user-supplied transport — the
+  * reference's REST/HBase writers (tnengine/TnWriter.scala:87-137,
+  * `TnHBaseWriter` / `TnRESTWriter`) re-expressed as the same
+  * zero-dependency pattern as [[PlanParser.parseFetched]]'s loader:
+  * graft renders the canonical JSON document, the caller owns the
+  * transport (an HTTP POST, an HBase put, a message-bus produce), so
+  * the library pulls in no client jars. `post` receives
+  * (reportKey, jsonBody) once per report. */
+class TransportReportWriter(post: (String, String) => Unit) extends ReportWriter {
+  override def write(reportKey: String, groups: Seq[(String, Seq[RuleReport])]): Unit =
+    post(reportKey, ReportWriter.toJson(groups))
+}
+
 /** Logs the report to stdout — handy in tests and notebooks. */
 class ConsoleReportWriter extends ReportWriter {
   override def write(reportKey: String, groups: Seq[(String, Seq[RuleReport])]): Unit =

@@ -98,6 +98,30 @@ class PlanRunnerSpec extends SparkSpec {
     assert(written.contains("\"failed\" : true"))
   }
 
+  test("TransportReportWriter ships the rendered JSON through the caller's transport") {
+    val posted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val runner = new PlanRunner(spark,
+      reportWriter = Some(new TransportReportWriter((k, body) => posted += k -> body)))
+      .register("src", Seq((1, -1.0), (2, 3.0)).toDF("id", "bal"))
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "assertion", "input": {"ref": "src", "onDisk": false},
+        |     "params": {"assertions": [
+        |        {"query": "bal > 0", "description": "pos", "threshold": 0.6}]},
+        |     "outputKey": "k"}
+        |  ]
+        |}""".stripMargin)
+    runner.run(plan, reportKey = "restlike")
+    assert(posted.map(_._1) === Seq("restlike"))
+    val body = posted.head._2
+    // The transport receives the SAME canonical document FsReportWriter
+    // persists — a REST/HBase/bus sink sees no writer-specific dialect.
+    assert(body.contains("\"outputKey\" : \"k\""))
+    assert(body.contains("\"numInvalid\" : 1"))
+    assert(body.contains("\"failed\" : false"))
+  }
+
   test("variable substitution and unknown command errors") {
     val plan = PlanParser.parse(
       """{"commands":[{"command":"view","inputs":[{"ref":"${key}","onDisk":false}],

@@ -74,25 +74,37 @@ object Knn {
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 5, maxSample: Int = 10000): Seq[Seq[Double]] = {
-    val sample = corpus
+    val sample = sampleVectors(corpus, vecCol, idCol, maxSample)
+    require(sample.length >= k, s"need at least $k vectors, got ${sample.length}")
+    lloydCluster(sample, k, iters)
+  }
+
+  /** The shared bounded training sample: deterministic pseudo-random
+    * top-`maxSample` by md5 of id — a TakeOrdered job, no full sort,
+    * no RNG. */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+      idCol: String, maxSample: Int): Array[Array[Double]] =
+    corpus
       .select(col(idCol).as("__id"), asDoubles(col(vecCol)).as("__v"))
       .orderBy(md5Hash32(concat_ws(":", lit("ivf"), col("__id"))), col("__id"))
       .limit(maxSample)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(sample.length >= k, s"need at least $k vectors, got ${sample.length}")
 
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
-    // Farthest-point seeding: spreads seeds across the data's modes
-    // (a fixed-prefix init can collapse into one cluster).
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Farthest-point seeding + Lloyd's iterations (driver-side, on the
+    * bounded sample). Deterministic: seeding spreads across the data's
+    * modes (a fixed-prefix init can collapse into one cluster). */
+  private def lloydCluster(sample: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
     val cents = scala.collection.mutable.ArrayBuffer(sample(0))
     while (cents.length < k) {
       cents += sample.maxBy(v => cents.map(c => d2(v, c)).min)
     }
-    // Lloyd's iterations over the sample.
     for (_ <- 1 to iters) {
       val assign = sample.map(v => cents.indices.minBy(i => d2(v, cents(i))))
       for (b <- cents.indices) {
@@ -110,17 +122,85 @@ object Knn {
     cents.map(_.toSeq).toSeq
   }
 
-  /** 0-based argmin over squared L2 distance to each centroid. Since
-    * ||v−c||² = v·v − 2v·c + c·c and v·v is constant per row, the argmin
-    * ranks by c·c − 2v·c only. */
-  def nearestCentroid(vec: Column, cents: Seq[Seq[Double]]): Column = {
+  /** Product-quantization codebooks: the vector splits into `m`
+    * contiguous subspaces and each subspace gets its own `ksub`-way
+    * k-means codebook, trained on the SAME bounded deterministic
+    * sample as [[trainCentroids]]. An encoded vector is `m` small code
+    * ints (m·log₂ksub bits instead of dims·32 — at 100 TB the
+    * compressed codes fit executor memory where raw vectors never
+    * would, which is the entire point of IVF-PQ). Returns
+    * m × ksub × (dims/m) centroids. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int = 5,
+      maxSample: Int = 10000): Seq[Seq[Seq[Double]]] = {
+    val sample = sampleVectors(corpus, vecCol, idCol, maxSample)
+    require(sample.length >= ksub,
+      s"need at least $ksub vectors, got ${sample.length}")
+    val dims = sample(0).length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      lloydCluster(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, iters)
+    }
+  }
+
+  /** PQ encode: per-subspace 0-based nearest-codeword index, as an
+    * array<int> column of length m (the compressed representation the
+    * corpus stores). Same c·c − 2v·c argmin as [[nearestCentroid]],
+    * per subspace over a slice. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      nearestCentroidOf(slice(vec, j * dsub + 1, dsub), cb)
+    }: _*)
+  }
+
+  private def nearestCentroidOf(sub: Column, cents: Seq[Seq[Double]]): Column = {
     val dists = cents.map { c =>
       val c2 = c.map(x => x * x).sum
-      lit(c2) - lit(2.0) * dot(vec, typedLit(c))
+      lit(c2) - lit(2.0) * dot(sub, typedLit(c))
     }
     val arr = array(dists: _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
+
+  /** PQ approximate top-k by asymmetric distance (ADC): the corpus
+    * side carries ONLY its m-int code array; each (query, code) pair
+    * scores as Σⱼ ‖q_subⱼ − codebookⱼ[codeⱼ]‖², computed against the
+    * broadcast codebook literal — no corpus vector is ever touched at
+    * query time. Queries broadcast as in [[bruteForce]]; the scale
+    * variant composes with IVF bucketing exactly like [[ivfTopK]].
+    * Returns (q_id, neighbor_id, approx_d2, rank). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val m = codebooks.size
+    val cbLit = typedLit(codebooks)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(asDoubles(col(vecCol)), codebooks).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"), asDoubles(col(vecCol)).as("q_vec"))
+    val subD2 = (j: Column, code: Column) => {
+      val cent = element_at(element_at(cbLit, j + 1), code + 1)
+      val qSub = slice(col("q_vec"), j * dsub + 1, lit(dsub))
+      aggregate(zip_with(qSub, cent, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + subD2(j, element_at(col("codes"), j + 1))), 6)
+          .as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** 0-based argmin over squared L2 distance to each centroid. Since
+    * ||v−c||² = v·v − 2v·c + c·c and v·v is constant per row, the argmin
+    * ranks by c·c − 2v·c only. */
+  def nearestCentroid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    nearestCentroidOf(vec, cents)
 
   /** The `nprobe` nearest centroid ids, by the same ranking. Struct sort
     * (distance, index) keeps ties deterministic. */

@@ -1496,7 +1496,69 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** §2.33af — seasonal-baseline backtest: how well does the weekly
+    * rhythm predict volume? Even epoch-days train a per
+    * (event_type, dow, hour) mean-volume baseline; odd days are the
+    * holdout; the report is per-type MAPE + bias over the holdout
+    * cells. The interleaved even/odd split needs NO anchor row
+    * (deterministic, engine-independent, seasonally balanced — a
+    * head/tail split would need a max-date broadcast and can straddle
+    * regime changes). This is the "can I alert on deviation-from-
+    * forecast" calibration read before qe_seasonal_anomaly thresholds
+    * are trusted. Scale shape: the fact table collapses to hourly
+    * cells in one combinable pass; train/test join on the tiny
+    * (type, dow, hour) frame; error terms DECIMAL-cast before the
+    * final fold. */
+  def qeForecast(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        to_date(col("ts")).as("__day"),
+        dayofweek(col("ts")).as("__dow"),
+        hour(col("ts")).as("__hr"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__even",
+        datediff(col("__day"), lit("1970-01-01")) % 2 === 0)
+    val base = hourly.where(col("__even"))
+      .groupBy("event_type", "__dow", "__hr")
+      .agg((sum(col("__n")).cast("double") /
+        count(lit(1)).cast("double")).as("__pred"))
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    hourly.where(!col("__even"))
+      .join(base, Seq("event_type", "__dow", "__hr"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        round(dsum(abs(col("__n") - col("__pred")) /
+          col("__n").cast("double")) / count(lit(1)), 6).as("mape"),
+        round(dsum(col("__pred") - col("__n")) /
+          count(lit(1)), 6).as("mean_bias"))
+      .orderBy("event_type")
+  }
+
+  val qeForecastSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    dayofweek(ts) + 1 AS dow, hour(ts) AS hr, COUNT(*) AS n,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 = 0
+      |      AS even
+      |  FROM events GROUP BY 1, 2, 3, 4, 6
+      |), base AS (
+      |  SELECT event_type, dow, hr,
+      |    CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pred
+      |  FROM hourly WHERE even GROUP BY 1, 2, 3
+      |)
+      |SELECT h.event_type, COUNT(*) AS n_cells,
+      |  round(CAST(SUM(CAST(abs(h.n - b.pred) / CAST(h.n AS DOUBLE)
+      |    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mape,
+      |  round(CAST(SUM(CAST(b.pred - h.n AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_bias
+      |FROM hourly h JOIN base b
+      |  ON h.event_type = b.event_type AND h.dow = b.dow AND h.hr = b.hr
+      |WHERE NOT h.even
+      |GROUP BY h.event_type
+      |ORDER BY h.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_forecast" -> (qeForecast _),
     "qe_trend" -> (qeTrend _),
     "qe_wau_rolling" -> (qeWauRolling _),
     "qe_ab_balance" -> (qeAbBalance _),
@@ -1535,6 +1597,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_forecast" -> qeForecastSql,
     "qe_trend" -> qeTrendSql,
     "qe_wau_rolling" -> qeWauRollingSql,
     "qe_ab_balance" -> qeAbBalanceSql,

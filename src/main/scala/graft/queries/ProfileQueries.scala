@@ -572,7 +572,66 @@ object ProfileQueries {
       |GROUP BY e.event_type, m.med, s.mad
       |ORDER BY e.event_type""".stripMargin
 
+  /** §2.13p — categorical distribution-shape profile: Shannon entropy
+    * (bits), Gini impurity, distinct-value count, and mode share per
+    * profiled column — the "is this column degenerate / skewed /
+    * healthy" read that counts alone don't give (a 2-value column at
+    * 50/50 and at 99/1 have the same ndv). ONE scan: columns unpivot
+    * at the scan, value counts aggregate with map-side combine on the
+    * bounded categorical domain, and the per-column reduction runs
+    * over that tiny counted frame. The float −p·log₂p and p² terms are
+    * DECIMAL-cast before summation (qe_heavytail pattern), so
+    * accumulation order cannot move the 6-dp result. */
+  def qcEntropyCols(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderstatus", "o_orderpriority")
+    val stackExpr = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    val p = col("cnt").cast("double") / col("total").cast("double")
+    val byCol = Window.partitionBy("column_name")
+    Tables.load(spark, dir, "orders")
+      .select(expr(s"stack(${cols.size}, $stackExpr) AS (column_name, col_value)"))
+      .groupBy("column_name", "col_value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(byCol))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_values"),
+        round(dsum(-p * log(2.0, p)), 6).as("entropy_bits"),
+        round(lit(1.0) - dsum(p * p), 6).as("gini"),
+        round(max(col("cnt")).cast("double") /
+          max(col("total")).cast("double"), 6).as("mode_share"))
+      .orderBy("column_name")
+  }
+
+  val qcEntropyColsSql: String = {
+    val cols = Seq("o_orderstatus", "o_orderpriority")
+    val unioned = cols
+      .map(c => s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS col_value FROM orders")
+      .mkString("\nUNION ALL\n")
+    s"""WITH uv AS (
+       |$unioned
+       |), counts AS (
+       |  SELECT column_name, col_value, COUNT(*) AS cnt,
+       |    SUM(COUNT(*)) OVER (PARTITION BY column_name) AS total
+       |  FROM uv GROUP BY 1, 2
+       |)
+       |SELECT column_name, COUNT(*) AS n_values,
+       |  round(CAST(SUM(CAST(
+       |    -(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |      * log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy_bits,
+       |  round(1.0 - CAST(SUM(CAST(
+       |    (CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |      * (CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS gini,
+       |  round(CAST(MAX(cnt) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+       |    AS mode_share
+       |FROM counts
+       |GROUP BY column_name
+       |ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_entropy_cols" -> (qcEntropyCols _),
     "qc_mad" -> (qcMad _),
     "qc_unique" -> (qcUnique _),
     "qc_benford" -> (qcBenford _),
@@ -588,6 +647,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_entropy_cols" -> qcEntropyColsSql,
     "qc_mad" -> qcMadSql,
     "qc_unique" -> qcUniqueSql,
     "qc_benford" -> qcBenfordSql,

@@ -147,6 +147,24 @@ object EventStreams {
         writer.write(s"$reportKeyPrefix$batchId", Seq("stream" -> reports))
     }
 
+  /** Continuous distribution-drift monitoring: every micro-batch's
+    * value histogram scores PSI bins against a STATIC baseline frame
+    * via [[graft.rules.Profiler.drift]], and the per-batch drift frame
+    * goes to `onReport` (persist it, page on Σpsi, feed a dashboard).
+    * Stateless like [[ruleReportSink]] — each batch is scored
+    * independently against the fixed reference, so state never grows;
+    * the baseline is a small binned histogram after its own
+    * aggregation, broadcast into each batch's join. This is the
+    * streaming face of qc_drift: the batch side collapses to its bin
+    * histogram in one combinable pass before any join happens. */
+  def driftReportSink(stream: DataFrame, baseline: DataFrame,
+      valueCol: String, binWidth: Double,
+      onReport: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onReport(batchId,
+        graft.rules.Profiler.drift(baseline, batch, valueCol, binWidth))
+    }
+
   /** Watermarked stream-stream interval join: (left, right) pairs with
     * equal keys where `rightTs` falls in [leftTs, leftTs + maxDelay].
     * Both sides carry watermarks and the join condition bounds event

@@ -37,6 +37,38 @@ class StreamingRuleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftReportSink scores each micro-batch's PSI against the static baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Baseline: uniform over bins 0 and 1 (values 5 and 15, width 10).
+    val baseline = Seq(
+      Reading(1L, "a", 5.0), Reading(2L, "a", 15.0),
+      Reading(3L, "a", 5.0), Reading(4L, "a", 15.0)).toDF()
+    val reports = scala.collection.mutable.Map.empty[Long, Map[Long, Double]]
+    val stream = MemoryStream[Reading]
+    val q = graft.streaming.EventStreams.driftReportSink(
+      stream.toDF(), baseline, "value", 10.0,
+      (id, drift) => reports.synchronized {
+        reports(id) = drift.collect()
+          .map(r => r.getAs[Long]("bin") -> r.getAs[Double]("psi")).toMap
+      }).start()
+    try {
+      // Batch 0 matches the baseline 50/50 split exactly: PSI = 0.
+      stream.addData(Reading(10L, "a", 6.0), Reading(11L, "a", 14.0))
+      q.processAllAvailable()
+      // Batch 1 is skewed 3:1 toward bin 0: PSI > 0 in both bins.
+      stream.addData(
+        Reading(12L, "a", 1.0), Reading(13L, "a", 2.0),
+        Reading(14L, "a", 3.0), Reading(15L, "a", 19.0))
+      q.processAllAvailable()
+      val r = reports.synchronized(reports.toMap)
+      assert(r(0L) === Map(0L -> 0.0, 1L -> 0.0))
+      assert(r(1L).keySet === Set(0L, 1L))
+      assert(r(1L).values.forall(_ > 0.0), s"expected drift, got ${r(1L)}")
+    } finally q.stop()
+  }
+
   test("ruleReportSink writes one quality report per micro-batch") {
     val s = spark
     import s.implicits._

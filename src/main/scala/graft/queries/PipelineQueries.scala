@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -566,7 +566,79 @@ object PipelineQueries {
       |FROM a
       |ORDER BY source""".stripMargin
 
+  /** §2.31s — release-over-release corpus diff: per-source doc/token
+    * counts and exact-dup counts for two corpus snapshots side by
+    * side, with absolute and relative deltas — the "what changed in
+    * this data release" review gate (a source that silently lost 40%
+    * of its tokens or doubled its dup rate fails review before any
+    * training run pays for it). Snapshots here are the deterministic
+    * md5 halves (the qc_drift fixture pattern); in production the two
+    * sides are two release manifests. ONE conditional-sum scan per
+    * side-taggable metric — no join of two aggregated frames, no
+    * second pass; deltas are exact integer arithmetic, the single
+    * relative delta guards its zero denominator. */
+  def qpReleaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    val inA = md5Bucket("rel", col("doc_id"), 2) === 0
+    def side(flag: Column, c: Column) = sum(when(flag, c).otherwise(0L))
+    val toks = size(split(col("text"), " ")).cast("long")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), inA.as("__a"), toks.as("__t"), md5(col("text")).as("__h"))
+      .groupBy("source")
+      .agg(
+        side(col("__a"), lit(1L)).as("n_docs_a"),
+        side(!col("__a"), lit(1L)).as("n_docs_b"),
+        side(col("__a"), col("__t")).as("n_tokens_a"),
+        side(!col("__a"), col("__t")).as("n_tokens_b"),
+        (side(col("__a"), lit(1L)) -
+          size(collect_set(when(col("__a"), col("__h"))))).as("n_dups_a"),
+        (side(!col("__a"), lit(1L)) -
+          size(collect_set(when(!col("__a"), col("__h"))))).as("n_dups_b"))
+      .select(col("source"),
+        col("n_docs_a"), col("n_docs_b"),
+        (col("n_docs_b") - col("n_docs_a")).as("delta_docs"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        (col("n_tokens_b") - col("n_tokens_a")).as("delta_tokens"),
+        when(col("n_tokens_a") === 0, lit(null))
+          .otherwise(round((col("n_tokens_b") - col("n_tokens_a"))
+            .cast("double") / col("n_tokens_a").cast("double"), 6))
+          .as("pct_tokens_change"),
+        col("n_dups_a").cast("bigint").as("n_dups_a"),
+        col("n_dups_b").cast("bigint").as("n_dups_b"))
+      .orderBy("source")
+  }
+
+  val qpReleaseDiffSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5('rel:' || doc_id), 1, 8))::BIGINT % 2 = 0 AS a,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    md5(text) AS h
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_a,
+      |  CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_b,
+      |  CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END)
+      |    - SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS delta_docs,
+      |  CAST(SUM(CASE WHEN a THEN tok ELSE 0 END) AS BIGINT) AS n_tokens_a,
+      |  CAST(SUM(CASE WHEN a THEN 0 ELSE tok END) AS BIGINT) AS n_tokens_b,
+      |  CAST(SUM(CASE WHEN a THEN 0 ELSE tok END)
+      |    - SUM(CASE WHEN a THEN tok ELSE 0 END) AS BIGINT) AS delta_tokens,
+      |  CASE WHEN SUM(CASE WHEN a THEN tok ELSE 0 END) = 0 THEN NULL
+      |    ELSE round(CAST(SUM(CASE WHEN a THEN 0 ELSE tok END)
+      |        - SUM(CASE WHEN a THEN tok ELSE 0 END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN a THEN tok ELSE 0 END) AS DOUBLE), 6)
+      |  END AS pct_tokens_change,
+      |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END)
+      |    - COUNT(DISTINCT CASE WHEN a THEN h END) AS BIGINT) AS n_dups_a,
+      |  CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END)
+      |    - COUNT(DISTINCT CASE WHEN NOT a THEN h END) AS BIGINT) AS n_dups_b
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_release_diff" -> (qpReleaseDiff _),
     "qp_temperature" -> (qpTemperature _),
     "qp_dedup_savings" -> (qpDedupSavings _),
     "qp_dataset_card" -> (qpDatasetCard _),
@@ -581,6 +653,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_release_diff" -> qpReleaseDiffSql,
     "qp_temperature" -> qpTemperatureSql,
     "qp_dedup_savings" -> qpDedupSavingsSql,
     "qp_dataset_card" -> qpDatasetCardSql,

@@ -238,6 +238,46 @@ object Knn {
       .where(col("rank") <= k)
   }
 
+  /** The composed IVF-PQ search — the standard billion-scale ANN
+    * layout: the coarse quantizer ([[trainCentroids]]) prunes the
+    * corpus to `nprobe` buckets per query, and within those buckets
+    * candidates score by PQ asymmetric distance over their m-int codes
+    * ([[pqTopK]]'s ADC) — the index stores bucket id + codes per
+    * vector (a few bytes), never raw vectors. Exactness knobs for
+    * validation: nprobe = numCentroids removes the IVF approximation;
+    * a saturated codebook removes the PQ approximation. Returns
+    * (q_id, neighbor_id, approx_d2, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numCentroids: Int, nprobe: Int,
+      codebooks: Seq[Seq[Seq[Double]]], iters: Int = 5): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, idCol, numCentroids, iters)
+    val dsub = codebooks.head.head.length
+    val m = codebooks.size
+    val cbLit = typedLit(codebooks)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDoubles(col(vecCol)).as("c_vec"))
+      .select(col("neighbor_id"),
+        nearestCentroid(col("c_vec"), cents).as("bucket"),
+        pqEncode(col("c_vec"), codebooks).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"), asDoubles(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", explode(probeCentroids(col("q_vec"), cents, nprobe)))
+    val subD2 = (j: Column, code: Column) => {
+      val cent = element_at(element_at(cbLit, j + 1), code + 1)
+      val qSub = slice(col("q_vec"), j * dsub + 1, lit(dsub))
+      aggregate(zip_with(qSub, cent, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket")).where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + subD2(j, element_at(col("codes"), j + 1))), 6)
+          .as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: rank within LSH buckets only.
     * Returns (q_id, neighbor_id, bucket, cosine, rank). */
   def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,

@@ -62,5 +62,18 @@ class KnnPqSpec extends SparkSpec {
       (e intersect pq.getOrElse(q, Set.empty)).size.toDouble / e.size
     }.sum / exact.size
     assert(recall >= 0.6, s"PQ recall@5-in-15 was $recall")
+
+    // Composed IVF-PQ: probing half the coarse buckets costs some
+    // recall vs pure PQ but must stay well above chance, and at full
+    // probe the IVF layer must be a no-op (identical to pure PQ).
+    val ivfpqFull = ids(Knn.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      15, numCentroids = 4, nprobe = 4, cb))
+    assert(ivfpqFull === pq, "full probe must equal pure PQ")
+    val ivfpqHalf = ids(Knn.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      15, numCentroids = 4, nprobe = 2, cb))
+    val halfRecall = exact.map { case (q, e) =>
+      (e intersect ivfpqHalf.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }.sum / exact.size
+    assert(halfRecall >= 0.4, s"IVF-PQ half-probe recall was $halfRecall")
   }
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import scala.util.Random
 
 import graft.dedup.Dedup
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Merge}
 
 /** Randomized (fixed-seed) cross-checks of the distributed operators
   * against naive driver-side reference implementations. */
@@ -37,6 +37,47 @@ class PropertySpec extends SparkSpec {
       val got = Dedup.connectedComponents(vdf, edf).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
+  test("partitioned upsert equals a driver-side keyed-map replay on random batches") {
+    val rnd = new Random(7)
+    val s = spark
+    import s.implicits._
+    for (round <- 1 to 3) {
+      val path = s"/tmp/graft_merge_prop/r$round"
+      val nKeys = 12
+      // Partition is derived from the key (stable), as the operator's
+      // contract requires.
+      def partOf(id: Long) = s"p${id % 3}"
+      val initial = (0L until nKeys.toLong).map(id =>
+        (id, partOf(id), s"v0-$id", 0L))
+      initial.toDF("id", "day", "v", "ver")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+
+      // Reference state: key -> (value, version), replayed batch by batch
+      // with the operator's rules (higher version wins; batch wins ties;
+      // tombstone removes).
+      val state = scala.collection.mutable.Map(
+        initial.map { case (id, _, v, ver) => id -> (v, ver) }: _*)
+      for (b <- 1 to 3) {
+        val batch = Seq.fill(6)(rnd.nextInt(nKeys + 3).toLong).distinct.map { id =>
+          (id, partOf(id), s"v$b-$id", rnd.nextInt(4).toLong,
+            rnd.nextInt(5) == 0)
+        }
+        batch.foreach { case (id, _, v, ver, del) =>
+          val wins = state.get(id).forall { case (_, oldVer) => ver >= oldVer }
+          if (wins) { if (del) state.remove(id) else state(id) = (v, ver) }
+        }
+        Merge.upsertPartitioned(spark, path,
+          batch.toDF("id", "day", "v", "ver", "is_deleted"),
+          keys = Seq("id"), orderCol = "ver", partCol = "day",
+          deleteCol = Some("is_deleted"))
+        val got = spark.read.parquet(path)
+          .select("id", "v", "ver").as[(Long, String, Long)]
+          .collect().map(t => t._1 -> (t._2, t._3)).toMap
+        assert(got === state.toMap, s"round=$round batch=$b")
+      }
     }
   }
 

@@ -624,7 +624,77 @@ object DedupQueries {
       |JOIN v vb ON p.source_b = vb.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** §2.24e — winnowing fingerprint pairs (the MOSS plagiarism-
+    * detection algorithm): positional 5-gram hashes, then the MINIMUM
+    * hash of every 4-hash sliding window, deduplicated — a guaranteed
+    * ~2/(w+1) sample of each document's gram stream that still catches
+    * any shared run of ≥ 8 tokens (window + gram span). Pairs sharing
+    * ≥ 2 winnowed fingerprints report with their shared count. Versus
+    * 24's full-shingle index this posts ~1/3 of the grams per doc —
+    * winnowing's entire point at corpus scale — while staying fully
+    * deterministic (no random sampling). In-row HOFs build the
+    * positional hash and window-min arrays (WordShingles dedups, so
+    * it cannot be used here); the pair walk is the same bucket-local
+    * ordered-combination slice as the LSH path. */
+  def qdWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    val posHashes = when(n >= 5, transform(sequence(lit(1), n - 4),
+      i => md5(concat_ws(" ", slice(toks, i, lit(5))))))
+      .otherwise(array().cast("array<string>"))
+    val winnowed = when(size(col("__hs")) >= 4,
+      array_distinct(transform(sequence(lit(1), size(col("__hs")) - 3),
+        i => array_min(slice(col("__hs"), i, lit(4))))))
+      .otherwise(array().cast("array<string>"))
+    val posting = Tables.load(spark, dir, "documents")
+      .select(col("source").as("__block"), col("doc_id"),
+        graft.functions.Portable.tokens(col("text")).as("__toks"))
+      .select(col("__block"), col("doc_id"), posHashes.as("__hs"))
+      .select(col("__block"), col("doc_id"), explode_outer(winnowed).as("fp"))
+      .where(col("fp").isNotNull)
+    posting
+      .groupBy("__block", "fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__pos", "id_a")), col("__ids"))
+      .repartition(col("id_a"))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__pos") + 2, size(col("__ids"))))
+          .as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qdWinnowPairsSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS tk FROM documents
+      |), h AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+      |      i -> md5(array_to_string(tk[i:i+4], ' '))) ELSE [] END AS hs
+      |  FROM t
+      |), w AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(hs) >= 4 THEN
+      |      list_distinct(list_transform(range(1, len(hs) - 2),
+      |        i -> list_min(hs[i:i+3])))
+      |    ELSE [] END AS fps
+      |  FROM h
+      |), p AS (
+      |  SELECT source, doc_id, unnest(fps) AS fp FROM w
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM p a JOIN p b
+      |  ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_winnow_pairs" -> (qdWinnowPairs _),
     "qd_source_overlap" -> (qdSourceOverlap _),
     "qd_band_stats" -> (qdBandStats _),
     "qd_threshold_sweep" -> (qdThresholdSweep _),
@@ -644,6 +714,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_winnow_pairs" -> qdWinnowPairsSql,
     "qd_source_overlap" -> qdSourceOverlapSql,
     "qd_band_stats" -> qdBandStatsSql,
     "qd_threshold_sweep" -> qdThresholdSweepSql,

@@ -1557,7 +1557,62 @@ object EventQueries {
       |GROUP BY h.event_type
       |ORDER BY h.event_type""".stripMargin
 
+  /** §2.33ag — cumulative LTV (ARPU) curve by signup cohort: for each
+    * (cohort week, week offset), cumulative revenue per cohort member
+    * so far — the payback-period read that prices acquisition. The
+    * money path is the qe_retention skeleton with value attached:
+    * per-user first-activity cohorts (one rollup), weekly cohort
+    * revenue as DECIMAL-exact sums (one combinable pass over facts),
+    * then cohort size join + cumulative window over the tiny
+    * (cohort × offset) frame only. The cumulative division happens
+    * once per output cell on exact decimal operands. */
+  def qeLtvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("__cw"))
+    val sizes = cohorts.groupBy("__cw")
+      .agg(count(lit(1)).as("__n"))
+    val weekly = ev.join(cohorts, "user_id")
+      .groupBy(col("__cw"),
+        (datediff(date_trunc("week", col("ts")), col("__cw")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+        .as("__rev"))
+    val cum = Window.partitionBy("__cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.join(broadcast(sizes), Seq("__cw"))
+      .select(to_date(col("__cw")).as("cohort_week"), col("week_offset"),
+        col("__n").as("cohort_size"),
+        round(col("__rev").cast("double"), 4).as("week_revenue"),
+        round((sum(col("__rev")).over(cum).cast("double") /
+          col("__n").cast("double")), 6).as("cum_ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val qeLtvCurveSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cw
+      |  FROM events GROUP BY user_id
+      |), sz AS (
+      |  SELECT cw, COUNT(*) AS n FROM f GROUP BY cw
+      |), weekly AS (
+      |  SELECT f.cw,
+      |    CAST(date_diff('day', f.cw, date_trunc('week', CAST(e.ts AS TIMESTAMP))) // 7 AS INT) AS week_offset,
+      |    CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(w.cw AS DATE) AS cohort_week, w.week_offset,
+      |  sz.n AS cohort_size,
+      |  round(CAST(w.rev AS DOUBLE), 4) AS week_revenue,
+      |  round(CAST(SUM(w.rev) OVER (PARTITION BY w.cw ORDER BY w.week_offset
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(sz.n AS DOUBLE), 6)
+      |    AS cum_ltv_per_user
+      |FROM weekly w JOIN sz ON w.cw = sz.cw
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_ltv_curve" -> (qeLtvCurve _),
     "qe_forecast" -> (qeForecast _),
     "qe_trend" -> (qeTrend _),
     "qe_wau_rolling" -> (qeWauRolling _),
@@ -1597,6 +1652,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_ltv_curve" -> qeLtvCurveSql,
     "qe_forecast" -> qeForecastSql,
     "qe_trend" -> qeTrendSql,
     "qe_wau_rolling" -> qeWauRollingSql,

@@ -637,7 +637,82 @@ object PipelineQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** §2.31t — quality-proportional downsampling: each document's keep
+    * probability IS its (clamped) quality score — the soft alternative
+    * to a hard quality cutoff, standard when a classifier score should
+    * BIAS the mix rather than gate it (low-quality text keeps a
+    * floor presence instead of vanishing). Deterministic per row:
+    * seeded md5 bucket vs floor(weight·1000), no RNG, reproducible
+    * across runs and engines (explicit floor — double→long casts
+    * truncate in Spark but ROUND in DuckDB, so the cast must never see
+    * a fractional value). Report per source: volumes, realized keep
+    * rate, and mean quality of the kept vs all docs (decimal-cast
+    * sums). One scan, one rollup; the quality formula is row-local. */
+  def qpQualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t.isin(TextQueries.stopwords.map(w => w: Any): _*)))
+      .cast("double") / nTok
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val q = lit(0.3) * lenScore + lit(0.4) * distinctRatio +
+      lit(0.3) * (lit(1.0) - stopRatio)
+    val weight = greatest(least(q, lit(1.0)), lit(0.1))
+    val kept = md5Bucket("qsamp", col("doc_id"), 1000) <
+      floor(weight * 1000).cast("long")
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), q.as("__q"), kept.as("__keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("__keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("keep_rate"),
+        round(dsum(col("__q")) / count(lit(1)), 6).as("avg_quality"),
+        when(sum(when(col("__keep"), 1L).otherwise(0L)) === 0, lit(null))
+          .otherwise(round(dsum(when(col("__keep"), col("__q")).otherwise(0.0)) /
+            sum(when(col("__keep"), 1L).otherwise(0L)), 6))
+          .as("avg_quality_kept"))
+      .orderBy("source")
+  }
+
+  val qpQualitySampleSql: String = {
+    val stop = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+       |      + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |                 t -> t IN ($stop))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS q
+       |  FROM documents
+       |), tagged AS (
+       |  SELECT source, q,
+       |    ('0x' || substr(md5('qsamp:' || doc_id), 1, 8))::BIGINT % 1000
+       |      < CAST(floor(greatest(least(q, 1.0), 0.1) * 1000) AS BIGINT)
+       |      AS keep
+       |  FROM scored
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+       |  round(CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_quality,
+       |  CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) = 0 THEN NULL
+       |    ELSE round(CAST(SUM(CAST(CASE WHEN keep THEN q ELSE 0.0 END
+       |        AS DECIMAL(38,12))) AS DOUBLE)
+       |      / SUM(CASE WHEN keep THEN 1 ELSE 0 END), 6)
+       |  END AS avg_quality_kept
+       |FROM tagged
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_quality_sample" -> (qpQualitySample _),
     "qp_release_diff" -> (qpReleaseDiff _),
     "qp_temperature" -> (qpTemperature _),
     "qp_dedup_savings" -> (qpDedupSavings _),
@@ -653,6 +728,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_quality_sample" -> qpQualitySampleSql,
     "qp_release_diff" -> qpReleaseDiffSql,
     "qp_temperature" -> qpTemperatureSql,
     "qp_dedup_savings" -> qpDedupSavingsSql,

@@ -33,7 +33,7 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** §2.29 — quality score from length / distinctness / stopword ratios.
     * All doubles derive from exact integer counts through identical

@@ -693,7 +693,65 @@ object DedupQueries {
       |HAVING COUNT(*) >= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.25g — near-dup cluster-size distribution: how many clusters of
+    * each size the component pass produced, how many docs they hold,
+    * and what fraction each size class would delete (size − 1 per
+    * cluster) — the one-page read that tells a dedup reviewer whether
+    * the graph is healthy near-dup pairs (sizes 2-3) or a degenerate
+    * hairball (one giant component = the LSH threshold is wrong). Two
+    * tiny rollups over [[qdComponents]]'s assignment frame — the
+    * expensive part (the iterative components) is shared, everything
+    * after runs on ≤ |docs| rows collapsing to ≤ |distinct sizes|. */
+  def qdClusterReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(docs.select("doc_id"), edges)
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("__sz")).cast("bigint").as("n_docs"),
+        (count(lit(1)) * (col("__sz") - 1)).cast("bigint").as("n_deletable"))
+      .orderBy("cluster_size")
+  }
+
+  val qdClusterReportSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS m FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+      |), comp AS (
+      |  SELECT id, MIN(m) AS component_id FROM reach GROUP BY id
+      |), sizes AS (
+      |  SELECT component_id, COUNT(*) AS sz FROM comp GROUP BY component_id
+      |)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_deletable
+      |FROM sizes
+      |GROUP BY sz
+      |ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_cluster_report" -> (qdClusterReport _),
     "qd_winnow_pairs" -> (qdWinnowPairs _),
     "qd_source_overlap" -> (qdSourceOverlap _),
     "qd_band_stats" -> (qdBandStats _),
@@ -714,6 +772,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_cluster_report" -> qdClusterReportSql,
     "qd_winnow_pairs" -> qdWinnowPairsSql,
     "qd_source_overlap" -> qdSourceOverlapSql,
     "qd_band_stats" -> qdBandStatsSql,

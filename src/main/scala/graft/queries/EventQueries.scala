@@ -1611,7 +1611,98 @@ object EventQueries {
       |FROM weekly w JOIN sz ON w.cw = sz.cw
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** §2.33ah — stationary distribution of the behavior Markov chain:
+    * where does a user's session settle in the long run, versus the
+    * raw empirical type share? Eight power iterations v·P over the
+    * row-normalized transition matrix of [[qeTransitions]] — the
+    * equilibrium read behind "which state actually dominates the
+    * product". Scale shape: the chain lives on the tiny type×type
+    * frame (the fact table is touched exactly once, for the lead()
+    * pass), so each iteration is a join+rollup over ≤ |types|² rows;
+    * per-iteration Σₐ v[a]·P[a,b] terms are DECIMAL-cast so the float
+    * reduction order is pinned at every step, and the uniform start
+    * comes from a window over the type frame (no anchor broadcast).
+    * Dangling mass (types with no outgoing edge) leaks identically in
+    * both engines — reported unnormalized. Oracle: the same eight
+    * iterations UNROLLED as generated CTEs (recursive-term
+    * aggregation is not portable SQL). */
+  def qeMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byFrom = Window.partitionBy("from_type")
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val events = Tables.load(spark, dir, "events")
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__p",
+        col("__n").cast("double") /
+          sum(col("__n")).over(byFrom).cast("double"))
+      .select(col("from_type"), col("to_type"), col("__p"))
+      // Tiny frame reused 8 times: materialize once, lineage truncated
+      // (instance-scoped, same rationale as qe_cooccurrence's frame).
+      .localCheckpoint()
+    val share = events.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__share",
+        col("__c").cast("double") / sum(col("__c")).over(all).cast("double"))
+    var v = share.select(col("t"),
+      (lit(1.0) / count(lit(1)).over(all).cast("double")).as("__v"))
+    for (_ <- 1 to 8) {
+      v = v.join(trans, v("t") === trans("from_type"))
+        .groupBy(col("to_type").as("t2"))
+        .agg(sum((col("__v") * col("__p")).cast("decimal(38,12)"))
+          .cast("double").as("__v"))
+        .select(col("t2").as("t"), col("__v"))
+    }
+    share.select(col("t").as("event_type"), round(col("__share"), 6).as("empirical_share"))
+      .join(v.select(col("t").as("event_type"), round(col("__v"), 6).as("stationary")),
+        Seq("event_type"), "left_outer")
+      .orderBy("event_type")
+  }
+
+  val qeMarkovStationarySql: String = {
+    val iters = (1 to 8).map { i =>
+      s"""v$i AS (
+         |  SELECT p.to_type AS t,
+         |    CAST(SUM(CAST(v.v * p.p AS DECIMAL(38,12))) AS DOUBLE) AS v
+         |  FROM v${i - 1} v JOIN p ON v.t = p.from_type
+         |  GROUP BY p.to_type
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH l AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |), c AS (
+       |  SELECT from_type, to_type, COUNT(*) AS n
+       |  FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), p AS (
+       |  SELECT from_type, to_type,
+       |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+       |      AS DOUBLE) AS p
+       |  FROM c
+       |), share AS (
+       |  SELECT event_type AS t, COUNT(*) AS c,
+       |    CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
+       |      AS share
+       |  FROM events GROUP BY event_type
+       |), v0 AS (
+       |  SELECT t, 1.0 / CAST(COUNT(*) OVER () AS DOUBLE) AS v FROM share
+       |), $iters
+       |SELECT s.t AS event_type, round(s.share, 6) AS empirical_share,
+       |  round(v8.v, 6) AS stationary
+       |FROM share s LEFT JOIN v8 ON s.t = v8.t
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_markov_stationary" -> (qeMarkovStationary _),
     "qe_ltv_curve" -> (qeLtvCurve _),
     "qe_forecast" -> (qeForecast _),
     "qe_trend" -> (qeTrend _),
@@ -1652,6 +1743,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_markov_stationary" -> qeMarkovStationarySql,
     "qe_ltv_curve" -> qeLtvCurveSql,
     "qe_forecast" -> qeForecastSql,
     "qe_trend" -> qeTrendSql,

@@ -584,6 +584,104 @@ object Dedup {
     labels.select(col("__id").as(idCol), col("__comp").as("component_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the O(log n)-round alternative to
+    * [[connectedComponents]]'s min-label propagation, whose round count
+    * is the graph DIAMETER. Near-dup graphs are near-cliques (diameter
+    * 2-3) where propagation wins on constant factors; chain-shaped
+    * graphs (entity-resolution link chains, temporal edges) have
+    * diameter O(n) where propagation needs O(n) shuffles and this
+    * needs O(log n). StarComponentsSpec demonstrates exactly that: a
+    * 60-vertex path (diameter 59) converges here in 7 rounds while
+    * propagation exhausts an 8-round budget.
+    *
+    * Each round is two relational contractions over the CANONICAL edge
+    * set (hi > lo), no per-node adjacency arrays — a grouped min +
+    * equi-join each, so per-round memory is O(1) per edge regardless
+    * of degree skew:
+    *  - large-star: every node's LARGER neighbors reconnect to the
+    *    minimum of its neighborhood (min computed by groupBy, joined
+    *    back; never a collect_list);
+    *  - small-star: every node and its SMALLER neighbors reconnect to
+    *    its smallest neighbor.
+    * Both preserve connectivity; the fixpoint is a star forest whose
+    * centers are component minima, read off as (leaf → center) edges.
+    * Convergence check = one left-anti count per round over cached
+    * frames (set equality: no new edge outside old ∧ equal sizes).
+    *
+    * Same induced-subgraph and fail-loud contracts as
+    * [[connectedComponents]]. */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val idCol = vertices.columns.head
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    val vset = vertices.select(col(idCol).as("__v"))
+    // Canonical orientation (__hi > __lo), induced on the vertex set,
+    // self-loops dropped, deduplicated. Each round's edge set is
+    // localCheckpoint'ed, NOT cached: the round's plan references the
+    // previous round's frame ~6 times, so with cache alone the LOGICAL
+    // plan still grows 6^rounds nodes and Catalyst analysis, not the
+    // data, becomes the bottleneck by round 7. The checkpoint
+    // materializes AND truncates lineage, keeping every round's plan
+    // constant-size; superseded checkpoint blocks are reclaimed by the
+    // ContextCleaner once unreferenced.
+    var e = edges
+      .select(greatest(col(ea), col(eb)).as("__hi"),
+        least(col(ea), col(eb)).as("__lo"))
+      .where(col("__hi") =!= col("__lo"))
+      .join(vset.withColumnRenamed("__v", "__hi"), Seq("__hi"), "left_semi")
+      .join(vset.withColumnRenamed("__v", "__lo"), Seq("__lo"), "left_semi")
+      .distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var iter = 0
+    var converged = eCount == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: adjacency from both directions; m(u) = min(N(u) ∪ {u});
+      // larger neighbors v > u re-attach to m(u). m ≤ u < v keeps the
+      // output canonical with no orientation fixup.
+      val adj = e.select(col("__hi").as("__u"), col("__lo").as("__n"))
+        .union(e.select(col("__lo").as("__u"), col("__hi").as("__n")))
+      val lmins = adj.groupBy("__u")
+        .agg(least(min(col("__n")), col("__u")).as("__m"))
+      val large = adj.join(lmins, "__u")
+        .where(col("__n") > col("__u"))
+        .select(col("__n").as("__hi"), col("__m").as("__lo"))
+        .distinct()
+      // small-star on the canonical (down-pointing) edges: per hi, all
+      // smaller neighbors and hi itself re-attach to min(lo).
+      val smins = large.groupBy("__hi").agg(min(col("__lo")).as("__m"))
+      val next = large.join(smins, "__hi")
+        .where(col("__lo") =!= col("__m"))
+        .select(col("__lo").as("__hi"), col("__m").as("__lo"))
+        .union(smins.select(col("__hi"), col("__m").as("__lo")))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = next.count()
+      // Set equality needs the anti-join only on candidate fixpoints
+      // (counts already equal) — shrinking rounds skip the join job.
+      converged = nextCount == eCount &&
+        next.join(e, Seq("__hi", "__lo"), "left_anti").isEmpty
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (!converged && eCount > 0) {
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds; " +
+          "raise maxIter")
+    }
+    // Fixpoint stars: every non-center vertex is __hi in exactly one
+    // (leaf → center) edge; centers and isolated vertices label
+    // themselves. min() guards the (never-observed) multi-edge case.
+    val roots = e.groupBy(col("__hi").as("__id")).agg(min("__lo").as("__root"))
+    vertices.select(col(idCol))
+      .join(roots, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__root"), col(idCol)).as("component_id"))
+  }
+
   /** Deduplicated corpus: keep only each near-dup cluster's canonical
     * row (minimum id), where clusters are connected components of
     * `edges` (e.g. [[jaccardNeighbors]] or [[minhashCandidatePairs]]

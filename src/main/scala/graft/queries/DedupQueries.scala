@@ -750,7 +750,23 @@ object DedupQueries {
       |GROUP BY sz
       |ORDER BY cluster_size""".stripMargin
 
+  /** §2.25i — connected components by alternating large-star/small-star
+    * contraction over the same jaccard≥0.5 pair graph as
+    * [[qdComponents]] — identical output contract (min-id canonical),
+    * O(log n) rounds instead of O(diameter), the swap-in for
+    * chain-shaped duplicate graphs where min-label propagation's round
+    * count explodes. Shares qd_components' oracle verbatim. */
+  def qdComponentsStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+      .select("id_a", "id_b")
+    Dedup.connectedComponentsStar(docs.select("doc_id"), edges)
+      .withColumn("is_canonical", col("doc_id") === col("component_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_components_star" -> (qdComponentsStar _),
     "qd_cluster_report" -> (qdClusterReport _),
     "qd_winnow_pairs" -> (qdWinnowPairs _),
     "qd_source_overlap" -> (qdSourceOverlap _),
@@ -772,6 +788,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_components_star" -> qdComponentsSql,
     "qd_cluster_report" -> qdClusterReportSql,
     "qd_winnow_pairs" -> qdWinnowPairsSql,
     "qd_source_overlap" -> qdSourceOverlapSql,

@@ -126,6 +126,45 @@ object EventQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** §2.33aj — sessionization via Spark's NATIVE `session_window`
+    * aggregation (the operator Structured Streaming uses for session
+    * state, here in batch): one grouped aggregation, no lag/cumsum
+    * window chain — Catalyst owns the merge, and the SAME expression
+    * moves to a readStream unchanged, which the manual gaps-and-islands
+    * form of [[qeSessions]] cannot. Boundary semantics differ from
+    * qeSessions deliberately: a session extends to [ts, ts+gap), so an
+    * event landing EXACTLY gap after its predecessor starts a NEW
+    * session (>= in the oracle, vs qeSessions' >), and session_end =
+    * last ts + gap. */
+  def qeSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("__w.start").as("session_start"),
+        col("__w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val qeSessionWindowSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Top spenders among purchase events (windowed top-k composes the
     * surface already covered; this is the headline event rollup). */
   def qeTopkUsers(spark: SparkSession, dir: String): DataFrame =
@@ -1701,7 +1740,36 @@ object EventQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
+    * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
+    * state per partial combine instead of groupBy-count's
+    * one-shuffle-key-per-distinct-value — the unbounded-cardinality
+    * swap-in §2.13f names (top URLs / user-agents / tokens at 100 TB).
+    * Capacity 16 exceeds the event-type cardinality here, so the
+    * sketch is PROVABLY the exact counts (MG decrements never fire)
+    * and the plain count-rank SQL is a value-exact oracle for the
+    * whole sketch pipeline — build, merge tree, sorted finish; the
+    * lossy-regime error bounds are pinned by HeavyHittersSpec. */
+  def qeTopkSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .agg(graft.operators.HeavyHitters.topValues(16)(col("event_type"))
+        .as("__tv"))
+      .select(posexplode(col("__tv")).as(Seq("__pos", "__s")))
+      .select(col("__s._1").as("event_type"),
+        col("__s._2").as("n_events"),
+        (col("__pos") + 1).cast("int").as("rank"))
+      .orderBy("rank")
+
+  val qeTopkSketchSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+      |    AS INTEGER) AS rank
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_topk_sketch" -> (qeTopkSketch _),
     "qe_markov_stationary" -> (qeMarkovStationary _),
     "qe_ltv_curve" -> (qeLtvCurve _),
     "qe_forecast" -> (qeForecast _),
@@ -1738,11 +1806,13 @@ object EventQueries {
     "qe_sliding" -> (qeSliding _),
     "qe_range" -> (qeRange _),
     "qe_sessions" -> (qeSessions _),
+    "qe_session_window" -> (qeSessionWindow _),
     "qe_topk_users" -> (qeTopkUsers _),
     "qe_funnel" -> (qeFunnel _),
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_topk_sketch" -> qeTopkSketchSql,
     "qe_markov_stationary" -> qeMarkovStationarySql,
     "qe_ltv_curve" -> qeLtvCurveSql,
     "qe_forecast" -> qeForecastSql,
@@ -1779,6 +1849,7 @@ object EventQueries {
     "qe_sliding" -> qeSlidingSql,
     "qe_range" -> qeRangeSql,
     "qe_sessions" -> qeSessionsSql,
+    "qe_session_window" -> qeSessionWindowSql,
     "qe_topk_users" -> qeTopkUsersSql,
     "qe_funnel" -> qeFunnelSql,
     "qe_asof" -> qeAsofSql)

@@ -711,7 +711,149 @@ object PipelineQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** §2.31u — weighted reservoir sample of EXACT size k per source
+    * (Efraimidis–Spirakis A-ES): each row draws a deterministic
+    * md5-uniform u ∈ (0,1) and ranks by key = ln(u)/w — the top-k by
+    * key is a weight-proportional without-replacement sample.
+    * Complements 31t's Bernoulli form: that biases the mix but the
+    * sample SIZE is random; this guarantees exactly k per stratum
+    * (the "give me 10k docs per source, quality-weighted" request).
+    * One scan, one per-source top-k window over row-local expressions
+    * — at 100 TB the window can swap to the salted two-phase top-k of
+    * qp_sample unchanged, since the key is row-local. u offsets by
+    * +0.5/10⁶ so ln never sees 0; w clamps to [0.1, 1] so low-quality
+    * rows keep a floor chance, same clamp as 31t. */
+  def qpReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t.isin(TextQueries.stopwords.map(w => w: Any): _*)))
+      .cast("double") / nTok
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val q = lit(0.3) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.4) * distinctRatio +
+      lit(0.3) * (lit(1.0) - stopRatio)
+    val w = greatest(least(q, lit(1.0)), lit(0.1))
+    val u = (md5Bucket("res", col("doc_id"), 1000000).cast("double") + 0.5) /
+      lit(1000000.0)
+    val win = Window.partitionBy("source")
+      .orderBy(col("__key").desc, col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), w.as("__w"),
+        (log(u) / w).as("__key"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 5)
+      .select(col("source"), col("doc_id"), round(col("__w"), 6).as("weight"),
+        col("rank"))
+      .orderBy("source", "rank")
+  }
+
+  val qpReservoirSql: String = {
+    val stop = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    greatest(least(
+       |      0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+       |      + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |      + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |                 t -> t IN ($stop))) AS DOUBLE)
+       |               / CAST(len(string_split(text, ' ')) AS DOUBLE)), 1.0), 0.1)
+       |      AS w,
+       |    (CAST(('0x' || substr(md5('res:' || doc_id), 1, 8))::BIGINT % 1000000
+       |       AS DOUBLE) + 0.5) / 1000000.0 AS u
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT source, doc_id, w,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ln(u) / w DESC, doc_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT source, doc_id, round(w, 6) AS weight, rank
+       |FROM keyed
+       |WHERE rank <= 5
+       |ORDER BY source, rank""".stripMargin
+  }
+
+  /** §2.31v — waterfilling token-budget allocation across sources: find
+    * the cap c with Σ min(avail_s, c) = budget and give every source
+    * min(avail_s, c) — the max-min-fair mix that upweights small
+    * sources and caps dominant ones (the standard answer to "crawl
+    * dwarfs books 1000:1, budget is B tokens, don't let the mix be 99%
+    * crawl"). Closed form, no iteration: sources sort by avail
+    * ascending; a source is fully kept iff its avail ≤ the remaining
+    * budget split evenly over the remaining slots (integer-exact
+    * compare: avail·slots ≤ remaining), and the cap is determined by
+    * the last fully-kept prefix. The fact table collapses to one row
+    * per source in a single combinable pass; every window after runs
+    * on the ≤|sources| frame. Budget = 60% of total tokens (integer
+    * floor). */
+  def qpWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+    val all = Window.partitionBy()
+    val asc = Window.partitionBy().orderBy("avail_tokens", "source")
+    val upto = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__budget", floor(sum(col("avail_tokens")).over(all) * 0.6))
+      .withColumn("__rn", row_number().over(asc))
+      .withColumn("__prefix", sum(col("avail_tokens")).over(upto))
+      .withColumn("__remaining",
+        col("__budget") - (col("__prefix") - col("avail_tokens")))
+      .withColumn("__full",
+        col("avail_tokens") * (col("__n") - col("__rn") + 1) <= col("__remaining"))
+      .withColumn("__j", max(when(col("__full"), col("__rn"))).over(all))
+      .withColumn("__prefix_j", max(when(col("__full"), col("__prefix"))).over(all))
+      .withColumn("__cap",
+        (col("__budget") - coalesce(col("__prefix_j"), lit(0L))).cast("double") /
+          (col("__n") - coalesce(col("__j"), lit(0L))))
+      .select(col("source"), col("avail_tokens"),
+        round(when(col("__full"), col("avail_tokens").cast("double"))
+          .otherwise(col("__cap")), 2).as("allocated_tokens"),
+        round(when(col("__full"), lit(1.0))
+          .otherwise(col("__cap") / col("avail_tokens")), 6).as("keep_fraction"))
+      .orderBy("source")
+  }
+
+  val qpWaterfillSql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT source, avail_tokens,
+      |    COUNT(*) OVER () AS n,
+      |    CAST(floor(SUM(avail_tokens) OVER () * 0.6) AS BIGINT) AS budget,
+      |    ROW_NUMBER() OVER (ORDER BY avail_tokens, source) AS rn,
+      |    SUM(avail_tokens) OVER (ORDER BY avail_tokens, source
+      |      ROWS UNBOUNDED PRECEDING) AS prefix
+      |  FROM per_source
+      |), flagged AS (
+      |  SELECT *, budget - (prefix - avail_tokens) AS remaining,
+      |    avail_tokens * (n - rn + 1) <= budget - (prefix - avail_tokens)
+      |      AS is_full
+      |  FROM ranked
+      |), capped AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN is_full THEN rn END) OVER () AS j,
+      |    MAX(CASE WHEN is_full THEN prefix END) OVER () AS prefix_j
+      |  FROM flagged
+      |)
+      |SELECT source, avail_tokens,
+      |  round(CASE WHEN is_full THEN CAST(avail_tokens AS DOUBLE)
+      |    ELSE CAST(budget - COALESCE(prefix_j, 0) AS DOUBLE)
+      |      / (n - COALESCE(j, 0)) END, 2) AS allocated_tokens,
+      |  round(CASE WHEN is_full THEN 1.0
+      |    ELSE (CAST(budget - COALESCE(prefix_j, 0) AS DOUBLE)
+      |      / (n - COALESCE(j, 0))) / avail_tokens END, 6) AS keep_fraction
+      |FROM capped
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_waterfill" -> (qpWaterfill _),
+    "qp_reservoir" -> (qpReservoir _),
     "qp_quality_sample" -> (qpQualitySample _),
     "qp_release_diff" -> (qpReleaseDiff _),
     "qp_temperature" -> (qpTemperature _),
@@ -728,6 +870,8 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_waterfill" -> qpWaterfillSql,
+    "qp_reservoir" -> qpReservoirSql,
     "qp_quality_sample" -> qpQualitySampleSql,
     "qp_release_diff" -> qpReleaseDiffSql,
     "qp_temperature" -> qpTemperatureSql,

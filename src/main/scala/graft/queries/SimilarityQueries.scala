@@ -103,6 +103,52 @@ object SimilarityQueries {
        |WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** §2.27f — multi-probe LSH ANN: each query additionally probes the
+    * buckets reached by flipping its 2 nearest-margin hyperplanes
+    * (Lv et al.) — recall toward brute force with no extra hash tables;
+    * corpus side still stores one bucket per vector, so the join stays
+    * a bucket-key shuffle. The oracle recomputes the same projections,
+    * margin sort, and XOR probes — value-exact across engines. */
+  def qsKnnMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Knn.lshMultiProbeTopK(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", NumPlanes, Dims, 3, nflip = 2)
+      .orderBy("q_id", "rank")
+
+  val qsKnnMultiprobeSql: String = {
+    val projCols = (0 until NumPlanes)
+      .map(p => s"${planeDotSql("embedding", p)} AS p$p").mkString(",\n       |    ")
+    val bucketExpr = (0 until NumPlanes)
+      .map(p => s"(CASE WHEN p$p >= 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val structs = (0 until NumPlanes)
+      .map(p => s"{'a': abs(p$p), 'i': $p, 'm': ${1L << p}}").mkString(", ")
+    s"""WITH pr AS (
+       |  SELECT vec_id, embedding,
+       |    $projCols
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, embedding, p0, p1, p2, p3,
+       |    $bucketExpr AS bucket
+       |  FROM pr
+       |), probes AS (
+       |  SELECT vec_id, embedding, bucket,
+       |    unnest(list_concat([bucket], list_transform(
+       |      list_slice(list_sort([$structs]), 1, 2),
+       |      s -> xor(bucket, s.m)))) AS probe
+       |  FROM bk
+       |)
+       |SELECT q_id, neighbor_id, bucket, cosine, rank FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, a.probe AS bucket,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+       |  FROM probes a JOIN bk b
+       |    ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+       |) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** §2.27b — IVF bucketed ANN (deterministic k-means quantizer, nprobe
     * probing). The index build is iterative (not SQL-expressible), but
     * with nprobe = numCentroids every query probes every bucket, so the
@@ -263,6 +309,7 @@ object SimilarityQueries {
     "qs_knn_brute" -> (qsKnnBrute _),
     "qs_knn_filtered" -> (qsKnnFiltered _),
     "qs_knn_lsh" -> (qsKnnLsh _),
+    "qs_knn_multiprobe" -> (qsKnnMultiprobe _),
     "qs_knn_ivf" -> (qsKnnIvf _),
     "qs_recall" -> (qsRecall _))
 
@@ -272,6 +319,7 @@ object SimilarityQueries {
     "qs_knn_brute" -> qsKnnBruteSql,
     "qs_knn_filtered" -> qsKnnFilteredSql,
     "qs_knn_lsh" -> qsKnnLshSql,
+    "qs_knn_multiprobe" -> qsKnnMultiprobeSql,
     // Full-probe IVF == exact top-k, so it shares the brute-force oracle.
     "qs_knn_ivf" -> qsKnnBruteSql,
     "qs_recall" -> qsRecallSql)

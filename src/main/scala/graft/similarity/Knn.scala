@@ -278,6 +278,55 @@ object Knn {
       .where(col("rank") <= k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al., "Multi-Probe LSH"): each query
+    * searches its own bucket PLUS the `nflip` buckets reached by
+    * flipping the hyperplanes with the smallest |projection| — the
+    * planes the vector sits closest to, where a true neighbor most
+    * likely landed on the other side. Recall rises toward brute force
+    * without more hash tables (memory) or wider buckets (compute):
+    * query-side fan-out is nflip+1 exploded probe rows, while the
+    * corpus side still stores ONE bucket per vector, so the join stays
+    * a bucket-key shuffle and no pair is generated twice. Probe order
+    * is deterministic: (|margin|, plane-index) struct sort, bit masks
+    * carried as per-plane literals (no variable shifts). Candidates are
+    * a strict superset of [[lshTopK]]'s for the same planes.
+    * Returns (q_id, neighbor_id, bucket, cosine, rank). */
+  def lshMultiProbeTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      numPlanes: Int, dims: Int, k: Int, nflip: Int): DataFrame = {
+    require(nflip >= 0 && nflip <= numPlanes, s"nflip $nflip out of range")
+    val ps = planes(numPlanes, dims)
+    val prepared = corpus.select(col(idCol).as("__id"),
+      asDoubles(col(vecCol)).as("__v"))
+      .withColumn("__projs",
+        array(ps.map(w => dot(col("__v"), typedLit(w))): _*))
+      .withColumn("bucket",
+        (0 until numPlanes).map { p =>
+          when(element_at(col("__projs"), p + 1) >= 0.0, lit(1L << p))
+            .otherwise(0L)
+        }.reduce(_ + _))
+      .withColumn("__norm", sqrt(dot(col("__v"), col("__v"))))
+    // nflip nearest-margin planes, ties to the lower plane index; masks
+    // ride the sort as literals so the flip is bucket XOR mask.
+    val flipMasks = slice(array_sort(array((0 until numPlanes).map { p =>
+      struct(abs(element_at(col("__projs"), p + 1)).as("a"),
+        lit(p).as("i"), lit(1L << p).as("m"))
+    }: _*)), 1, nflip).getField("m")
+    val probes = concat(array(col("bucket")),
+      transform(flipMasks, m => col("bucket").bitwiseXOR(m)))
+    val a = prepared.select(col("__id").as("q_id"), col("__v").as("q_vec"),
+      explode(probes).as("bucket"), col("__norm").as("q_norm"))
+    val b = prepared.select(col("__id").as("neighbor_id"),
+      col("__v").as("c_vec"), col("bucket"), col("__norm").as("c_norm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("bucket")).where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("bucket"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: rank within LSH buckets only.
     * Returns (q_id, neighbor_id, bucket, cosine, rank). */
   def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,

@@ -37,6 +37,26 @@ class KnnSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => (a <= 2) == (b <= 2) })
   }
 
+  test("multi-probe LSH recovers near-boundary neighbors single-probe misses") {
+    // Vectors 1 and 2 are crafted against the actual md5 planes for
+    // (4 planes, 2 dims): both sit ±0.002 off plane 0's boundary along
+    // its null direction, so they land in buckets 1 and 0 with plane 0
+    // as the smallest |margin| for BOTH — single-probe can never pair
+    // them, and flipping one plane must. nflip=0 degenerates to lshTopK.
+    val corpus = vecs(
+      1L -> Seq(-0.374134, 0.566254), 2L -> Seq(-0.371866, 0.567746),
+      3L -> Seq(-1.0, 0.5), 4L -> Seq(0.3, 1.0))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = pairs(Knn.lshTopK(corpus, "embedding", "vec_id", 4, 2, 3))
+    val zeroFlip = pairs(Knn.lshMultiProbeTopK(corpus, "embedding", "vec_id", 4, 2, 3, 0))
+    val multi = pairs(Knn.lshMultiProbeTopK(corpus, "embedding", "vec_id", 4, 2, 3, 1))
+    assert(zeroFlip == single)
+    assert(single.subsetOf(multi))
+    assert(!single.contains((1L, 2L)))
+    assert(multi.contains((1L, 2L)) && multi.contains((2L, 1L)))
+  }
+
   test("ivfTopK finds exact neighbors when clusters are well separated") {
     // Two tight clusters far apart; with nprobe=1 each query stays in
     // its own cluster and must recover the exact in-cluster ranking.

@@ -46,10 +46,13 @@ object PlanAudit {
     //    pattern, same as qe_decay/qt_keywords).
     //  - qp_dataset_card crosses two ONE-ROW aggregates (1×1 broadcast
     //    no-op) before the stack() unpivot.
+    //  - qc_psi_quantile crosses the fact table with a broadcast ONE-ROW
+    //    quantile-edge array (scalar-subquery pattern, same as qe_decay).
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
       "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
-      "qs_recall", "qe_cooccurrence", "qp_dataset_card")
+      "qs_recall", "qe_cooccurrence", "qp_dataset_card",
+      "qc_psi_quantile")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

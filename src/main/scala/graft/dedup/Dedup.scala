@@ -682,6 +682,56 @@ object Dedup {
         coalesce(col("__root"), col(idCol)).as("component_id"))
   }
 
+  /** Per-vertex triangle counts over an undirected pair graph — the
+    * clustering-coefficient numerator, the standard "is this near-dup
+    * neighborhood a dense clique or a thin chain" density signal
+    * (chains survive canonicalization as weakly-linked distinct docs;
+    * cliques are true duplicate groups).
+    *
+    * Degree-ordered node-iterator (Suri & Vassilvitskii's MR adaption):
+    * every edge orients from its lower-(degree, id) endpoint to the
+    * higher, wedges pair each source's out-neighbors, and a wedge is a
+    * triangle iff its closing edge exists (one semi-join). The
+    * orientation is the scale guarantee: out-degrees are bounded by
+    * O(√m) regardless of hub skew, so the wedge self-join is
+    * O(m^{3/2}) total — an id-ordered orientation would square the max
+    * hub degree instead. Each triangle is found at exactly one apex
+    * (its order-minimal vertex), then credited to all three corners.
+    *
+    * @param edges two-column (id_a, id_b) undirected; self-loops and
+    *              duplicates dropped. Returns (vertex, n_triangles) for
+    *              vertices in ≥ 1 triangle. */
+  def trianglesPerVertex(edges: DataFrame): DataFrame = {
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    val e = edges.select(least(col(ea), col(eb)).as("__a"),
+        greatest(col(ea), col(eb)).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+      .cache() // consumed three times: degrees, orientation, closure probe
+    val deg = e.select(col("__a").as("__v"))
+      .union(e.select(col("__b").as("__v")))
+      .groupBy("__v").agg(count(lit(1)).as("__d"))
+    val oriented = e
+      .join(deg.select(col("__v").as("__a"), col("__d").as("__da")), "__a")
+      .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
+      .select(when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("__a") < col("__b")),
+        struct(col("__a").as("s"), col("__b").as("t")))
+        .otherwise(struct(col("__b").as("s"), col("__a").as("t"))).as("__o"))
+      .select(col("__o.s").as("__src"), col("__o.t").as("__dst"))
+    // Unordered out-neighbor pairs dedup by id; the closing probe is
+    // then exactly the canonical (min, max) edge key.
+    val wedges = oriented.toDF("__src", "__n1")
+      .join(oriented.toDF("__src", "__n2"), "__src")
+      .where(col("__n1") < col("__n2"))
+    // Rename the probe side: wedges derive from e, and a by-name
+    // condition over disjoint names sidesteps self-join ambiguity.
+    val tri = wedges.join(e.toDF("__p1", "__p2"),
+      col("__n1") === col("__p1") && col("__n2") === col("__p2"), "left_semi")
+    tri.select(explode(array(col("__src"), col("__n1"), col("__n2"))).as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("n_triangles"))
+      .withColumnRenamed("__v", "vertex")
+  }
+
   /** Deduplicated corpus: keep only each near-dup cluster's canonical
     * row (minimum id), where clusters are connected components of
     * `edges` (e.g. [[jaccardNeighbors]] or [[minhashCandidatePairs]]

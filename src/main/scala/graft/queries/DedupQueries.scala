@@ -294,6 +294,52 @@ object DedupQueries {
       |  AND levenshtein(a.pre, b.pre) <= 16
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.25j — per-vertex triangle counts over the [[qdEmbedding]] pair
+    * graph (cosine ≥ 0.2 within label blocks): the clustering-
+    * coefficient numerator that separates dense duplicate cliques from
+    * thin chained neighborhoods before canonicalization trusts them.
+    * Degree-ordered node-iterator ([[Dedup.trianglesPerVertex]]) — the
+    * wedge join is O(m^{3/2}) regardless of hub skew; the oracle counts
+    * the same triangles by the orientation-free three-way join, which
+    * is only safe at oracle scale. */
+  def qdTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", "label")
+      .where(col("cosine") >= 0.2)
+      .select("id_a", "id_b")
+    Dedup.trianglesPerVertex(edges)
+      .select(col("vertex").as("vec_id"), col("n_triangles"))
+      .orderBy("vec_id")
+  }
+
+  val qdTrianglesSql: String =
+    """WITH v AS (
+      |  SELECT label, vec_id, embedding FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, 65),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |  , 6) >= 0.2
+      |), tri AS (
+      |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.id_a = e1.id_b
+      |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+      |)
+      |SELECT vtx AS vec_id, COUNT(*) AS n_triangles FROM (
+      |  SELECT a AS vtx FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri
+      |)
+      |GROUP BY vtx
+      |ORDER BY vec_id""".stripMargin
+
   /** §2.25 — embedding cosine near-dup pairs blocked by label. */
   def qdEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
@@ -766,6 +812,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_triangles" -> (qdTriangles _),
     "qd_components_star" -> (qdComponentsStar _),
     "qd_cluster_report" -> (qdClusterReport _),
     "qd_winnow_pairs" -> (qdWinnowPairs _),
@@ -788,6 +835,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_triangles" -> qdTrianglesSql,
     "qd_components_star" -> qdComponentsSql,
     "qd_cluster_report" -> qdClusterReportSql,
     "qd_winnow_pairs" -> qdWinnowPairsSql,

@@ -1768,7 +1768,46 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY rank""".stripMargin
 
+  /** §2.33ak — join-key skew diagnostic for a prospective user_id
+    * join/aggregation: the one-page read that tells the planner whether
+    * plain hash partitioning survives or [[graft.operators.SkewJoin]]-
+    * style salting is needed, and with what factor. One combinable
+    * per-key count collapse, then a 1-row fold: key count, row count,
+    * max / interpolated-p50 / p99 key sizes, the hottest key's share,
+    * and suggested_salt = ceil(max / p99) — the multiple by which the
+    * hottest key exceeds the p99 task size (1 = no salting needed).
+    * Exact `percentile` over the collapsed key frame; approx_percentile
+    * is the unbounded-key swap-in (same shape as q_percentiles'). */
+  def qeSkewReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_key_rows"),
+        expr("percentile(__c, array(0.5D, 0.99D))").as("__p"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        round(element_at(col("__p"), 1), 6).as("p50_key_rows"),
+        round(element_at(col("__p"), 2), 6).as("p99_key_rows"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 6)
+          .as("top_key_share"),
+        ceil(col("max_key_rows").cast("double") / element_at(col("__p"), 2))
+          .as("suggested_salt"))
+
+  val qeSkewReportSql: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+      |)
+      |SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  MAX(c) AS max_key_rows,
+      |  round(quantile_cont(c, 0.5), 6) AS p50_key_rows,
+      |  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+      |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_key_share,
+      |  CAST(ceil(CAST(MAX(c) AS DOUBLE) / quantile_cont(c, 0.99)) AS BIGINT)
+      |    AS suggested_salt
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
     "qe_markov_stationary" -> (qeMarkovStationary _),
     "qe_ltv_curve" -> (qeLtvCurve _),
@@ -1812,6 +1851,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,
     "qe_markov_stationary" -> qeMarkovStationarySql,
     "qe_ltv_curve" -> qeLtvCurveSql,

@@ -91,6 +91,51 @@ object ProfileQueries {
       |FROM ca JOIN cb ON ca.bin = cb.bin
       |ORDER BY ca.bin""".stripMargin
 
+  /** §2.13p — quantile-bin (equal-mass) PSI drift over the md5-split
+    * halves of `orders`: edges = the reference half's deciles, Laplace-
+    * smoothed shares so one-sided bins report a finite term instead of
+    * being dropped — [[qcDrift]]'s fixed-width complement for skewed /
+    * unknown-range columns ([[Profiler.psiQuantileBySide]]; the no-sort
+    * approx_percentile edge variant is the 100 TB swap-in, pinned in
+    * ApproxVariantsSpec). */
+  def qcPsiQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val bucket = md5Bucket("qpsi", col("o_orderkey"), 100)
+    Profiler.psiQuantileBySide(Tables.load(spark, dir, "orders"),
+      bucket < 50, "o_totalprice", "o_orderkey", 10)
+      .orderBy("bin")
+  }
+
+  val qcPsiQuantileSql: String =
+    """WITH tagged AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v,
+      |    ('0x' || substr(md5('qpsi:' || o_orderkey), 1, 8))::BIGINT % 100 < 50
+      |      AS in_a
+      |  FROM orders
+      |), tiles AS (
+      |  SELECT v, NTILE(10) OVER (ORDER BY v, k) AS t FROM tagged WHERE in_a
+      |), es AS (
+      |  SELECT list(e ORDER BY e) AS es FROM (
+      |    SELECT MAX(v) AS e FROM tiles WHERE t < 10 GROUP BY t)
+      |), binned AS (
+      |  SELECT in_a, CAST(1 + len(list_filter(es, e -> v > e)) AS BIGINT) AS bin
+      |  FROM tagged CROSS JOIN es
+      |), agg AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM binned GROUP BY bin
+      |)
+      |SELECT bin, n_a, n_b,
+      |  round((n_a + 0.5) / (SUM(n_a) OVER () + 5.0), 6) AS share_a,
+      |  round((n_b + 0.5) / (SUM(n_b) OVER () + 5.0), 6) AS share_b,
+      |  round(((n_a + 0.5) / (SUM(n_a) OVER () + 5.0)
+      |      - (n_b + 0.5) / (SUM(n_b) OVER () + 5.0))
+      |    * ln(((n_a + 0.5) / (SUM(n_a) OVER () + 5.0))
+      |      / ((n_b + 0.5) / (SUM(n_b) OVER () + 5.0))), 6) AS psi
+      |FROM agg
+      |ORDER BY bin""".stripMargin
+
   /** §2.13i — binned Kolmogorov–Smirnov drift between the two md5-split
     * halves of `orders` over 20k-wide totalprice bins
     * ([[Profiler.ksDriftBySide]]); the cumulative complement of
@@ -642,6 +687,7 @@ object ProfileQueries {
     "qc_profile" -> (qcProfile _),
     "qc_anomaly" -> (qcAnomaly _),
     "qc_drift" -> (qcDrift _),
+    "qc_psi_quantile" -> (qcPsiQuantile _),
     "qc_ks_drift" -> (qcKsDrift _),
     "qc_topvalues" -> (qcTopValues _),
     "qc_gaps" -> (qcGaps _))
@@ -653,6 +699,7 @@ object ProfileQueries {
     "qc_benford" -> qcBenfordSql,
     "qc_corr" -> qcCorrSql,
     "qc_chi2_drift" -> qcChi2DriftSql,
+    "qc_psi_quantile" -> qcPsiQuantileSql,
     "qc_iqr_outliers" -> qcIqrOutliersSql,
     "qc_freshness" -> qcFreshnessSql,
     "qc_profile" -> qcProfileSql,

@@ -220,6 +220,73 @@ object Profiler {
       .transform(psiSelect)
   }
 
+  /** [[driftBySide]] with EQUAL-MASS (quantile) bins instead of fixed
+    * width: bin edges are the reference (`sideA`) side's nBins-quantiles,
+    * so every bin holds ≈ 1/nBins of the reference and no sparse tail
+    * bin dominates the PSI — the production-standard binning when the
+    * value distribution is skewed or its range unknown up front. Counts
+    * are Laplace-smoothed (+0.5 per bin against the side total +
+    * nBins/2) so a bin the current side never hits contributes a large
+    * FINITE term instead of ±∞ — with equal-mass reference bins every
+    * bin is populated on the reference side by construction, so unlike
+    * [[driftBySide]] no bin is ever dropped and a one-sided collapse is
+    * VISIBLE in the report rather than filtered away.
+    *
+    * Exact edges come from one ntile window over the reference side
+    * ordered by (value, key) — a global sort of the reference, the
+    * deterministic small-SF form the oracle can replay; at 100 TB swap
+    * in [[psiQuantileBySideApprox]], whose approx_percentile edges come
+    * from ONE mergeable aggregation, no sort (same downstream plan;
+    * ApproxVariantsSpec pins the two within tolerance). Edge assignment
+    * broadcasts the 1-row edge array (scalar-subquery BNLJ, allowlisted
+    * in PlanAudit) and bins by strict `value > edge` count — ties land
+    * in the lower bin on every engine. */
+  def psiQuantileBySide(df: DataFrame, sideA: Column, valueCol: String,
+      keyCol: String, nBins: Int): DataFrame = {
+    val tagged = df.select(col(valueCol).as("__v"), col(keyCol).as("__k"),
+      sideA.as("__a"))
+    val edges = tagged.where(col("__a"))
+      .withColumn("__t", ntile(nBins).over(Window.orderBy("__v", "__k")))
+      .where(col("__t") < nBins)
+      .groupBy("__t").agg(max(col("__v")).as("__e"))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    psiQuantileFinish(tagged, edges, nBins)
+  }
+
+  /** The 100 TB form of [[psiQuantileBySide]]: reference edges from
+    * `approx_percentile` (one mergeable aggregation — no global sort,
+    * no window), identical downstream assignment and smoothing. Not
+    * oracle-exact (the sketch's edges differ from true quantiles within
+    * its accuracy), hence a callable variant + spec pin, not a contract
+    * query. */
+  def psiQuantileBySideApprox(df: DataFrame, sideA: Column, valueCol: String,
+      nBins: Int, accuracy: Int = 10000): DataFrame = {
+    val fracs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val tagged = df.select(col(valueCol).as("__v"), sideA.as("__a"))
+    val edges = tagged.where(col("__a"))
+      .agg(percentile_approx(col("__v"), typedLit(fracs), lit(accuracy))
+        .as("__es"))
+    psiQuantileFinish(tagged, edges, nBins)
+  }
+
+  private def psiQuantileFinish(tagged: DataFrame, edges: DataFrame,
+      nBins: Int): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged.crossJoin(broadcast(edges))
+      .select(col("__a"),
+        (size(filter(col("__es"), e => col("__v") > e)) + 1).cast("long")
+          .as("bin"))
+      .groupBy("bin")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+      .withColumn("__p", (col("n_a") + lit(0.5)) /
+        (sum(col("n_a")).over(all) + lit(nBins / 2.0)))
+      .withColumn("__q", (col("n_b") + lit(0.5)) /
+        (sum(col("n_b")).over(all) + lit(nBins / 2.0)))
+      .transform(psiSelect)
+  }
+
   /** Binned two-sample Kolmogorov–Smirnov drift between the `sideA` /
     * `!sideA` halves of one dataset: per bin, both sides' counts, the
     * empirical CDFs at the bin's upper edge, and the |CDF_a − CDF_b|

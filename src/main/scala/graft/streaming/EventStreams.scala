@@ -38,6 +38,24 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Native `session_window` aggregation on a stream — LITERALLY the
+    * batch expression of EventQueries.qeSessionWindow plus a watermark
+    * (the point of the unified API: no gaps-and-islands rewrite, no
+    * custom state function); append-mode emission once the watermark
+    * passes a session's close. State is one open session per
+    * (user, session) key, bounded by the watermark — contrast with
+    * [[sessionize]], which keeps a cumulative session counter per user
+    * because batch session NUMBERING is a full-history property that
+    * session_window does not provide. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("__w.start").as("session_start"),
+        col("__w.end").as("session_end"), col("n_events"))
+
   case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long)
 
   /** Per-user state: micros timestamps (exact arithmetic). `n == 0`

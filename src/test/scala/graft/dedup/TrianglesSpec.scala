@@ -1,0 +1,51 @@
+package graft.dedup
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** [[Dedup.trianglesPerVertex]] — randomized equivalence to a driver
+  * brute-force count, plus pinned shapes. */
+class TrianglesSpec extends SparkSpec {
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Dedup.trianglesPerVertex(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val verts = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      Seq(a, b, c) <- verts.combinations(3)
+      if e((a, b)) && e((b, c)) && e((a, c))
+      v <- Seq(a, b, c)
+    } counts(v) = counts.getOrElse(v, 0L) + 1
+    counts.toMap
+  }
+
+  test("K4 gives every vertex 3 triangles; a path gives none") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(run(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == Map.empty)
+  }
+
+  test("duplicate and reversed edges do not inflate counts") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 1L), (3L, 2L), (1L, 2L))
+    assert(run(tri) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("randomized graphs match the brute-force triangle count") {
+    val rnd = new Random(31)
+    for (trial <- 0 until 2) {
+      val n = 14 + trial * 6
+      val edges = Seq.fill(3 * n)(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      assert(run(edges) == brute(edges), s"trial $trial")
+    }
+  }
+}

@@ -62,6 +62,32 @@ class ApproxVariantsSpec extends SparkSpec {
     assert(approx === exact)
   }
 
+  test("approx-edge quantile PSI stays close to the exact-edge form at sf0.01") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Portable.md5Bucket
+    val orders = Tables.load(spark, dir, "orders")
+    val side = md5Bucket("qpsi", col("o_orderkey"), 100) < 50
+    def byBin(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_a"), r.getAs[Double]("psi"))).toMap
+    val exact = byBin(Profiler.psiQuantileBySide(
+      orders, side, "o_totalprice", "o_orderkey", 10))
+    val approx = byBin(Profiler.psiQuantileBySideApprox(
+      orders, side, "o_totalprice", 10))
+    assert(exact.keySet === (1L to 10L).toSet)
+    assert(approx.keySet === (1L to 10L).toSet)
+    val refTotal = exact.values.map(_._1).sum.toDouble
+    for ((bin, (na, _)) <- approx) {
+      // Equal-mass contract: every approx bin holds ≈ 1/10 of the
+      // reference (rank error of accuracy=10000 is far below 3%).
+      assert(math.abs(na - refTotal / 10) <= 0.03 * refTotal,
+        s"bin $bin holds $na of $refTotal")
+    }
+    // Same-distribution halves: both forms must report ≈ zero drift.
+    assert(exact.values.map(_._2).map(math.abs).sum <= 0.02)
+    assert(approx.values.map(_._2).map(math.abs).sum <= 0.02)
+  }
+
   test("sketch-merge rolling WAU stays within HLL tolerance of exact at sf0.01") {
     def byDay(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -63,6 +63,34 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session_window matches batch qe_session_window") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.sessionWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -2))
+      query.processAllAvailable()
+
+      val got = spark.table("swin_out")
+        .where(col("user_id") =!= -1L)
+        .collect().map(_.toSeq).toSet
+      val want = EventQueries.qeSessionWindow(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming sessionizer matches batch qe_sessions") {
     val s = spark
     import s.implicits._

@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(extensions.injectFunction)
     extensions.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteDotProduct)
+    extensions.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.RewriteBoundedLevenshtein)
   }
 }

@@ -377,11 +377,13 @@ object Dedup {
       .drop("__bn")
     val a = prepared.toDF("__block", "id_a", "len_a", "__pre_a")
     val b = prepared.toDF("__block", "id_b", "len_b", "__pre_b")
+    // Banded (thresholded) levenshtein: -1 past maxDist, O(maxDist·len)
+    // per pair instead of the full O(len²) DP grid.
     a.join(b, Seq("__block")).where(col("id_a") < col("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("edit_dist",
-        levenshtein(col("__pre_a"), col("__pre_b")).cast("bigint"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("__pre_a"), col("__pre_b"), maxDist).cast("bigint"))
+      .where(col("edit_dist") >= 0)
       .select("id_a", "id_b", "len_a", "len_b", "edit_dist")
   }
 
@@ -403,8 +405,8 @@ object Dedup {
       .join(prepared.toDF("id_b", "len_b", "__pre_b"), Seq("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("edit_dist",
-        levenshtein(col("__pre_a"), col("__pre_b")).cast("bigint"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("__pre_a"), col("__pre_b"), maxDist).cast("bigint"))
+      .where(col("edit_dist") >= 0)
       .select("id_a", "id_b", "len_a", "len_b", "edit_dist")
   }
 

@@ -1806,7 +1806,89 @@ object EventQueries {
       |    AS suggested_salt
       |FROM c""".stripMargin
 
+  /** §2.33al — lead/lag cross-correlation of two event types' hourly
+    * volumes ("does view activity lead purchase activity, and by how
+    * many hours"): Pearson r of view(h) vs purchase(h+lag) for lag ∈
+    * [-2, +2]. Hours become INTEGER indices (hour-truncated micros div
+    * 3.6e9 — exact in both engines, no interval arithmetic), the
+    * zero-filled hour spine generates from the 1-row bounds aggregate
+    * (sequence + explode, no cross join), the lag fan-out is a 5-way
+    * map-side explode, and every sufficient statistic is an integer
+    * sum — exact under any accumulation order; one double expression
+    * at the end. Degenerate (zero-variance) lags report NULL rather
+    * than an engine-dependent NaN. */
+  def qeXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"), col("event_type"))
+    def side(t: String, cnt: String) = ev.where(col("event_type") === t)
+      .groupBy("hi").agg(count(lit(1)).as(cnt))
+    val spine = ev.agg(min(col("hi")).as("__lo"), max(col("hi")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("hi"))
+    val xs = spine.join(side("view", "__xc"), Seq("hi"), "left")
+      .select(col("hi"), coalesce(col("__xc"), lit(0L)).as("x"))
+      .withColumn("lag", explode(typedLit(Seq(-2, -1, 0, 1, 2))))
+      .withColumn("__hy", col("hi") + col("lag"))
+    val ys = spine.join(side("purchase", "__yc"), Seq("hi"), "left")
+      .select(col("hi").as("__hy"), coalesce(col("__yc"), lit(0L)).as("y"))
+    val j = xs.join(ys, "__hy")
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double")) *
+      sqrt((col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .cast("double"))
+    j.groupBy("lag")
+      .agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"), sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .select(col("lag"), col("__n").as("n_hours"),
+        when(den === 0.0, lit(null)).otherwise(round(num / den, 6))
+          .as("pearson_r"))
+      .orderBy("lag")
+  }
+
+  val qeXcorrSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+      |    event_type
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |), b AS (
+      |  SELECT MIN(hi) AS lo, MAX(hi) AS hix FROM ev
+      |), spine AS (
+      |  SELECT unnest(range(lo, hix + 1)) AS hi FROM b
+      |), x AS (
+      |  SELECT s.hi, COALESCE(c.n, 0) AS x FROM spine s
+      |  LEFT JOIN (SELECT hi, COUNT(*) AS n FROM ev
+      |             WHERE event_type = 'view' GROUP BY hi) c USING (hi)
+      |), y AS (
+      |  SELECT s.hi, COALESCE(c.n, 0) AS y FROM spine s
+      |  LEFT JOIN (SELECT hi, COUNT(*) AS n FROM ev
+      |             WHERE event_type = 'purchase' GROUP BY hi) c USING (hi)
+      |), lags AS (
+      |  SELECT unnest([-2, -1, 0, 1, 2]) AS lag
+      |), p AS (
+      |  SELECT l.lag, x.x, y.y
+      |  FROM lags l JOIN x ON TRUE JOIN y ON y.hi = x.hi + l.lag
+      |), s AS (
+      |  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY lag
+      |)
+      |SELECT lag, n AS n_hours,
+      |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0.0 THEN NULL
+      |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+      |  END AS pearson_r
+      |FROM s
+      |ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
     "qe_markov_stationary" -> (qeMarkovStationary _),
@@ -1851,6 +1933,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,
     "qe_markov_stationary" -> qeMarkovStationarySql,

@@ -136,6 +136,60 @@ object ProfileQueries {
       |FROM agg
       |ORDER BY bin""".stripMargin
 
+  /** §2.13q — winsorization impact report per order priority: what a
+    * p1/p99 cap would do to o_totalprice BEFORE a pipeline applies it —
+    * rows clipped on each side, mean before/after, and the mass moved —
+    * the standard sanity read before outlier capping silently reshapes
+    * a feature. Two passes over the grouped frame: exact interpolated
+    * p1/p99 per group (one percentile aggregation), broadcast back,
+    * then one conditional-sum pass; per-value DECIMAL casts before both
+    * sums make the raw and clipped means accumulation-order-exact, so
+    * no engine-ordered float sum appears. */
+  def qcWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val fences = orders.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.01D, 0.99D))").as("__f"))
+      .select(col("o_orderpriority"),
+        element_at(col("__f"), 1).as("__lo"),
+        element_at(col("__f"), 2).as("__hi"))
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    orders.join(broadcast(fences), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < col("__lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("o_totalprice") > col("__hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        round(min(col("__lo")), 6).as("p01"),
+        round(min(col("__hi")), 6).as("p99"),
+        round(dsum(col("o_totalprice")) / count(lit(1)), 6).as("mean_raw"),
+        round(dsum(greatest(least(col("o_totalprice"), col("__hi")), col("__lo")))
+          / count(lit(1)), 6).as("mean_winsorized"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qcWinsorizeSql: String =
+    """WITH f AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.01) AS lo,
+      |    quantile_cont(o_totalprice, 0.99) AS hi
+      |  FROM orders GROUP BY o_orderpriority
+      |)
+      |SELECT o.o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o.o_totalprice < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN o.o_totalprice > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high,
+      |  round(MIN(f.lo), 6) AS p01,
+      |  round(MIN(f.hi), 6) AS p99,
+      |  round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_raw,
+      |  round(CAST(SUM(CAST(greatest(least(o.o_totalprice, f.hi), f.lo)
+      |      AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+      |FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   /** §2.13i — binned Kolmogorov–Smirnov drift between the two md5-split
     * halves of `orders` over 20k-wide totalprice bins
     * ([[Profiler.ksDriftBySide]]); the cumulative complement of
@@ -688,6 +742,7 @@ object ProfileQueries {
     "qc_anomaly" -> (qcAnomaly _),
     "qc_drift" -> (qcDrift _),
     "qc_psi_quantile" -> (qcPsiQuantile _),
+    "qc_winsorize" -> (qcWinsorize _),
     "qc_ks_drift" -> (qcKsDrift _),
     "qc_topvalues" -> (qcTopValues _),
     "qc_gaps" -> (qcGaps _))
@@ -700,6 +755,7 @@ object ProfileQueries {
     "qc_corr" -> qcCorrSql,
     "qc_chi2_drift" -> qcChi2DriftSql,
     "qc_psi_quantile" -> qcPsiQuantileSql,
+    "qc_winsorize" -> qcWinsorizeSql,
     "qc_iqr_outliers" -> qcIqrOutliersSql,
     "qc_freshness" -> qcFreshnessSql,
     "qc_profile" -> qcProfileSql,

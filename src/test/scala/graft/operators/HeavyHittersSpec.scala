@@ -28,6 +28,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(sketch(values, 16, 13) == exact)
   }
 
+  test("sketch aggregates on a stream across batches, matching batch output") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = stream.toDF().toDF("v")
+      .agg(HeavyHitters.topValues(16)(col("v")).as("tv"))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq.fill(40)("x") ++ Seq.fill(10)("y")
+      val b2 = Seq.fill(25)("y") ++ Seq.fill(5)("z")
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val got = spark.table("hh_out")
+        .select(explode(col("tv")).as("s")).select(col("s._1"), col("s._2"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Exact regime (capacity > cardinality): streaming merge across
+      // batches must equal the plain batch counts.
+      assert(got == Map("x" -> 40L, "y" -> 35L, "z" -> 5L))
+    } finally q.stop()
+  }
+
   test("estimates stay within [true - n/(m+1), true]; big hitters survive") {
     val rnd = new Random(23)
     // Zipf-ish: one dominant value, a midweight, a long tail.

@@ -12,14 +12,17 @@ import org.apache.spark.sql.SparkSession
   *     [--var key=value ...]          # \${key} substitution in the plan
   *     [--report-key name]            # report document name (default: plan)
   *     [--report-dest dir]            # write <dir>/<key>.json (default: console)
+  *     [--validate-only]              # parse + whole-plan validation, run nothing
   * }}}
   * Exit codes match the reference: 0 success, 3 when any assertion
-  * failed its threshold, 2 for invalid arguments.
+  * failed its threshold, 2 for invalid arguments (including a plan
+  * that fails --validate-only).
   */
 object RunPlan {
 
   case class Config(planPath: String, variables: Map[String, String],
-    reportKey: String, reportDest: Option[String])
+    reportKey: String, reportDest: Option[String],
+    validateOnly: Boolean = false)
 
   /** Pure argument parser: Left(error) or Right(config). */
   def parseArgs(args: Seq[String]): Either[String, Config] = {
@@ -27,6 +30,7 @@ object RunPlan {
     var vars = Map.empty[String, String]
     var reportKey = "plan"
     var reportDest = Option.empty[String]
+    var validateOnly = false
     var rest = args.tail
     while (rest.nonEmpty) rest = rest match {
       case "--var" +: kv +: tail =>
@@ -36,9 +40,10 @@ object RunPlan {
         }
       case "--report-key" +: k +: tail => reportKey = k; tail
       case "--report-dest" +: d +: tail => reportDest = Some(d); tail
+      case "--validate-only" +: tail => validateOnly = true; tail
       case other +: _ => return Left(s"unknown argument '$other'")
     }
-    Right(Config(args.head, vars, reportKey, reportDest))
+    Right(Config(args.head, vars, reportKey, reportDest, validateOnly))
   }
 
   /** Run a parsed config against a session; returns the process exit
@@ -56,6 +61,12 @@ object RunPlan {
         }
         2
       case Right(plan) =>
+        // CI gate / pre-deploy check: every command validated, nothing
+        // executed, no data touched.
+        if (config.validateOnly) {
+          println(s"graft.RunPlan: plan ok (${plan.commands.size} commands)")
+          return 0
+        }
         val writer = config.reportDest
           .map(new FsReportWriter(spark, _))
           .getOrElse(new ConsoleReportWriter)

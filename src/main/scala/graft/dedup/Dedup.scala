@@ -734,6 +734,30 @@ object Dedup {
       .withColumnRenamed("__v", "vertex")
   }
 
+  /** Local clustering coefficient per vertex: 2T/(d(d−1)) over the
+    * undirected pair graph — triangles from [[trianglesPerVertex]],
+    * degrees from one grouped count, a left join filling T = 0. Rows
+    * for every vertex of degree ≥ 2 (degree-1 vertices have no possible
+    * triangle and an undefined denominator). The per-neighborhood
+    * density read: ≈1 means the near-dup neighborhood is a clique
+    * (true duplicate group), ≈0 a thin chain gluing unrelated docs.
+    * Returns (vertex, degree, n_triangles, clustering_coef). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    val e = edges.select(least(col(ea), col(eb)).as("__a"),
+        greatest(col(ea), col(eb)).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+    val deg = e.select(col("__a").as("vertex"))
+      .union(e.select(col("__b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    deg.where(col("degree") >= 2)
+      .join(trianglesPerVertex(edges), Seq("vertex"), "left")
+      .select(col("vertex"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 6).as("clustering_coef"))
+  }
+
   /** Deduplicated corpus: keep only each near-dup cluster's canonical
     * row (minimum id), where clusters are connected components of
     * `edges` (e.g. [[jaccardNeighbors]] or [[minhashCandidatePairs]]

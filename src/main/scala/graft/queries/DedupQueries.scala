@@ -340,6 +340,61 @@ object DedupQueries {
       |GROUP BY vtx
       |ORDER BY vec_id""".stripMargin
 
+  /** §2.25k — local clustering coefficient over the same embedding
+    * near-dup graph as [[qdTriangles]]: 2T/(d(d−1)) per vertex of
+    * degree ≥ 2 ([[Dedup.clusteringCoefficient]]) — ≈1 flags a clique
+    * (true duplicate group), ≈0 a thin chain canonicalization should
+    * not collapse. Shares the triangle machinery; one extra grouped
+    * degree count and a left join. */
+  def qdClustering(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", "label")
+      .where(col("cosine") >= 0.2)
+      .select("id_a", "id_b")
+    Dedup.clusteringCoefficient(edges)
+      .select(col("vertex").as("vec_id"), col("degree"),
+        col("n_triangles"), col("clustering_coef"))
+      .orderBy("vec_id")
+  }
+
+  val qdClusteringSql: String =
+    """WITH v AS (
+      |  SELECT label, vec_id, embedding FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, 65),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |  , 6) >= 0.2
+      |), deg AS (
+      |  SELECT vtx AS vec_id, COUNT(*) AS degree FROM (
+      |    SELECT id_a AS vtx FROM pairs UNION ALL SELECT id_b FROM pairs
+      |  ) GROUP BY vtx
+      |), tri AS (
+      |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.id_a = e1.id_b
+      |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+      |), tcount AS (
+      |  SELECT vtx AS vec_id, COUNT(*) AS n_triangles FROM (
+      |    SELECT a AS vtx FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri
+      |  ) GROUP BY vtx
+      |)
+      |SELECT d.vec_id, d.degree,
+      |  COALESCE(t.n_triangles, 0) AS n_triangles,
+      |  round(2.0 * COALESCE(t.n_triangles, 0)
+      |    / (d.degree * (d.degree - 1)), 6) AS clustering_coef
+      |FROM deg d LEFT JOIN tcount t ON d.vec_id = t.vec_id
+      |WHERE d.degree >= 2
+      |ORDER BY d.vec_id""".stripMargin
+
   /** §2.25 — embedding cosine near-dup pairs blocked by label. */
   def qdEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
@@ -813,6 +868,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_triangles" -> (qdTriangles _),
+    "qd_clustering" -> (qdClustering _),
     "qd_components_star" -> (qdComponentsStar _),
     "qd_cluster_report" -> (qdClusterReport _),
     "qd_winnow_pairs" -> (qdWinnowPairs _),
@@ -836,6 +892,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "qd_triangles" -> qdTrianglesSql,
+    "qd_clustering" -> qdClusteringSql,
     "qd_components_star" -> qdComponentsSql,
     "qd_cluster_report" -> qdClusterReportSql,
     "qd_winnow_pairs" -> qdWinnowPairsSql,

@@ -351,6 +351,63 @@ object TextQueries {
       |ORDER BY n_occurrences DESC, token
       |LIMIT 100""".stripMargin
 
+  /** §2.28e — Zipf fit of the corpus vocabulary: OLS of ln(frequency)
+    * on ln(rank) over the token frequency table — the corpus-health
+    * read that flags template/boilerplate corpora (slope far from ≈−1,
+    * natural text's signature) before training trusts the mix. The
+    * fact table collapses to the vocabulary in one combinable count;
+    * the rank window and the five OLS sufficient statistics
+    * (DECIMAL-cast, accumulation-order-exact) run over that collapsed
+    * frame only. Deterministic (frequency desc, token) rank order on
+    * both engines. */
+  def qtZipf(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    val ranked = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__f"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__f").desc, col("token"))))
+      .select(log(col("__r").cast("double")).as("__x"),
+        log(col("__f").cast("double")).as("__y"))
+    ranked
+      .agg(count(lit(1)).cast("double").as("__n"),
+        dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+        dsum(col("__x") * col("__y")).as("__sxy"),
+        dsum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n").cast("bigint").as("n_types"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"),
+        round((col("__sy") - col("__sx") *
+            ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+              (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) /
+            col("__n"), 6)
+          .as("intercept"))
+  }
+
+  val qtZipfSql: String =
+    """WITH vocab AS (
+      |  SELECT token, COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token
+      |), ranked AS (
+      |  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token) AS DOUBLE)) AS x,
+      |    ln(CAST(f AS DOUBLE)) AS y
+      |  FROM vocab
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      |  FROM ranked
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_types,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6)
+      |    AS intercept
+      |FROM s""".stripMargin
+
   /** Token-distribution entropy per document (unigram Shannon entropy,
     * bits) — the repetitiveness quality signal: low entropy flags
     * boilerplate/spam. Terms fold LEFT-TO-RIGHT over the token-sorted
@@ -809,6 +866,7 @@ object TextQueries {
     "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
     "qt_vocab" -> (qtVocab _),
+    "qt_zipf" -> (qtZipf _),
     "qt_redact" -> (qtRedact _),
     "qt_split" -> (qtSplit _),
     "qt_corpus_stats" -> (qtCorpusStats _),
@@ -831,6 +889,7 @@ object TextQueries {
     "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
     "qt_vocab" -> qtVocabSql,
+    "qt_zipf" -> qtZipfSql,
     "qt_redact" -> qtRedactSql,
     "qt_split" -> qtSplitSql,
     "qt_corpus_stats" -> qtCorpusStatsSql,

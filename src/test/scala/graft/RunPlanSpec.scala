@@ -36,6 +36,25 @@ class RunPlanSpec extends SparkSpec {
     assert(RunPlan.parseArgs(Seq("p.json", "--bogus")).isLeft)
   }
 
+  test("--validate-only checks the whole plan and executes nothing") {
+    assert(RunPlan.parseArgs(Seq("p.json", "--validate-only"))
+      .exists(_.validateOnly))
+    // Data dir does not exist: a real run would fail reading it, so
+    // exit 0 here proves validation never touched the inputs.
+    val ok = RunPlan.run(spark, RunPlan.Config(writePlan(),
+      Map("dir" -> "/nonexistent/never/read", "maxKey" -> "99"),
+      "regions", None, validateOnly = true))
+    assert(ok === 0)
+    // A structurally bad plan still reports 2 in validate-only mode.
+    val bad = Files.createTempFile("graft_bad_plan", ".json")
+    Files.write(bad,
+      """{"commands": [{"command": "assertion", "params": {}}]}"""
+        .getBytes("UTF-8"))
+    val code = RunPlan.run(spark, RunPlan.Config(bad.toString,
+      Map.empty, "r", None, validateOnly = true))
+    assert(code === 2)
+  }
+
   test("plan run exits 0 when assertions pass, 3 when they fail") {
     val plan = writePlan()
     val dest = Files.createTempDirectory("graft_report").toString

@@ -39,6 +39,23 @@ class TrianglesSpec extends SparkSpec {
     assert(run(tri) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficient: 1.0 on a clique, 0.0 on a star hub") {
+    val s = spark
+    import s.implicits._
+    // K3 {1,2,3} plus a star center 4 joined to 1 and to leaves 5, 6.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 1L), (4L, 5L), (4L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(2L) == ((2L, 1L, 1.0)))   // in the triangle only
+    assert(out(3L) == ((2L, 1L, 1.0)))
+    assert(out(4L) == ((3L, 0L, 0.0)))   // star hub, no closed wedge
+    assert(out(1L) == ((3L, 1L, 0.333333))) // 1 triangle of 3 possible
+    // Degree-1 leaves are excluded (undefined denominator).
+    assert(!out.contains(5L) && !out.contains(6L))
+  }
+
   test("randomized graphs match the brute-force triangle count") {
     val rnd = new Random(31)
     for (trial <- 0 until 2) {

@@ -734,6 +734,59 @@ object Dedup {
       .withColumnRenamed("__v", "vertex")
   }
 
+  /** The k-core of an undirected pair graph: the maximal subgraph where
+    * every vertex keeps degree ≥ k, by iterative peeling — drop
+    * vertices below k, recompute degrees, repeat until stable. The
+    * dedup-graph robustness filter: a vertex's 2-core membership means
+    * its near-dup neighborhood survives the removal of any single
+    * spurious pair, so canonicalization is not hinging on one LSH
+    * false positive; k-cores are likewise the standard spam/bot
+    * community seed in interaction graphs.
+    *
+    * Each round is a grouped degree count + two semi-joins (shuffle on
+    * the edge key), with [[connectedComponentsStar]]'s localCheckpoint
+    * lineage truncation; round count is bounded by the peeling depth
+    * (typically a handful — 5 on the test embedding graph), never the
+    * vertex count. Converged when an entire round drops nothing; fails
+    * loudly past `maxIter` rather than returning a half-peeled graph.
+    * Peeling is idempotent at the fixpoint, which is what lets a
+    * fixed-depth replay (the oracle) reproduce the converged result.
+    * Returns (vertex, core_degree) over the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 14): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    var e = edges.select(least(col(ea), col(eb)).as("__a"),
+        greatest(col(ea), col(eb)).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var iter = 0
+    var stable = eCount == 0L
+    while (!stable && iter < maxIter) {
+      val deg = e.select(col("__a").as("__v"))
+        .union(e.select(col("__b").as("__v")))
+        .groupBy("__v").agg(count(lit(1)).as("__d"))
+      val keep = deg.where(col("__d") >= k).select("__v")
+      val next = e
+        .join(keep.withColumnRenamed("__v", "__a"), Seq("__a"), "left_semi")
+        .join(keep.withColumnRenamed("__v", "__b"), Seq("__b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      // No edge dropped ⇒ every surviving endpoint already had degree
+      // ≥ k ⇒ fixpoint.
+      stable = n == eCount
+      e = next
+      eCount = n
+      iter += 1
+    }
+    if (!stable && eCount > 0) {
+      throw new IllegalStateException(
+        s"kCore did not stabilise in $maxIter rounds; raise maxIter")
+    }
+    e.select(col("__a").as("vertex")).union(e.select(col("__b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Local clustering coefficient per vertex: 2T/(d(d−1)) over the
     * undirected pair graph — triangles from [[trianglesPerVertex]],
     * degrees from one grouped count, a left join filling T = 0. Rows

@@ -395,6 +395,61 @@ object DedupQueries {
       |WHERE d.degree >= 2
       |ORDER BY d.vec_id""".stripMargin
 
+  /** §2.25l — 2-core of the embedding near-dup graph
+    * ([[Dedup.kCore]]): vertices whose neighborhood survives removing
+    * any single spurious pair — the robustness gate before
+    * canonicalization trusts a cluster built on one LSH false
+    * positive. The oracle replays the peeling as a FIXED 14-stage
+    * unroll: peeling is idempotent at the fixpoint, so a replay at
+    * least as deep as the true convergence depth (5 on this graph;
+    * the Spark side fails loudly past 14) reproduces the converged
+    * result exactly. */
+  def qdKcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", "label")
+      .where(col("cosine") >= 0.2)
+      .select("id_a", "id_b")
+    Dedup.kCore(edges, k = 2)
+      .select(col("vertex").as("vec_id"), col("core_degree"))
+      .orderBy("vec_id")
+  }
+
+  val qdKcoreSql: String = {
+    val pairs =
+      """WITH v AS (
+        |  SELECT label, vec_id, embedding FROM embeddings
+        |), e0 AS MATERIALIZED (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(range(1, 65),
+        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+        |  , 6) >= 0.2
+        |)""".stripMargin
+    val stages = (1 to 14).map { i =>
+      s""", d$i AS MATERIALIZED (
+         |  SELECT vtx, COUNT(*) AS c FROM (
+         |    SELECT a AS vtx FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}
+         |  ) GROUP BY vtx
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d$i da ON da.vtx = e.a
+         |  JOIN d$i db ON db.vtx = e.b
+         |  WHERE da.c >= 2 AND db.c >= 2
+         |)""".stripMargin
+    }.mkString
+    pairs + stages +
+      """
+        |SELECT vtx AS vec_id, COUNT(*) AS core_degree FROM (
+        |  SELECT a AS vtx FROM e14 UNION ALL SELECT b FROM e14
+        |) GROUP BY vtx
+        |ORDER BY vec_id""".stripMargin
+  }
+
   /** §2.25 — embedding cosine near-dup pairs blocked by label. */
   def qdEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
@@ -869,6 +924,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
+    "qd_kcore" -> (qdKcore _),
     "qd_components_star" -> (qdComponentsStar _),
     "qd_cluster_report" -> (qdClusterReport _),
     "qd_winnow_pairs" -> (qdWinnowPairs _),
@@ -893,6 +949,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
+    "qd_kcore" -> qdKcoreSql,
     "qd_components_star" -> qdComponentsSql,
     "qd_cluster_report" -> qdClusterReportSql,
     "qd_winnow_pairs" -> qdWinnowPairsSql,

@@ -429,6 +429,72 @@ object EventQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** §2.33am — position-based (U-shaped) multi-touch attribution: every
+    * purchase splits its credit over the user's non-purchase touches in
+    * the preceding hour — 40% to the first touch, 40% to the last, 20%
+    * shared across the middles (1.0 / 0.5+0.5 for one / two touches) —
+    * the standard complement of [[qeAttribution]]'s winner-takes-all.
+    * One equi-join on user_id (single shuffle) + a bounded time-range
+    * predicate pairs touches with purchases; rank/count windows
+    * partition by PURCHASE (bounded by the 1 h lookback, never a
+    * user's full history). Credits are row-local double expressions —
+    * bit-identical across engines — and aggregate via per-value
+    * DECIMAL casts, so the rollup is accumulation-order-exact. */
+  def qeAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("__pid"), col("user_id"),
+        unix_micros(col("ts")).as("__pts"))
+    val touches = events.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("__tid"),
+        col("event_type").as("touch_type"), unix_micros(col("ts")).as("__tts"))
+    val perPurchase = Window.partitionBy("__pid")
+    val ranked = Window.partitionBy("__pid").orderBy("__tts", "__tid")
+    val joined = touches.join(purchases, "user_id")
+      .where(col("__tts") < col("__pts") &&
+        col("__pts") - col("__tts") <= 3600000000L)
+      .withColumn("__rank", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(perPurchase))
+    val credit = when(col("__n") === 1, lit(1.0))
+      .when(col("__n") === 2, lit(0.5))
+      .when(col("__rank") === 1 || col("__rank") === col("__n"), lit(0.4))
+      .otherwise(lit(0.2) / (col("__n") - 2))
+    joined
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("__pid")).as("n_purchases"),
+        round(sum(credit.cast("decimal(38,12)")).cast("double"), 6)
+          .as("credit"))
+      .orderBy("touch_type")
+  }
+
+  val qeAttributionMultiSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+      |  FROM events WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT user_id, event_id AS tid, event_type AS touch_type,
+      |    epoch_us(ts) AS tts
+      |  FROM events WHERE event_type <> 'purchase'
+      |), j AS (
+      |  SELECT t.touch_type, p.pid,
+      |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts, t.tid) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY p.pid) AS n
+      |  FROM t JOIN p ON t.user_id = p.user_id
+      |  WHERE t.tts < p.pts AND p.pts - t.tts <= 3600000000
+      |)
+      |SELECT touch_type, COUNT(*) AS n_touches,
+      |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+      |  round(CAST(SUM(CAST(
+      |    CASE WHEN n = 1 THEN 1.0
+      |         WHEN n = 2 THEN 0.5
+      |         WHEN rnk = 1 OR rnk = n THEN 0.4
+      |         ELSE 0.2 / (n - 2) END AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS credit
+      |FROM j
+      |GROUP BY touch_type
+      |ORDER BY touch_type""".stripMargin
+
   /** §2.33i — time-spine gap fill: every (hour, event_type) cell over
     * the observed range, zero-filled where no events landed — the
     * densification step dashboards and downsampling need. The spine is
@@ -1918,6 +1984,7 @@ object EventQueries {
     "qe_interarrival" -> (qeInterarrival _),
     "qe_gapfill" -> (qeGapfill _),
     "qe_attribution" -> (qeAttribution _),
+    "qe_attribution_multi" -> (qeAttributionMulti _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -1963,6 +2030,7 @@ object EventQueries {
     "qe_interarrival" -> qeInterarrivalSql,
     "qe_gapfill" -> qeGapfillSql,
     "qe_attribution" -> qeAttributionSql,
+    "qe_attribution_multi" -> qeAttributionMultiSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

@@ -56,6 +56,37 @@ class TrianglesSpec extends SparkSpec {
     assert(!out.contains(5L) && !out.contains(6L))
   }
 
+  test("kCore peels to the brute-force fixpoint on randomized graphs") {
+    val s = spark
+    import s.implicits._
+    def bruteCore(k: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      var e = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+      var changed = true
+      while (changed) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (v, g) => v -> g.size }
+        val drop = deg.collect { case (v, d) if d < k => v }.toSet
+        changed = drop.nonEmpty
+        e = e.filter(p => !drop(p._1) && !drop(p._2))
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    }
+    val rnd = new Random(43)
+    // A long tail path forces several peeling rounds; random edges give
+    // a nontrivial surviving core.
+    val n = 20
+    val edges = Seq.fill(2 * n)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n))) ++
+      (20L until 28L).map(i => (i, i + 1))
+    for (k <- Seq(2, 3)) {
+      val got = Dedup.kCore(edges.toDF("id_a", "id_b"), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteCore(k, edges), s"k=$k")
+    }
+  }
+
   test("randomized graphs match the brute-force triangle count") {
     val rnd = new Random(31)
     for (trial <- 0 until 2) {

@@ -787,6 +787,56 @@ object Dedup {
       .groupBy("vertex").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** PageRank over the undirected pair graph (each edge walked both
+    * ways), fixed iteration count, damping d = 0.85 — the centrality
+    * read that picks the most-connected document of a near-dup cluster
+    * as its canonical representative (highest-PageRank member sits at
+    * the cluster's lexical/semantic center of mass, where min-id
+    * election is arbitrary).
+    *
+    * Each iteration is one join of the edge list with the current rank
+    * frame (shuffle on the vertex key, map-side combinable sum) with
+    * localCheckpoint lineage truncation; the undirected graph has no
+    * dangling vertices (every endpoint has degree ≥ 1), so total mass
+    * stays exactly 1 and no dangling redistribution pass is needed.
+    * Cross-engine exactness: per-edge contributions pr/deg are
+    * row-local IEEE doubles, their per-vertex sum goes through
+    * DECIMAL(38,18) casts (accumulation-order-exact), and the teleport
+    * and damping terms are the same double ops on both engines, so
+    * the state is bit-identical after every iteration and a fixed
+    * unrolled replay (the oracle) reproduces it exactly.
+    * Returns (vertex, pagerank) with pagerank rounded to 9 dp. */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    val und = edges.select(least(col(ea), col(eb)).as("__a"),
+        greatest(col(ea), col(eb)).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+    val directed = und.select(col("__a").as("__src"), col("__b").as("__dst"))
+      .union(und.select(col("__b").as("__src"), col("__a").as("__dst")))
+      .localCheckpoint()
+    val deg = directed.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+    val n = deg.count().toDouble
+    val teleport = (1.0 - damping) / n
+    var pr = deg.select(col("__src"), (lit(1.0) / lit(n)).as("__pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = directed.join(pr, Seq("__src"))
+        .join(deg, Seq("__src"))
+        .select(col("__dst"),
+          (col("__pr") / col("__deg").cast("double")).as("__c"))
+      // Every vertex has an in-edge (undirected), so the grouped sum
+      // covers the full vertex set — no outer-join backfill needed.
+      pr = contrib.groupBy("__dst")
+        .agg(sum(col("__c").cast("decimal(38,18)")).cast("double").as("__s"))
+        .select(col("__dst").as("__src"),
+          (lit(teleport) + lit(damping) * col("__s")).as("__pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("__src").as("vertex"), round(col("__pr"), 9).as("pagerank"))
+  }
+
   /** Local clustering coefficient per vertex: 2T/(d(d−1)) over the
     * undirected pair graph — triangles from [[trianglesPerVertex]],
     * degrees from one grouped count, a left join filling T = 0. Rows

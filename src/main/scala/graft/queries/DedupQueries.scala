@@ -414,22 +414,27 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** Shared oracle CTE: the cosine ≥ 0.2 label-blocked embedding edge
+    * list (mirrors [[Dedup.embeddingPairs]]), consumed by the k-core
+    * and PageRank unrolled replays below. */
+  private val embeddingEdgeCte: String =
+    """WITH v AS (
+      |  SELECT label, vec_id, embedding FROM embeddings
+      |), e0 AS MATERIALIZED (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, 65),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(range(1, 65),
+      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+      |  , 6) >= 0.2
+      |)""".stripMargin
+
   val qdKcoreSql: String = {
-    val pairs =
-      """WITH v AS (
-        |  SELECT label, vec_id, embedding FROM embeddings
-        |), e0 AS MATERIALIZED (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE round(
-        |    list_reduce(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_transform(range(1, 65),
-        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_transform(range(1, 65),
-        |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-        |  , 6) >= 0.2
-        |)""".stripMargin
+    val pairs = embeddingEdgeCte
     val stages = (1 to 14).map { i =>
       s""", d$i AS MATERIALIZED (
          |  SELECT vtx, COUNT(*) AS c FROM (
@@ -447,6 +452,55 @@ object DedupQueries {
         |SELECT vtx AS vec_id, COUNT(*) AS core_degree FROM (
         |  SELECT a AS vtx FROM e14 UNION ALL SELECT b FROM e14
         |) GROUP BY vtx
+        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** §2.25m — PageRank canonical election over the embedding near-dup
+    * graph ([[Dedup.pageRank]], 10 iterations, d = 0.85): the
+    * highest-PageRank member of a dup cluster is its center of mass —
+    * the representative to KEEP — where min-id election is arbitrary.
+    * The oracle replays the power iteration as a fixed 10-stage
+    * unroll; DECIMAL(38,18) contribution sums make each iteration
+    * accumulation-order-exact, so the replay is bit-identical. */
+  def qdPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", "label")
+      .where(col("cosine") >= 0.2)
+      .select("id_a", "id_b")
+    Dedup.pageRank(edges, iterations = 10)
+      .select(col("vertex").as("vec_id"), col("pagerank"))
+      .orderBy("vec_id")
+  }
+
+  val qdPagerankSql: String = {
+    val prelude = embeddingEdgeCte +
+      """
+        |, dirx AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b AS src, a AS dst FROM e0
+        |), degx AS MATERIALIZED (
+        |  SELECT src, COUNT(*) AS deg FROM dirx GROUP BY src
+        |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM degx)
+        |, p0 AS MATERIALIZED (
+        |  SELECT src AS v, CAST(1 AS DOUBLE) / (SELECT nd FROM nn) AS pr
+        |  FROM degx
+        |)""".stripMargin
+    val stages = (1 to 10).map { i =>
+      s""", p$i AS MATERIALIZED (
+         |  SELECT d.dst AS v,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nd FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(
+         |        p.pr / CAST(g.deg AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS pr
+         |  FROM dirx d
+         |  JOIN degx g ON g.src = d.src
+         |  JOIN p${i - 1} p ON p.v = d.src
+         |  GROUP BY d.dst
+         |)""".stripMargin
+    }.mkString
+    prelude + stages +
+      """
+        |SELECT v AS vec_id, round(pr, 9) AS pagerank FROM p10
         |ORDER BY vec_id""".stripMargin
   }
 
@@ -925,6 +979,7 @@ object DedupQueries {
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
     "qd_kcore" -> (qdKcore _),
+    "qd_pagerank" -> (qdPagerank _),
     "qd_components_star" -> (qdComponentsStar _),
     "qd_cluster_report" -> (qdClusterReport _),
     "qd_winnow_pairs" -> (qdWinnowPairs _),
@@ -950,6 +1005,7 @@ object DedupQueries {
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
     "qd_kcore" -> qdKcoreSql,
+    "qd_pagerank" -> qdPagerankSql,
     "qd_components_star" -> qdComponentsSql,
     "qd_cluster_report" -> qdClusterReportSql,
     "qd_winnow_pairs" -> qdWinnowPairsSql,

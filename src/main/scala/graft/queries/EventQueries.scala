@@ -495,6 +495,83 @@ object EventQueries {
       |GROUP BY touch_type
       |ORDER BY touch_type""".stripMargin
 
+  /** §2.33an — Kaplan–Meier time-to-conversion curve with fixed-horizon
+    * (48 h) administrative censoring: per user, T = whole hours from
+    * first event to first purchase; users converting within the horizon
+    * are deaths at T, everyone else is censored at 48 — the standard
+    * product-limit estimator S(t) = Π_{t'≤t} (1 − d/n) a growth team
+    * reads conversion velocity from without survivorship bias (naive
+    * "average time to convert" over converters only is biased fast).
+    * Two combinable per-user aggregations collapse the fact table; the
+    * estimator itself runs over the ≤ horizon+1-row lifetable, where
+    * the unpartitioned windows are free. Hours come from integer
+    * microsecond division (no engine-specific interval semantics); the
+    * log-survival cumulative sum goes through DECIMAL(38,18) casts so
+    * accumulation order is exact, and the residual ln/exp last-ulp
+    * noise (Java vs libm, ~0.02% of inputs) dies in round(·, 6).
+    * The horizon row is censor-only (deaths = 0 there by construction),
+    * so the 1 − d/n factor never reaches zero while any user survives
+    * the window. */
+  def qeSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val firsts = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("__f"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("__p"))
+    val horizon = 48L
+    val perUser = firsts
+      .withColumn("__th", expr("(__p - __f) div 3600000000"))
+      .select(
+        when(col("__p").isNotNull && col("__th") < horizon, col("__th"))
+          .otherwise(lit(horizon)).as("t_hours"),
+        (col("__p").isNotNull && col("__th") < horizon).as("__death"))
+    val lifetable = perUser.groupBy("t_hours")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__death"), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col("__death"), 0L).otherwise(1L)).as("censored"))
+    lifetable
+      .withColumn("at_risk",
+        sum(col("__n")).over(Window.orderBy(col("t_hours").desc)))
+      .withColumn("survival", round(exp(
+        sum(
+          log((col("at_risk") - col("deaths")).cast("double") /
+            col("at_risk").cast("double")).cast("decimal(38,18)"))
+          .over(Window.orderBy("t_hours")).cast("double")), 6))
+      .select("t_hours", "at_risk", "deaths", "censored", "survival")
+      .orderBy("t_hours")
+  }
+
+  val qeSurvivalSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS fus,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pus
+      |  FROM events GROUP BY user_id
+      |), per_user AS (
+      |  SELECT
+      |    CASE WHEN pus IS NOT NULL AND (pus - fus) // 3600000000 < 48
+      |         THEN (pus - fus) // 3600000000 ELSE 48 END AS t_hours,
+      |    (pus IS NOT NULL AND (pus - fus) // 3600000000 < 48) AS death
+      |  FROM f
+      |), lifetable AS (
+      |  SELECT t_hours, COUNT(*) AS n,
+      |    SUM(CASE WHEN death THEN 1 ELSE 0 END) AS deaths,
+      |    SUM(CASE WHEN death THEN 0 ELSE 1 END) AS censored
+      |  FROM per_user GROUP BY t_hours
+      |), risk AS (
+      |  SELECT t_hours, deaths, censored,
+      |    SUM(n) OVER (ORDER BY t_hours DESC) AS at_risk
+      |  FROM lifetable
+      |)
+      |SELECT t_hours, CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(deaths AS BIGINT) AS deaths,
+      |  CAST(censored AS BIGINT) AS censored,
+      |  round(exp(CAST(SUM(CAST(
+      |    ln(CAST(at_risk - deaths AS DOUBLE) / CAST(at_risk AS DOUBLE))
+      |    AS DECIMAL(38,18))) OVER (ORDER BY t_hours) AS DOUBLE)), 6)
+      |    AS survival
+      |FROM risk
+      |ORDER BY t_hours""".stripMargin
+
   /** §2.33i — time-spine gap fill: every (hour, event_type) cell over
     * the observed range, zero-filled where no events landed — the
     * densification step dashboards and downsampling need. The spine is
@@ -1985,6 +2062,7 @@ object EventQueries {
     "qe_gapfill" -> (qeGapfill _),
     "qe_attribution" -> (qeAttribution _),
     "qe_attribution_multi" -> (qeAttributionMulti _),
+    "qe_survival" -> (qeSurvival _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -2031,6 +2109,7 @@ object EventQueries {
     "qe_gapfill" -> qeGapfillSql,
     "qe_attribution" -> qeAttributionSql,
     "qe_attribution_multi" -> qeAttributionMultiSql,
+    "qe_survival" -> qeSurvivalSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

@@ -351,6 +351,77 @@ object TextQueries {
       |ORDER BY n_occurrences DESC, token
       |LIMIT 100""".stripMargin
 
+  /** §2.28j — pointwise mutual information over document-level token
+    * co-occurrence: PMI = ln(P(a,b) / (P(a)P(b))) and its normalized
+    * form NPMI = PMI / −ln P(a,b) ∈ [−1, 1] (by convention 1 when the
+    * pair co-occurs everywhere) — the corpus-association read that
+    * surfaces collocations and template phrases before training bakes
+    * them in. Shape: one distinct (doc, token) frame feeds both the
+    * document-frequency rollup and the within-doc pair self-join; pair
+    * volume is Σ_doc k²/2 for k distinct tokens per doc — bounded by
+    * the vocabulary here, and at open-vocabulary scale bounded by
+    * df-pruning or a top-m-per-doc cap before the join. The grouped
+    * pair count is map-side combinable and the tiny df table broadcast
+    * joins onto it. All ratios are integer-derived doubles with
+    * identical op order on both engines; ln's last-ulp noise dies in
+    * round(·, 6). Support floor n_both ≥ 5 keeps the report to
+    * statistically meaningful pairs. */
+  def qtPmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count() // column-pruned count scan, once per build
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val dfTok = dt.groupBy("token").agg(count(lit(1)).as("__n"))
+    val both = dt.toDF("doc_id", "token_a")
+      .join(dt.toDF("doc_id", "token_b"), Seq("doc_id"))
+      .where(col("token_a") < col("token_b"))
+      .groupBy("token_a", "token_b").agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= 5)
+    val nD = lit(nDocs.toDouble)
+    val pmiExpr = log(
+      (col("n_both").cast("double") * nD) /
+        (col("__na").cast("double") * col("__nb").cast("double")))
+    both
+      .join(dfTok.toDF("token_a", "__na"), Seq("token_a"))
+      .join(dfTok.toDF("token_b", "__nb"), Seq("token_b"))
+      .select(col("token_a"), col("token_b"), col("n_both"),
+        col("__na").as("df_a"), col("__nb").as("df_b"),
+        round(pmiExpr, 6).as("pmi"),
+        when(col("n_both") === nDocs, lit(1.0))
+          .otherwise(round(
+            pmiExpr / log(nD / col("n_both").cast("double")), 6))
+          .as("npmi"))
+      .orderBy("token_a", "token_b")
+  }
+
+  val qtPmiSql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), dft AS (
+      |  SELECT token, COUNT(*) AS n FROM dt GROUP BY token
+      |), nn AS (SELECT COUNT(*) AS nd FROM documents),
+      |pairs AS (
+      |  SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_both
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5
+      |)
+      |SELECT token_a, token_b, n_both,
+      |  da.n AS df_a, db.n AS df_b,
+      |  round(ln((CAST(n_both AS DOUBLE) * CAST((SELECT nd FROM nn) AS DOUBLE))
+      |    / (CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE))), 6) AS pmi,
+      |  CASE WHEN n_both = (SELECT nd FROM nn) THEN 1.0
+      |    ELSE round(
+      |      ln((CAST(n_both AS DOUBLE) * CAST((SELECT nd FROM nn) AS DOUBLE))
+      |        / (CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)))
+      |      / ln(CAST((SELECT nd FROM nn) AS DOUBLE)
+      |           / CAST(n_both AS DOUBLE)), 6) END AS npmi
+      |FROM pairs
+      |JOIN dft da ON da.token = token_a
+      |JOIN dft db ON db.token = token_b
+      |ORDER BY token_a, token_b""".stripMargin
+
   /** §2.28e — Zipf fit of the corpus vocabulary: OLS of ln(frequency)
     * on ln(rank) over the token frequency table — the corpus-health
     * read that flags template/boilerplate corpora (slope far from ≈−1,
@@ -866,6 +937,7 @@ object TextQueries {
     "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
     "qt_vocab" -> (qtVocab _),
+    "qt_pmi" -> (qtPmi _),
     "qt_zipf" -> (qtZipf _),
     "qt_redact" -> (qtRedact _),
     "qt_split" -> (qtSplit _),
@@ -889,6 +961,7 @@ object TextQueries {
     "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
     "qt_vocab" -> qtVocabSql,
+    "qt_pmi" -> qtPmiSql,
     "qt_zipf" -> qtZipfSql,
     "qt_redact" -> qtRedactSql,
     "qt_split" -> qtSplitSql,

@@ -87,6 +87,48 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: uniform on regular graphs, mass-conserving, hub-heavy") {
+    val s = spark
+    import s.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Double] =
+      Dedup.pageRank(edges.toDF("id_a", "id_b"), iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 6-cycle: uniform is the exact fixed point, so PR = 1/6 everywhere.
+    val cycle = (1L to 6L).map(i => (i, if (i == 6L) 1L else i + 1))
+    val cr = run(cycle)
+    assert(cr.size == 6)
+    cr.values.foreach(v => assert(math.abs(v - 1.0 / 6) < 1e-9))
+    // Star: the hub outranks every leaf; total mass stays 1 (undirected
+    // graph has no dangling vertices).
+    val star = (2L to 6L).map(i => (1L, i))
+    val sr = run(star)
+    assert(sr(1L) > sr(2L) * 2)
+    assert((2L to 6L).map(sr).distinct.size == 1)
+    assert(math.abs(sr.values.sum - 1.0) < 1e-6)
+    // Random graph: matches a driver-side double-precision power
+    // iteration to well under the DECIMAL quantization noise floor.
+    val rnd = new Random(47)
+    val n = 15
+    val edges = Seq.fill(2 * n)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    val adj = (und ++ und.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2) }
+    val nd = adj.size.toDouble
+    var pr = adj.keys.map(_ -> 1.0 / nd).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((v, ns) <- adj; u <- ns)
+        contrib(u) += pr(v) / ns.size
+      pr = adj.keys.map(v => v -> (0.15 / nd + 0.85 * contrib(v))).toMap
+    }
+    val got = run(edges)
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - pr(v)) < 1e-8, s"v=$v") }
+  }
+
   test("randomized graphs match the brute-force triangle count") {
     val rnd = new Random(31)
     for (trial <- 0 until 2) {

@@ -52,6 +52,46 @@ class EventQueriesSpec extends SparkSpec {
     assert(sessions.nonEmpty)
   }
 
+  test("Kaplan-Meier curve matches a driver-side product-limit replay") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // Per user: hours from first event to first purchase, 48 h horizon.
+    val perUser = byUser.values.map { evs =>
+      val f = evs.map(_.getAs[Long]("us")).min
+      val p = evs.filter(_.getAs[String]("event_type") == "purchase")
+        .map(_.getAs[Long]("us"))
+      val t = if (p.isEmpty) None else Some((p.min - f) / 3600000000L)
+      t match {
+        case Some(h) if h < 48 => (h, true)
+        case _                 => (48L, false)
+      }
+    }.toSeq
+    val lifetable = perUser.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, g) => (t, g.size.toLong, g.count(_._2).toLong)
+    }
+    var atRisk = perUser.size.toLong
+    var surv = 1.0
+    val expected = lifetable.map { case (t, n, deaths) =>
+      surv *= (atRisk - deaths).toDouble / atRisk
+      val row = (t, atRisk, deaths, n - deaths, surv)
+      atRisk -= n
+      row
+    }
+    val got = EventQueries.qeSurvival(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) == ((e._1, e._2, e._3, e._4)), s"$g vs $e")
+      assert(math.abs(g._5 - e._5) < 1e-6, s"survival $g vs $e")
+    }
+    // The curve is a survival function: monotone non-increasing from < 1.
+    assert(got.head._5 <= 1.0)
+    got.sliding(2).foreach { case Array(a, b) => assert(b._5 <= a._5 + 1e-12) }
+  }
+
   test("streaming session numbering continues across event-time timeouts") {
     import graft.streaming.EventStreams
     val s = spark

@@ -776,6 +776,57 @@ object EventQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** §2.33ao — CUSUM level-shift detection over daily event volume:
+    * cusum_t = Σ_{i≤t}(n_i − mean), the classic page-test statistic
+    * whose |max| marks the most likely changepoint day. The fact table
+    * collapses to one row per DAY first (one shuffle, exact integer
+    * counts), so every window below runs over the tiny ≤ retention-days
+    * frame — the unpartitioned ORDER BY window is intentional and
+    * bounded. The statistic itself is computed on an INTEGER
+    * numerator (run·n − t·total) — cross-engine float drift cannot
+    * flip the argmax flag — and divided once for display. */
+  def qeChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.orderBy("day")
+    val whole = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__run", sum(col("n_events")).over(byDay))
+      .withColumn("__t", row_number().over(byDay))
+      .withColumn("__total", sum(col("n_events")).over(whole))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__num",
+        col("__run") * col("__n") - col("__t") * col("__total"))
+      .select(col("day"), col("n_events"),
+        round(col("__num").cast("double") / col("__n"), 6).as("cusum"),
+        (abs(col("__num")) === max(abs(col("__num"))).over(whole))
+          .as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  val qeChangepointSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT day, n_events,
+      |    SUM(n_events) OVER (ORDER BY day) AS run,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS t,
+      |    SUM(n_events) OVER () AS total,
+      |    COUNT(*) OVER () AS n
+      |  FROM d
+      |), x AS (
+      |  SELECT day, n_events,
+      |    CAST(run * n - t * total AS BIGINT) AS num,
+      |    CAST(n AS BIGINT) AS n
+      |  FROM s
+      |)
+      |SELECT day, n_events,
+      |  round(CAST(num AS DOUBLE) / n, 6) AS cusum,
+      |  abs(num) = MAX(abs(num)) OVER () AS is_changepoint
+      |FROM x ORDER BY day""".stripMargin
+
   /** §2.33n — exponentially time-decayed engagement score per user:
     * Σ value·e^(−0.1·age_days), age relative to the corpus max event
     * time (one 1-row aggregate broadcast via cross join — never a
@@ -2056,6 +2107,7 @@ object EventQueries {
     "qe_seasonality" -> (qeSeasonality _),
     "qe_transitions" -> (qeTransitions _),
     "qe_bursts" -> (qeBursts _),
+    "qe_changepoint" -> (qeChangepoint _),
     "qe_decay" -> (qeDecay _),
     "qe_anomaly_hours" -> (qeAnomalyHours _),
     "qe_interarrival" -> (qeInterarrival _),
@@ -2103,6 +2155,7 @@ object EventQueries {
     "qe_seasonality" -> qeSeasonalitySql,
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
+    "qe_changepoint" -> qeChangepointSql,
     "qe_decay" -> qeDecaySql,
     "qe_anomaly_hours" -> qeAnomalyHoursSql,
     "qe_interarrival" -> qeInterarrivalSql,

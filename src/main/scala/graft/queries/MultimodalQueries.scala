@@ -76,13 +76,83 @@ object MultimodalQueries {
       |) t
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** §2 item 35b — modality-mix report: per media type, asset count,
+    * total/max bytes, and byte share of the corpus. The storage-planning
+    * and mix-monitoring view of a multimodal lake (is video eating the
+    * budget? did an ingest drop a modality?). One shuffle: groupBy on
+    * the low-cardinality type tag; the corpus total is a 1-row
+    * aggregate broadcast back over the tiny per-type frame — never a
+    * window over the fact table. */
+  def qmModalityMix(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.load(spark, dir, "documents")).toDF()
+    val perType = media.groupBy("media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+    val corpus = perType.agg(sum(col("total_bytes")).as("corpus_bytes"))
+    perType.crossJoin(broadcast(corpus))
+      .select(col("media_type"), col("n_assets"), col("total_bytes"),
+        col("max_bytes"),
+        round(col("total_bytes").cast("double") / col("corpus_bytes"), 6)
+          .as("byte_share"))
+      .orderBy("media_type")
+  }
+
+  val qmModalityMixSql: String =
+    """WITH t AS (
+      |  SELECT 'blob/' || source AS media_type,
+      |    COUNT(*) AS n_assets,
+      |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
+      |    MAX(CAST(length(text) AS BIGINT)) AS max_bytes
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT media_type, n_assets, total_bytes, max_bytes,
+      |  round(CAST(total_bytes AS DOUBLE) / SUM(total_bytes) OVER (), 6)
+      |    AS byte_share
+      |FROM t ORDER BY media_type""".stripMargin
+
+  /** §2 item 35c — cross-asset shared segments: fixed windows (the
+    * [[Multimodal.fixedChunks]] decode shape) whose content hash occurs
+    * in ≥ 2 distinct assets. The segment-level near-dup detector for
+    * media (shared intro/outro frames, repeated audio beds, boilerplate
+    * page regions) — the binary analogue of qt_passages. One shuffle on
+    * chunk_md5 (the 128-bit content key, uniformly distributed so no
+    * skew); the quadratic doc×doc pair space is never formed — the
+    * report is per shared SEGMENT, linear in corpus chunks. */
+  def qmSharedChunks(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.fixedChunks(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 256)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("chunk_md5")
+
+  val qmSharedChunksSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    md5(substr(text, CAST(t.chunk_idx * 256 + 1 AS INT), 256)) AS chunk_md5
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS chunk_idx
+      |  ) t
+      |)
+      |SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+      |FROM c GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_binary_features" -> (qmBinaryFeatures _),
     "qm_frames" -> (qmFrames _),
-    "qm_chunks" -> (qmChunks _))
+    "qm_chunks" -> (qmChunks _),
+    "qm_modality_mix" -> (qmModalityMix _),
+    "qm_shared_chunks" -> (qmSharedChunks _))
 
   val oracles: Map[String, String] = Map(
     "qm_binary_features" -> qmBinaryFeaturesSql,
     "qm_frames" -> qmFramesSql,
-    "qm_chunks" -> qmChunksSql)
+    "qm_chunks" -> qmChunksSql,
+    "qm_modality_mix" -> qmModalityMixSql,
+    "qm_shared_chunks" -> qmSharedChunksSql)
 }

@@ -365,6 +365,68 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY shard, pos""".stripMargin
 
+  /** §2.31w — curriculum schedule: documents scored by the corpus
+    * quality formula, bucketed into quartiles (1 = cleanest, consumed
+    * first), and dealt into deterministic md5 shards with a
+    * reproducible within-shard order. The training loader then reads
+    * shards in (bucket, rank) order — easy-to-hard curriculum with no
+    * global sort: quartile thresholds are ONE exact-percentile
+    * aggregate broadcast back (never an ntile over the fact table,
+    * which would single-partition the corpus), and ranking windows are
+    * partitioned by (bucket, shard) — each a 1/(4·shards) slice. */
+  def qpCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val quality = round(lit(0.5) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.5) * (size(array_distinct(toks)).cast("double") / nTok), 6)
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), quality.as("quality"))
+    val cuts = scored.agg(
+      percentile(col("quality"), lit(0.25)).as("q25"),
+      percentile(col("quality"), lit(0.50)).as("q50"),
+      percentile(col("quality"), lit(0.75)).as("q75"))
+    val inShard = Window.partitionBy("bucket", "shard")
+      .orderBy("__h", "doc_id")
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("quality") >= col("q75"), 1)
+          .when(col("quality") >= col("q50"), 2)
+          .when(col("quality") >= col("q25"), 3)
+          .otherwise(4))
+      .withColumn("__h",
+        md5Hash32(concat_ws(":", lit("cur"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("__h") % 8)
+      .withColumn("rank_in_shard", row_number().over(inShard).cast("long"))
+      .select("doc_id", "quality", "bucket", "shard", "rank_in_shard")
+      .orderBy("doc_id")
+  }
+
+  val qpCurriculumSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+      |      + 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS quality
+      |  FROM documents
+      |), cuts AS (
+      |  SELECT quantile_cont(quality, 0.25) AS q25,
+      |         quantile_cont(quality, 0.50) AS q50,
+      |         quantile_cont(quality, 0.75) AS q75
+      |  FROM scored
+      |), b AS (
+      |  SELECT doc_id, quality,
+      |    CASE WHEN quality >= q75 THEN 1
+      |         WHEN quality >= q50 THEN 2
+      |         WHEN quality >= q25 THEN 3
+      |         ELSE 4 END AS bucket,
+      |    ('0x' || substr(md5('cur:' || doc_id), 1, 8))::BIGINT AS h
+      |  FROM scored CROSS JOIN cuts
+      |)
+      |SELECT doc_id, quality, bucket, h % 8 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY bucket, h % 8
+      |    ORDER BY h, doc_id) AS BIGINT) AS rank_in_shard
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** §2.31o — token-budget accounting per source: document count,
     * exact whitespace-token totals, corpus share, and the cumulative
     * coverage share when sources are taken biggest-first — the table
@@ -867,6 +929,7 @@ object PipelineQueries {
     "qp_sample" -> (qpSample _),
     "qp_mix" -> (qpMix _),
     "qp_pack" -> (qpPack _),
+    "qp_curriculum" -> (qpCurriculum _),
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
@@ -885,5 +948,6 @@ object PipelineQueries {
     "qp_sample" -> qpSampleSql,
     "qp_mix" -> qpMixSql,
     "qp_pack" -> qpPackSql,
+    "qp_curriculum" -> qpCurriculumSql,
     "qp_contamination" -> qpContaminationSql)
 }

@@ -48,11 +48,16 @@ object PlanAudit {
     //    no-op) before the stack() unpivot.
     //  - qc_psi_quantile crosses the fact table with a broadcast ONE-ROW
     //    quantile-edge array (scalar-subquery pattern, same as qe_decay).
+    //  - qm_modality_mix crosses the tiny per-type frame with a broadcast
+    //    ONE-ROW corpus-bytes total (scalar-subquery pattern).
+    //  - qp_curriculum crosses the fact table with a broadcast ONE-ROW
+    //    quartile-threshold aggregate (scalar-subquery pattern, same as
+    //    qc_psi_quantile).
     val intendedBnlj = Set("qs_knn_brute", "qs_knn_filtered",
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
       "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
       "qs_recall", "qe_cooccurrence", "qp_dataset_card",
-      "qc_psi_quantile")
+      "qc_psi_quantile", "qm_modality_mix", "qp_curriculum")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -827,6 +827,59 @@ object EventQueries {
       |  abs(num) = MAX(abs(num)) OVER () AS is_changepoint
       |FROM x ORDER BY day""".stripMargin
 
+  /** §2.33ap — automation/bot screening: per user with ≥ 20 inter-event
+    * gaps, the coefficient of variation of those gaps. Human arrivals
+    * are bursty (Poisson-ish, cv ≈ 1); schedulers and scripts are
+    * metronomic (cv → 0), so cv < 0.8 flags suspicious regularity. One
+    * lag window parallel across users, then a single groupBy whose
+    * moments are EXACT integer/decimal sums (gap µs as long, squares
+    * via DECIMAL(38,0)) — the flag comparison happens on doubles both
+    * engines derive from identical exact sums, so it cannot flip
+    * cross-engine. The variance is clamped at 0 before sqrt: a user
+    * with perfectly equal gaps cancels to −ε in floats. */
+  def qeBots(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val mean = col("s1") / col("m")
+    val variance = greatest(col("s2") / col("m") - mean * mean, lit(0.0))
+    val cv = sqrt(variance) / mean
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("d"))
+      .where(col("d").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("m"),
+        sum(col("d")).cast("double").as("s1"),
+        sum(col("d").cast("decimal(19,0)") * col("d")).cast("double")
+          .as("s2"))
+      .where(col("m") >= 20)
+      .select(col("user_id"), (col("m") + 1).as("n_events"),
+        round(mean / 1.0e6, 6).as("avg_gap_s"),
+        round(cv, 6).as("cv_gap"),
+        (cv < 0.8).as("is_bot"))
+      .orderBy("user_id")
+  }
+
+  val qeBotsSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS d
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, COUNT(*) AS m,
+      |    CAST(SUM(d) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(d AS DECIMAL(19,0)) * d) AS DOUBLE) AS s2
+      |  FROM g WHERE d IS NOT NULL GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(m + 1 AS BIGINT) AS n_events,
+      |  round(s1 / m / 1.0e6, 6) AS avg_gap_s,
+      |  round(sqrt(greatest(s2 / m - (s1 / m) * (s1 / m), 0.0)) / (s1 / m), 6)
+      |    AS cv_gap,
+      |  sqrt(greatest(s2 / m - (s1 / m) * (s1 / m), 0.0)) / (s1 / m) < 0.8
+      |    AS is_bot
+      |FROM s WHERE m >= 20 ORDER BY user_id""".stripMargin
+
   /** §2.33n — exponentially time-decayed engagement score per user:
     * Σ value·e^(−0.1·age_days), age relative to the corpus max event
     * time (one 1-row aggregate broadcast via cross join — never a
@@ -2108,6 +2161,7 @@ object EventQueries {
     "qe_transitions" -> (qeTransitions _),
     "qe_bursts" -> (qeBursts _),
     "qe_changepoint" -> (qeChangepoint _),
+    "qe_bots" -> (qeBots _),
     "qe_decay" -> (qeDecay _),
     "qe_anomaly_hours" -> (qeAnomalyHours _),
     "qe_interarrival" -> (qeInterarrival _),
@@ -2156,6 +2210,7 @@ object EventQueries {
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
     "qe_changepoint" -> qeChangepointSql,
+    "qe_bots" -> qeBotsSql,
     "qe_decay" -> qeDecaySql,
     "qe_anomaly_hours" -> qeAnomalyHoursSql,
     "qe_interarrival" -> qeInterarrivalSql,

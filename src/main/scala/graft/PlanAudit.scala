@@ -57,7 +57,10 @@ object PlanAudit {
       "q11_important_stock", "q22_idle_rich", "qe_gapfill",
       "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
       "qs_recall", "qe_cooccurrence", "qp_dataset_card",
-      "qc_psi_quantile", "qm_modality_mix", "qp_curriculum")
+      "qc_psi_quantile", "qm_modality_mix", "qp_curriculum",
+      // qs_radius: same broadcast-query exhaustive-scoring BNLJ as
+      // qs_knn_brute (documented-intentional range-query scan).
+      "qs_radius")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

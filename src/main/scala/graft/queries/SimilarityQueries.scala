@@ -66,6 +66,27 @@ object SimilarityQueries {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** §2.26d — range (radius) search: every corpus vector with cosine
+    * ≥ 0.2 of each query vector (vec_id < 10) — the data-dependent
+    * "all close-enough neighbors" retrieval mode (near-dup sweeps,
+    * recall-first retrieval) vs top-k's fixed fan-out. Same intentional
+    * broadcast-query exhaustive scan as qs_knn_brute; the threshold
+    * prunes inside the projection so no rank window runs. */
+  def qsRadius(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Knn.radiusSearch(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", 0.2)
+      .orderBy("q_id", "neighbor_id")
+  }
+
+  val qsRadiusSql: String =
+    s"""SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |  ${cosineSql("q.embedding", "c.embedding")} AS cosine
+       |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |WHERE q.vec_id < 10
+       |  AND ${cosineSql("q.embedding", "c.embedding")} >= 0.2
+       |ORDER BY q_id, neighbor_id""".stripMargin
+
   /** Oracle fragment: the md5-derived hyperplane component w(p, i) for
     * 1-based dim index i (formula mirrors [[Knn.planes]]). */
   private def wSql(p: Int): String =
@@ -307,6 +328,7 @@ object SimilarityQueries {
     "qd_semantic" -> (qdSemantic _),
     "qs_quantize" -> (qsQuantize _),
     "qs_knn_brute" -> (qsKnnBrute _),
+    "qs_radius" -> (qsRadius _),
     "qs_knn_filtered" -> (qsKnnFiltered _),
     "qs_knn_lsh" -> (qsKnnLsh _),
     "qs_knn_multiprobe" -> (qsKnnMultiprobe _),
@@ -317,6 +339,7 @@ object SimilarityQueries {
     "qd_semantic" -> qdSemanticSql,
     "qs_quantize" -> qsQuantizeSql,
     "qs_knn_brute" -> qsKnnBruteSql,
+    "qs_radius" -> qsRadiusSql,
     "qs_knn_filtered" -> qsKnnFilteredSql,
     "qs_knn_lsh" -> qsKnnLshSql,
     "qs_knn_multiprobe" -> qsKnnMultiprobeSql,

@@ -64,6 +64,27 @@ object Knn {
       .where(col("rank") <= k)
   }
 
+  /** Range (radius) search: every corpus vector with cosine ≥
+    * `minCosine` of each query — the "all sufficiently-similar
+    * neighbors" complement of top-k, used for near-dup sweeps and
+    * recall-oriented retrieval where result size is data-dependent.
+    * Same broadcast-query exhaustive scan as [[bruteForce]] (norms
+    * once per row, never per pair); the threshold prunes in the same
+    * projection, so no rank window runs at all. Returns
+    * (q_id, neighbor_id, cosine). */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, minCosine: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDoubles(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDoubles(col(vecCol)).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+    c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Deterministic IVF coarse quantizer, trained on a bounded sample —
     * the production IVF recipe: ONE distributed pass takes a
     * deterministic pseudo-random sample (top-`maxSample` by md5 of id —

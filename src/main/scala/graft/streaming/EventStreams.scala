@@ -183,6 +183,47 @@ object EventStreams {
         graft.rules.Profiler.drift(baseline, batch, valueCol, binWidth))
     }
 
+  /** Running CUSUM accumulator for [[volumeCusumSink]]. Lives at the
+    * driver inside the foreachBatch sink; foreachBatch is at-least-once,
+    * so a production deployment persists (window_start, cusum) to an
+    * idempotent store keyed by window_start and rehydrates on restart —
+    * the accumulator itself is the only cross-batch state and is one
+    * double, so rehydration is a single-point read. */
+  final class CusumState(expectedPerWindow: Double) extends Serializable {
+    private var value = 0.0
+    def update(count: Long): Double =
+      synchronized { value += count - expectedPerWindow; value }
+    def current: Double = synchronized(value)
+  }
+
+  /** Continuous volume-changepoint monitoring — the streaming face of
+    * qe_changepoint: watermarked tumbling windows collapse the stream
+    * to ONE count row per finalized window (distributed, combinable,
+    * append mode emits each window exactly once), and the sink folds
+    * those counts into a running CUSUM against the expected per-window
+    * volume, emitting (window_start, count, cusum) points to `onPoint`
+    * (dashboard, alert on |cusum| threshold). The per-batch collect is
+    * bounded by windows-finalized-per-trigger (≈1 for steady streams);
+    * watermark monotonicity plus the in-batch sort keeps the fold in
+    * window order, so the trace equals the batch statistic exactly
+    * when `expectedPerWindow` is the realized mean. */
+  def volumeCusumSink(events: DataFrame, expectedPerWindow: Double,
+      windowDuration: String, state: CusumState,
+      onPoint: (Timestamp, Long, Double) => Unit,
+      watermarkDelay: String = "2 hours"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          batch.orderBy("window_start").collect().foreach { r =>
+            val t = r.getAs[Timestamp]("window_start")
+            val n = r.getAs[Long]("n_events")
+            onPoint(t, n, state.update(n))
+          }
+      }
+
   /** Watermarked stream-stream interval join: (left, right) pairs with
     * equal keys where `rightTs` falls in [leftTs, leftTs + maxDelay].
     * Both sides carry watermarks and the join condition bounds event

@@ -121,4 +121,44 @@ class EventStreamSpec extends SparkSpec {
       assert(want.nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming CUSUM trace matches batch qe_changepoint") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+
+    // Expected volume = the realized daily mean, so the streaming trace
+    // must reproduce the batch statistic point-for-point.
+    val batch = EventQueries.qeChangepoint(spark, dir).collect()
+    val mean = batch.map(_.getAs[Long]("n_events")).sum.toDouble / batch.length
+
+    val state = new EventStreams.CusumState(mean)
+    val points = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, Long, Double)]
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.volumeCusumSink(stream.toDF(), mean, "1 day",
+      state, (t, n, c) => points.synchronized { points += ((t, n, c)) })
+      .queryName("cusum_out").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -2))
+      query.processAllAvailable()
+
+      val got = points.map { case (t, n, c) =>
+        (t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+          n, c)
+      }.toSeq
+      val want = batch.map { r =>
+        (r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("cusum"))
+      }.toSeq
+      assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)))
+      assert(got.zip(want).forall { case (g, w) => math.abs(g._3 - w._3) < 1e-6 })
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
 }

@@ -274,6 +274,43 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** §2.28k — lexical diversity per source: vocabulary size, hapax
+    * legomena rate (share of vocabulary occurring exactly once), and
+    * type-token ratio. Low hapax + low TTR is the fingerprint of
+    * templated/machine-generated text; humans keep minting rare words.
+    * One explode feeds a combinable (source, token) count, then the
+    * per-source rollup runs over the COUNTED vocabulary rows (≪ raw
+    * token rows) — the same two-level shape as TF-IDF, all-integer
+    * until the two final ratio divisions. */
+  def qtHapax(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_vocab"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        round(col("hapax_vocab").cast("double") / col("vocab"), 6)
+          .as("hapax_rate"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy("source")
+
+  val qtHapaxSql: String =
+    """WITH tc AS (
+      |  SELECT source, t.token, COUNT(*) AS c
+      |  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+      |  GROUP BY source, t.token
+      |)
+      |SELECT source, COUNT(*) AS vocab,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS hapax_rate,
+      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio
+      |FROM tc GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** TF-IDF: top-5 scoring tokens per document. tf = cnt/|doc|, idf =
     * ln((N+1)/(df+1)) + 1 (smoothed). Shape: one explode + (doc, token)
     * count, then doc-length and document-frequency come from two window
@@ -936,6 +973,7 @@ object TextQueries {
     "qt_repetition" -> (qtRepetition _),
     "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
+    "qt_hapax" -> (qtHapax _),
     "qt_vocab" -> (qtVocab _),
     "qt_pmi" -> (qtPmi _),
     "qt_zipf" -> (qtZipf _),
@@ -960,6 +998,7 @@ object TextQueries {
     "qt_repetition" -> qtRepetitionSql,
     "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
+    "qt_hapax" -> qtHapaxSql,
     "qt_vocab" -> qtVocabSql,
     "qt_pmi" -> qtPmiSql,
     "qt_zipf" -> qtZipfSql,

@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +49,11 @@ object Bench {
       // successful time and stays off the list.
       val good = times.collect { case (true, t) => t }
       if (good.isEmpty) failed += name
-      name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
+      // Failed queries report None → JSON null: every numeric `queries`
+      // entry denotes a SUCCESSFUL run, and `failed` is the single
+      // source of truth. (A time-to-crash value summed into the total
+      // would read as an ultra-fast pass to a round-over-round diff.)
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
     // The harness that captures this output holds only the last ~2 KB
     // of stdout — 116 queries at ~22 bytes each (3-decimal times) no
@@ -63,17 +68,28 @@ object Bench {
     // fr_FR), which is invalid JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def qjson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Option[Double])]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v.map(ms).getOrElse("null") }
+        .mkString("{", ",", "}")
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     val fullLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), fullLine + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: $e") }
-    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(slowest)},"failed":$failedJson,"iterations":$iterations,"n_queries":${results.size},"all_queries_in":"$benchFile","sf":"$sfDir"}""")
+    // BENCH_QUERIES.json is overwritten every round; the history file
+    // accumulates one timestamped line per run so per-round full maps
+    // stay diffable after the snapshot artifact truncates to 40 entries.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      s"""{"at":"${java.time.Instant.now()}",""" + fullLine.drop(1) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception => System.err.println(s"[bench] history: $e") }
+    val slowest = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2).take(40).sortBy(_._1).map { case (k, v) => (k, Option(v)) }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(slowest)},"failed":$failedJson,"iterations":$iterations,"n_queries":${results.size},"n_failed":${failed.result().distinct.size},"all_queries_in":"$benchFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

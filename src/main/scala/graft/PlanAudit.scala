@@ -47,7 +47,12 @@ object PlanAudit {
     //  - qp_dataset_card crosses two ONE-ROW aggregates (1×1 broadcast
     //    no-op) before the stack() unpivot.
     //  - qc_psi_quantile crosses the fact table with a broadcast ONE-ROW
-    //    quantile-edge array (scalar-subquery pattern, same as qe_decay).
+    //    quantile-edge array (scalar-subquery pattern, same as qe_decay);
+    //    its distributed exact-edge stage adds two more bounded BNLJs
+    //    (nBins−1 target ranks × ≤4096 coarse-bucket rows under an
+    //    interval predicate, then the ≤nBins−1 located buckets back
+    //    against the per-value counts) — both sides provably tiny at any
+    //    data scale (bounded by nBins and the coarse-bucket constant).
     //  - qm_modality_mix crosses the tiny per-type frame with a broadcast
     //    ONE-ROW corpus-bytes total (scalar-subquery pattern).
     //  - qp_curriculum crosses the fact table with a broadcast ONE-ROW

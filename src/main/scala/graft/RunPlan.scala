@@ -8,15 +8,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage (via spark-submit or `sbt runMain`):
   * {{{
-  *   graft.RunPlan <plan.json>
+  *   graft.RunPlan <plan.json | http(s)://config-server/plan.json>
   *     [--var key=value ...]          # \${key} substitution in the plan
   *     [--report-key name]            # report document name (default: plan)
-  *     [--report-dest dir]            # write <dir>/<key>.json (default: console)
+  *     [--report-dest dir|url]        # write <dir>/<key>.json, or HTTP PUT
+  *                                    # <url>/<key> when the dest is
+  *                                    # http(s):// (default: console)
   *     [--validate-only]              # parse + whole-plan validation, run nothing
   * }}}
   * Exit codes match the reference: 0 success, 3 when any assertion
   * failed its threshold, 2 for invalid arguments (including a plan
   * that fails --validate-only).
+  *
+  * An `http(s)://` plan path reads the plan — and every document it
+  * references — from a REST config server ([[RestPlanSource]],
+  * reference `TnRESTReader`); an `http(s)://` report dest ships the
+  * report via [[RestReportWriter]] (reference `TnRESTWriter`, which
+  * selects transports the same way via its `rest` conf string).
   */
 object RunPlan {
 
@@ -52,8 +60,23 @@ object RunPlan {
     * tnengine/TnEngine.scala:113-143, `haltIfPotentialErrors`): every
     * config error is reported at once and nothing runs — never a
     * half-executed plan that dies at command 17's typo. */
-  def run(spark: SparkSession, config: Config): Int =
-    PlanParser.validateFile(config.planPath, config.variables) match {
+  private def isHttp(s: String): Boolean =
+    s.startsWith("http://") || s.startsWith("https://")
+
+  /** Split an http(s) plan path into (serverBase, documentPath) so
+    * sibling documents resolve against the plan's own URL prefix. */
+  private[graft] def splitUrl(url: String): (String, String) = {
+    val cut = url.lastIndexOf('/')
+    (url.substring(0, cut), url.substring(cut + 1))
+  }
+
+  def run(spark: SparkSession, config: Config): Int = {
+    val validated =
+      if (isHttp(config.planPath)) {
+        val (base, doc) = splitUrl(config.planPath)
+        RestPlanSource.validate(base, doc, config.variables)
+      } else PlanParser.validateFile(config.planPath, config.variables)
+    validated match {
       case Left(errors) =>
         errors.foreach { e =>
           val at = if (e.path.isEmpty) "" else s" at ${e.path}"
@@ -68,10 +91,14 @@ object RunPlan {
           return 0
         }
         val writer = config.reportDest
-          .map(new FsReportWriter(spark, _))
+          .map {
+            case url if isHttp(url) => new RestReportWriter(url)
+            case dir                => new FsReportWriter(spark, dir)
+          }
           .getOrElse(new ConsoleReportWriter)
         new PlanRunner(spark, Some(writer)).run(plan, config.reportKey).exitCode
     }
+  }
 
   def main(args: Array[String]): Unit =
     parseArgs(args.toSeq) match {

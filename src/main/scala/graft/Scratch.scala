@@ -16,15 +16,21 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_REBALANCE")
+      .foreach(m => spark.conf.set("spark.graft.rebalance", m))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args.headOption.getOrElse("q1_pricing")
-    SparkEntry.queries(name)(spark, dir).explain("formatted")
-    // Construct INSIDE the timed region (as Bench does): iterative
-    // operators (connectedComponents) run their jobs at construction.
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(s"run $i: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    for (name <- names) {
+      if (explain) SparkEntry.queries(name)(spark, dir).explain("formatted")
+      // Construct INSIDE the timed region (as Bench does): iterative
+      // operators (connectedComponents) run their jobs at construction.
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(s"[scratch] $name run $i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+      }
     }
     spark.stop()
   }

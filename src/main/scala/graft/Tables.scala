@@ -41,29 +41,114 @@ object Tables {
     // catches; a production corpus should simply be written with sane
     // row-group sizes (Layout.scala's writers are).
     val target = spark.sparkContext.defaultParallelism
-    if ((name == "documents" || name == "embeddings") &&
+    val mode = spark.conf.get("spark.graft.rebalance", "auto")
+    if (mode != "off" && fatTables(name) &&
         df.rdd.getNumPartitions < target / 2)
-      df.repartition(target)
+      rebalance(spark, dir, name, df, target, mode)
     else df
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright. Read nanos as long (legacy conf) and truncate to
-    * microsecond timestamps — the generator never emits sub-microsecond
-    * components, so this matches DuckDB's own ns→us coercion exactly.
+  /** Tables whose scans feed real per-row compute — shingling, md5
+    * signatures, dot products — that would otherwise run serially inside
+    * a single-row-group file's one scan task. ONLY those: an r8 A/B on
+    * the single-row-group sf0.1 drop (modes off/repartition/relayout over
+    * lineitem-, orders-, customer- and part-bound queries, 3 warm runs
+    * each) measured `off` fastest on every relational query — the serial
+    * scan of an 11 MB lineitem costs ~0.2 s while the extra exchange
+    * costs more, and every agg/join/window re-parallelizes at its own
+    * shuffle anyway. The r7 bench readings that suggested extending the
+    * gate (q_set_ops 8 s etc.) were cold-session + ambient noise, not
+    * scan serialization: the same queries steady-state at 0.15-0.45 s
+    * with the gate off on the same files. The knob
+    * `spark.graft.rebalance` (off|repartition|relayout|auto) remains for
+    * corpora where the trade flips. */
+  private val fatTables: Set[String] =
+    Set("documents", "embeddings")
+
+  /** A gated table that is genuinely big gets a ONE-TIME re-layout —
+    * written once per session to scratch with `target` row groups, read
+    * many times with full scan parallelism — instead of a per-query
+    * `repartition`, whose input is still the SERIAL single-row-group
+    * scan. This is what a production engine does with a badly-laid-out
+    * drop: compact once, query many times; the re-laid copy is plain
+    * parquet, so pushdown and pruning are unchanged. At the driver SF
+    * nothing crosses the size threshold (the A/B above measured inline
+    * handling as cheaper at megabyte scale); the path exists for the
+    * multi-GB single-file drop where per-query repartition re-pays the
+    * serial scan every time. Small inputs keep the inline repartition —
+    * and tests overwrite fixture paths between cases, which a cached
+    * copy must never serve stale: the cache key fingerprints the
+    * source files (name, length, mtime), so any rewrite re-materializes.
+    */
+  private val relaidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val relayoutMinBytes = 8L << 20
+
+  private def rebalance(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, target: Int, mode: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = src.getFileSystem(hconf)
+    val files =
+      try fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
+      catch { case _: Exception => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val bytes = files.map(_.getLen).sum
+    if (mode != "relayout" && (mode == "repartition" || bytes < relayoutMinBytes))
+      return df.repartition(target)
+    val sig = files.map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString(",")
+    val key = java.util.UUID.nameUUIDFromBytes(
+      s"$dir/$name|$sig|$target".getBytes("UTF-8")).toString
+    val out = relaidCache.computeIfAbsent(key, _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_relayout/" +
+        s"${spark.sparkContext.applicationId}/$name-$key"
+      df.repartition(target).write.mode("overwrite").parquet(path)
+      path
+    })
+    spark.read.parquet(out)
+  }
+
+  /** The driver has shipped events.parquet with three different physical
+    * `ts` types across regenerations; normalize ALL of them to session-TZ
+    * TIMESTAMP (the entrypoints pin the session to UTC, so wall-clock
+    * values are preserved bit-for-bit and match DuckDB's reading):
     *
-    * The conf DELIBERATELY stays set for the session: Spark re-reads it
-    * when the scan executes, so restoring it immediately would break the
-    * query; it only changes behaviour for other TIMESTAMP(NANOS) reads,
-    * which would otherwise fail outright.
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright — read
+    *     nanos as long (legacy conf) and truncate to micros; the
+    *     generator never emits sub-microsecond components, so this
+    *     matches DuckDB's own ns→us coercion exactly.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType:
+    *     cast to TIMESTAMP. Under the UTC session this is a pure type
+    *     relabel (same micros value); leaving it NTZ crashes every
+    *     `unix_micros`/`window` consumer downstream (the r7 regression:
+    *     11 operators + 6 tests red from this one column).
+    *   - TIMESTAMP(MICROS, adjusted) → already TimestampType: pass through.
+    *
+    * The nanosAsLong conf DELIBERATELY stays set for the session: Spark
+    * re-reads it when the scan executes, so restoring it immediately
+    * would break the query; it only changes behaviour for other
+    * TIMESTAMP(NANOS) reads, which would otherwise fail outright.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(raw, "ts")
+  }
+
+  /** Normalize a timestamp-ish column (long nanos / TIMESTAMP_NTZ /
+    * TIMESTAMP) to session-TZ TIMESTAMP. Public so tests and streaming
+    * sources reuse the exact batch semantics. */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so SQL can reference it by name. */

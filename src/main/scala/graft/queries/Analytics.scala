@@ -509,14 +509,19 @@ object Analytics {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
       .select(col("l_returnflag"),
-        col("l_quantity").cast("decimal(12,2)").as("mode_quantity"),
+        // DOUBLE, not DECIMAL: l_quantity is an exact integral-valued
+        // quantity (≤ 50), bit-exact in double on both engines — and the
+        // r7 hasher flapped on DECIMAL(12,2) cell FORMATTING ("18.00" vs
+        // "18.0") while the values were byte-identical. Rendering-
+        // unambiguous type sidesteps the formatter, not the math.
+        col("l_quantity").cast("double").as("mode_quantity"),
         col("__c").cast("bigint").as("n_occurrences"))
       .orderBy("l_returnflag")
   }
 
   val qModeSql: String =
     """SELECT l_returnflag,
-      |  CAST(l_quantity AS DECIMAL(12,2)) AS mode_quantity,
+      |  CAST(l_quantity AS DOUBLE) AS mode_quantity,
       |  CAST(c AS BIGINT) AS n_occurrences
       |FROM (
       |  SELECT l_returnflag, l_quantity, COUNT(*) AS c,

@@ -232,25 +232,91 @@ object Profiler {
     * [[driftBySide]] no bin is ever dropped and a one-sided collapse is
     * VISIBLE in the report rather than filtered away.
     *
-    * Exact edges come from one ntile window over the reference side
-    * ordered by (value, key) — a global sort of the reference, the
-    * deterministic small-SF form the oracle can replay; at 100 TB swap
-    * in [[psiQuantileBySideApprox]], whose approx_percentile edges come
-    * from ONE mergeable aggregation, no sort (same downstream plan;
-    * ApproxVariantsSpec pins the two within tolerance). Edge assignment
-    * broadcasts the 1-row edge array (scalar-subquery BNLJ, allowlisted
-    * in PlanAudit) and bins by strict `value > edge` count — ties land
-    * in the lower bin on every engine. */
+    * Exact edges are ntile-tile maxima over the reference side ordered
+    * by value — computed DISTRIBUTED by [[exactNtileEdges]] (two-level
+    * coarse-bucket rank select, no global single-task sort; bit-identical
+    * to what `ntile(nBins) OVER (ORDER BY value, key)` would produce,
+    * which is what the oracle replays). [[psiQuantileBySideApprox]]
+    * remains the sketch variant for when even the per-value shuffle is
+    * unwanted (ApproxVariantsSpec pins the two within tolerance). Edge
+    * assignment broadcasts the 1-row edge array (scalar-subquery BNLJ,
+    * allowlisted in PlanAudit) and bins by strict `value > edge` count —
+    * ties land in the lower bin on every engine. */
   def psiQuantileBySide(df: DataFrame, sideA: Column, valueCol: String,
       keyCol: String, nBins: Int): DataFrame = {
     val tagged = df.select(col(valueCol).as("__v"), col(keyCol).as("__k"),
       sideA.as("__a"))
-    val edges = tagged.where(col("__a"))
-      .withColumn("__t", ntile(nBins).over(Window.orderBy("__v", "__k")))
-      .where(col("__t") < nBins)
-      .groupBy("__t").agg(max(col("__v")).as("__e"))
-      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    val edges = exactNtileEdges(tagged.where(col("__a")).select("__v"), nBins)
     psiQuantileFinish(tagged, edges, nBins)
+  }
+
+  /** Exact ntile-edge computation WITHOUT a global single-task sort.
+    *
+    * `ntile(n) OVER (ORDER BY v, k)` funnels every reference row through
+    * one window task — the one shape that cannot survive a 100× scale-up.
+    * But the tile-boundary VALUES depend only on which value sits at each
+    * global rank in the v-ordering (the tie key never changes which v a
+    * rank lands on, since equal values are contiguous), and a value-at-
+    * rank query decomposes:
+    *
+    *   1. one mergeable agg → (min, max, N); ntile arithmetic turns N
+    *      into the nBins−1 target ranks cum_t = t⌊N/n⌋ + min(t, N mod n);
+    *   2. one shuffle on value → per-distinct-value counts, coarse-
+    *      bucketed by equal-width `width_bucket` over [min,max] (the
+    *      double cast used for bucketing is monotonic, which is all
+    *      bucketing needs — ordering inside a bucket uses the true v);
+    *   3. per-bucket totals (≤ `coarse`+1 rows) get a cumulative sum on
+    *      a TINY frame, locating which bucket holds each target rank
+    *      and the rank's offset inside it;
+    *   4. a cumulative sum over distinct values WITHIN only the ≤ nBins−1
+    *      buckets that contain an edge (window partitioned by bucket —
+    *      parallel, each a ~1/`coarse` value slice) selects the edge
+    *      values.
+    *
+    * Every stage is parallel or provably tiny. Worst case degrades
+    * gracefully: heavy duplication collapses in the distinct-value
+    * frame; heavy range-skew concentrates values in few coarse buckets,
+    * degrading stage 4 toward a distinct-value sort of that slice —
+    * never worse than the global window it replaces. N < nBins (tiny
+    * reference sides, e.g. unit fixtures) reproduces ntile's
+    * one-row-per-tile edges via the `least(nBins−1, N)` target clamp.
+    * Returns the same 1-row `__es` sorted-array frame the ntile form
+    * aggregated to. */
+  private[graft] def exactNtileEdges(vals: DataFrame, nBins: Int,
+      coarse: Int = 4096): DataFrame = {
+    val stats = vals.agg(min("__v").as("__lo"), max("__v").as("__hi"),
+      count(lit(1)).as("__n"))
+    val vcnt = vals.groupBy("__v").agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__b",
+        when(col("__hi") <= col("__lo"), lit(1L)).otherwise(
+          least(lit(coarse.toLong), greatest(lit(1L),
+            expr(s"width_bucket(cast(__v as double), cast(__lo as double)," +
+              s" cast(__hi as double), ${coarse - 1})")))))
+      .select("__v", "__c", "__b")
+    val bcnt = vcnt.groupBy("__b").agg(sum("__c").as("__bc"))
+      .withColumn("__bBefore",
+        coalesce(sum("__bc").over(Window.partitionBy(lit(1)).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = stats.select(
+        explode(sequence(lit(1), lit(nBins - 1))).as("__t"), col("__n"))
+      .where(col("__t") <= least(lit(nBins.toLong - 1), col("__n")))
+      .select(col("__t"),
+        (col("__t") * expr(s"__n div $nBins") +
+          least(col("__t"), col("__n") % nBins)).as("__rank"))
+    val located = targets.join(broadcast(bcnt),
+        col("__bBefore") < col("__rank") &&
+          col("__rank") <= col("__bBefore") + col("__bc"))
+      .select(col("__b"), col("__t"),
+        (col("__rank") - col("__bBefore")).as("__local"))
+    val inBucket = Window.partitionBy("__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vcnt.join(broadcast(located.select("__b").distinct()), "__b")
+      .withColumn("__cum", sum("__c").over(inBucket))
+      .join(broadcast(located), "__b")
+      .where(col("__cum") - col("__c") < col("__local") &&
+        col("__local") <= col("__cum"))
+      .agg(sort_array(collect_list(col("__v"))).as("__es"))
   }
 
   /** The 100 TB form of [[psiQuantileBySide]]: reference edges from

@@ -74,4 +74,39 @@ class RunPlanSpec extends SparkSpec {
     assert(report.contains("sampleInvalidData"))
     assert(report.contains("r_regionkey")) // referenced-column sample
   }
+
+  test("end-to-end REST: plan fetched over HTTP, report PUT back over HTTP") {
+    // The reference's rest-reader + rest-writer workflow
+    // (TnRESTReader/TnRESTWriter) on a single local config server:
+    // GET the plan from it, run, PUT the report to it.
+    val putBodies = scala.collection.mutable.Map.empty[String, String]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("GET", "/conf/plan.json") =>
+          val b = planJson.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        case ("PUT", p) if p.startsWith("/reports/") =>
+          putBodies(p.stripPrefix("/reports/")) =
+            new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          ex.sendResponseHeaders(200, -1)
+        case _ => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val code = RunPlan.run(spark, RunPlan.Config(
+        s"$base/conf/plan.json",
+        Map("dir" -> "/root/testdata/sf0.001", "maxKey" -> "99"),
+        "restRun", Some(s"$base/reports")))
+      assert(code === 0)
+      assert(putBodies.keySet === Set("restRun"))
+      assert(putBodies("restRun").contains("key bound"))
+    } finally server.stop(0)
+  }
 }

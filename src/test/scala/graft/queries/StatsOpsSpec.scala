@@ -134,7 +134,7 @@ class StatsOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val rows = Analytics.qMode(spark, dir).collect()
       .map(r => r.getAs[String]("l_returnflag") ->
-        r.getAs[java.math.BigDecimal]("mode_quantity").doubleValue()).toMap
+        r.getAs[Double]("mode_quantity")).toMap
     assert(rows("A") == 3.0)
     assert(rows("B") == 5.0)
   }

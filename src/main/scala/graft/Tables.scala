@@ -14,9 +14,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
+    val df = normalizeAllTs(
       if (name == "events") loadEvents(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
+      else spark.read.parquet(s"$dir/$name.parquet"))
     // The driver test files are SINGLE-row-group parquet, which caps
     // scan parallelism at one task no matter how maxPartitionBytes is
     // set. For documents/embeddings that single task runs the md5
@@ -30,22 +30,49 @@ object Tables {
     // are cheap column work + partial aggregation, and a blanket
     // repartition measurably slowed every TPC-H/QC query (extra
     // exchange + stage per query) for no compute-balance gain.
-    // Gated on OBSERVED scan parallelism (rdd.getNumPartitions is
-    // planning-time file-split math, no job runs): a real multi-file
-    // corpus already scans wide and must not pay a full-table shuffle
-    // of its text/embeddings on every read. KNOWN LIMIT: splits are
-    // byte ranges, blind to row-group boundaries — a huge SINGLE-row-
-    // group file planning ≥ target/2 splits defeats the gate while
-    // still scanning serially (only one split holds the row group).
-    // The driver files are small single-split files, which the gate
-    // catches; a production corpus should simply be written with sane
-    // row-group sizes (Layout.scala's writers are).
+    // Gated on the TRUE scan-parallelism ceiling — the parquet
+    // ROW-GROUP count from the file footers (driver-side metadata read,
+    // no job runs) — not on rdd.getNumPartitions: planning splits are
+    // byte ranges, blind to row-group boundaries, so a big single-row-
+    // group file plans ≥ target/2 splits while still scanning serially
+    // (only the split holding the row group produces rows). Each row
+    // group is consumed by exactly one task, so rowGroups bounds the
+    // tasks that can do real scan work. A real multi-file / sane-row-
+    // group corpus passes the gate cheaply (footers only read when the
+    // file count alone is below the threshold) and must not pay a
+    // full-table shuffle of its text/embeddings on every read.
     val target = spark.sparkContext.defaultParallelism
     val mode = spark.conf.get("spark.graft.rebalance", "auto")
     if (mode != "off" && fatTables(name) &&
-        df.rdd.getNumPartitions < target / 2)
+        scanParallelism(spark, s"$dir/$name.parquet", target) < target / 2)
       rebalance(spark, dir, name, df, target, mode)
     else df
+  }
+
+  /** Upper bound on tasks that can do real scan work: the number of
+    * parquet row groups. Short-circuits on file count (≥ threshold files
+    * never need footer reads); falls back to planning splits if footer
+    * reading fails (corrupt/new format — never block the read path). */
+  private def scanParallelism(spark: SparkSession, path: String,
+      target: Int): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      val files = fs.listStatus(p).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      if (files.length >= math.max(1, target / 2)) return files.length
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size
+        finally r.close()
+      }.sum
+    } catch {
+      case _: Exception =>
+        spark.read.parquet(path).rdd.getNumPartitions
+    }
   }
 
   /** Tables whose scans feed real per-row compute — shingling, md5
@@ -135,6 +162,17 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     normalizeTs(raw, "ts")
   }
+
+  /** [[normalizeTs]] over every TIMESTAMP_NTZ column of a frame — the
+    * r7 incident hit events.ts, but the driver regenerates ALL the test
+    * parquet with one writer config, so any table could grow an NTZ
+    * column on the next regeneration; normalizing at the loader keeps
+    * every operator's timestamp arithmetic on one type. No-op (same
+    * plan object) when nothing needs converting. */
+  def normalizeAllTs(df: DataFrame): DataFrame =
+    df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(df)((d, f) => normalizeTs(d, f.name))
 
   /** Normalize a timestamp-ish column (long nanos / TIMESTAMP_NTZ /
     * TIMESTAMP) to session-TZ TIMESTAMP. Public so tests and streaming

@@ -2134,7 +2134,85 @@ object EventQueries {
       |FROM s
       |ORDER BY lag""".stripMargin
 
+  /** §2.33aq — volume autocorrelation: Pearson r between the zero-
+    * filled hourly TOTAL volume series and itself shifted by lag
+    * h ∈ {1,2,3,6,12,24} — the periodicity detector that complements
+    * [[qeSeasonality]] (which assumes a daily cycle and profiles it;
+    * autocorrelation DISCOVERS whether one exists — a 24h peak says
+    * daily rhythm, a flat curve says none, slow decay says trend).
+    * Same discipline as [[qeXcorr]]: epoch-hour ids by integer division
+    * (no interval arithmetic), spine from the 1-row bounds aggregate,
+    * lag fan-out as a map-side explode, every sufficient statistic an
+    * integer sum (exact under any accumulation order), ONE double
+    * expression at the end; zero-variance lags report NULL. The joined
+    * frame is bounded by hours × lags at any data scale — the fact
+    * table collapses to its hourly histogram before any join. */
+  def qeAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+    val counts = ev.groupBy("hi").agg(count(lit(1)).as("__c"))
+    val spine = ev.agg(min(col("hi")).as("__lo"), max(col("hi")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("hi"))
+    val series = spine.join(counts, Seq("hi"), "left")
+      .select(col("hi"), coalesce(col("__c"), lit(0L)).as("x"))
+    val xs = series
+      .withColumn("lag", explode(typedLit(Seq(1, 2, 3, 6, 12, 24))))
+      .withColumn("__hy", col("hi") + col("lag"))
+    val ys = series.select(col("hi").as("__hy"), col("x").as("y"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double")) *
+      sqrt((col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .cast("double"))
+    xs.join(ys, "__hy")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("__n"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"), sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .select(col("lag"), col("__n").as("n_pairs"),
+        when(den === 0.0, lit(null)).otherwise(round(num / den, 6))
+          .as("autocorr"))
+      .orderBy("lag")
+  }
+
+  val qeAutocorrSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+      |  FROM events
+      |), b AS (
+      |  SELECT MIN(hi) AS lo, MAX(hi) AS hix FROM ev
+      |), spine AS (
+      |  SELECT unnest(range(lo, hix + 1)) AS hi FROM b
+      |), series AS (
+      |  SELECT s.hi, COALESCE(c.n, 0) AS x FROM spine s
+      |  LEFT JOIN (SELECT hi, COUNT(*) AS n FROM ev GROUP BY hi) c
+      |    USING (hi)
+      |), lags AS (
+      |  SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag
+      |), p AS (
+      |  SELECT l.lag, a.x, b2.x AS y
+      |  FROM lags l JOIN series a ON TRUE
+      |  JOIN series b2 ON b2.hi = a.hi + l.lag
+      |), s AS (
+      |  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY lag
+      |)
+      |SELECT lag, n AS n_pairs,
+      |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0.0 THEN NULL
+      |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+      |  END AS autocorr
+      |FROM s
+      |ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_autocorr" -> (qeAutocorr _),
     "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
@@ -2184,6 +2262,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_autocorr" -> qeAutocorrSql,
     "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,

@@ -729,7 +729,78 @@ object ProfileQueries {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** §2.13s — Cramér's V association between two categorical columns
+    * (o_orderstatus × o_orderpriority): the effect-size companion to
+    * 13j's chi² — chi² grows with N, so a monitoring cadence needs the
+    * N-normalized V ∈ [0,1] to say whether an association is WEAK or
+    * STRONG, not merely significant. ONE aggregation pass builds the
+    * contingency cells (a |statuses|×|priorities| frame at any data
+    * scale); row/column marginals come from windows over that tiny
+    * frame; the final reduction emits chi², dof, and V in a single row.
+    * All float terms derive from exact integer counts in a fixed
+    * expression order mirrored by the oracle; the per-cell chi² terms
+    * are DECIMAL-cast before the final sum so accumulation order
+    * cannot flap the hash. */
+  def qcCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val rowW = Window.partitionBy("o_orderstatus")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val colW = Window.partitionBy("o_orderpriority")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val allW = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val e = col("row_tot").cast("double") * col("col_tot") / col("tot")
+    val cells = Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_tot", sum(col("n")).over(rowW))
+      .withColumn("col_tot", sum(col("n")).over(colW))
+      .withColumn("tot", sum(col("n")).over(allW))
+      .withColumn("term",
+        (col("n") - e) * (col("n") - e) / e)
+    cells.agg(
+        sum(col("n")).cast("bigint").as("n_rows"),
+        count_distinct(col("o_orderstatus")).as("__r"),
+        count_distinct(col("o_orderpriority")).as("__c"),
+        sum(col("term").cast("decimal(38,12)")).cast("double").as("__chi2"))
+      .select(col("n_rows"),
+        round(col("__chi2"), 6).as("chi2"),
+        ((col("__r") - 1) * (col("__c") - 1)).cast("bigint").as("dof"),
+        round(sqrt(col("__chi2") /
+          (col("n_rows").cast("double") *
+            least(col("__r") - 1, col("__c") - 1))), 6).as("cramers_v"))
+  }
+
+  val qcCramersVSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2
+      |), m AS (
+      |  SELECT *,
+      |    SUM(n) OVER (PARTITION BY o_orderstatus) AS row_tot,
+      |    SUM(n) OVER (PARTITION BY o_orderpriority) AS col_tot,
+      |    SUM(n) OVER () AS tot
+      |  FROM cells
+      |), t AS (
+      |  SELECT *,
+      |    (n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+      |      * (n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+      |      / (CAST(row_tot AS DOUBLE) * col_tot / tot) AS term
+      |  FROM m
+      |), agg AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    COUNT(DISTINCT o_orderstatus) AS r,
+      |    COUNT(DISTINCT o_orderpriority) AS c,
+      |    CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+      |  FROM t
+      |)
+      |SELECT n_rows, round(chi2, 6) AS chi2,
+      |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+      |  round(sqrt(chi2 / (CAST(n_rows AS DOUBLE) *
+      |    least(r - 1, c - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_cramers_v" -> (qcCramersV _),
     "qc_entropy_cols" -> (qcEntropyCols _),
     "qc_mad" -> (qcMad _),
     "qc_unique" -> (qcUnique _),
@@ -748,6 +819,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_cramers_v" -> qcCramersVSql,
     "qc_entropy_cols" -> qcEntropyColsSql,
     "qc_mad" -> qcMadSql,
     "qc_unique" -> qcUniqueSql,

@@ -16,7 +16,7 @@ object SparkEntry {
       EngineQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries ++
-      ProfileQueries.queries
+      ProfileQueries.queries ++ OperatorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The driver tolerates omissions (rows-only
@@ -29,5 +29,5 @@ object SparkEntry {
       EngineQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles ++
-      ProfileQueries.oracles
+      ProfileQueries.oracles ++ OperatorQueries.oracles
 }

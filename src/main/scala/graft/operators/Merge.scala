@@ -51,6 +51,23 @@ object Merge {
     val existing = spark.read.parquet(targetPath)
       .where(col(partCol).isin(parts: _*))
       .select(dataCols.map(col): _*)
+    val merged = resolve(existing, updates, keys, orderCol, deleteCol)
+    Layout.overwritePartitions(merged, targetPath, partCol)
+    merged
+  }
+
+  /** Pure merge election (the IO-free core of [[upsertPartitioned]]):
+    * one row per key survives, chosen by greatest `orderCol` with the
+    * batch row winning exact ties; `deleteCol`-true batch rows are
+    * tombstones that erase their key. One shuffle on the key columns;
+    * the ranking window's frame is the per-key version set (bounded by
+    * versions-per-key, never the table). */
+  def resolve(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+      orderCol: String, deleteCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "resolve needs at least one key column")
+    val dataCols = updates.columns.filterNot(deleteCol.contains(_))
+    val stored = existing
+      .select(dataCols.map(col): _*)
       .withColumn("__is_update", lit(0))
       .withColumn("__del", lit(false))
     val incoming = updates
@@ -58,14 +75,12 @@ object Merge {
       .withColumn("__del",
         deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
           .getOrElse(lit(false)))
-      .select(existing.columns.map(col): _*)
+      .select(stored.columns.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol).desc, col("__is_update").desc)
-    val merged = existing.unionByName(incoming)
+    stored.unionByName(incoming)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && !col("__del"))
       .select(dataCols.map(col): _*)
-    Layout.overwritePartitions(merged, targetPath, partCol)
-    merged
   }
 }

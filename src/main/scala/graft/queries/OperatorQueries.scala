@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Merge, SkewAgg, SkewJoin}
+
+/** Oracle-backed drive-throughs for the infrastructure operators that
+  * until round 8 were covered only by unit specs (SURVEY §2 items 37,
+  * 37b, 39c). Each query routes real test-table data through the
+  * operator and lands on a result a plain-SQL oracle can recompute —
+  * proving not just "the spec's fixture behaves" but "the rewrite is
+  * semantically invisible on actual data": a salted join must equal the
+  * unsalted join, a salted distinct-count must equal COUNT(DISTINCT),
+  * a CDC merge election must equal its windowed-SQL definition.
+  */
+object OperatorQueries {
+
+  /** §2.37 — skew-salted join equivalence: route the lineitem→supplier
+    * join through [[SkewJoin.saltedJoin]] (big side scattered over 8
+    * sub-keys, small side replicated) and aggregate per nation. The
+    * oracle is the PLAIN join — salting is a physical rewrite and must
+    * not change a single row. At 100 TB this is the shape that saves a
+    * hot supplier key from a single straggler task. */
+  def qoSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val small = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    SkewJoin.saltedJoin(big, small, "suppkey", saltFactor = 8)
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
+  val qoSkewJoinSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      |    AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** §2.37b — salted holistic aggregates: exact per-flag distinct part
+    * count via [[SkewAgg.countDistinctSalted]] (value-hash salting: 16
+    * disjoint per-bucket distinct sets whose counts ADD) joined with
+    * the heaviest single value's multiplicity from
+    * [[SkewAgg.maxValueCountSalted]]. The oracle recomputes both with
+    * the holistic built-ins the salting exists to replace. */
+  def qoSkewDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val nd = SkewAgg.countDistinctSalted(li, Seq("l_returnflag"), "l_partkey",
+      salts = 16)
+    val mv = SkewAgg.maxValueCountSalted(li, Seq("l_returnflag"), "l_partkey")
+    nd.join(mv, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  val qoSkewDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(c) AS BIGINT) AS max_value_count
+      |FROM (
+      |  SELECT l_returnflag, l_partkey, COUNT(*) AS c
+      |  FROM lineitem GROUP BY l_returnflag, l_partkey
+      |) t
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** §2.39c — CDC merge election on real data: a deterministic update
+    * batch derived from orders (every 5th key re-priced and re-dated
+    * +30 days; every 20th key a tombstone) merged into the full orders
+    * frame through [[Merge.resolve]] — the same latest-wins /
+    * batch-wins-ties / tombstone core `upsertPartitioned` persists,
+    * minus the partition IO the unit spec already proves. Output is the
+    * per-status survivor census, so the hash pins every election
+    * outcome (update applied, tie broken, key deleted, row untouched).
+    */
+  def qoMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate")
+    val target = Tables.load(spark, dir, "orders")
+      .select(cols.map(col): _*)
+    val batch = target
+      .where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      // *2 on a double is exponent arithmetic — bit-exact on both
+      // engines (no decimal detour needed for the per-row value; the
+      // SUM below still folds in decimal so accumulation order cannot
+      // show).
+      .withColumn("o_totalprice", col("o_totalprice") * lit(2))
+      // interval add, not date_add: o_orderdate is a TIMESTAMP and the
+      // merge's order column must keep its type.
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .withColumn("is_deleted", col("o_orderkey") % 20 === 0)
+    Merge.resolve(target, batch, keys = Seq("o_orderkey"),
+        orderCol = "o_orderdate", deleteCol = Some("is_deleted"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qoMergeSql: String =
+    """WITH batch AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    'U' AS o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice,
+      |    o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+      |    (o_orderkey % 20 = 0) AS is_deleted
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |), unioned AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, 0 AS is_update, FALSE AS del
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, 1 AS is_update, is_deleted AS del
+      |  FROM batch
+      |), elected AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY o_orderdate DESC, is_update DESC) AS rn
+      |  FROM unioned
+      |)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      |    AS DOUBLE) AS sum_price
+      |FROM elected WHERE rn = 1 AND NOT del
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qo_skew_join" -> (qoSkewJoin _),
+    "qo_skew_distinct" -> (qoSkewDistinct _),
+    "qo_merge" -> (qoMerge _))
+
+  val oracles: Map[String, String] = Map(
+    "qo_skew_join" -> qoSkewJoinSql,
+    "qo_skew_distinct" -> qoSkewDistinctSql,
+    "qo_merge" -> qoMergeSql)
+}

@@ -2211,7 +2211,141 @@ object EventQueries {
       |FROM s
       |ORDER BY lag""".stripMargin
 
+  /** §2.33ar — peak concurrency by distributed sweep-line: each event
+    * opens a 5-minute presence interval, and the day's peak concurrent
+    * count per event type is the max of the running (+1 start / −1 end)
+    * sum. The classic sweep needs ONE global sort per type — a scale-
+    * killer — so the sweep is decomposed: boundary points prefix-sum
+    * WITHIN their (type, day) partition, and each day adds a carry-in
+    * (the sum of all prior days' deltas = concurrency at midnight) from
+    * a tiny |types|×|days| frame whose own prefix window is driver-
+    * bounded. Max(carry + within-day run) is exactly the global running
+    * count restricted to that day's points, so the decomposition is
+    * value-identical to the single-sort form the oracle uses — at any
+    * scale the big windows stay day-bounded. Intervals crossing
+    * midnight are handled by the carry, not clipped. Tie order at equal
+    * timestamps cannot affect the max: within a tie group the running
+    * sum peaks after all +1s regardless of order (−1s sort first). */
+  def qeConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").select(col("event_type"), col("ts"))
+    val points = ev
+      .select(col("event_type"), col("ts").as("pt"), lit(1).as("delta"))
+      .unionByName(ev.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("pt"), lit(-1).as("delta")))
+      .withColumn("day", date_trunc("day", col("pt")))
+    val wDay = Window.partitionBy("event_type", "day")
+      .orderBy(col("pt"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = points.withColumn("run_in_day", sum("delta").over(wDay))
+    val wCarry = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = points.groupBy("event_type", "day")
+      .agg(sum("delta").as("day_total"))
+      .withColumn("carry", coalesce(sum("day_total").over(wCarry), lit(0L)))
+      .select("event_type", "day", "carry")
+    withRun.join(broadcast(offsets), Seq("event_type", "day"))
+      .groupBy("event_type", "day")
+      .agg(max(col("run_in_day") + col("carry")).cast("bigint")
+        .as("peak_concurrency"))
+      .orderBy("event_type", "day")
+  }
+
+  val qeConcurrencySql: String =
+    """WITH points AS (
+      |  SELECT event_type, ts AS pt, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_type, ts + INTERVAL 5 MINUTE AS pt, -1 AS delta FROM events
+      |), run AS (
+      |  SELECT event_type, date_trunc('day', pt) AS day,
+      |    SUM(delta) OVER (PARTITION BY event_type ORDER BY pt, delta
+      |      ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM points
+      |)
+      |SELECT event_type, day, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+      |FROM run GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  /** §2.33as — Gini concentration of per-user value, computed with the
+    * bucketed-rank decomposition so NO global sort exists in the plan:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σᵢ xᵢ) / (n·Σᵢ xᵢ) over ascending-sorted
+    * per-user totals needs each user's GLOBAL rank i, which naive
+    * implementations get from an unpartitioned window. Instead users
+    * bucket by value range (monotone in x, so bucket order extends to
+    * global order), rank within (type, bucket) partitions, and add the
+    * carry count of earlier buckets from a tiny |types|×1024 frame:
+    * Σ i·x = Σ (i_within + carry)·x, exact in integer micro-units
+    * (value has 4 decimals → ×10⁴ is an integer; every sufficient
+    * statistic a decimal integer sum, so accumulation order cannot
+    * show; ONE double expression at the end). The oracle uses the
+    * textbook single-window form — the decomposition must match it
+    * to the hash. */
+  def qeGini(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 1024
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg((sum(col("value").cast("decimal(18,4)")) * lit(10000))
+        .cast("decimal(38,0)").as("x"))
+    // Bucket assignment may run in double: conversion, division by a
+    // positive width, and floor are all monotone, so x₁<x₂ never maps
+    // to bucket₁>bucket₂ — order is preserved, which is all ranking
+    // needs. Bounds come from a 1-row broadcast aggregate.
+    val bounds = perUser.groupBy("event_type")
+      .agg(min(col("x").cast("double")).as("xmin"),
+        max(col("x").cast("double")).as("xmax"))
+    val bucketed = perUser.join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("x").cast("double") - col("xmin"))
+            / (greatest(col("xmax") - col("xmin"), lit(1.0)) / nBuckets))
+            .cast("int"))))
+    val wIn = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("x"), col("user_id"))
+    val wCarry = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("carry", coalesce(sum("bn").over(wCarry), lit(0L)))
+      .select("event_type", "bucket", "carry")
+    bucketed
+      .withColumn("iw", row_number().over(wIn))
+      .join(broadcast(carries), Seq("event_type", "bucket"))
+      .withColumn("i", (col("iw") + col("carry")).cast("decimal(38,0)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("s0"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col("event_type"), col("n_users"),
+        round((lit(2.0) * col("s1").cast("double")
+            - (col("n_users") + 1).cast("double") * col("s0").cast("double"))
+          / (col("n_users").cast("double") * col("s0").cast("double")), 6)
+          .as("gini"))
+      .orderBy("event_type")
+  }
+
+  val qeGiniSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS x
+      |  FROM events GROUP BY event_type, user_id
+      |), r AS (
+      |  SELECT event_type, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY x, user_id) AS i
+      |  FROM pu
+      |), s AS (
+      |  SELECT event_type, COUNT(*) AS n_users, SUM(x) AS s0, SUM(i * x) AS s1
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+      |  round((2.0 * CAST(s1 AS DOUBLE)
+      |      - (n_users + 1) * CAST(s0 AS DOUBLE))
+      |    / (n_users * CAST(s0 AS DOUBLE)), 6) AS gini
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_concurrency" -> (qeConcurrency _),
+    "qe_gini" -> (qeGini _),
     "qe_autocorr" -> (qeAutocorr _),
     "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
@@ -2262,6 +2396,8 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_concurrency" -> qeConcurrencySql,
+    "qe_gini" -> qeGiniSql,
     "qe_autocorr" -> qeAutocorrSql,
     "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,

@@ -913,7 +913,55 @@ object PipelineQueries {
       |FROM capped
       |ORDER BY source""".stripMargin
 
+  /** §2.31x — SCD2 (slowly-changing-dimension type 2) build: the
+    * versioned dimension table a warehouse derives from a mutable
+    * attribute's change history. Each customer's order-priority stream
+    * (ordered by order date, key-tiebroken) collapses to one row per
+    * VALUE CHANGE, carrying [valid_from, valid_to) effectivity bounds
+    * (valid_to = next change's start, NULL = current version) and a
+    * per-key version number. Two windows over the SAME (custkey)
+    * partitioning — Catalyst reuses the one shuffle/sort; frames are
+    * per-key order histories, never the table — so the build
+    * partitions cleanly at any scale. */
+  def qpScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag("o_orderpriority", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  val qpScd2Sql: String =
+    """WITH ordered AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders
+      |), changes AS (
+      |  SELECT * FROM ordered
+      |  WHERE prev IS NULL OR prev <> o_orderpriority
+      |)
+      |SELECT o_custkey AS custkey,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  o_orderpriority AS priority,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER w AS valid_to,
+      |  (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY custkey, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_scd2" -> (qpScd2 _),
     "qp_waterfill" -> (qpWaterfill _),
     "qp_reservoir" -> (qpReservoir _),
     "qp_quality_sample" -> (qpQualitySample _),
@@ -933,6 +981,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_scd2" -> qpScd2Sql,
     "qp_waterfill" -> qpWaterfillSql,
     "qp_reservoir" -> qpReservoirSql,
     "qp_quality_sample" -> qpQualitySampleSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.rules._
@@ -209,7 +209,64 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation, orphan_rank")
   }
 
+  /** §2.5d — order-independent table fingerprints: the cross-
+    * environment reconciliation primitive ("is the replicated table
+    * byte-equal to the source?") that compares 100 TB tables by
+    * exchanging ONE row each, no data movement. Every row renders to a
+    * canonical string (integers verbatim; doubles via DECIMAL(18,4) so
+    * binary-equal values can never format apart; timestamps pinned to
+    * 6-digit micros), hashes through portable md5, and the 32-bit row
+    * hashes SUM — a commutative fold, so partition order, file order,
+    * and shuffle order cannot move the checksum, and the aggregation is
+    * map-side-partial all the way down. DECIMAL(38,0) accumulator:
+    * 2³² × row-count overflows int64 at ~4×10⁹ rows. The oracle
+    * recomputes the identical fingerprint in DuckDB — the whole point
+    * is that ANY engine can hold its end of the comparison. */
+  def qcChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def dec(c: Column): Column = c.cast("decimal(18,4)").cast("string")
+    def fp(name: String, canon: DataFrame => Column): DataFrame = {
+      val df = Tables.load(spark, dir, name)
+      df.select(md5Hash32(canon(df)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    }
+    val tables: Seq[(String, DataFrame => Column)] = Seq(
+      "region" -> (df => concat_ws("|", col("r_regionkey"), col("r_name"))),
+      "nation" -> (df => concat_ws("|", col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))),
+      "supplier" -> (df => concat_ws("|", col("s_suppkey"), col("s_name"),
+        col("s_nationkey"), dec(col("s_acctbal")))),
+      "customer" -> (df => concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), dec(col("c_acctbal")), col("c_mktsegment"))),
+      "orders" -> (df => concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), dec(col("o_totalprice")),
+        fmtTs(col("o_orderdate")), col("o_orderpriority"))))
+    tables.map { case (n, c) => fp(n, c) }
+      .reduce(_ unionByName _)
+      .orderBy("table_name")
+  }
+
+  val qcChecksumSql: String = {
+    def piece(name: String, canon: String) =
+      s"""SELECT '$name' AS table_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(('0x' || substr(md5($canon), 1, 8))::BIGINT)
+         |    AS DECIMAL(38,0)) AS checksum
+         |FROM $name""".stripMargin
+    def dec(c: String) = s"CAST(CAST($c AS DECIMAL(18,4)) AS VARCHAR)"
+    Seq(
+      piece("region", "concat_ws('|', r_regionkey, r_name)"),
+      piece("nation", "concat_ws('|', n_nationkey, n_name, n_regionkey)"),
+      piece("supplier", s"concat_ws('|', s_suppkey, s_name, s_nationkey, ${dec("s_acctbal")})"),
+      piece("customer", s"concat_ws('|', c_custkey, c_name, c_nationkey, ${dec("c_acctbal")}, c_mktsegment)"),
+      piece("orders", s"concat_ws('|', o_orderkey, o_custkey, o_orderstatus, ${dec("o_totalprice")}, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), o_orderpriority)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_checksum" -> (qcChecksum _),
     "qc_orphans" -> (qcOrphans _),
     "qc_ref_integrity" -> (qcRefIntegrity _),
     "qc_assert_invalid" -> (qcAssertInvalid _),
@@ -219,6 +276,7 @@ object QualityQueries {
     "qc_assert_window" -> (qcAssertWindow _))
 
   val oracles: Map[String, String] = Map(
+    "qc_checksum" -> qcChecksumSql,
     "qc_orphans" -> qcOrphansSql,
     "qc_ref_integrity" -> qcRefIntegritySql,
     "qc_assert_invalid" -> qcAssertInvalidSql,

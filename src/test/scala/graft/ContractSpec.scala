@@ -29,7 +29,7 @@ class ContractSpec extends SparkSpec {
       DiffViewQueries.queries, EngineQueries.queries, TextQueries.queries,
       DedupQueries.queries, SimilarityQueries.queries, EventQueries.queries,
       MultimodalQueries.queries, PipelineQueries.queries,
-      ProfileQueries.queries).map(_.size).sum
+      ProfileQueries.queries, OperatorQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes)
   }
 }

@@ -709,6 +709,16 @@ object Dedup {
         greatest(col(ea), col(eb)).as("__b"))
       .where(col("__a") =!= col("__b")).distinct()
       .cache() // consumed three times: degrees, orientation, closure probe
+    trianglesOfCanonical(e)
+  }
+
+  /** Core of [[trianglesPerVertex]] over an ALREADY-canonical
+    * (a < b, deduped, preferably cached) edge frame — callers that
+    * also consume the edge set themselves (e.g.
+    * [[clusteringCoefficient]]) pass their cached canonical frame here
+    * so the expensive upstream pair generation is evaluated once, not
+    * once per consumer. */
+  private[graft] def trianglesOfCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(col("__a").as("__v"))
       .union(e.select(col("__b").as("__v")))
       .groupBy("__v").agg(count(lit(1)).as("__d"))
@@ -815,24 +825,35 @@ object Dedup {
       .where(col("__a") =!= col("__b")).distinct()
     val directed = und.select(col("__a").as("__src"), col("__b").as("__dst"))
       .union(und.select(col("__b").as("__src"), col("__a").as("__dst")))
-      .localCheckpoint()
     val deg = directed.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    // Fold the out-degree into the edge list ONCE: each edge carries
+    // its source's degree, so the per-iteration plan is a single
+    // join + grouped sum instead of re-joining the degree table every
+    // round (10 joins and their shuffles gone over a 10-iteration run).
+    // The contribution stays the literal division __pr / deg — NOT a
+    // precomputed 1/deg multiply, which would round twice and could
+    // drift a ulp from the oracle's division.
+    val weighted = directed.join(deg, Seq("__src"))
+      .select(col("__src"), col("__dst"), col("__deg").cast("double").as("__d"))
       .localCheckpoint()
     val n = deg.count().toDouble
     val teleport = (1.0 - damping) / n
     var pr = deg.select(col("__src"), (lit(1.0) / lit(n)).as("__pr"))
-    for (_ <- 1 to iterations) {
-      val contrib = directed.join(pr, Seq("__src"))
-        .join(deg, Seq("__src"))
-        .select(col("__dst"),
-          (col("__pr") / col("__deg").cast("double")).as("__c"))
+    for (i <- 1 to iterations) {
+      val contrib = weighted.join(pr, Seq("__src"))
+        .select(col("__dst"), (col("__pr") / col("__d")).as("__c"))
       // Every vertex has an in-edge (undirected), so the grouped sum
       // covers the full vertex set — no outer-join backfill needed.
       pr = contrib.groupBy("__dst")
         .agg(sum(col("__c").cast("decimal(38,18)")).cast("double").as("__s"))
         .select(col("__dst").as("__src"),
           (lit(teleport) + lit(damping) * col("__s")).as("__pr"))
-        .localCheckpoint()
+      // Truncate lineage every third round (and at the end): each
+      // checkpoint is an eager materialization barrier, and per-round
+      // checkpoints made the barrier — not the math — the dominant
+      // cost; three chained iterations keep the plan shallow enough
+      // for the optimizer while amortizing the barrier 3×.
+      if (i % 3 == 0 || i == iterations) pr = pr.localCheckpoint()
     }
     pr.select(col("__src").as("vertex"), round(col("__pr"), 9).as("pagerank"))
   }
@@ -847,14 +868,20 @@ object Dedup {
     * Returns (vertex, degree, n_triangles, clustering_coef). */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val Seq(ea, eb) = edges.columns.take(2).toSeq
+    // Cache the canonical edge set HERE and hand the cached frame to
+    // the triangle core: the upstream edge generation (an all-pairs
+    // cosine join for the embedding graph) is the dominant cost, and
+    // without the shared cache it would run twice — once for the
+    // degree count, once inside the triangle counter.
     val e = edges.select(least(col(ea), col(eb)).as("__a"),
         greatest(col(ea), col(eb)).as("__b"))
       .where(col("__a") =!= col("__b")).distinct()
+      .cache()
     val deg = e.select(col("__a").as("vertex"))
       .union(e.select(col("__b").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).as("degree"))
     deg.where(col("degree") >= 2)
-      .join(trianglesPerVertex(edges), Seq("vertex"), "left")
+      .join(trianglesOfCanonical(e), Seq("vertex"), "left")
       .select(col("vertex"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /

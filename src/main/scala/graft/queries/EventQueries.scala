@@ -2343,7 +2343,94 @@ object EventQueries {
       |FROM s
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33at — Welch's t-test per metric between the deterministic A/B
+    * split of [[qeAbBalance]]: the experiment readout itself, not just
+    * the balance check. Per (event_type, user) totals in exact integer
+    * micro-units; per-arm sufficient statistics (n, Σx, Σx²) are
+    * DECIMAL sums — exact under any accumulation order — pivoted by
+    * conditional aggregation in the SAME pass (one shuffle on
+    * event_type, no self-join); mean/variance/t/Welch-df assemble as
+    * one double expression per row at the end. `significant` flags
+    * |t| > 1.96 — the two-sided 5% line in the large-sample limit. */
+  def qeAbTtest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val isA = md5Bucket("exp1", col("user_id"), 2) === 0
+    val x = Tables.load(spark, dir, "events")
+      .where(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg((sum(col("value").cast("decimal(18,4)")) * lit(10000))
+        .cast("decimal(38,0)").as("x"))
+      .withColumn("a", isA)
+    val g = x.groupBy("event_type").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).cast("double").as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).cast("double").as("nb"),
+      sum(when(col("a"), col("x"))).cast("double").as("s1a"),
+      sum(when(!col("a"), col("x"))).cast("double").as("s1b"),
+      sum(when(col("a"), col("x") * col("x"))).cast("double").as("s2a"),
+      sum(when(!col("a"), col("x") * col("x"))).cast("double").as("s2b"))
+    val ma = col("s1a") / col("na")
+    val mb = col("s1b") / col("nb")
+    val va = (col("s2a") - col("s1a") * col("s1a") / col("na")) / (col("na") - 1)
+    val vb = (col("s2b") - col("s1b") * col("s1b") / col("nb")) / (col("nb") - 1)
+    val se2 = va / col("na") + vb / col("nb")
+    val t = (ma - mb) / sqrt(se2)
+    val df = (se2 * se2) /
+      ((va / col("na")) * (va / col("na")) / (col("na") - 1)
+        + (vb / col("nb")) * (vb / col("nb")) / (col("nb") - 1))
+    g.select(col("event_type"),
+        col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        round(ma / 10000, 6).as("mean_a"),
+        round(mb / 10000, 6).as("mean_b"),
+        round(t, 6).as("t_stat"),
+        round(df, 2).as("welch_df"),
+        (abs(t) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
+
+  val qeAbTtestSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS x,
+      |    (('0x' || substr(md5('exp1:' || user_id), 1, 8))::BIGINT % 2 = 0)
+      |      AS a
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY event_type, user_id
+      |), g AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+      |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+      |    CAST(SUM(CASE WHEN a THEN x END) AS DOUBLE) AS s1a,
+      |    CAST(SUM(CASE WHEN NOT a THEN x END) AS DOUBLE) AS s1b,
+      |    CAST(SUM(CASE WHEN a THEN x * x END) AS DOUBLE) AS s2a,
+      |    CAST(SUM(CASE WHEN NOT a THEN x * x END) AS DOUBLE) AS s2b
+      |  FROM pu GROUP BY event_type
+      |)
+      |SELECT event_type,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round((s1a / na) / 10000, 6) AS mean_a,
+      |  round((s1b / nb) / 10000, 6) AS mean_b,
+      |  round(((s1a / na) - (s1b / nb))
+      |    / sqrt((s2a - s1a * s1a / na) / (na - 1) / na
+      |         + (s2b - s1b * s1b / nb) / (nb - 1) / nb), 6) AS t_stat,
+      |  round(((s2a - s1a * s1a / na) / (na - 1) / na
+      |       + (s2b - s1b * s1b / nb) / (nb - 1) / nb)
+      |    * ((s2a - s1a * s1a / na) / (na - 1) / na
+      |       + (s2b - s1b * s1b / nb) / (nb - 1) / nb)
+      |    / (((s2a - s1a * s1a / na) / (na - 1) / na)
+      |       * ((s2a - s1a * s1a / na) / (na - 1) / na) / (na - 1)
+      |     + ((s2b - s1b * s1b / nb) / (nb - 1) / nb)
+      |       * ((s2b - s1b * s1b / nb) / (nb - 1) / nb) / (nb - 1)), 2)
+      |    AS welch_df,
+      |  (abs(((s1a / na) - (s1b / nb))
+      |    / sqrt((s2a - s1a * s1a / na) / (na - 1) / na
+      |         + (s2b - s1b * s1b / nb) / (nb - 1) / nb)) > 1.96)
+      |    AS significant
+      |FROM g
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_ab_ttest" -> (qeAbTtest _),
     "qe_concurrency" -> (qeConcurrency _),
     "qe_gini" -> (qeGini _),
     "qe_autocorr" -> (qeAutocorr _),
@@ -2396,6 +2483,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_ab_ttest" -> qeAbTtestSql,
     "qe_concurrency" -> qeConcurrencySql,
     "qe_gini" -> qeGiniSql,
     "qe_autocorr" -> qeAutocorrSql,

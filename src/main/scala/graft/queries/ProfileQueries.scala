@@ -799,7 +799,102 @@ object ProfileQueries {
       |    least(r - 1, c - 1))), 6) AS cramers_v
       |FROM agg""".stripMargin
 
+  /** §2.13t — functional-dependency audit: does column A determine
+    * column B? The schema-inference / normalization primitive a
+    * profiler owes its users: each candidate FD costs ONE shuffle on
+    * the determinant (distinct-count of images per determinant value,
+    * map-side partial), and the violation census reads off the grouped
+    * frame — no pair joins, no quadratic anything, at any scale.
+    * `n_violating` = determinant values mapping to >1 image;
+    * `max_images` = the worst fan-out (1 everywhere ⟺ the FD holds). */
+  def qcFd(spark: SparkSession, dir: String): DataFrame = {
+    def fd(table: String, det: String, img: String): DataFrame =
+      Tables.load(spark, dir, table)
+        .groupBy(col(det).as("__a"))
+        .agg(count_distinct(col(img)).as("__imgs"))
+        .agg(count(lit(1)).as("n_determinants"),
+          sum(when(col("__imgs") > 1, 1L).otherwise(0L)).cast("bigint")
+            .as("n_violating"),
+          max(col("__imgs")).cast("bigint").as("max_images"))
+        .select(lit(s"$table.$det->$img").as("fd"),
+          col("n_determinants"), col("n_violating"), col("max_images"),
+          (col("n_violating") === 0).as("holds"))
+    Seq(
+      fd("orders", "o_orderkey", "o_orderstatus"),
+      fd("orders", "o_custkey", "o_orderpriority"),
+      fd("lineitem", "l_orderkey", "l_linestatus"),
+      fd("lineitem", "l_partkey", "l_suppkey"),
+      fd("customer", "c_nationkey", "c_mktsegment"))
+      .reduce(_ unionByName _)
+      .orderBy("fd")
+  }
+
+  val qcFdSql: String = {
+    def piece(table: String, det: String, img: String) =
+      s"""SELECT '$table.$det->$img' AS fd,
+         |  COUNT(*) AS n_determinants,
+         |  CAST(SUM(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(MAX(imgs) AS BIGINT) AS max_images,
+         |  (SUM(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) = 0) AS holds
+         |FROM (
+         |  SELECT $det, COUNT(DISTINCT $img) AS imgs
+         |  FROM $table GROUP BY $det
+         |) t""".stripMargin
+    Seq(piece("orders", "o_orderkey", "o_orderstatus"),
+      piece("orders", "o_custkey", "o_orderpriority"),
+      piece("lineitem", "l_orderkey", "l_linestatus"),
+      piece("lineitem", "l_partkey", "l_suppkey"),
+      piece("customer", "c_nationkey", "c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  /** §2.13u — candidate-key discovery: which single columns uniquely
+    * identify a row? Per table ONE aggregation computes row count plus
+    * an exact distinct count per column (Spark expands the grouping
+    * sets — still one scan, partial aggregation throughout; swap in
+    * approx_count_distinct for a first pass at extreme widths), then
+    * the per-column rows unpivot from the 1-row frame. The profiling
+    * complement of [[qcFd]]: a key is the degenerate FD that
+    * determines EVERY column. */
+  def qcKeys(spark: SparkSession, dir: String): DataFrame = {
+    def keys(table: String, cols: Seq[String]): DataFrame = {
+      val agg = Tables.load(spark, dir, table)
+        .agg(count(lit(1)).as("__n"),
+          cols.map(c => count_distinct(col(c)).as(s"__d_$c")): _*)
+      val stacked = explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(s"__d_$c").as("n_distinct"))): _*))
+      agg.select(col("__n"), stacked.as("kv"))
+        .select(lit(table).as("table_name"), col("kv.column_name"),
+          col("__n").as("n_rows"), col("kv.n_distinct"),
+          (col("kv.n_distinct") === col("__n")).as("is_key"))
+    }
+    Seq(
+      keys("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")),
+      keys("customer", Seq("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")))
+      .reduce(_ unionByName _)
+      .orderBy("table_name", "column_name")
+  }
+
+  val qcKeysSql: String = {
+    def piece(table: String, c: String) =
+      s"""SELECT '$table' AS table_name, '$c' AS column_name,
+         |  (SELECT COUNT(*) FROM $table) AS n_rows,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  (COUNT(DISTINCT $c) = (SELECT COUNT(*) FROM $table)) AS is_key
+         |FROM $table""".stripMargin
+    (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").map(piece("orders", _)) ++
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").map(piece("customer", _)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_fd" -> (qcFd _),
+    "qc_keys" -> (qcKeys _),
     "qc_cramers_v" -> (qcCramersV _),
     "qc_entropy_cols" -> (qcEntropyCols _),
     "qc_mad" -> (qcMad _),
@@ -819,6 +914,8 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_fd" -> qcFdSql,
+    "qc_keys" -> qcKeysSql,
     "qc_cramers_v" -> qcCramersVSql,
     "qc_entropy_cols" -> qcEntropyColsSql,
     "qc_mad" -> qcMadSql,

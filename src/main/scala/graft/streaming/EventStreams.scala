@@ -38,6 +38,32 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Windowed streaming heavy-hitters: the [[graft.operators
+    * .HeavyHitters]] Misra–Gries sketch as the aggregation state of a
+    * tumbling-window streaming aggregation. Because the sketch is a
+    * MERGEABLE Aggregator (partial buffers combine with the summed-
+    * merge + k-th-largest decrement, preserving the MG error bound
+    * across any merge tree), it drops into `agg(...)` like an
+    * algebraic aggregate: per-window state is O(capacity) no matter
+    * how many distinct values stream through — the bounded-memory
+    * top-k a stream over unbounded-cardinality values (URLs, user
+    * ids, raw tokens) needs, where a groupBy-count's state would grow
+    * with the distinct count. Append-mode emission once the watermark
+    * passes the window end; with capacity ≥ the true distinct count
+    * the emitted counts are exact (pinned against the batch
+    * expression in EventStreamSpec). */
+  def windowedTopValues(events: DataFrame, capacity: Int = 16,
+      windowLen: String = "1 day",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.operators.HeavyHitters.topValues(capacity)(col("event_type"))
+        .as("tv"))
+      .select(col("w.start").as("window_start"), explode(col("tv")).as("e"))
+      .select(col("window_start"), col("e._1").as("value"),
+        col("e._2").as("est_count"))
+
   /** Native `session_window` aggregation on a stream — LITERALLY the
     * batch expression of EventQueries.qeSessionWindow plus a watermark
     * (the point of the unified API: no gaps-and-islands rewrite, no

@@ -161,4 +161,42 @@ class EventStreamSpec extends SparkSpec {
       assert(want.nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming windowed heavy-hitters matches the batch sketch") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    // capacity 8 ≥ the 5 distinct event types (+ sentinel), so the MG
+    // sketch is exact counts and stream-vs-batch equality is strict —
+    // no tolerance window hiding a merge bug.
+    val query = EventStreams.windowedTopValues(stream.toDF(), capacity = 8)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -2))
+      query.processAllAvailable()
+
+      val got = spark.table("hh_out")
+        .where(col("value") =!= "__sentinel__")
+        .collect().map(_.toSeq).toSet
+      val want = Tables.load(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(graft.operators.HeavyHitters.topValues(8)(col("event_type"))
+          .as("tv"))
+        .select(col("w.start").as("window_start"),
+          explode(col("tv")).as("e"))
+        .select(col("window_start"), col("e._1").as("value"),
+          col("e._2").as("est_count"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
 }

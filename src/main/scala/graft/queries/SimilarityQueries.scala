@@ -324,7 +324,92 @@ object SimilarityQueries {
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
 
+  /** §2.27g — embedding-space QC: per-label centroid + distance
+    * dispersion + outlier census — "does each label's embedding cloud
+    * actually cohere, and which vectors don't belong?" (mislabeled or
+    * corrupted embeddings are invisible to row-level QC). Exactness
+    * discipline: cross-ROW float sums are accumulation-order-
+    * dependent, so every cross-row reduction here is over INTEGER
+    * micro-quantized values (floor(v·10⁶ + 0.5) — floor, not round:
+    * identical halfway behavior in both engines): centroid per-dim
+    * sums are exact bigints; each vector's distance² to the n-scaled
+    * centroid is an exact left-fold over the dimension axis
+    * ((qvᵢ·n − sᵢ)² summed into a DECIMAL(38,0) accumulator); RMS and
+    * max distances take ONE sqrt at the end; the outlier test
+    * (dist > 2·RMS) is the all-integer inequality dist²·n > 4·Σdist².
+    * Plan shape: one posexplode shuffle on (label, dim), centroids
+    * collapse to a |labels| broadcast frame, one more grouped pass —
+    * no pair joins, scales as corpus × dims. */
+  def qsCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "v -> cast(floor(v * 1000000.0 + 0.5) as bigint))").as("qv"))
+    val cent = q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("s"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("cs"))
+    val counts = q.groupBy("label").agg(count(lit(1)).as("n"))
+    val d = q.join(broadcast(cent), "label").join(broadcast(counts), "label")
+      .select(col("label"), col("n"),
+        aggregate(
+          zip_with(col("qv"), col("cs"),
+            (a, b) => (a * col("n") - b) * (a * col("n") - b)),
+          lit(0).cast("decimal(38,0)"),
+          (acc, x) => acc + x.cast("decimal(38,0)")).as("dist2"))
+    d.withColumn("sd", sum(col("dist2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("label")))
+      .groupBy("label")
+      .agg(max(col("n")).cast("bigint").as("n_vectors"),
+        round(sqrt(max(col("sd")).cast("double") / max(col("n")))
+          / (max(col("n")) * lit(1000000.0)), 6).as("rms_dist"),
+        round(sqrt(max(col("dist2")).cast("double"))
+          / (max(col("n")) * lit(1000000.0)), 6).as("max_dist"),
+        sum(when(col("dist2") * col("n") > lit(4) * col("sd"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_outliers"))
+      .orderBy("label")
+  }
+
+  val qsCentroidsSql: String =
+    s"""WITH q AS (
+       |  SELECT label, vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings
+       |), flat AS (
+       |  SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+       |  FROM q
+       |), c AS (
+       |  SELECT label, pos, SUM(v) AS s FROM flat GROUP BY label, pos
+       |), cl AS (
+       |  SELECT label, list(s ORDER BY pos) AS cs FROM c GROUP BY label
+       |), nn AS (
+       |  SELECT label, COUNT(*) AS n FROM q GROUP BY label
+       |), d AS (
+       |  SELECT q.label, q.vec_id, nn.n,
+       |    list_reduce(list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST((q.qv[i] * nn.n - cl.cs[i])
+       |             * (q.qv[i] * nn.n - cl.cs[i]) AS HUGEINT)),
+       |      (x, y) -> x + y) AS dist2
+       |  FROM q JOIN cl ON q.label = cl.label JOIN nn ON q.label = nn.label
+       |), dd AS (
+       |  SELECT *, SUM(dist2) OVER (PARTITION BY label) AS sd FROM d
+       |)
+       |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       |  round(sqrt(CAST(MAX(sd) AS DOUBLE) / MAX(n))
+       |    / (MAX(n) * 1000000.0), 6) AS rms_dist,
+       |  round(sqrt(CAST(MAX(dist2) AS DOUBLE))
+       |    / (MAX(n) * 1000000.0), 6) AS max_dist,
+       |  CAST(SUM(CASE WHEN dist2 * n > 4 * sd THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dd GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_centroids" -> (qsCentroids _),
     "qd_semantic" -> (qdSemantic _),
     "qs_quantize" -> (qsQuantize _),
     "qs_knn_brute" -> (qsKnnBrute _),
@@ -336,6 +421,7 @@ object SimilarityQueries {
     "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
+    "qs_centroids" -> qsCentroidsSql,
     "qd_semantic" -> qdSemanticSql,
     "qs_quantize" -> qsQuantizeSql,
     "qs_knn_brute" -> qsKnnBruteSql,

@@ -2429,7 +2429,55 @@ object EventQueries {
       |FROM g
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33au — transition-latency percentiles: how long users take
+    * between consecutive event types (the timing companion to
+    * [[qeTransitions]]' probabilities — a funnel that converts in
+    * hours is a different product than one that converts in seconds).
+    * One lead window per user (the same single shuffle as the
+    * transition matrix), exact integer-micro gaps, then per-pair
+    * p50/p90 via the exact `percentile` aggregate — whose 100 TB
+    * swap-in is approx_percentile exactly as [[Analytics
+    * .qPercentilesApprox]] documents; the per-group state here is
+    * bounded by transitions-per-pair, the concern and the remedy are
+    * identical. */
+  def qeStepLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .withColumn("gap_s",
+        (unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .cast("double") / lit(1000000.0))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        expr("percentile(gap_s, array(0.5D, 0.9D))").as("__p"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(element_at(col("__p"), 1), 6).as("p50_s"),
+        round(element_at(col("__p"), 2), 6).as("p90_s"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qeStepLatencySql: String =
+    """WITH l AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS DOUBLE)
+      |      / 1000000.0 AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT from_type, to_type, COUNT(*) AS n_transitions,
+      |  round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+      |  round(quantile_cont(gap_s, 0.9), 6) AS p90_s
+      |FROM l WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_step_latency" -> (qeStepLatency _),
     "qe_ab_ttest" -> (qeAbTtest _),
     "qe_concurrency" -> (qeConcurrency _),
     "qe_gini" -> (qeGini _),
@@ -2483,6 +2531,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_step_latency" -> qeStepLatencySql,
     "qe_ab_ttest" -> qeAbTtestSql,
     "qe_concurrency" -> qeConcurrencySql,
     "qe_gini" -> qeGiniSql,

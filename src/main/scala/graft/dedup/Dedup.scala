@@ -833,8 +833,14 @@ object Dedup {
     // The contribution stays the literal division __pr / deg — NOT a
     // precomputed 1/deg multiply, which would round twice and could
     // drift a ulp from the oracle's division.
+    // Hash-partition the edge list by the join key BEFORE the one-time
+    // checkpoint: every round joins on __src, and a checkpointed
+    // hash-partitioned big side satisfies the join's distribution
+    // requirement outright — only the (|V|-row) rank frame exchanges
+    // each round, never the (|E|-row) edge frame.
     val weighted = directed.join(deg, Seq("__src"))
       .select(col("__src"), col("__dst"), col("__deg").cast("double").as("__d"))
+      .repartition(col("__src"))
       .localCheckpoint()
     val n = deg.count().toDouble
     val teleport = (1.0 - damping) / n

@@ -847,11 +847,14 @@ object DedupQueries {
     * it cannot be used here); the pair walk is the same bucket-local
     * ordered-combination slice as the LSH path. */
   def qdWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = col("__toks")
-    val n = size(toks)
-    val posHashes = when(n >= 5, transform(sequence(lit(1), n - 4),
-      i => md5(concat_ws(" ", slice(toks, i, lit(5))))))
-      .otherwise(array().cast("array<string>"))
+    // Positional 5-gram hashes via the native one-pass expression
+    // (duplicates kept, document order) — value-identical to the
+    // portable `transform(sequence(1, size-4), i -> md5(concat_ws(" ",
+    // slice(toks, i, 5))))` composition the oracle recomputes (empty
+    // below 5 tokens), without the per-shingle lambda interpretation
+    // and slice allocation that dominated this query's scan stage.
+    val posHashes = org.apache.spark.sql.graft.WordShingles
+      .positional(col("__toks"), 5, hashed = true)
     val winnowed = when(size(col("__hs")) >= 4,
       array_distinct(transform(sequence(lit(1), size(col("__hs")) - 3),
         i => array_min(slice(col("__hs"), i, lit(4))))))

@@ -22,8 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * @param hashed emit `md5(shingle)` hex (the join-key-size variant the
   *               ngram pair operators use) instead of the raw text
+  * @param distinct first-occurrence-deduped (the Jaccard/minhash set
+  *                 semantics, default) vs POSITIONAL — every shingle in
+  *                 document order, duplicates kept — which is what
+  *                 winnowing's sliding-min windows need (dedup before
+  *                 the window would move fingerprint positions)
   */
-case class WordShingles(child: Expression, n: Int, hashed: Boolean)
+case class WordShingles(child: Expression, n: Int, hashed: Boolean,
+    distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   require(n > 0, s"shingle width must be positive, got $n")
 
@@ -34,14 +40,14 @@ case class WordShingles(child: Expression, n: Int, hashed: Boolean)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[ArrayData], n, hashed)
+    WordShingles.compute(input.asInstanceOf[ArrayData], n, hashed, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val cls = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
          |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
-         |  $cls.compute($arr, $n, $hashed);
+         |  $cls.compute($arr, $n, $hashed, $distinct);
        """.stripMargin
     })
 
@@ -54,11 +60,16 @@ object WordShingles {
     MessageDigest.getInstance("MD5"))
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  def compute(toks: ArrayData, n: Int, hashed: Boolean): GenericArrayData = {
+  def compute(toks: ArrayData, n: Int, hashed: Boolean,
+      distinct: Boolean = true): GenericArrayData = {
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    // First-occurrence order, as array_distinct keeps it.
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // Distinct mode: first-occurrence order, as array_distinct keeps it.
+    // Positional mode: every shingle in document order (a LinkedHashSet
+    // would silently move winnowing fingerprints).
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](len - n + 1)
     val md = if (hashed) digests.get() else null
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -105,4 +116,11 @@ object WordShingles {
   def ofColumn(toks: Column, n: Int, hashed: Boolean): Column =
     ExpressionUtils.column(
       WordShingles(ExpressionUtils.expression(toks), n, hashed))
+
+  /** Positional (non-distinct) variant: every shingle hash in document
+    * order, duplicates kept — the winnowing input. */
+  def positional(toks: Column, n: Int, hashed: Boolean): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(toks), n, hashed,
+        distinct = false))
 }

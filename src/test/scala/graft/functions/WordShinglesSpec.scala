@@ -52,4 +52,34 @@ class WordShinglesSpec extends SparkSpec {
       }
     }
   })
+
+  test("positional shingles equal the non-distinct composition")(withNoCodegenFallback {
+    val rnd = new Random(7)
+    val s = spark
+    import s.implicits._
+    val docs = (Seq("", "one", "a b c", "x x x x x x",
+      "repeat repeat repeat repeat repeat repeat repeat") ++
+      // Tight alphabet so duplicate shingles actually occur.
+      Seq.fill(40)(Seq.fill(rnd.nextInt(20))(
+        "abc".charAt(rnd.nextInt(3)).toString).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    for (n <- Seq(2, 5); hashed <- Seq(true, false)) {
+      val toks = split(col("text"), " ")
+      val piece = (i: org.apache.spark.sql.Column) =>
+        concat_ws(" ", slice(toks, i, lit(n)))
+      val portable = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => if (hashed) md5(piece(i)) else piece(i)))
+        .otherwise(array().cast("array<string>"))
+      val got = df.select(col("doc_id"),
+        WordShingles.positional(toks, n, hashed).as("sh"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      val want = df.select(col("doc_id"), portable.as("sh"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      got.zip(want).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"n=$n hashed=$hashed doc $i '${docs(i)._2}'")
+      }
+    }
+  })
 }

@@ -2476,7 +2476,53 @@ object EventQueries {
       |GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** §2.33av — Theil–Sen robust trend per user: the median of all
+    * pairwise day-slopes, the outlier-immune companion to [[qeTrend]]'s
+    * OLS slope (one anomalous day drags OLS arbitrarily; the pairwise
+    * median has a 29% breakdown point). The pair fan-out is per-user
+    * over the COLLAPSED daily frame — bounded by observation days
+    * squared per user (≤ C(31,2) here), never events — so the self-join
+    * shuffles the tiny (user, day, count) frame on user_id once. Each
+    * slope is one exact-integer-difference division; the median reuses
+    * the exact `percentile` ↔ `quantile_cont` parity (same approx
+    * swap-in note as [[Analytics.qPercentilesApprox]]). */
+  def qeTrendRobust(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+      .groupBy("user_id", "x").agg(count(lit(1)).as("y"))
+    val a = daily.select(col("user_id"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("user_id"), col("x").as("xb"), col("y").as("yb"))
+    a.join(b, Seq("user_id")).where(col("xa") < col("xb"))
+      .select(col("user_id"),
+        ((col("yb") - col("ya")).cast("double")
+          / (col("xb") - col("xa")).cast("double")).as("s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(s, 0.5D)").as("__m"))
+      .select(col("user_id"), col("n_pairs"),
+        round(col("__m"), 6).as("theil_sen_slope"))
+      .orderBy("user_id")
+  }
+
+  val qeTrendRobustSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.user_id,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+      |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.x < b.x
+      |)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  round(quantile_cont(s, 0.5), 6) AS theil_sen_slope
+      |FROM p GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_trend_robust" -> (qeTrendRobust _),
     "qe_step_latency" -> (qeStepLatency _),
     "qe_ab_ttest" -> (qeAbTtest _),
     "qe_concurrency" -> (qeConcurrency _),
@@ -2531,6 +2577,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_trend_robust" -> qeTrendRobustSql,
     "qe_step_latency" -> qeStepLatencySql,
     "qe_ab_ttest" -> qeAbTtestSql,
     "qe_concurrency" -> qeConcurrencySql,

@@ -892,7 +892,91 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
   }
 
+  /** §2.13v — mutual information between two categorical columns, in
+    * bits: the information-theoretic companion to 13s's Cramér's V
+    * (V measures association strength; MI measures how many bits one
+    * column reveals about the other — the feature-redundancy /
+    * leakage-screening read). One aggregation pass builds the
+    * contingency cells; marginals and the total are windows over that
+    * bounded |r|×|c| frame. The cross-cell sum of per-cell double
+    * terms would be accumulation-order-dependent as a SUM, so the
+    * cells collapse to ONE sorted array and reduce by an explicit
+    * left fold — deterministic on both engines (DuckDB's list_reduce
+    * is the same left fold; IEEE 0+x = x makes the seeds agree). */
+  def qcMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def mi(table: String, df: DataFrame, ca: Column, caName: String,
+        cb: Column, cbName: String): DataFrame = {
+      val cells = df.select(ca.cast("string").as("__a"),
+          cb.cast("string").as("__b"))
+        .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      val full = Window.partitionBy()
+      val term = (col("__c").cast("double") / col("__n").cast("double")) *
+        log2((col("__c").cast("double") * col("__n").cast("double"))
+          / (col("__ra").cast("double") * col("__rb").cast("double")))
+      cells
+        .withColumn("__ra", sum("__c").over(Window.partitionBy("__a")))
+        .withColumn("__rb", sum("__c").over(Window.partitionBy("__b")))
+        .withColumn("__n", sum("__c").over(full))
+        .select(struct(col("__a"), col("__b"), term.as("t")).as("__cell"),
+          col("__n"))
+        .groupBy()
+        .agg(max(col("__n")).cast("bigint").as("n_rows"),
+          count(lit(1)).cast("bigint").as("n_cells"),
+          aggregate(array_sort(collect_list(col("__cell"))), lit(0.0),
+            (acc, x) => acc + x.getField("t")).as("__mi"))
+        .select(lit(s"$table.$caName|$cbName").as("relation"),
+          col("n_rows"), col("n_cells"),
+          round(col("__mi"), 6).as("mi_bits"))
+    }
+    val orders = Tables.load(spark, dir, "orders")
+    val events = Tables.load(spark, dir, "events")
+    val customer = Tables.load(spark, dir, "customer")
+    Seq(
+      mi("orders", orders, col("o_orderstatus"), "o_orderstatus",
+        col("o_orderpriority"), "o_orderpriority"),
+      mi("events", events, col("event_type"), "event_type",
+        dayofweek(col("ts")), "dow"),
+      mi("customer", customer, col("c_mktsegment"), "c_mktsegment",
+        col("c_nationkey"), "c_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relation")
+  }
+
+  val qcMutualInfoSql: String = {
+    def piece(table: String, caExpr: String, caName: String,
+        cbExpr: String, cbName: String) =
+      s"""SELECT '$table.$caName|$cbName' AS relation,
+         |  CAST(MAX(n) AS BIGINT) AS n_rows, COUNT(*) AS n_cells,
+         |  round(list_reduce(
+         |    list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * log2((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+         |          / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)))
+         |      ORDER BY a, b),
+         |    (x, y) -> x + y), 6) AS mi_bits
+         |FROM (
+         |  SELECT a, b, c,
+         |    SUM(c) OVER (PARTITION BY a) AS ra,
+         |    SUM(c) OVER (PARTITION BY b) AS rb,
+         |    SUM(c) OVER () AS n
+         |  FROM (
+         |    SELECT CAST($caExpr AS VARCHAR) AS a,
+         |      CAST($cbExpr AS VARCHAR) AS b, COUNT(*) AS c
+         |    FROM $table GROUP BY 1, 2
+         |  ) cells
+         |) t""".stripMargin
+    Seq(
+      piece("orders", "o_orderstatus", "o_orderstatus",
+        "o_orderpriority", "o_orderpriority"),
+      piece("events", "event_type", "event_type",
+        "dayofweek(ts) + 1", "dow"),
+      piece("customer", "c_mktsegment", "c_mktsegment",
+        "c_nationkey", "c_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_mutual_info" -> (qcMutualInfo _),
     "qc_fd" -> (qcFd _),
     "qc_keys" -> (qcKeys _),
     "qc_cramers_v" -> (qcCramersV _),
@@ -914,6 +998,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_mutual_info" -> qcMutualInfoSql,
     "qc_fd" -> qcFdSql,
     "qc_keys" -> qcKeysSql,
     "qc_cramers_v" -> qcCramersVSql,

@@ -70,6 +70,20 @@ case class ViewCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Declared-schema gate ([[graft.rules.SchemaContract]]): verifies the
+  * input's schema against the declared columns BEFORE row-level rules
+  * run — pure driver-side metadata, zero jobs. A violation counts as a
+  * failed check toward the plan's exit status; the per-column report
+  * frame stores under `outputKey` like any command output. */
+case class SchemaCommand(
+    input: InputRef,
+    contract: Seq[graft.rules.ColumnContract],
+    allowExtra: Boolean = true,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

@@ -266,11 +266,25 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "schema" =>
+        SchemaCommand(
+          input = inputRef(node.get("input")),
+          contract = params.path("columns").elements().asScala.map { c =>
+            graft.rules.ColumnContract(
+              name = c.path("name").asText(),
+              dataType = c.path("type").asText(),
+              nullable = !c.has("nullable") || c.get("nullable").asBoolean())
+          }.toSeq,
+          allowExtra = node.path("allowExtra").asBoolean(true),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, or plan; got '$other'")
     }
   }
 

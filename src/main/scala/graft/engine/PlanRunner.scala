@@ -87,6 +87,11 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         store(ViewCreator.createView(spark,
           c.tableAliases.zip(c.inputs.map(resolve)), c.query), c)
         0
+      case c: SchemaCommand =>
+        val input = resolve(c.input)
+        store(graft.rules.SchemaContract.report(spark, input, c.contract), c)
+        if (graft.rules.SchemaContract.passed(input, c.contract, c.allowExtra)) 0
+        else 1
       case c: PlanCommand =>
         runCommands(c.plan.commands, reports)
     }.sum

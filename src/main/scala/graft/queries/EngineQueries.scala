@@ -77,11 +77,60 @@ object EngineQueries {
   val qcSourceCsvSql: String =
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
 
+  /** §2.13b2 — schema-contract gate through the plan engine: the `schema`
+    * command checks declared (name, type, nullable) columns against the
+    * orders table BEFORE row-level rules would run. The contract here
+    * deliberately drifts (o_custkey declared int vs actual bigint;
+    * o_comment declared but absent) so every report status appears. The
+    * check is pure driver-side metadata — zero jobs at any scale — and
+    * the report is fully determined by the table's schema, so the oracle
+    * pins the expected rows as literals (also a regression tripwire if
+    * the driver regenerates the parquet with different physical types;
+    * o_orderdate asserting `timestamp` pins the NTZ normalization in
+    * Tables.load). */
+  def qcSchema(spark: SparkSession, dir: String): DataFrame = {
+    val planJson =
+      """{
+        |  "commands": [
+        |    {"command": "schema",
+        |     "input": {"ref": "orders", "onDisk": false},
+        |     "params": {"columns": [
+        |        {"name": "o_orderkey", "type": "bigint"},
+        |        {"name": "o_custkey", "type": "int"},
+        |        {"name": "o_orderstatus", "type": "string"},
+        |        {"name": "o_totalprice", "type": "double"},
+        |        {"name": "o_orderdate", "type": "timestamp"},
+        |        {"name": "o_comment", "type": "string"}]},
+        |     "outputKey": "schema_report"}
+        |  ]
+        |}""".stripMargin
+    val plan = PlanParser.parse(planJson)
+    new PlanRunner(spark)
+      .register("orders", graft.Tables.load(spark, dir, "orders"))
+      .run(plan)
+      .outputs("schema_report")
+      .orderBy("column_name")
+  }
+
+  val qcSchemaSql: String =
+    """SELECT * FROM (VALUES
+      |  ('o_comment', 'string', CAST(NULL AS VARCHAR), 'missing'),
+      |  ('o_custkey', 'int', 'bigint', 'type_mismatch'),
+      |  ('o_orderdate', 'timestamp', 'timestamp', 'ok'),
+      |  ('o_orderkey', 'bigint', 'bigint', 'ok'),
+      |  ('o_orderpriority', CAST(NULL AS VARCHAR), 'string', 'unexpected'),
+      |  ('o_orderstatus', 'string', 'string', 'ok'),
+      |  ('o_totalprice', 'double', 'double', 'ok')
+      |) AS t(column_name, expected_type, actual_type, status)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_plan" -> (qcPlan _),
-    "qc_source_csv" -> (qcSourceCsv _))
+    "qc_source_csv" -> (qcSourceCsv _),
+    "qc_schema" -> (qcSchema _))
 
   val oracles: Map[String, String] = Map(
     "qc_plan" -> qcPlanSql,
-    "qc_source_csv" -> qcSourceCsvSql)
+    "qc_source_csv" -> qcSourceCsvSql,
+    "qc_schema" -> qcSchemaSql)
 }

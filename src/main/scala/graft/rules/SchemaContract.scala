@@ -1,0 +1,75 @@
+package graft.rules
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Declared-schema enforcement — the contract gate that runs BEFORE any
+  * row-level rule: a feed whose upstream silently widened a column to
+  * string, dropped a field, or reordered into a new column breaks every
+  * downstream assumption, and row-level QC sees only the symptoms.
+  * Checking is pure driver-side metadata (df.schema) — zero jobs, zero
+  * scans, so the gate is free at any data scale and belongs at the top
+  * of every plan.
+  *
+  * Types compare on Catalyst `simpleString` (e.g. "bigint",
+  * "decimal(12,2)", "array<double>") — the stable, case-insensitive
+  * surface users write in DDL. Nullability is one-directional: an
+  * actual-nullable column violates a non-nullable contract, while an
+  * actual-non-nullable column always satisfies a nullable one.
+  */
+case class ColumnContract(name: String, dataType: String,
+    nullable: Boolean = true)
+
+object SchemaContract {
+
+  /** Per-column comparison report: one row per contract column plus one
+    * per unexpected actual column — (column_name, expected_type,
+    * actual_type, status) with status ∈ ok | type_mismatch |
+    * nullability_violation | missing | unexpected. `unexpected` rows
+    * are informational unless `allowExtra = false` makes them
+    * violations (`passed` counts them). */
+  def report(spark: SparkSession, df: DataFrame,
+      contract: Seq[ColumnContract]): DataFrame = {
+    val actual = df.schema.map(f => f.name -> f).toMap
+    val declared = contract.map(_.name).toSet
+    val rows =
+      contract.map { c =>
+        actual.get(c.name) match {
+          case None =>
+            Row(c.name, c.dataType, null, "missing")
+          case Some(f) =>
+            val t = f.dataType.simpleString
+            val status =
+              if (!t.equalsIgnoreCase(c.dataType)) "type_mismatch"
+              else if (f.nullable && !c.nullable) "nullability_violation"
+              else "ok"
+            Row(c.name, c.dataType, t, status)
+        }
+      } ++
+      df.schema.filterNot(f => declared(f.name)).map { f =>
+        Row(f.name, null, f.dataType.simpleString, "unexpected")
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType),
+        StructField("expected_type", StringType, nullable = true),
+        StructField("actual_type", StringType, nullable = true),
+        StructField("status", StringType))))
+  }
+
+  /** True iff every contract column is `ok` and (unless `allowExtra`)
+    * no undeclared columns exist. Pure metadata — no job runs. */
+  def passed(df: DataFrame, contract: Seq[ColumnContract],
+      allowExtra: Boolean = true): Boolean = {
+    val actual = df.schema.map(f => f.name -> f).toMap
+    val declared = contract.map(_.name).toSet
+    val contractOk = contract.forall { c =>
+      actual.get(c.name).exists { f =>
+        f.dataType.simpleString.equalsIgnoreCase(c.dataType) &&
+          (c.nullable || !f.nullable)
+      }
+    }
+    contractOk && (allowExtra || df.schema.forall(f => declared(f.name)))
+  }
+}

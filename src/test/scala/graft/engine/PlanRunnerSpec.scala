@@ -33,6 +33,29 @@ class PlanRunnerSpec extends SparkSpec {
     assert(res.reports.head._2.head.numInvalid === 1)
   }
 
+  test("schema command gates the plan: conforming passes, drift fails") {
+    val src = Seq((1L, "a")).toDF("id", "name")
+    def plan(idType: String) = PlanParser.parse(
+      s"""{
+         |  "commands": [
+         |    {"command": "schema",
+         |     "input": {"ref": "src", "onDisk": false},
+         |     "params": {"columns": [
+         |        {"name": "id", "type": "$idType"},
+         |        {"name": "name", "type": "string"}]},
+         |     "outputKey": "schema_report"}
+         |  ]
+         |}""".stripMargin)
+    val ok = new PlanRunner(spark).register("src", src).run(plan("bigint"))
+    assert(ok.numFailedAssertions === 0)
+    assert(ok.exitCode === 0)
+    val drifted = new PlanRunner(spark).register("src", src).run(plan("int"))
+    assert(drifted.numFailedAssertions === 1)
+    assert(drifted.exitCode === 3)
+    assert(drifted.outputs("schema_report")
+      .where("status = 'type_mismatch'").count() === 1)
+  }
+
   test("nested plans share the lookup table") {
     val runner = new PlanRunner(spark)
       .register("src", Seq((1, 2)).toDF("a", "b"))

@@ -455,6 +455,76 @@ object Dedup {
         col("containment_in_b") >= minContainment)
   }
 
+  /** EXACT token-set similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al.
+    * ICDE'06): every pair with Jaccard(tokens) ≥ `minJaccard`, zero
+    * false negatives, WITHOUT a full inverted index and without
+    * MinHash's false-negative risk.
+    *
+    * Where [[jaccardNeighbors]] posts EVERY distinct token of every doc
+    * and accrues intersections across all shared tokens, this indexes
+    * only each doc's PREFIX — its `|d| − ⌈τ·|d|⌉ + 1` globally rarest
+    * tokens. Prefix-filtering lemma: under any global token order, two
+    * sets with overlap ≥ α share a token inside their
+    * `(size − α + 1)`-prefixes; Jaccard ≥ τ implies overlap ≥
+    * ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ·|d|⌉ for each side, so the prefix join's
+    * candidates are a guaranteed superset of the answer. At τ = 0.6 the
+    * posting index shrinks ~2.5× and — decisive for scale — the
+    * high-frequency head tokens (the skewed buckets that dominate a
+    * full-index self-join) appear LAST in the document-frequency order
+    * and mostly never enter any prefix. Candidates then pass a length
+    * filter (τ·max ≤ min, a Jaccard necessity) and ONE exact
+    * array_intersect verification per distinct pair.
+    *
+    * Shuffles: token-df count, df join (token-keyed), per-doc rank
+    * window (doc-keyed, bounded rows per doc), prefix self-join
+    * (token-keyed), pair distinct, two id-keyed verify joins — all on
+    * natural keys, no global ordering anywhere.
+    */
+  def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double, n: Int = 1): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "prefix filtering requires 0 < minJaccard <= 1")
+    // Set representation: distinct tokens (n = 1) or distinct hashed
+    // word n-gram shingles — unigram sets are too coarse for templated
+    // corpora sharing a vocabulary; shingles carry word order.
+    val setCol =
+      if (n == 1) array_distinct(tokens(col(textCol)))
+      else org.apache.spark.sql.graft.WordShingles
+        .ofColumn(tokens(col(textCol)), n, hashed = true)
+    val toks = df
+      .select(col(idCol).as("__id"), setCol.as("__toks"))
+      .withColumn("__sz", size(col("__toks")))
+    val posting = toks.select(col("__id"), col("__sz"),
+      explode(col("__toks")).as("__tok"))
+    val dfreq = posting.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // Rank each doc's tokens rarest-first; keep the prefix. The window
+    // partitions by doc id — per-partition work is bounded by document
+    // length, never corpus-wide.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df"), col("__tok"))
+    val prefix = posting.join(dfreq, "__tok")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__sz") - ceil(col("__sz") * lit(minJaccard)) + 1)
+      .select(col("__tok"), col("__id"), col("__sz"))
+    val cand = prefix.toDF("__tok", "id_a", "sz_a")
+      .join(prefix.toDF("__tok", "id_b", "sz_b"), "__tok")
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          greatest(col("sz_a"), col("sz_b")) * lit(minJaccard))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(toks.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__sz").as("__na")), "id_a")
+      .join(toks.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__sz").as("__nb")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("__na") + col("__nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** Shared inverted-index core of [[jaccardNeighbors]] /
     * [[containmentNeighbors]]: per-doc distinct-shingle counts and
     * per-pair intersection counts, pairs generated bucket-locally. */

@@ -262,6 +262,41 @@ object DedupQueries {
       |    OR len(list_intersect(a.g, b.g)) / CAST(len(b.g) AS DOUBLE) >= 0.05)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.24f — EXACT Jaccard ≥ 0.6 set-similarity join over 3-gram
+    * shingle sets via prefix filtering ([[Dedup.prefixJaccardJoin]],
+    * the AllPairs/PPJoin family): the zero-false-negative complement
+    * to MinHash-LSH — candidate pairs come only from each doc's rarest
+    * `(1−τ)|d|+1` shingles (a guaranteed superset by the
+    * prefix-filtering lemma), then ONE exact array_intersect
+    * verification per pair. The oracle is the brute all-pairs join,
+    * proving the pruned plan loses nothing. */
+  def qdPrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardJoin(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 0.6, n = 3)
+      .orderBy("id_a", "id_b")
+
+  val qdPrefixJoinSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS toks
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_common,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |    AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  AND len(a.toks) > 0 AND len(b.toks) > 0
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |    >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.24b — Levenshtein near-dup re-rank over 40-char prefixes of the
     * MinHash-LSH candidate pairs ([[Dedup.editDistanceRerank]] over
     * [[Dedup.minhashCandidatePairs]]): the character-level re-rank
@@ -999,6 +1034,7 @@ object DedupQueries {
     "qd_simhash_pairs" -> (qdSimhashPairs _),
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
     "qd_containment" -> (qdContainment _),
+    "qd_prefix_join" -> (qdPrefixJoin _),
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
@@ -1025,6 +1061,7 @@ object DedupQueries {
     "qd_simhash_pairs" -> qdSimhashPairsSql,
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
     "qd_containment" -> qdContainmentSql,
+    "qd_prefix_join" -> qdPrefixJoinSql,
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,

@@ -975,7 +975,67 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  /** §2.13w — KMV distinct-count sketch audit per source
+    * ([[graft.operators.KmvSketch]]): the k smallest md5 token hashes
+    * give estimate (k−1)·2³²/h₍ₖ₎ of the source's distinct-token count,
+    * reported against the exact count. The sketch is the bounded-state
+    * COUNT(DISTINCT) swap-in that, unlike HLL, is deterministic and
+    * engine-portable — this oracle replays the ENTIRE sketch pipeline
+    * (hashing, k-min selection, estimator arithmetic) value-exactly in
+    * SQL, which no HLL register layout allows. Raw (source, token_hash)
+    * rows feed the aggregator directly: duplicates are absorbed by the
+    * distinct insert, partials combine map-side, and only ≤ k-entry
+    * states cross the shuffle — no exploded-postings distinct first.
+    * The exact count runs alongside for the report; production at
+    * unbounded cardinality drops it and keeps the sketch. */
+  def qcKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{md5Hash32, tokens}
+    import graft.operators.KmvSketch
+    val k = 64
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("__tok"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("__tok")).as("n_distinct_exact"),
+        KmvSketch.kmins(k)(md5Hash32(col("__tok"))).as("__kmins"))
+      .select(col("source"), col("n_distinct_exact"),
+        size(col("__kmins")).as("n_sketch"),
+        element_at(col("__kmins"), -1).as("kth_hash"),
+        when(size(col("__kmins")) < k, size(col("__kmins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("__kmins"), -1).cast("double"))
+          .as("kmv_estimate"))
+      .orderBy("source")
+  }
+
+  val qcKmvSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      |  FROM toks
+      |), ranked AS (
+      |  SELECT source, h,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM hashed
+      |), km AS (
+      |  SELECT source, CAST(COUNT(*) AS INT) AS n_sketch, MAX(h) AS kth_hash
+      |  FROM ranked WHERE rn <= 64 GROUP BY source
+      |), ex AS (
+      |  SELECT source, COUNT(DISTINCT tok) AS n_distinct_exact
+      |  FROM toks GROUP BY source
+      |)
+      |SELECT km.source, ex.n_distinct_exact, km.n_sketch, km.kth_hash,
+      |  CASE WHEN km.n_sketch < 64 THEN CAST(km.n_sketch AS DOUBLE)
+      |       ELSE 63.0 * 4294967296.0 / CAST(km.kth_hash AS DOUBLE)
+      |  END AS kmv_estimate
+      |FROM km JOIN ex ON km.source = ex.source
+      |ORDER BY km.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_kmv" -> (qcKmv _),
     "qc_mutual_info" -> (qcMutualInfo _),
     "qc_fd" -> (qcFd _),
     "qc_keys" -> (qcKeys _),
@@ -998,6 +1058,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_kmv" -> qcKmvSql,
     "qc_mutual_info" -> qcMutualInfoSql,
     "qc_fd" -> qcFdSql,
     "qc_keys" -> qcKeysSql,

@@ -297,6 +297,50 @@ object DedupQueries {
       |    >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.24g — blocked sorted-neighborhood near-dup pass
+    * ([[Dedup.sortedNeighborPairs]]): records sort inside their 6-char
+    * text-prefix block, every pair within rank distance ≤ 5 is a
+    * candidate, verified by exact 3-gram Jaccard ≥ 0.6. The
+    * bounded-cost blocking geometry (≤ w candidates per record by
+    * construction) next to LSH bands and prefix postings; the oracle
+    * replays block, rank window, neighbor probe, and verification. */
+  def qdSortedNeighbors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", blockLen = 6, windowSize = 5, n = 3, minJaccard = 0.6)
+      .orderBy("id_a", "id_b")
+
+  val qdSortedNeighborsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, substr(text, 1, 6) AS b,
+      |    ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 6)
+      |                       ORDER BY text, doc_id) AS rn
+      |  FROM documents
+      |), cand AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+      |    greatest(a.doc_id, b.doc_id) AS id_b
+      |  FROM ranked a JOIN ranked b
+      |    ON a.b = b.b AND b.rn - a.rn BETWEEN 1 AND 5
+      |)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(len(list_intersect(x.g, y.g)) AS INT) AS n_common,
+      |  CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+      |    / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+      |FROM cand c
+      |JOIN sh x ON c.id_a = x.doc_id
+      |JOIN sh y ON c.id_b = y.doc_id
+      |WHERE len(x.g) > 0 AND len(y.g) > 0
+      |  AND CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+      |    / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.24b — Levenshtein near-dup re-rank over 40-char prefixes of the
     * MinHash-LSH candidate pairs ([[Dedup.editDistanceRerank]] over
     * [[Dedup.minhashCandidatePairs]]): the character-level re-rank
@@ -1035,6 +1079,7 @@ object DedupQueries {
     "qd_ngram_jaccard" -> (qdNgramJaccard _),
     "qd_containment" -> (qdContainment _),
     "qd_prefix_join" -> (qdPrefixJoin _),
+    "qd_sorted_neighbors" -> (qdSortedNeighbors _),
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
@@ -1062,6 +1107,7 @@ object DedupQueries {
     "qd_ngram_jaccard" -> qdNgramJaccardSql,
     "qd_containment" -> qdContainmentSql,
     "qd_prefix_join" -> qdPrefixJoinSql,
+    "qd_sorted_neighbors" -> qdSortedNeighborsSql,
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,

@@ -142,7 +142,61 @@ object MultimodalQueries {
       |FROM c GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY chunk_md5""".stripMargin
 
+  /** §2.35d — perceptual-hash near-dup pairs over binary assets
+    * ([[Multimodal.dhash64]]): 64-bit difference hash from the stub
+    * decoder's byte signal, candidate pairs = Hamming ≤ 16 within a
+    * media-type block (random pairs center at ~32 bits, so 16 is a 4σ
+    * separation). The hash rides as two sign-safe 32-bit halves; the
+    * oracle replays segment sums, gradient bits, and the blocked
+    * Hamming join over the same bytes (ASCII: code points == bytes). */
+  def qmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.dhash64(
+      Multimodal.asMedia(Tables.load(spark, dir, "documents"))).toDF()
+    val a = h.select(col("media_type"), col("doc_id").as("id_a"),
+      col("dhash_lo").as("__lo_a"), col("dhash_hi").as("__hi_a"))
+    val b = h.select(col("media_type"), col("doc_id").as("id_b"),
+      col("dhash_lo").as("__lo_b"), col("dhash_hi").as("__hi_b"))
+    a.join(b, "media_type")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("__lo_a").bitwiseXOR(col("__lo_b"))) +
+          bit_count(col("__hi_a").bitwiseXOR(col("__hi_b")))).cast("int"))
+      .where(col("hamming") <= 16)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val qmPhashPairsSql: String =
+    """WITH seg AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(0, 65), j ->
+      |      coalesce(list_sum(list_transform(
+      |        range((j * length(text)) // 65 + 1,
+      |              ((j + 1) * length(text)) // 65 + 1),
+      |        i -> unicode(substr(text, CAST(i AS INT), 1)))), 0)) AS s
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, source,
+      |    CAST(coalesce(list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN s[CAST(b AS INT) + 2] > s[CAST(b AS INT) + 1]
+      |           THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)), 0)
+      |      AS BIGINT) AS dhash_lo,
+      |    CAST(coalesce(list_sum(list_transform(range(32, 64), b ->
+      |      CASE WHEN s[CAST(b AS INT) + 2] > s[CAST(b AS INT) + 1]
+      |           THEN (1::BIGINT << (CAST(b AS INT) - 32)) ELSE 0 END)), 0)
+      |      AS BIGINT) AS dhash_hi
+      |  FROM seg
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.dhash_lo, b.dhash_lo)) +
+      |       bit_count(xor(a.dhash_hi, b.dhash_hi)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash_lo, b.dhash_lo)) +
+      |      bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm_phash_pairs" -> (qmPhashPairs _),
     "qm_binary_features" -> (qmBinaryFeatures _),
     "qm_frames" -> (qmFrames _),
     "qm_chunks" -> (qmChunks _),
@@ -150,6 +204,7 @@ object MultimodalQueries {
     "qm_shared_chunks" -> (qmSharedChunks _))
 
   val oracles: Map[String, String] = Map(
+    "qm_phash_pairs" -> qmPhashPairsSql,
     "qm_binary_features" -> qmBinaryFeaturesSql,
     "qm_frames" -> qmFramesSql,
     "qm_chunks" -> qmChunksSql,

@@ -44,6 +44,30 @@ class MultimodalSpec extends SparkSpec {
     assert(f.content_md5.length == 32)
   }
 
+  test("dhash64: identical bytes hash identically, local edits flip few bits") {
+    val s = spark
+    import s.implicits._
+    val base = ("x" * 300 + "y" * 300 + "z" * 300).getBytes("UTF-8")
+    val edited = base.clone(); edited(450) = 'q'.toByte // one mid-signal byte
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "blob/a", base, base.length.toLong),
+      Multimodal.MediaRecord(2L, "blob/a", base.clone(), base.length.toLong),
+      Multimodal.MediaRecord(3L, "blob/a", edited, edited.length.toLong)
+    ).toDS()
+    val h = Multimodal.dhash64(media).collect().sortBy(_.doc_id)
+    def ham(a: Multimodal.MediaDhash, b: Multimodal.MediaDhash): Int =
+      java.lang.Long.bitCount(a.dhash_lo ^ b.dhash_lo) +
+        java.lang.Long.bitCount(a.dhash_hi ^ b.dhash_hi)
+    assert(ham(h(0), h(1)) == 0)          // exact dup
+    assert(ham(h(0), h(2)) <= 4)          // one byte -> few gradient bits
+    // Halves are unsigned 32-bit values.
+    assert(h.forall(x => x.dhash_lo >= 0 && x.dhash_lo < (1L << 32)))
+    assert(h.forall(x => x.dhash_hi >= 0 && x.dhash_hi < (1L << 32)))
+    // Partitioning does not change the hash.
+    val again = Multimodal.dhash64(media.repartition(3)).collect().sortBy(_.doc_id)
+    assert(again.toSeq == h.toSeq)
+  }
+
   test("binaryFile source ingests raw files into the media pipeline") {
     val base = java.nio.file.Paths.get("/tmp/graft_binfiles")
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)

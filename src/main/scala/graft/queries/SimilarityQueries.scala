@@ -408,7 +408,33 @@ object SimilarityQueries {
        |FROM dd GROUP BY label
        |ORDER BY label""".stripMargin
 
+  /** §2.27h — LSH index-health histogram ([[Knn.lshBucketStats]]): the
+    * pre-flight read on the ANN index BEFORE the search join runs —
+    * per bucket-size class, bucket count, vectors held, and the
+    * C(size,2) in-bucket candidate pairs the search would generate
+    * (fat head = too few hyperplanes, degenerating toward all-pairs;
+    * size-1 tail = vectors with zero recall). Same measurement role as
+    * [qd_band_stats] plays for MinHash-LSH. */
+  def qsLshStats(spark: SparkSession, dir: String): DataFrame =
+    Knn.lshBucketStats(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", NumPlanes, Dims)
+      .orderBy("bucket_size")
+
+  val qsLshStatsSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), bs AS (
+       |  SELECT bucket, COUNT(*) AS sz FROM bucketed GROUP BY bucket
+       |)
+       |SELECT sz AS bucket_size, COUNT(*) AS n_buckets,
+       |  sz * COUNT(*) AS n_vectors,
+       |  COUNT(*) * (sz * (sz - 1) // 2) AS n_candidate_pairs
+       |FROM bs GROUP BY sz
+       |ORDER BY bucket_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_lsh_stats" -> (qsLshStats _),
     "qs_centroids" -> (qsCentroids _),
     "qd_semantic" -> (qdSemantic _),
     "qs_quantize" -> (qsQuantize _),
@@ -421,6 +447,7 @@ object SimilarityQueries {
     "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
+    "qs_lsh_stats" -> qsLshStatsSql,
     "qs_centroids" -> qsCentroidsSql,
     "qd_semantic" -> qdSemanticSql,
     "qs_quantize" -> qsQuantizeSql,

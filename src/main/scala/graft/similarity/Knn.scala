@@ -348,6 +348,34 @@ object Knn {
       .where(col("rank") <= k)
   }
 
+  /** LSH index-health histogram — the ANN counterpart of the MinHash
+    * band-bucket report: bucket-size distribution with, per size
+    * class, the bucket count, vectors held, and in-bucket candidate
+    * pairs C(size, 2) the search join would generate. Read BEFORE the
+    * expensive search runs: a fat head size class means the hyperplane
+    * count is too low (buckets collapse and the "approximate" search
+    * degenerates toward all-pairs); many size-1 buckets at the tail
+    * quantify recall risk (singleton vectors see no candidates). Two
+    * combinable aggregations over (bucket) then (size); output is
+    * ≤ 2^numPlanes rows collapsed to size classes. */
+  def lshBucketStats(corpus: DataFrame, vecCol: String, idCol: String,
+      numPlanes: Int, dims: Int): DataFrame = {
+    val ps = planes(numPlanes, dims)
+    corpus.select(col(idCol).as("__id"), asDoubles(col(vecCol)).as("__v"))
+      .withColumn("bucket", bucketId(col("__v"), ps))
+      .groupBy("bucket").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("bucket_size"), col("n_buckets"),
+        (col("bucket_size") * col("n_buckets")).as("n_vectors"),
+        // Integral `div`, not `/`: double division loses exactness past
+        // 2^53 candidate pairs — reachable for a degenerate head bucket
+        // at corpus scale.
+        expr("n_buckets * (bucket_size * (bucket_size - 1) div 2)")
+          .as("n_candidate_pairs"))
+      .orderBy("bucket_size")
+  }
+
   /** Approximate top-k: rank within LSH buckets only.
     * Returns (q_id, neighbor_id, bucket, cosine, rank). */
   def lshTopK(corpus: DataFrame, vecCol: String, idCol: String,

@@ -96,4 +96,23 @@ class KnnSpec extends SparkSpec {
     assert(p1 == p2)
     assert(p1.flatten.forall(w => w >= -1.0 && w <= 1.0))
   }
+
+  test("lshBucketStats accounts for every vector and its pair arithmetic") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(3)
+    val corpus = (1L to 200L).map(id =>
+      id -> Seq.fill(8)(rng.nextDouble() * 2 - 1)).toDF("vec_id", "embedding")
+    val stats = Knn.lshBucketStats(corpus, "embedding", "vec_id", 3, 8)
+      .collect()
+    assert(stats.map(_.getLong(2)).sum == 200L) // n_vectors partitions corpus
+    stats.foreach { r =>
+      val (sz, nb, nv, np) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nv == sz * nb)
+      assert(np == nb * (sz * (sz - 1) / 2))
+    }
+    // 3 planes -> at most 8 buckets.
+    assert(stats.map(_.getLong(1)).sum <= 8)
+  }
 }

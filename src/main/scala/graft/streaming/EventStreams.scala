@@ -64,6 +64,32 @@ object EventStreams {
       .select(col("window_start"), col("e._1").as("value"),
         col("e._2").as("est_count"))
 
+  /** Windowed streaming distinct-count monitor on the mergeable
+    * [[graft.operators.KmvSketch]]: per tumbling window, the k
+    * smallest md5 user-id hashes as the aggregation state — O(k) per
+    * window regardless of how many distinct users stream through,
+    * where a COUNT(DISTINCT) would hold every id in state (and is not
+    * supported in streaming aggregations at all). Emits the sketch
+    * fill plus the KMV estimate; while a window sees fewer than k
+    * distinct ids the estimate IS the exact count (the sketch holds
+    * every hash), so parity against batch is strict. Append-mode
+    * emission once the watermark passes the window end. */
+  def windowedDistinctKmv(events: DataFrame, k: Int = 64,
+      windowLen: String = "1 day",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.operators.KmvSketch.kmins(k)(
+        graft.functions.Portable.md5Hash32(col("user_id").cast("string")))
+        .as("km"))
+      .select(col("w.start").as("window_start"),
+        size(col("km")).as("n_sketch"),
+        when(size(col("km")) < k, size(col("km")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("km"), -1).cast("double"))
+          .as("distinct_estimate"))
+
   /** Native `session_window` aggregation on a stream — LITERALLY the
     * batch expression of EventQueries.qeSessionWindow plus a watermark
     * (the point of the unified API: no gaps-and-islands rewrite, no

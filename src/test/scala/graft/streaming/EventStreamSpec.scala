@@ -162,6 +162,45 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed KMV distinct monitor matches batch, exactly below k") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.windowedDistinctKmv(stream.toDF(), k = 64)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -2))
+      query.processAllAvailable()
+
+      val got = spark.table("kmv_out").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getDouble(2))).toSet
+      val batchDf = Tables.load(spark, dir, "events")
+      val want = EventStreams.windowedDistinctKmv(batchDf, k = 64)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+      // Exactness guarantee: windows under k distinct users report the
+      // exact distinct count, not an estimate.
+      val exact = batchDf.groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(countDistinct(col("user_id")).as("nd"))
+        .select(col("w.start"), col("nd")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      got.foreach { case (ws, nSketch, est) =>
+        if (nSketch < 64) assert(est == exact(ws).toDouble)
+      }
+      assert(got.exists(_._2 < 64)) // the exact regime is actually exercised
+    } finally query.stop()
+  }
+
   test("streaming windowed heavy-hitters matches the batch sketch") {
     val s = spark
     import s.implicits._

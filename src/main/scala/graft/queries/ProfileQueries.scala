@@ -1034,8 +1034,110 @@ object ProfileQueries {
       |FROM km JOIN ex ON km.source = ex.source
       |ORDER BY km.source""".stripMargin
 
+  /** §2.13x — Mahalanobis multivariate outlier census per group: rows
+    * whose (quantity, price) pair is improbable under the group's 2-D
+    * covariance — the correlated-columns complement of the univariate
+    * z-score screen (13d), which cannot flag a row that is normal in
+    * each margin but abnormal jointly. Closed-form 2×2 inverse, so no
+    * linear algebra library: d² = (dx²·vyy − 2·dx·dy·vxy + dy²·vxx)/det.
+    * Moments come from ONE decimal-exact aggregation (the qc_corr
+    * discipline); the tiny per-group moment frame broadcasts back onto
+    * the fact scan for the census pass — two scans, one shuffle each,
+    * no window. Threshold 9.21034 = χ²(2 df) at 99%. Every double op
+    * is staged identically in both engines, so the census booleans and
+    * rounded extremes hash-match. */
+  def qcMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val x = col("l_quantity").cast("decimal(18,4)")
+    val y = col("l_extendedprice").cast("decimal(18,4)")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("__x"),
+        col("l_extendedprice").cast("double").as("__y"))
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        dsum(x).as("__sx"), dsum(y).as("__sy"),
+        dsum(x * y).as("__sxy"), dsum(x * x).as("__sxx"),
+        dsum(y * y).as("__syy"))
+      .select(col("l_returnflag"), col("__n"),
+        (col("__sx") / col("__n")).as("__mux"),
+        (col("__sy") / col("__n")).as("__muy"),
+        col("__sxx"), col("__sxy"), col("__syy"))
+      .select(col("l_returnflag"), col("__n"), col("__mux"), col("__muy"),
+        (col("__sxx") / col("__n") - col("__mux") * col("__mux")).as("__vxx"),
+        (col("__sxy") / col("__n") - col("__mux") * col("__muy")).as("__vxy"),
+        (col("__syy") / col("__n") - col("__muy") * col("__muy")).as("__vyy"))
+      .withColumn("__det",
+        col("__vxx") * col("__vyy") - col("__vxy") * col("__vxy"))
+    li.join(broadcast(m), "l_returnflag")
+      .withColumn("__dx", col("__x") - col("__mux"))
+      .withColumn("__dy", col("__y") - col("__muy"))
+      .withColumn("__d2",
+        (col("__dx") * col("__dx") * col("__vyy") -
+          lit(2.0) * col("__dx") * col("__dy") * col("__vxy") +
+          col("__dy") * col("__dy") * col("__vxx")) / col("__det"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__d2") > 9.21034, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("__d2")), 6).as("max_d2"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n_rows").cast("double"), 6))
+      .select("l_returnflag", "n_rows", "n_outliers", "outlier_rate", "max_d2")
+      .orderBy("l_returnflag")
+  }
+
+  val qcMahalanobisSql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS DOUBLE) AS x,
+      |    CAST(l_extendedprice AS DOUBLE) AS y,
+      |    CAST(l_quantity AS DECIMAL(19,4)) AS xd,
+      |    CAST(l_extendedprice AS DECIMAL(19,4)) AS yd
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(xd AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(yd AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(xd * yd AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(xd * xd AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(yd * yd AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      |  FROM f GROUP BY l_returnflag
+      |), mu AS (
+      |  SELECT l_returnflag, n, sx / n AS mux, sy / n AS muy,
+      |    sxx, sxy, syy
+      |  FROM s
+      |), v AS (
+      |  SELECT l_returnflag, n, mux, muy,
+      |    sxx / n - mux * mux AS vxx,
+      |    sxy / n - mux * muy AS vxy,
+      |    syy / n - muy * muy AS vyy
+      |  FROM mu
+      |), d AS (
+      |  SELECT l_returnflag, n, mux, muy, vxx, vxy, vyy,
+      |    vxx * vyy - vxy * vxy AS det
+      |  FROM v
+      |), r AS (
+      |  SELECT f.l_returnflag,
+      |    ((f.x - d.mux) * (f.x - d.mux) * d.vyy
+      |      - 2.0 * (f.x - d.mux) * (f.y - d.muy) * d.vxy
+      |      + (f.y - d.muy) * (f.y - d.muy) * d.vxx) / d.det AS d2
+      |  FROM f JOIN d ON f.l_returnflag = d.l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  round(CAST(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate,
+      |  round(MAX(d2), 6) AS max_d2
+      |FROM r GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_kmv" -> (qcKmv _),
+    "qc_mahalanobis" -> (qcMahalanobis _),
     "qc_mutual_info" -> (qcMutualInfo _),
     "qc_fd" -> (qcFd _),
     "qc_keys" -> (qcKeys _),
@@ -1059,6 +1161,7 @@ object ProfileQueries {
 
   val oracles: Map[String, String] = Map(
     "qc_kmv" -> qcKmvSql,
+    "qc_mahalanobis" -> qcMahalanobisSql,
     "qc_mutual_info" -> qcMutualInfoSql,
     "qc_fd" -> qcFdSql,
     "qc_keys" -> qcKeysSql,

@@ -297,6 +297,46 @@ object DedupQueries {
       |    >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.22e — LSH S-curve planning table for the CURRENT (bands, rows)
+    * configuration: P(candidate | Jaccard = s) = 1 − (1 − s^r)^b on a
+    * 19-point similarity grid, plus the config itself — the design
+    * sheet read BEFORE re-tuning NumPerms/BandSize (22c measures the
+    * operating point empirically; this is the closed-form curve the
+    * measurement should land on). Derives b and r from the SAME
+    * constants the production pairs query uses, so the sheet can never
+    * describe a config the engine does not run. Powers expand to
+    * explicit multiplication chains (s⁸ = ((s²)²)², square for b = 2):
+    * bit-identical in any engine, where libm `pow` is not. */
+  def qdLshCurve(spark: SparkSession, dir: String): DataFrame = {
+    require(NumPerms / BandSize == 2 && BandSize == 8,
+      "curve expansion below is specialized to b=2, r=8 — retune together")
+    spark.range(1, 20)
+      .select((col("id").cast("double") / lit(20.0)).as("s"))
+      .withColumn("__s2", col("s") * col("s"))
+      .withColumn("__s4", col("__s2") * col("__s2"))
+      .withColumn("__s8", col("__s4") * col("__s4"))
+      .withColumn("__m", lit(1.0) - col("__s8"))
+      .select(col("s"), lit(2).as("bands"), lit(8).as("rows_per_band"),
+        round(lit(1.0) - col("__m") * col("__m"), 6).as("p_candidate"))
+      .orderBy("s")
+  }
+
+  val qdLshCurveSql: String =
+    """WITH g AS (
+      |  SELECT CAST(i AS DOUBLE) / 20.0 AS s FROM range(1, 20) t(i)
+      |), p AS (
+      |  SELECT s, s * s AS s2 FROM g
+      |), q AS (
+      |  SELECT s, s2 * s2 AS s4 FROM p
+      |), r AS (
+      |  SELECT s, s4 * s4 AS s8 FROM q
+      |), m AS (
+      |  SELECT s, 1.0 - s8 AS mm FROM r
+      |)
+      |SELECT s, 2 AS bands, 8 AS rows_per_band,
+      |  round(1.0 - mm * mm, 6) AS p_candidate
+      |FROM m ORDER BY s""".stripMargin
+
   /** §2.24g — blocked sorted-neighborhood near-dup pass
     * ([[Dedup.sortedNeighborPairs]]): records sort inside their 6-char
     * text-prefix block, every pair within rank distance ≤ 5 is a
@@ -1080,6 +1120,7 @@ object DedupQueries {
     "qd_containment" -> (qdContainment _),
     "qd_prefix_join" -> (qdPrefixJoin _),
     "qd_sorted_neighbors" -> (qdSortedNeighbors _),
+    "qd_lsh_curve" -> (qdLshCurve _),
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
@@ -1108,6 +1149,7 @@ object DedupQueries {
     "qd_containment" -> qdContainmentSql,
     "qd_prefix_join" -> qdPrefixJoinSql,
     "qd_sorted_neighbors" -> qdSortedNeighborsSql,
+    "qd_lsh_curve" -> qdLshCurveSql,
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,

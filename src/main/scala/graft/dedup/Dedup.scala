@@ -27,6 +27,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
+  /** The deduped frame itself: one canonical row (minimum `idCol`) per
+    * distinct `textCol` content, all original columns preserved — the
+    * row-level counterpart of [[exactGroups]]'s report. One window over
+    * the hash-partitioned frame (same single shuffle as the groupBy;
+    * no join back). */
+  def canonicalRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window
+      .partitionBy("__content_hash").orderBy(idCol)
+    df.withColumn("__content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(byContent))
+      .where(col("__rn") === 1)
+      .drop("__content_hash", "__rn")
+  }
+
   /** MinHash signature columns sig_0..sig_{numPerms-1}.
     *
     * Hash family: permutation k reads 32-bit slot k%4 of

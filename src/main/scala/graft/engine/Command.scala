@@ -84,6 +84,23 @@ case class SchemaCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Dedup step ([[graft.dedup.Dedup.exactGroups]] semantics): keep one
+  * canonical row (minimum `idCol`) per distinct `textCol` content hash.
+  * Makes the plan engine drive the LLM-pipeline surface, not only QC —
+  * a corpus-prep plan is (schema → assertion → dedup → view) in one
+  * JSON file. The invalid-row-style complement (`keepDuplicatesReport`)
+  * stores the per-group cardinality report instead of the deduped
+  * frame. One hash-groupBy shuffle either way. */
+case class DedupCommand(
+    input: InputRef,
+    textCol: String,
+    idCol: String,
+    keepDuplicatesReport: Boolean = false,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

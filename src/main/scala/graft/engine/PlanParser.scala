@@ -280,11 +280,21 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "dedup" =>
+        DedupCommand(
+          input = inputRef(node.get("input")),
+          textCol = params.path("textCol").asText(),
+          idCol = params.path("idCol").asText(),
+          keepDuplicatesReport = params.path("keepDuplicatesReport").asBoolean(false),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, or plan; got '$other'")
     }
   }
 

@@ -92,6 +92,13 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         store(graft.rules.SchemaContract.report(spark, input, c.contract), c)
         if (graft.rules.SchemaContract.passed(input, c.contract, c.allowExtra)) 0
         else 1
+      case c: DedupCommand =>
+        val input = resolve(c.input)
+        store(
+          if (c.keepDuplicatesReport)
+            graft.dedup.Dedup.exactGroups(input, c.textCol, c.idCol)
+          else graft.dedup.Dedup.canonicalRows(input, c.textCol, c.idCol), c)
+        0
       case c: PlanCommand =>
         runCommands(c.plan.commands, reports)
     }.sum

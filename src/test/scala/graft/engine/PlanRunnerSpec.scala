@@ -56,6 +56,29 @@ class PlanRunnerSpec extends SparkSpec {
       .where("status = 'type_mismatch'").count() === 1)
   }
 
+  test("dedup command keeps one canonical row per content, report mode counts") {
+    val src = Seq((3L, "same text"), (1L, "same text"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    def plan(report: Boolean) = PlanParser.parse(
+      s"""{
+         |  "commands": [
+         |    {"command": "dedup",
+         |     "input": {"ref": "src", "onDisk": false},
+         |     "params": {"textCol": "text", "idCol": "doc_id",
+         |                "keepDuplicatesReport": $report},
+         |     "outputKey": "out"}
+         |  ]
+         |}""".stripMargin)
+    val deduped = new PlanRunner(spark).register("src", src).run(plan(false))
+    assert(deduped.exitCode === 0)
+    assert(deduped.outputs("out").columns.toSeq == Seq("doc_id", "text"))
+    assert(deduped.outputs("out").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L)) // min-id canonical per content
+    val report = new PlanRunner(spark).register("src", src).run(plan(true))
+    assert(report.outputs("out")
+      .where("n_docs = 2 AND canonical_id = 1").count() === 1)
+  }
+
   test("nested plans share the lookup table") {
     val runner = new PlanRunner(spark)
       .register("src", Seq((1, 2)).toDF("a", "b"))

@@ -37,4 +37,34 @@ object BloomAntiJoin {
     else df.where(col(keyCol).isNull ||
       !BloomFilters.mightContain(lit(bloomBytes), col(keyCol)))
   }
+
+  /** EXACT anti-join accelerated by the same Bloom literal: rows the
+    * filter rules out ("definitely not blocked" — the overwhelming
+    * majority against a small blocklist) survive straight off the scan
+    * with NO shuffle; only the bloom-POSITIVE suspects (true hits +
+    * ~fpp of the rest) pay the real left-anti join. Output semantics
+    * are exactly `LEFT ANTI JOIN` / `NOT IN` (NULL keys survive), so
+    * correctness is oracle-checkable — the Bloom stage only moves the
+    * shuffle volume from |df| down to |suspects|. This is the
+    * hand-rolled form of the runtime row-level bloom pruning Spark
+    * applies to equi-joins, usable where the planner won't inject it
+    * (e.g. the blocklist is built by an upstream plan step). */
+  def exactAntiJoin(df: DataFrame, blockList: DataFrame,
+      keyCol: String, blockKeyCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    val bloomBytes = blockList
+      .where(col(blockKeyCol).isNotNull)
+      .agg(BloomFilters.bloomAgg(col(blockKeyCol), expectedItems, numBits)
+        .as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    if (bloomBytes == null) df
+    else {
+      val might = BloomFilters.mightContain(lit(bloomBytes), col(keyCol))
+      val definite = df.where(col(keyCol).isNull || !might)
+      val suspects = df.where(col(keyCol).isNotNull && might)
+        .join(blockList.select(col(blockKeyCol).as("__bk")).distinct(),
+          col(keyCol) === col("__bk"), "left_anti")
+      definite.unionByName(suspects)
+    }
+  }
 }

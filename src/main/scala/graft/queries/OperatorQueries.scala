@@ -134,12 +134,46 @@ object OperatorQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** §2.25e — Bloom-accelerated EXACT blocklist anti-join
+    * ([[graft.operators.BloomAntiJoin.exactAntiJoin]]): lineitems of
+    * high-priority orders are the "blocklist"; the Bloom literal lets
+    * every definitely-clean row skip the anti-join shuffle, and only
+    * bloom-positive suspects join — with output semantics EXACTLY
+    * `NOT IN`, which is what the oracle checks. The aggregation keeps
+    * the verified output small while still being sensitive to any
+    * wrongly dropped/kept row. */
+  def qoBloomAnti(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomAntiJoin.exactAntiJoin(
+      Tables.load(spark, dir, "lineitem"), blocked,
+      "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val qoBloomAntiSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      |    AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qo_skew_join" -> (qoSkewJoin _),
     "qo_skew_distinct" -> (qoSkewDistinct _),
-    "qo_merge" -> (qoMerge _))
+    "qo_merge" -> (qoMerge _),
+    "qo_bloom_anti" -> (qoBloomAnti _))
 
   val oracles: Map[String, String] = Map(
+    "qo_bloom_anti" -> qoBloomAntiSql,
     "qo_skew_join" -> qoSkewJoinSql,
     "qo_skew_distinct" -> qoSkewDistinctSql,
     "qo_merge" -> qoMergeSql)

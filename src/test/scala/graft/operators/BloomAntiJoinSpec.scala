@@ -45,4 +45,22 @@ class BloomAntiJoinSpec extends SparkSpec {
     val none = Seq.empty[String].toDF("bad")
     assert(BloomAntiJoin.antiJoin(corpus, none, "content", "bad").count() == 10)
   }
+
+  test("exactAntiJoin equals the plain left-anti join, including NULLs") {
+    val s = spark
+    import s.implicits._
+    val corpus = ((1L to 500L).map(i => (i, s"doc_${i % 97}")) :+
+      (501L, null.asInstanceOf[String])).toDF("id", "content")
+    val blocked = (0 until 30).map(i => s"doc_$i").toDF("bad")
+    // Tiny filter (64 bits for 30 items) to force real false positives:
+    // the suspects path must scrub every one of them.
+    val got = BloomAntiJoin.exactAntiJoin(corpus, blocked, "content", "bad",
+      expectedItems = 30, numBits = 64)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = corpus.join(blocked, col("content") === col("bad"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.contains(501L)) // NULL key survives
+    assert(got.size < 501)     // something was actually blocked
+  }
 }

@@ -961,7 +961,99 @@ object TextQueries {
        |ORDER BY d.lang, p.predicted_lang""".stripMargin
   }
 
+  /** §2.28m — bigram language-model score per document: mean negative
+    * log-likelihood of the doc's POSITIONAL bigram stream under a
+    * Jelinek-Mercer-interpolated corpus model,
+    * P(w₂|w₁) = 0.75·C(w₁w₂)/C(w₁·) + 0.25·C(w₂)/N — the
+    * word-ORDER-aware quality filter one level above [qt_cross_entropy]
+    * (unigram): shuffled or templated word salad scores normal under a
+    * unigram model but improbable under bigram transitions.
+    * Interpolation (not add-k) needs no vocabulary-size scalar, so no
+    * cross-join anchor reaches the plan. Prefix counts C(w₁·) derive
+    * from the bigram frame itself (no second stream); per-doc sums use
+    * the sorted-struct left-fold discipline, never a float row-SUM. */
+  def qtBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bgs = org.apache.spark.sql.graft.WordShingles
+      .positional(tokens(col("text")), 2, hashed = false)
+    val dtb = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode_outer(bgs).as("bg"))
+      .where(col("bg").isNotNull)
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+    val cb = dtb.groupBy("bg").agg(sum(col("c")).as("cbg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val cw = cb.groupBy("w1").agg(sum(col("cbg")).as("cw1"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vocab = docTokenCounts(spark, dir)
+      .groupBy("tok").agg(sum(col("c")).as("ct"))
+      .withColumn("N", sum(col("ct")).over(all))
+    // cb/cw join shuffle-to-shuffle: the bigram frame grows with the
+    // corpus and is NOT broadcastable at scale (vocab is the only
+    // bounded side here).
+    dtb
+      .join(cb, "bg")
+      .join(cw, "w1")
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(broadcast(vocab.withColumnRenamed("tok", "w2")), "w2")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bg"), col("c"), col("cbg"),
+        col("cw1"), col("ct"), col("N")))).as("__t"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(
+          transform(col("__t"), x =>
+            x.getField("c") * log(
+              lit(0.75) * (x.getField("cbg") / x.getField("cw1")) +
+                lit(0.25) * (x.getField("ct") / x.getField("N")))),
+          lit(0.0), (acc, t) => acc + t) / col("n_bigrams"), 6)
+          .as("bigram_nll"))
+      .orderBy("doc_id")
+  }
+
+  val qtBigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), v AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM toks GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS N FROM v
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+      |         string_split(text, ' ')[CAST(i AS INT) + 1])) AS bg
+      |  FROM documents
+      |), dtb AS (
+      |  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bg GROUP BY doc_id, bg
+      |), cb AS (
+      |  SELECT bg, CAST(SUM(c) AS BIGINT) AS cbg,
+      |    split_part(bg, ' ', 1) AS w1
+      |  FROM dtb GROUP BY bg
+      |), cw AS (
+      |  SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1 FROM cb GROUP BY w1
+      |), g AS (
+      |  SELECT dtb.doc_id,
+      |    list(struct_pack(c := dtb.c, cbg := cb.cbg, cw1 := cw.cw1,
+      |      ct := v.ct, n := tot.N) ORDER BY dtb.bg) AS t,
+      |    CAST(SUM(dtb.c) AS BIGINT) AS n_bigrams
+      |  FROM dtb
+      |  JOIN cb ON dtb.bg = cb.bg
+      |  JOIN cw ON cb.w1 = cw.w1
+      |  JOIN v ON split_part(dtb.bg, ' ', 2) = v.tok
+      |  CROSS JOIN tot
+      |  GROUP BY dtb.doc_id
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  round(-list_reduce(
+      |    list_transform(t, x -> x.c * ln(
+      |      0.75 * (x.cbg / x.cw1) + 0.25 * (x.ct / x.n))),
+      |    (a, b) -> a + b) / n_bigrams, 6) AS bigram_nll
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_bigram_lm" -> (qtBigramLm _),
     "qt_langid_eval" -> (qtLangidEval _),
     "qt_chunks" -> (qtChunks _),
     "qt_novelty" -> (qtNovelty _),
@@ -987,6 +1079,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_bigram_lm" -> qtBigramLmSql,
     "qt_langid_eval" -> qtLangidEvalSql,
     "qt_chunks" -> qtChunksSql,
     "qt_novelty" -> qtNoveltySql,

@@ -178,6 +178,54 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY source, doc_id""".stripMargin
 
+  /** §2.31x — shard-packing efficiency report over [[qpPack]]'s
+    * assignment: per source, shard count and the fill distribution
+    * (total / min / max / mean tokens per shard) — the one-page read
+    * that says whether the 2000-token capacity and the greedy running-
+    * sum packing produce balanced training shards or a ragged tail
+    * BEFORE a 100 TB write job materializes them. Two combinable
+    * rollups over the packed frame; the oracle composes the packing
+    * SQL itself, so the report can never drift from the assignment it
+    * describes. */
+  def qpPackStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Sampling.packShards(docs, Seq("source"), "doc_id", "n_tok", 2000L)
+      .groupBy("source", "shard_id")
+      .agg(sum(col("n_tok")).as("__shard_tok"), count(lit(1)).as("__shard_docs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("__shard_tok")).as("total_tokens"),
+        min(col("__shard_tok")).as("min_shard_tokens"),
+        max(col("__shard_tok")).as("max_shard_tokens"),
+        max(col("__shard_docs")).as("max_shard_docs"))
+      .withColumn("mean_shard_tokens",
+        round(col("total_tokens").cast("double") / col("n_shards").cast("double"), 6))
+      .select("source", "n_shards", "total_tokens", "min_shard_tokens",
+        "max_shard_tokens", "max_shard_docs", "mean_shard_tokens")
+      .orderBy("source")
+  }
+
+  val qpPackStatsSql: String =
+    s"""WITH packed AS ($qpPackSql),
+       |shards AS (
+       |  SELECT source, shard_id,
+       |    CAST(SUM(n_tok) AS BIGINT) AS st,
+       |    CAST(COUNT(*) AS BIGINT) AS sd
+       |  FROM packed GROUP BY source, shard_id
+       |)
+       |SELECT source,
+       |  COUNT(*) AS n_shards,
+       |  CAST(SUM(st) AS BIGINT) AS total_tokens,
+       |  MIN(st) AS min_shard_tokens,
+       |  MAX(st) AS max_shard_tokens,
+       |  MAX(sd) AS max_shard_docs,
+       |  round(CAST(SUM(st) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS mean_shard_tokens
+       |FROM shards GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** §2.31l — C4-style boilerplate passage removal: 8-token windows
     * appearing in ≥2 documents are cut from every document, and the
     * survivors re-assemble in order. All positional bookkeeping stays
@@ -977,6 +1025,7 @@ object PipelineQueries {
     "qp_sample" -> (qpSample _),
     "qp_mix" -> (qpMix _),
     "qp_pack" -> (qpPack _),
+    "qp_pack_stats" -> (qpPackStats _),
     "qp_curriculum" -> (qpCurriculum _),
     "qp_contamination" -> (qpContamination _))
 
@@ -997,6 +1046,7 @@ object PipelineQueries {
     "qp_sample" -> qpSampleSql,
     "qp_mix" -> qpMixSql,
     "qp_pack" -> qpPackSql,
+    "qp_pack_stats" -> qpPackStatsSql,
     "qp_curriculum" -> qpCurriculumSql,
     "qp_contamination" -> qpContaminationSql)
 }

@@ -694,6 +694,87 @@ object DedupQueries {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.25h — cluster cohesion report: per near-dup cluster (size ≥ 2),
+    * member count, realized edge count, edge DENSITY against the
+    * C(size,2) clique bound, and the mean/min edge Jaccard — the
+    * cluster-granularity trust review before canonicalization collapses
+    * a group (density ≈ 1 + high min = true dup clique; low density or
+    * a weak min edge = a chain glued by one borderline pair — the same
+    * question 25k answers per VERTEX, answered per CLUSTER). Edges join
+    * their component id once (id_a side — both endpoints share it by
+    * construction); mean folds over the sorted edge list, never a float
+    * row-SUM. */
+  def qdClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+    val comps = Dedup.connectedComponents(docs.select("doc_id"),
+      edges.select("id_a", "id_b"))
+    val sizes = comps.groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+    val es = edges
+      .join(comps.select(col("doc_id").as("id_a"), col("component_id")), "id_a")
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_edges"),
+        sort_array(collect_list(col("jaccard"))).as("__jl"),
+        min(col("jaccard")).as("__mn"))
+    sizes.join(es, "component_id")
+      .select(col("component_id"), col("n_members"), col("n_edges"),
+        round(col("n_edges").cast("double") /
+          expr("n_members * (n_members - 1) div 2").cast("double"), 6)
+          .as("density"),
+        round(aggregate(col("__jl"), lit(0.0), (a, x) => a + x) /
+          col("n_edges").cast("double"), 6).as("mean_jaccard"),
+        round(col("__mn"), 6).as("min_jaccard"))
+      .orderBy("component_id")
+  }
+
+  val qdClusterCohesionSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jac
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS m FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+      |), comp AS (
+      |  SELECT id AS doc_id, MIN(m) AS component_id FROM reach GROUP BY id
+      |), sizes AS (
+      |  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      |  FROM comp GROUP BY component_id HAVING COUNT(*) >= 2
+      |), pe AS (
+      |  SELECT c.component_id, p.jac
+      |  FROM pairs p JOIN comp c ON p.id_a = c.doc_id
+      |), es AS (
+      |  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    list(jac ORDER BY jac) AS jl, MIN(jac) AS mn
+      |  FROM pe GROUP BY component_id
+      |)
+      |SELECT s.component_id, s.n_members, e.n_edges,
+      |  round(CAST(e.n_edges AS DOUBLE)
+      |    / CAST(s.n_members * (s.n_members - 1) // 2 AS DOUBLE), 6) AS density,
+      |  round(list_reduce(e.jl, (a, b) -> a + b)
+      |    / CAST(e.n_edges AS DOUBLE), 6) AS mean_jaccard,
+      |  round(e.mn, 6) AS min_jaccard
+      |FROM sizes s JOIN es e ON s.component_id = e.component_id
+      |ORDER BY s.component_id""".stripMargin
+
   /** §2 (dedup family) — per-source duplication report: how much of each
     * source survives exact dedup. The ingest-monitoring rollup. */
   def qdReport(spark: SparkSession, dir: String): DataFrame =
@@ -1121,6 +1202,7 @@ object DedupQueries {
     "qd_prefix_join" -> (qdPrefixJoin _),
     "qd_sorted_neighbors" -> (qdSortedNeighbors _),
     "qd_lsh_curve" -> (qdLshCurve _),
+    "qd_cluster_cohesion" -> (qdClusterCohesion _),
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
@@ -1150,6 +1232,7 @@ object DedupQueries {
     "qd_prefix_join" -> qdPrefixJoinSql,
     "qd_sorted_neighbors" -> qdSortedNeighborsSql,
     "qd_lsh_curve" -> qdLshCurveSql,
+    "qd_cluster_cohesion" -> qdClusterCohesionSql,
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,

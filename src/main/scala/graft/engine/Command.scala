@@ -84,6 +84,21 @@ case class SchemaCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Profiling step ([[graft.rules.Profiler]]): per-column rows / nulls /
+  * distincts report over the input — the "what does this feed look
+  * like" companion to the schema gate's "is its shape right".
+  * Informational: never contributes to the exit status. `approx = true`
+  * swaps exact COUNT(DISTINCT) for HyperLogLog++ sketches — the one-
+  * pass 100 TB path. */
+case class ProfileCommand(
+    input: InputRef,
+    columns: Seq[String],
+    approx: Boolean = false,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Dedup step ([[graft.dedup.Dedup.exactGroups]] semantics): keep one
   * canonical row (minimum `idCol`) per distinct `textCol` content hash.
   * Makes the plan engine drive the LLM-pipeline surface, not only QC —

@@ -280,6 +280,16 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "profile" =>
+        ProfileCommand(
+          input = inputRef(node.get("input")),
+          columns = params.path("columns").elements().asScala
+            .map(_.asText()).toSeq,
+          approx = params.path("approx").asBoolean(false),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "dedup" =>
         DedupCommand(
           input = inputRef(node.get("input")),

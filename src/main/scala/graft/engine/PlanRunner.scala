@@ -92,6 +92,12 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         store(graft.rules.SchemaContract.report(spark, input, c.contract), c)
         if (graft.rules.SchemaContract.passed(input, c.contract, c.allowExtra)) 0
         else 1
+      case c: ProfileCommand =>
+        val input = resolve(c.input)
+        store(
+          if (c.approx) graft.rules.Profiler.profileApprox(input, c.columns)
+          else graft.rules.Profiler.profile(input, c.columns), c)
+        0
       case c: DedupCommand =>
         val input = resolve(c.input)
         store(

@@ -79,6 +79,27 @@ class PlanRunnerSpec extends SparkSpec {
       .where("n_docs = 2 AND canonical_id = 1").count() === 1)
   }
 
+  test("profile command reports per-column rows/nulls/distincts") {
+    val src = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("id", "name")
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "profile",
+        |     "input": {"ref": "src", "onDisk": false},
+        |     "params": {"columns": ["id", "name"]},
+        |     "outputKey": "prof"}
+        |  ]
+        |}""".stripMargin)
+    val res = new PlanRunner(spark).register("src", src).run(plan)
+    assert(res.exitCode === 0)
+    val rows = res.outputs("prof").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows("id") == ((3L, 0L, 3L)))
+    assert(rows("name") == ((3L, 1L, 1L)))
+  }
+
   test("nested plans share the lookup table") {
     val runner = new PlanRunner(spark)
       .register("src", Seq((1, 2)).toDF("a", "b"))

@@ -23,5 +23,13 @@ class CorpusPlanSpec extends SparkSpec {
     assert(result.outputs("metadata_reconciliation").isEmpty)
     // The row-level assertion output frame exists for sampling.
     assert(result.outputs.contains("corpus_quality"))
+    // The schema gate passed (all contract columns ok).
+    assert(result.outputs("schema_report").where("status <> 'ok'").isEmpty)
+    // Profile covers the three declared columns.
+    assert(result.outputs("corpus_profile").count() == 3)
+    // Dedup kept at most one row per distinct text, never more than input.
+    val docs = result.outputs("docs").count()
+    val deduped = result.outputs("deduped_corpus").count()
+    assert(deduped <= docs && deduped > 0)
   }
 }

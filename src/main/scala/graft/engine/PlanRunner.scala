@@ -4,6 +4,7 @@ import graft.diff.DatasetDiff
 import graft.rules.{RuleReport, RuleRunner}
 import graft.views.ViewCreator
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.input_file_name
 import scala.collection.mutable
 
 /** Result of running a plan: failed-assertion count (the reference exits
@@ -43,7 +44,7 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
     else input.format.orElse {
       input.delimiter.map(_ => "csv").orElse {
         val ext = input.ref.reverse.takeWhile(_ != '.').reverse.toLowerCase
-        Some(ext).filter(Set("csv", "tsv", "json", "orc"))
+        Some(ext).filter(Set("csv", "tsv", "json", "orc", "txt"))
       }
     } match {
       case Some("csv") | Some("tsv") =>
@@ -54,6 +55,15 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
           .load(input.ref)
       case Some("json") => spark.read.json(input.ref)
       case Some("orc") => spark.read.orc(input.ref)
+      // Raw text corpus: one document per line in a `value` column —
+      // the native LLM-pipeline ingestion path for crawl/text drops
+      // that carry no schema at all.
+      case Some("text") | Some("txt") => spark.read.text(input.ref)
+      // Whole-file text: one document per FILE (value + the path via
+      // input_file_name()) — for corpora where documents span lines.
+      case Some("wholetext") =>
+        spark.read.option("wholetext", "true").text(input.ref)
+          .withColumn("path", input_file_name())
       case _ => spark.read.parquet(input.ref)
     }
 

@@ -77,6 +77,25 @@ object EngineQueries {
   val qcSourceCsvSql: String =
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
 
+  /** §2.11 (text path) — raw-text corpus source: round-trip the
+    * documents' text through line-oriented text files (the native
+    * schemaless LLM-corpus drop format) and read it back through the
+    * engine's `text` reader — one document per line in `value`. The
+    * oracle reads the same content from the parquet table, proving the
+    * text path loses nothing. */
+  def qcSourceText(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_text_roundtrip/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("text"))
+      .write.mode("overwrite").text(tmp)
+    new PlanRunner(spark)
+      .resolve(InputRef(tmp, onDisk = true, format = Some("text")))
+      .orderBy("value")
+  }
+
+  val qcSourceTextSql: String =
+    "SELECT text AS value FROM documents ORDER BY value"
+
   /** §2.13b2 — schema-contract gate through the plan engine: the `schema`
     * command checks declared (name, type, nullable) columns against the
     * orders table BEFORE row-level rules would run. The contract here
@@ -127,10 +146,12 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_plan" -> (qcPlan _),
     "qc_source_csv" -> (qcSourceCsv _),
-    "qc_schema" -> (qcSchema _))
+    "qc_schema" -> (qcSchema _),
+    "qc_source_text" -> (qcSourceText _))
 
   val oracles: Map[String, String] = Map(
     "qc_plan" -> qcPlanSql,
     "qc_source_csv" -> qcSourceCsvSql,
-    "qc_schema" -> qcSchemaSql)
+    "qc_schema" -> qcSchemaSql,
+    "qc_source_text" -> qcSourceTextSql)
 }

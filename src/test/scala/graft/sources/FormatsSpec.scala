@@ -37,6 +37,33 @@ class FormatsSpec extends SparkSpec {
   test("orc round-trips through the engine reader")(roundTrip("orc"))
   test("parquet round-trips through the engine reader")(roundTrip("parquet"))
 
+  test("raw text reads one document per line into `value`") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_fmt_roundtrip/lines"
+    val docs = Seq("first document", "second document", "third one")
+    docs.toDF("value").coalesce(1).write.mode("overwrite").text(path)
+    val back = new PlanRunner(spark)
+      .resolve(InputRef(path, onDisk = true, format = Some("text")))
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.as[String].collect().sorted.toSeq == docs.sorted)
+  }
+
+  test("wholetext reads one document per FILE with its path") {
+    val base = java.nio.file.Paths.get("/tmp/graft_fmt_roundtrip/whole")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.writeString(base.resolve("a.txt"), "line one\nline two")
+    java.nio.file.Files.writeString(base.resolve("b.txt"), "solo")
+    val back = new PlanRunner(spark)
+      .resolve(InputRef(s"$base/*.txt", onDisk = true, format = Some("wholetext")))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows.head._1 == "line one\nline two" && rows.head._2.endsWith("a.txt"))
+    assert(rows(1)._1 == "solo" && rows(1)._2.endsWith("b.txt"))
+  }
+
   test("format inferred from the path extension") {
     val path = "/tmp/graft_fmt_roundtrip/ext.json"
     sample.write.mode("overwrite").json(path)

@@ -2521,7 +2521,73 @@ object EventQueries {
       |FROM p GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** §2.33aq — classical additive time-series decomposition of the
+    * daily event volume: trend = centered 7-day moving average (full
+    * windows only), seasonal = per-day-of-week mean of the detrended
+    * series, residual = the rest — the decomposition VIEW behind
+    * 33q's seasonality profile and 33af's seasonal baseline: read the
+    * trend for growth, the seasonal for cadence, the residual for
+    * anomalies, in one frame. The daily series collapses first (one
+    * combinable count — windows run over ≤ days rows, never events);
+    * day-of-week derives from an epoch day-diff mod 7 (portable:
+    * engines disagree on dayofweek numbering); the per-dow seasonal
+    * mean folds over the day-sorted list, never a float row-SUM. */
+  def qeStl(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("trend", sum(col("n_events")).over(w).cast("double") / lit(7.0))
+      .where(col("__wn") === 7)
+      .withColumn("dow", datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+      .withColumn("detrended", col("n_events").cast("double") - col("trend"))
+    val seasonal = trended
+      .groupBy("dow")
+      .agg(sort_array(collect_list(struct(col("day"), col("detrended"))))
+        .as("__d"), count(lit(1)).as("__n"))
+      .select(col("dow"),
+        (aggregate(col("__d"), lit(0.0), (a, x) => a + x.getField("detrended")) /
+          col("__n").cast("double")).as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("n_events"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("detrended") - col("seasonal"), 6).as("residual"))
+      .orderBy("day")
+  }
+
+  val qeStlSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), tr AS (
+      |  SELECT day, n_events,
+      |    COUNT(*) OVER w AS wn,
+      |    CAST(SUM(n_events) OVER w AS DOUBLE) / 7.0 AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), det AS (
+      |  SELECT day, n_events, trend,
+      |    date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+      |    CAST(n_events AS DOUBLE) - trend AS detrended
+      |  FROM tr WHERE wn = 7
+      |), seas AS (
+      |  SELECT dow,
+      |    list_reduce(list_prepend(0.0, list(detrended ORDER BY day)),
+      |      (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS seasonal
+      |  FROM det GROUP BY dow
+      |)
+      |SELECT d.day, d.n_events,
+      |  round(d.trend, 6) AS trend,
+      |  round(s.seasonal, 6) AS seasonal,
+      |  round(d.detrended - s.seasonal, 6) AS residual
+      |FROM det d JOIN seas s ON d.dow = s.dow
+      |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_stl" -> (qeStl _),
     "qe_trend_robust" -> (qeTrendRobust _),
     "qe_step_latency" -> (qeStepLatency _),
     "qe_ab_ttest" -> (qeAbTtest _),
@@ -2606,6 +2672,7 @@ object EventQueries {
     "qe_streaks" -> qeStreaksSql,
     "qe_rfm" -> qeRfmSql,
     "qe_seasonality" -> qeSeasonalitySql,
+    "qe_stl" -> qeStlSql,
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
     "qe_changepoint" -> qeChangepointSql,

@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteDotProduct)
     extensions.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.RewriteBoundedLevenshtein)
+    extensions.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.RewriteIntersectionSize)
   }
 }

@@ -532,7 +532,7 @@ object Dedup {
         col("__sz").as("__na")), "id_a")
       .join(toks.select(col("__id").as("id_b"), col("__toks").as("__tb"),
         col("__sz").as("__nb")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("n_common", intersectionSize(col("__ta"), col("__tb")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("__na") + col("__nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= minJaccard)
@@ -587,7 +587,7 @@ object Dedup {
         col("__sz").as("__na")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__shb"),
         col("__sz").as("__nb")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("n_common", intersectionSize(col("__sha"), col("__shb")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("__na") + col("__nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= minJaccard)

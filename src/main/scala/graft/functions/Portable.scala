@@ -55,6 +55,15 @@ object Portable {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.DotProduct.ofColumns(a, b)
 
+  /** Distinct-count of left array elements present in the right array —
+    * a native allocation-free [[org.apache.spark.sql.graft
+    * .IntersectionSize]], value-identical to the portable
+    * `size(array_intersect(a, b))` it replaces (the per-candidate-pair
+    * inner loop of the exact set-similarity joins; equivalence pinned
+    * in RewriteIntersectionSizeSpec). */
+  def intersectionSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.IntersectionSize.ofColumns(a, b)
+
   /** Count of tokens contained in a fixed vocabulary list. */
   def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))

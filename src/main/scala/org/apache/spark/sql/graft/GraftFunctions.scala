@@ -18,6 +18,12 @@ object GraftFunctions {
         require(exprs.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(exprs.head, exprs(1))
       }),
+    (new FunctionIdentifier("intersection_size"),
+      new ExpressionInfo(classOf[IntersectionSize].getName, "intersection_size"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "intersection_size takes exactly 2 arguments")
+        IntersectionSize(exprs.head, exprs(1))
+      }),
     (new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
       (exprs: Seq[Expression]) => {

@@ -433,8 +433,69 @@ object SimilarityQueries {
        |FROM bs GROUP BY sz
        |ORDER BY bucket_size""".stripMargin
 
+  /** §2.27i — quantization-impact evaluation: recall@3 of the int8-
+    * reconstructed ranking against the exact float top-3 on the query
+    * panel — the eval gate that says whether [qs_quantize]'s 16×
+    * compression is rank-safe BEFORE an index stores only codes (same
+    * eval-layer pattern as [qs_recall] for LSH). Queries stay float,
+    * the corpus is dequantized (ADC-style); both rankings reuse the
+    * brute-force plan, and the eval join is ≤ 3·|panel| rows. */
+  def qsQuantizeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.asDoubles
+    val emb = Tables.load(spark, dir, "embeddings")
+    val recon = emb
+      .select(col("vec_id"), asDoubles(col("embedding")).as("vd"))
+      .withColumn("scale",
+        array_max(transform(col("vd"), x => abs(x))) / lit(127.0))
+      .select(col("vec_id"),
+        transform(col("vd"), x => round(x / col("scale")) * col("scale"))
+          .as("embedding"))
+    val panel = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForce(emb, panel, "embedding", "vec_id", 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = Knn.bruteForce(recon, panel, "embedding", "vec_id", 3)
+      .select(col("q_id"), col("neighbor_id"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  val qsQuantizeRecallSql: String = {
+    def topk(corpus: String): String =
+      s"""SELECT q_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.rv")} DESC, c.vec_id) AS rnk
+         |    FROM embeddings q JOIN $corpus c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 10
+         |  ) t WHERE rnk <= 3""".stripMargin
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings
+       |), floatc AS (
+       |  SELECT vec_id, vd AS rv FROM s
+       |), reconc AS (
+       |  SELECT vec_id, list_transform(vd, x -> round(x / scale, 0) * scale) AS rv
+       |  FROM s
+       |), ex AS (
+       |  ${topk("floatc")}
+       |), ap AS (
+       |  ${topk("reconc")}
+       |)
+       |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  round(CAST(COUNT(*) AS DOUBLE) / 3.0, 6) AS recall_at_3
+       |FROM ex SEMI JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ex.q_id
+       |ORDER BY ex.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_lsh_stats" -> (qsLshStats _),
+    "qs_quantize_recall" -> (qsQuantizeRecall _),
     "qs_centroids" -> (qsCentroids _),
     "qd_semantic" -> (qdSemantic _),
     "qs_quantize" -> (qsQuantize _),
@@ -448,6 +509,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "qs_lsh_stats" -> qsLshStatsSql,
+    "qs_quantize_recall" -> qsQuantizeRecallSql,
     "qs_centroids" -> qsCentroidsSql,
     "qd_semantic" -> qdSemanticSql,
     "qs_quantize" -> qsQuantizeSql,

@@ -1135,8 +1135,72 @@ object ProfileQueries {
       |FROM r GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** §2.13y — drift TIMELINE: monthly PSI of the order-value
+    * distribution against the EARLIEST month as baseline — 13e answers
+    * "did it drift between two cohorts"; this answers "when, and how
+    * fast": a gradual ramp reads completely differently from one
+    * broken month. Same fixed-width bins and common-bin inner-join
+    * discipline as [qc_drift] (one-sided bins drop); the per-month PSI
+    * sum folds over the bin-sorted term list, never a float row-SUM.
+    * One (month, bin) count collapse, baseline shares broadcast back,
+    * output ≤ months rows. */
+  def qcDriftTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = Tables.load(spark, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        floor(col("o_totalprice") / lit(50000.0)).cast("bigint").as("bin"))
+      .groupBy("month", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("month")))
+      .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+      .withColumn("m0", min(col("month")).over(all))
+    val base = counts.where(col("month") === col("m0"))
+      .select(col("bin"), col("p").as("p0"))
+    counts
+      .join(broadcast(base), "bin")
+      .withColumn("term",
+        (col("p") - col("p0")) * log(col("p") / col("p0")))
+      .groupBy("month")
+      .agg(first(col("tot")).as("n_orders"),
+        count(lit(1)).as("n_common_bins"),
+        sort_array(collect_list(struct(col("bin"), col("term")))).as("__t"))
+      .select(col("month"), col("n_orders"), col("n_common_bins"),
+        round(aggregate(col("__t"), lit(0.0),
+          (a, x) => a + x.getField("term")), 6).as("psi"))
+      .orderBy("month")
+  }
+
+  val qcDriftTimelineSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+      |      AS month,
+      |    CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2
+      |), shares AS (
+      |  SELECT month, bin, n,
+      |    CAST(SUM(n) OVER (PARTITION BY month) AS BIGINT) AS tot,
+      |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY month) AS DOUBLE)
+      |      AS p,
+      |    MIN(month) OVER () AS m0
+      |  FROM counts
+      |), base AS (
+      |  SELECT bin, p AS p0 FROM shares WHERE month = m0
+      |), terms AS (
+      |  SELECT s.month, s.tot, s.bin,
+      |    (s.p - b.p0) * ln(s.p / b.p0) AS term
+      |  FROM shares s JOIN base b ON s.bin = b.bin
+      |)
+      |SELECT month, MIN(tot) AS n_orders,
+      |  CAST(COUNT(*) AS BIGINT) AS n_common_bins,
+      |  round(list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+      |    (a, b) -> a + b), 6) AS psi
+      |FROM terms GROUP BY month
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_kmv" -> (qcKmv _),
+    "qc_drift_timeline" -> (qcDriftTimeline _),
     "qc_mahalanobis" -> (qcMahalanobis _),
     "qc_mutual_info" -> (qcMutualInfo _),
     "qc_fd" -> (qcFd _),
@@ -1161,6 +1225,7 @@ object ProfileQueries {
 
   val oracles: Map[String, String] = Map(
     "qc_kmv" -> qcKmvSql,
+    "qc_drift_timeline" -> qcDriftTimelineSql,
     "qc_mahalanobis" -> qcMahalanobisSql,
     "qc_mutual_info" -> qcMutualInfoSql,
     "qc_fd" -> qcFdSql,

@@ -65,7 +65,11 @@ object PlanAudit {
       "qc_psi_quantile", "qm_modality_mix", "qp_curriculum",
       // qs_radius: same broadcast-query exhaustive-scoring BNLJ as
       // qs_knn_brute (documented-intentional range-query scan).
-      "qs_radius")
+      "qs_radius",
+      // qs_quantize_recall: runs the qs_knn_brute plan twice (float and
+      // dequantized corpus) as the two ranking sides of its recall eval
+      // — both are the same documented broadcast-panel exhaustive scan.
+      "qs_quantize_recall")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -706,7 +706,12 @@ object DedupQueries {
     * row-SUM. */
   def qdClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // cache(): the edge frame (bounded: thresholded near-dup pairs)
+    // feeds BOTH the iterative components AND the cohesion rollup —
+    // without it the whole inverted-index jaccard build re-runs per
+    // consumer per iteration (same fix that cut qd_clustering 3.1→0.7).
     val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+      .cache()
     val comps = Dedup.connectedComponents(docs.select("doc_id"),
       edges.select("id_a", "id_b"))
     val sizes = comps.groupBy("component_id")

@@ -195,7 +195,61 @@ object MultimodalQueries {
       |      bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.35e — chunk-level storage-dedup savings per media type: what a
+    * content-addressed chunk store would save — per type, the chunk
+    * count, distinct-chunk count, raw vs unique bytes, and the savings
+    * ratio (35c finds WHICH segments repeat; this prices the dedup).
+    * Two combinable rollups over the chunk frame: collapse to distinct
+    * (type, chunk) with copy counts, then per type — exact integer
+    * byte arithmetic until the one final ratio. */
+  def qmDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = Multimodal.fixedChunks(docs, "text", "doc_id", 256)
+      .join(docs.select(col("doc_id"),
+        concat(lit("blob/"), col("source")).as("media_type")), "doc_id")
+    chunks
+      .groupBy("media_type", "chunk_md5")
+      .agg(count(lit(1)).as("__copies"), min(col("chunk_len")).as("__len"))
+      .groupBy("media_type")
+      .agg(sum(col("__copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("__copies") * col("__len")).as("total_bytes"),
+        sum(col("__len")).as("unique_bytes"))
+      .withColumn("savings_ratio",
+        round(lit(1.0) - col("unique_bytes").cast("double") /
+          col("total_bytes").cast("double"), 6))
+      .orderBy("media_type")
+  }
+
+  val qmDedupSavingsSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, 'blob/' || source AS media_type,
+      |    length(substr(text, CAST(t.chunk_idx * 256 + 1 AS INT), 256))
+      |      AS chunk_len,
+      |    md5(substr(text, CAST(t.chunk_idx * 256 + 1 AS INT), 256))
+      |      AS chunk_md5
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT)))
+      |      AS chunk_idx
+      |  ) t
+      |), d AS (
+      |  SELECT media_type, chunk_md5,
+      |    CAST(COUNT(*) AS BIGINT) AS copies,
+      |    CAST(MIN(chunk_len) AS BIGINT) AS len
+      |  FROM ch GROUP BY media_type, chunk_md5
+      |)
+      |SELECT media_type,
+      |  CAST(SUM(copies) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(SUM(copies * len) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(len) AS BIGINT) AS unique_bytes,
+      |  round(1.0 - CAST(SUM(len) AS DOUBLE)
+      |    / CAST(SUM(copies * len) AS DOUBLE), 6) AS savings_ratio
+      |FROM d GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm_dedup_savings" -> (qmDedupSavings _),
     "qm_phash_pairs" -> (qmPhashPairs _),
     "qm_binary_features" -> (qmBinaryFeatures _),
     "qm_frames" -> (qmFrames _),
@@ -205,6 +259,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "qm_phash_pairs" -> qmPhashPairsSql,
+    "qm_dedup_savings" -> qmDedupSavingsSql,
     "qm_binary_features" -> qmBinaryFeaturesSql,
     "qm_frames" -> qmFramesSql,
     "qm_chunks" -> qmChunksSql,

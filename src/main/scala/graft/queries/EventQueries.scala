@@ -2586,8 +2586,76 @@ object EventQueries {
       |FROM det d JOIN seas s ON d.dow = s.dow
       |ORDER BY d.day""".stripMargin
 
+  /** §2.33ar — next-event prediction accuracy of the first-order
+    * Markov model (33l): users split 80/20 by seeded md5, the train
+    * side's per-prior argmax transition (count desc, type asc — a
+    * deterministic tie break) predicts each held-out transition, and
+    * accuracy reports per prior event type — the eval gate before a
+    * product trusts "likely next action" (same eval-layer pattern as
+    * qs_recall / qt_langid_eval / qs_quantize_recall). Transition
+    * pairs come from ONE lag window per side; the fitted model is a
+    * ≤ |types| broadcast frame. */
+  def qeMarkovEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"),
+        (md5Bucket("markov", col("user_id"), 100) < 80).as("in_train"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val byFrom = Window.partitionBy("from_type")
+      .orderBy(col("__n").desc, col("to_type"))
+    val model = pairs.where(col("in_train"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(byFrom))
+      .where(col("__rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    pairs.where(!col("in_train"))
+      .join(broadcast(model), "from_type")
+      .groupBy("from_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        first(col("predicted")).as("predicted"))
+      .select(col("from_type"), col("predicted"), col("n_test"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy("from_type")
+  }
+
+  val qeMarkovEvalSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+      |    ('0x' || substr(md5('markov:' || user_id), 1, 8))::BIGINT % 100 < 80
+      |      AS in_train
+      |  FROM events
+      |), model AS (
+      |  SELECT from_type, to_type AS predicted FROM (
+      |    SELECT from_type, to_type,
+      |      ROW_NUMBER() OVER (PARTITION BY from_type
+      |        ORDER BY COUNT(*) DESC, to_type) AS rk
+      |    FROM pairs WHERE in_train AND to_type IS NOT NULL
+      |    GROUP BY from_type, to_type
+      |  ) WHERE rk = 1
+      |)
+      |SELECT p.from_type, MIN(m.predicted) AS predicted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN p.to_type = m.predicted THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  round(CAST(SUM(CASE WHEN p.to_type = m.predicted THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+      |FROM pairs p JOIN model m ON p.from_type = m.from_type
+      |WHERE NOT p.in_train AND p.to_type IS NOT NULL
+      |GROUP BY p.from_type
+      |ORDER BY p.from_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_stl" -> (qeStl _),
+    "qe_markov_eval" -> (qeMarkovEval _),
     "qe_trend_robust" -> (qeTrendRobust _),
     "qe_step_latency" -> (qeStepLatency _),
     "qe_ab_ttest" -> (qeAbTtest _),
@@ -2673,6 +2741,7 @@ object EventQueries {
     "qe_rfm" -> qeRfmSql,
     "qe_seasonality" -> qeSeasonalitySql,
     "qe_stl" -> qeStlSql,
+    "qe_markov_eval" -> qeMarkovEvalSql,
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
     "qe_changepoint" -> qeChangepointSql,

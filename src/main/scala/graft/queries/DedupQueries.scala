@@ -35,7 +35,7 @@ object DedupQueries {
       .select(col("doc_id") +: (0 until NumPerms).map(k => col(s"sig_$k")): _*)
       .orderBy("doc_id")
 
-  private def sigSqlExpr(k: Int): String = {
+  private[queries] def sigSqlExpr(k: Int): String = {
     val (g, s) = (k / 4, k % 4)
     s"""list_min(list_transform(list_distinct(string_split(text, ' ')),
        | t -> ('0x' || substr(md5('$g:' || t), ${1 + 8 * s}, 8))::BIGINT))"""
@@ -57,7 +57,7 @@ object DedupQueries {
     * generated from the same (0 until numBands) range as the band
     * columns themselves, so changing NumPerms/BandSize retunes the
     * whole oracle, never a hardcoded subset of bands. */
-  private def bandedUnionSql(extraCols: String = ""): String =
+  private[queries] def bandedUnionSql(extraCols: String = ""): String =
     (0 until NumPerms / BandSize).map { b =>
       s"  SELECT doc_id,$extraCols $b AS band_idx, band_$b AS band_val FROM sigs"
     }.mkString("\n  UNION ALL\n")

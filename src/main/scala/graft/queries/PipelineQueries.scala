@@ -101,6 +101,70 @@ object PipelineQueries {
        |GROUP BY least(sa, sb), greatest(sa, sb)
        |ORDER BY split_a, split_b""".stripMargin
 
+  /** §2.31y — decontamination, the ACTIONABLE counterpart of 31f's
+    * report: train-split documents sharing ≥ 1 LSH band with any
+    * test/valid document are flagged for removal (candidate-level =
+    * deliberately conservative — a benchmark leak is worth a few false
+    * drops), summarized per source as kept/flagged counts. Runs the
+    * incremental-dedup shape in reverse ([[Dedup.incrementalNearDups]]:
+    * train probes the held-out band INDEX) — per-run cost linear in the
+    * corpus, never all-pairs; the oracle replays bands, index, probe,
+    * and rollup. */
+  def qpDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val bucket = graft.functions.Portable.md5Bucket("split", col("doc_id"), 100)
+    val docs = Tables.load(spark, dir, "documents")
+    val train = docs.where(bucket < 80)
+    val heldOut = docs.where(bucket >= 80)
+    val flagged = Dedup.incrementalNearDups(heldOut, train, "text", "doc_id",
+      DedupQueries.NumPerms, DedupQueries.BandSize)
+      .select(col("doc_id"), lit(true).as("__flagged"))
+    train.select("doc_id", "source")
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("__flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_train"), col("n_flagged"),
+        (col("n_train") - col("n_flagged")).as("n_clean"),
+        round(col("n_flagged").cast("double") / col("n_train").cast("double"), 6)
+          .as("flagged_rate"))
+      .orderBy("source")
+  }
+
+  val qpDecontaminateSql: String = {
+    val bands = (0 until DedupQueries.NumPerms / DedupQueries.BandSize).map { b =>
+      val parts = (b * DedupQueries.BandSize until (b + 1) * DedupQueries.BandSize)
+        .map(DedupQueries.sigSqlExpr)
+      s"md5(concat_ws('_', ${parts.mkString(", ")})) AS band_$b"
+    }
+    s"""WITH sigs AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS bucket,
+       |    ${bands.mkString(",\n    ")}
+       |  FROM documents
+       |), banded AS (
+       |${DedupQueries.bandedUnionSql(" source, bucket,")}
+       |), idx AS (
+       |  SELECT DISTINCT band_idx, band_val FROM banded WHERE bucket >= 80
+       |), flagged AS (
+       |  SELECT DISTINCT b.doc_id FROM banded b
+       |  JOIN idx i ON b.band_idx = i.band_idx AND b.band_val = i.band_val
+       |  WHERE b.bucket < 80
+       |)
+       |SELECT s.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  CAST(COUNT(*) - SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_clean,
+       |  round(CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS flagged_rate
+       |FROM (SELECT DISTINCT doc_id, source FROM sigs WHERE bucket < 80) s
+       |LEFT JOIN flagged f ON s.doc_id = f.doc_id
+       |GROUP BY s.source
+       |ORDER BY s.source""".stripMargin
+  }
+
   /** Deterministic stratified sample: at most 10 documents per source,
     * elected by seeded-md5 order ([[graft.operators.Sampling]]). Runs
     * the SALTED two-phase plan (4 salts); the oracle is the plain
@@ -1026,6 +1090,7 @@ object PipelineQueries {
     "qp_mix" -> (qpMix _),
     "qp_pack" -> (qpPack _),
     "qp_pack_stats" -> (qpPackStats _),
+    "qp_decontaminate" -> (qpDecontaminate _),
     "qp_curriculum" -> (qpCurriculum _),
     "qp_contamination" -> (qpContamination _))
 
@@ -1047,6 +1112,7 @@ object PipelineQueries {
     "qp_mix" -> qpMixSql,
     "qp_pack" -> qpPackSql,
     "qp_pack_stats" -> qpPackStatsSql,
+    "qp_decontaminate" -> qpDecontaminateSql,
     "qp_curriculum" -> qpCurriculumSql,
     "qp_contamination" -> qpContaminationSql)
 }

@@ -2653,8 +2653,87 @@ object EventQueries {
       |GROUP BY p.from_type
       |ORDER BY p.from_type""".stripMargin
 
+  /** §2.33as — session ENTRY analysis: per entry event type (the first
+    * event of each 30-min-gap session), session count, conversion rate
+    * (any purchase within the session), and mean session length — the
+    * landing-page/acquisition-quality read that 33e's full paths and
+    * 33's funnel don't give directly: which entry points open sessions
+    * that convert. One gaps-and-islands pass (same lag + running-sum
+    * sessionizer as qe_sessions), entry elected by rank-1 within the
+    * session, session rollup joined back on the (user, session) key —
+    * all windows user-partitioned, output ≤ |types| rows. */
+  def qeEntryAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.load(spark, dir, "events")
+      .withColumn("__new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(w))
+    val perSession = sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("__n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__converted"))
+    val entries = sess
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("session_id"), col("event_type").as("entry_type"))
+    entries.join(perSession, Seq("user_id", "session_id"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__converted")).as("n_converted"),
+        sum(col("__n_events")).as("__tot_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_sessions").cast("double"), 6).as("conversion_rate"),
+        round(col("__tot_events").cast("double") /
+          col("n_sessions").cast("double"), 6).as("mean_session_events"))
+      .orderBy("entry_type")
+  }
+
+  val qeEntryAnalysisSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked
+      |), per_session AS (
+      |  SELECT user_id, session_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM sess GROUP BY user_id, session_id
+      |), entries AS (
+      |  SELECT user_id, session_id, event_type AS entry_type FROM (
+      |    SELECT user_id, session_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM sess
+      |  ) WHERE rn = 1
+      |)
+      |SELECT e.entry_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(p.converted) AS BIGINT) AS n_converted,
+      |  round(CAST(SUM(p.converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS conversion_rate,
+      |  round(CAST(SUM(p.n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS mean_session_events
+      |FROM entries e
+      |JOIN per_session p
+      |  ON e.user_id = p.user_id AND e.session_id = p.session_id
+      |GROUP BY e.entry_type
+      |ORDER BY e.entry_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_stl" -> (qeStl _),
+    "qe_entry_analysis" -> (qeEntryAnalysis _),
     "qe_markov_eval" -> (qeMarkovEval _),
     "qe_trend_robust" -> (qeTrendRobust _),
     "qe_step_latency" -> (qeStepLatency _),
@@ -2742,6 +2821,7 @@ object EventQueries {
     "qe_seasonality" -> qeSeasonalitySql,
     "qe_stl" -> qeStlSql,
     "qe_markov_eval" -> qeMarkovEvalSql,
+    "qe_entry_analysis" -> qeEntryAnalysisSql,
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
     "qe_changepoint" -> qeChangepointSql,

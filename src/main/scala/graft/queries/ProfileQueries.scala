@@ -1198,8 +1198,54 @@ object ProfileQueries {
       |FROM terms GROUP BY month
       |ORDER BY month""".stripMargin
 
+  /** Declared (table, column, regex) format contracts for [[qcFormat]] —
+    * anchored patterns only: `rlike`/`regexp_matches` are both
+    * contains-semantics, anchors make them full-match in any dialect. */
+  private val formatContracts: Seq[(String, String, String)] = Seq(
+    ("customer", "c_name", "^Customer#[0-9]{9}$"),
+    ("customer", "c_mktsegment", "^[A-Z]+$"),
+    ("orders", "o_orderpriority", "^[1-5]-[A-Z]+$"))
+
+  /** §2.13z — format-conformance profile: per declared (table, column,
+    * anchored-regex) contract, row count, matching count, match rate,
+    * and the minimum violating value as the triage example — the
+    * free-text cousin of the schema gate (13b2 checks TYPES; this
+    * checks the string SHAPE feeds silently break: id formats, enum
+    * spellings, priority codes). One combinable aggregation per
+    * contract column, a few-row report; deterministic example via MIN,
+    * no sampling. */
+  def qcFormat(spark: SparkSession, dir: String): DataFrame =
+    formatContracts.map { case (table, column, pattern) =>
+      Tables.load(spark, dir, table).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(column).rlike(pattern), 1L).otherwise(0L))
+          .as("n_matching"),
+        min(when(!col(column).rlike(pattern), col(column)))
+          .as("example_violation"))
+        .select(lit(table).as("table_name"), lit(column).as("column_name"),
+          lit(pattern).as("pattern"), col("n_rows"), col("n_matching"),
+          round(col("n_matching").cast("double") / col("n_rows").cast("double"), 6)
+            .as("match_rate"),
+          col("example_violation"))
+    }.reduce(_ unionByName _).orderBy("table_name", "column_name")
+
+  val qcFormatSql: String = formatContracts.map { case (table, column, pattern) =>
+    s"""SELECT '$table' AS table_name, '$column' AS column_name,
+       |  '$pattern' AS pattern,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN regexp_matches($column, '$pattern')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+       |  round(CAST(SUM(CASE WHEN regexp_matches($column, '$pattern')
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS match_rate,
+       |  MIN(CASE WHEN NOT regexp_matches($column, '$pattern')
+       |    THEN $column END) AS example_violation
+       |FROM $table""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_kmv" -> (qcKmv _),
+    "qc_format" -> (qcFormat _),
     "qc_drift_timeline" -> (qcDriftTimeline _),
     "qc_mahalanobis" -> (qcMahalanobis _),
     "qc_mutual_info" -> (qcMutualInfo _),
@@ -1225,6 +1271,7 @@ object ProfileQueries {
 
   val oracles: Map[String, String] = Map(
     "qc_kmv" -> qcKmvSql,
+    "qc_format" -> qcFormatSql,
     "qc_drift_timeline" -> qcDriftTimelineSql,
     "qc_mahalanobis" -> qcMahalanobisSql,
     "qc_mutual_info" -> qcMutualInfoSql,

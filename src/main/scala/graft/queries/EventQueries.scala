@@ -2731,8 +2731,43 @@ object EventQueries {
       |GROUP BY e.entry_type
       |ORDER BY e.entry_type""".stripMargin
 
+  /** §2.33au — behavioral × demographic rollup across fact sets: event
+    * volume and decimal-exact value per (customer market segment, event
+    * type), with per-user value — the events table joined to the
+    * customer DIMENSION on user_id = c_custkey. The one shape the
+    * events family didn't yet exercise: a cross-dataset broadcast dim
+    * join feeding the aggregation (dim broadcasts at any corpus scale —
+    * it is bounded by the customer base, not the event stream). */
+  def qeSegmentValue(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Tables.load(spark, dir, "events")
+      .join(broadcast(dim), "user_id")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        valueSum(col("value")).as("total_value"))
+      .withColumn("value_per_user",
+        round(col("total_value") / col("n_users").cast("double"), 6))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  val qeSegmentValueSql: String =
+    """SELECT c.c_mktsegment, e.event_type,
+      |  COUNT(DISTINCT e.user_id) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      |    AS DOUBLE) AS total_value,
+      |  round(CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      |      AS DOUBLE) / CAST(COUNT(DISTINCT e.user_id) AS DOUBLE), 6)
+      |    AS value_per_user
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment, e.event_type
+      |ORDER BY c.c_mktsegment, e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe_stl" -> (qeStl _),
+    "qe_segment_value" -> (qeSegmentValue _),
     "qe_entry_analysis" -> (qeEntryAnalysis _),
     "qe_markov_eval" -> (qeMarkovEval _),
     "qe_trend_robust" -> (qeTrendRobust _),
@@ -2822,6 +2857,7 @@ object EventQueries {
     "qe_stl" -> qeStlSql,
     "qe_markov_eval" -> qeMarkovEvalSql,
     "qe_entry_analysis" -> qeEntryAnalysisSql,
+    "qe_segment_value" -> qeSegmentValueSql,
     "qe_transitions" -> qeTransitionsSql,
     "qe_bursts" -> qeBurstsSql,
     "qe_changepoint" -> qeChangepointSql,

@@ -69,7 +69,10 @@ object PlanAudit {
       // qs_quantize_recall: runs the qs_knn_brute plan twice (float and
       // dequantized corpus) as the two ranking sides of its recall eval
       // — both are the same documented broadcast-panel exhaustive scan.
-      "qs_quantize_recall")
+      "qs_quantize_recall",
+      // qs_knn_classify: the qs_knn_brute broadcast-panel exhaustive
+      // scan feeding the kNN label-vote eval (same documented BNLJ).
+      "qs_knn_classify")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -493,8 +493,75 @@ object SimilarityQueries {
        |ORDER BY ex.q_id""".stripMargin
   }
 
+  /** §2.27j — kNN label-classification accuracy: each panel vector is
+    * classified by the majority label of its exact 3 nearest neighbors
+    * (count-desc, label-asc deterministic vote) and scored against its
+    * OWN ground-truth label — the end-task eval of embedding quality
+    * itself (recall evals ask "does the index find the neighbors";
+    * this asks "are the neighbors the right ones"). 50-vector panel
+    * through the brute plan, label votes and accuracy rollup over
+    * ≤ 3·|panel| rows. */
+  def qsKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nn = Knn.bruteForce(emb, emb.where(col("vec_id") < 50),
+      "embedding", "vec_id", 3)
+      .select(col("q_id"), col("neighbor_id"))
+      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+        "neighbor_id")
+    val vote = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("__votes").desc, col("label"))
+    val predicted = nn.groupBy("q_id", "label")
+      .agg(count(lit(1)).as("__votes"))
+      .withColumn("__rk", row_number().over(vote))
+      .where(col("__rk") === 1)
+      .select(col("q_id"), col("label").as("predicted"))
+    predicted
+      .join(broadcast(labels.withColumnRenamed("vec_id", "q_id")), "q_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_queries").cast("double"), 6))
+      .orderBy("label")
+  }
+
+  val qsKnnClassifySql: String =
+    s"""WITH nn AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+       |                 c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50
+       |  ) t WHERE rnk <= 3
+       |), votes AS (
+       |  SELECT nn.q_id, e.label, COUNT(*) AS v
+       |  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+       |  GROUP BY nn.q_id, e.label
+       |), pred AS (
+       |  SELECT q_id, label AS predicted FROM (
+       |    SELECT q_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY v DESC, label) AS rk
+       |    FROM votes
+       |  ) WHERE rk = 1
+       |)
+       |SELECT e.label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  round(CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+       |FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+       |GROUP BY e.label
+       |ORDER BY e.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs_lsh_stats" -> (qsLshStats _),
+    "qs_knn_classify" -> (qsKnnClassify _),
     "qs_quantize_recall" -> (qsQuantizeRecall _),
     "qs_centroids" -> (qsCentroids _),
     "qd_semantic" -> (qdSemantic _),
@@ -510,6 +577,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "qs_lsh_stats" -> qsLshStatsSql,
     "qs_quantize_recall" -> qsQuantizeRecallSql,
+    "qs_knn_classify" -> qsKnnClassifySql,
     "qs_centroids" -> qsCentroidsSql,
     "qd_semantic" -> qdSemanticSql,
     "qs_quantize" -> qsQuantizeSql,

@@ -846,8 +846,13 @@ object Dedup {
     val Seq(ea, eb) = edges.columns.take(2).toSeq
     val e = edges.select(least(col(ea), col(eb)).as("__a"),
         greatest(col(ea), col(eb)).as("__b"))
+      // Consumed three times (degrees, orientation, closure probe).
+      // localCheckpoint, not cache(): blocks are owned by the RDD and
+      // reclaimed by the ContextCleaner when the frame goes out of
+      // scope, so repeated invocations in a long-lived session cannot
+      // accumulate pinned CacheManager entries.
       .where(col("__a") =!= col("__b")).distinct()
-      .cache() // consumed three times: degrees, orientation, closure probe
+      .localCheckpoint()
     trianglesOfCanonical(e)
   }
 
@@ -1013,15 +1018,17 @@ object Dedup {
     * Returns (vertex, degree, n_triangles, clustering_coef). */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val Seq(ea, eb) = edges.columns.take(2).toSeq
-    // Cache the canonical edge set HERE and hand the cached frame to
-    // the triangle core: the upstream edge generation (an all-pairs
+    // Materialize the canonical edge set HERE and hand it to the
+    // triangle core: the upstream edge generation (the LSH-bucketed
     // cosine join for the embedding graph) is the dominant cost, and
-    // without the shared cache it would run twice — once for the
-    // degree count, once inside the triangle counter.
+    // without sharing it would run twice — once for the degree count,
+    // once inside the triangle counter. localCheckpoint, not cache():
+    // blocks die with the frame reference instead of pinning a
+    // CacheManager entry across invocations.
     val e = edges.select(least(col(ea), col(eb)).as("__a"),
         greatest(col(ea), col(eb)).as("__b"))
       .where(col("__a") =!= col("__b")).distinct()
-      .cache()
+      .localCheckpoint()
     val deg = e.select(col("__a").as("vertex"))
       .union(e.select(col("__b").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).as("degree"))
@@ -1057,5 +1064,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6)
           .as("cosine"))
+  }
+
+  /** Scale-safe near-dup edge generator: hyperplane-LSH buckets block
+    * the candidate space, same-bucket pairs above `minCosine` become
+    * edges. This is the 100 TB-shaped replacement for
+    * [[embeddingPairs]]'s label-blocked all-pairs join: label blocks
+    * grow linearly with the corpus (O(n²/|labels|) pair work — 100×
+    * data = 10,000× pairs), whereas the bucket count here is 2^numPlanes
+    * — an operator knob that scales the blocking with the corpus
+    * (16–24 planes at billion-row scale) while the join stays a plain
+    * shuffle on the bucket key. Recall is approximate by design (a pair
+    * split across buckets is missed — Charikar's collision bound
+    * 1 − θ/π per plane); the graph-analytics consumers (PageRank,
+    * triangles, k-core, clustering coefficient) need *a* near-dup
+    * graph, not the exact threshold graph, and the deterministic
+    * md5-derived planes ([[graft.similarity.Knn.planes]]) make the
+    * bucketing reproducible in any engine — the DuckDB oracles replay
+    * it bit-exactly. Returns (id_a, id_b, cosine), id_a < id_b. */
+  def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      numPlanes: Int, dims: Int, minCosine: Double): DataFrame = {
+    import graft.similarity.Knn
+    val planes = Knn.planes(numPlanes, dims)
+    val prepared = df
+      .select(col(idCol).as("__id"), asDoubles(col(vecCol)).as("__v"))
+      .withColumn("__bucket", Knn.bucketId(col("__v"), planes))
+      .withColumn("__norm", sqrt(dot(col("__v"), col("__v"))))
+      .select("__bucket", "__id", "__v", "__norm")
+    val a = prepared.toDF("__bucket", "id_a", "v_a", "norm_a")
+    val b = prepared.toDF("__bucket", "id_b", "v_b", "norm_b")
+    a.join(b, Seq("__bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
   }
 }

@@ -304,7 +304,7 @@ object PlanParser {
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, dedup, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, profile, or plan; got '$other'")
     }
   }
 

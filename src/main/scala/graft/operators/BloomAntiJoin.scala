@@ -43,18 +43,29 @@ object BloomAntiJoin {
     * majority against a small blocklist) survive straight off the scan
     * with NO shuffle; only the bloom-POSITIVE suspects (true hits +
     * ~fpp of the rest) pay the real left-anti join. Output semantics
-    * are exactly `LEFT ANTI JOIN` / `NOT IN` (NULL keys survive), so
-    * correctness is oracle-checkable — the Bloom stage only moves the
-    * shuffle volume from |df| down to |suspects|. This is the
-    * hand-rolled form of the runtime row-level bloom pruning Spark
-    * applies to equi-joins, usable where the planner won't inject it
-    * (e.g. the blocklist is built by an upstream plan step). */
+    * are exactly `LEFT ANTI JOIN` — NULL left keys SURVIVE (NULL
+    * equals nothing); note this differs from SQL `NOT IN`, which
+    * discards every row once the blocklist contains any key at all if
+    * the left key is NULL. Correctness is oracle-checkable — the Bloom
+    * stage only moves the shuffle volume from |df| down to |suspects|.
+    * This is the hand-rolled form of the runtime row-level bloom
+    * pruning Spark applies to equi-joins, usable where the planner
+    * won't inject it (e.g. the blocklist is built by an upstream plan
+    * step). */
   def exactAntiJoin(df: DataFrame, blockList: DataFrame,
       keyCol: String, blockKeyCol: String,
       expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
-    val bloomBytes = blockList
-      .where(col(blockKeyCol).isNotNull)
-      .agg(BloomFilters.bloomAgg(col(blockKeyCol), expectedItems, numBits)
+    // The blocklist is consumed TWICE — once to build the Bloom literal,
+    // once as the left-anti probe side. Pin one materialization
+    // (localCheckpoint: blocklists are small by contract, and blocks die
+    // with the frame reference): a nondeterministic or recomputed
+    // blocklist could otherwise diverge between the two reads, making a
+    // key bloom-negative yet present in the join side — wrongly
+    // surviving the anti-join.
+    val keys = blockList.select(col(blockKeyCol).as("__bk")).localCheckpoint()
+    val bloomBytes = keys
+      .where(col("__bk").isNotNull)
+      .agg(BloomFilters.bloomAgg(col("__bk"), expectedItems, numBits)
         .as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
     if (bloomBytes == null) df
@@ -62,8 +73,7 @@ object BloomAntiJoin {
       val might = BloomFilters.mightContain(lit(bloomBytes), col(keyCol))
       val definite = df.where(col(keyCol).isNull || !might)
       val suspects = df.where(col(keyCol).isNotNull && might)
-        .join(blockList.select(col(blockKeyCol).as("__bk")).distinct(),
-          col(keyCol) === col("__bk"), "left_anti")
+        .join(keys.distinct(), col(keyCol) === col("__bk"), "left_anti")
       definite.unionByName(suspects)
     }
   }

@@ -413,18 +413,71 @@ object DedupQueries {
       |  AND levenshtein(a.pre, b.pre) <= 16
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** §2.25j — per-vertex triangle counts over the [[qdEmbedding]] pair
-    * graph (cosine ≥ 0.2 within label blocks): the clustering-
-    * coefficient numerator that separates dense duplicate cliques from
-    * thin chained neighborhoods before canonicalization trusts them.
-    * Degree-ordered node-iterator ([[Dedup.trianglesPerVertex]]) — the
-    * wedge join is O(m^{3/2}) regardless of hub skew; the oracle counts
-    * the same triangles by the orientation-free three-way join, which
-    * is only safe at oracle scale. */
+  // ---- Graph-analytics edge geometry (items 25j-25m) -------------------
+  // The four graph operators below (triangles, clustering coefficient,
+  // 2-core, PageRank) consume [[Dedup.lshCosinePairs]] — hyperplane-LSH
+  // bucketed candidates + same-bucket cosine ≥ 0.2 — NOT the label-
+  // blocked all-pairs [[Dedup.embeddingPairs]] (which survives only as
+  // the qd_embedding exact-threshold oracle cross-check). Rationale:
+  // label blocks grow linearly with the corpus, so the all-pairs stage
+  // is O(n²/|labels|) — 100× data = 10,000× pair work — while the LSH
+  // bucket count is 2^planes, an operator knob (6 here at oracle scale;
+  // 16-24 at billion-row scale). These operators need *a* near-dup
+  // graph, not the exact threshold graph; the md5-derived planes make
+  // the bucketing engine-reproducible, so the DuckDB oracles replay the
+  // identical edge set bit-exactly.
+  private val GraphPlanes = 6
+  private val GraphDims = 64
+  private val GraphMinCosine = 0.2
+
+  private def gDotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${GraphDims + 1}),
+       | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+      .stripMargin.replace("\n", "")
+
+  private def gCosineSql(a: String, b: String): String =
+    s"round(${gDotSql(a, b)} / (sqrt(${gDotSql(a, a)}) * sqrt(${gDotSql(b, b)})), 6)"
+
+  /** Oracle fragment: md5-derived hyperplane component w(p, i), 1-based
+    * dim index i — mirrors [[graft.similarity.Knn.planes]]. */
+  private def gWSql(p: Int): String =
+    s"((('0x' || substr(md5('${p}_' || (i - 1)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)"
+
+  private def gPlaneDotSql(vec: String, p: Int): String =
+    s"""list_reduce(list_transform(range(1, ${GraphDims + 1}),
+       | i -> CAST($vec[i] AS DOUBLE) * ${gWSql(p)}), (x, y) -> x + y)"""
+      .stripMargin.replace("\n", "")
+
+  private def gBucketSql(vec: String): String =
+    (0 until GraphPlanes).map { p =>
+      s"(CASE WHEN ${gPlaneDotSql(vec, p)} >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Shared oracle CTE: the LSH-bucketed cosine ≥ 0.2 embedding edge
+    * list as `pairs(id_a, id_b)` (mirrors [[Dedup.lshCosinePairs]]). */
+  private val lshPairsCte: String =
+    s"""WITH bktd AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${gBucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bktd a JOIN bktd b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${gCosineSql("a.embedding", "b.embedding")} >= $GraphMinCosine
+       |)""".stripMargin
+
+  /** §2.25j — per-vertex triangle counts over the LSH-bucketed
+    * embedding near-dup graph (cosine ≥ 0.2 within hyperplane
+    * buckets): the clustering-coefficient numerator that separates
+    * dense duplicate cliques from thin chained neighborhoods before
+    * canonicalization trusts them. Degree-ordered node-iterator
+    * ([[Dedup.trianglesPerVertex]]) — the wedge join is O(m^{3/2})
+    * regardless of hub skew; the oracle counts the same triangles by
+    * the orientation-free three-way join, which is only safe at
+    * oracle scale. */
   def qdTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", "label")
-      .where(col("cosine") >= 0.2)
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphPlanes, GraphDims, GraphMinCosine)
       .select("id_a", "id_b")
     Dedup.trianglesPerVertex(edges)
       .select(col("vertex").as("vec_id"), col("n_triangles"))
@@ -432,20 +485,8 @@ object DedupQueries {
   }
 
   val qdTrianglesSql: String =
-    """WITH v AS (
-      |  SELECT label, vec_id, embedding FROM embeddings
-      |), pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      |  WHERE round(
-      |    list_reduce(list_transform(range(1, 65),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-      |    / (sqrt(list_reduce(list_transform(range(1, 65),
-      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-      |       * sqrt(list_reduce(list_transform(range(1, 65),
-      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-      |  , 6) >= 0.2
-      |), tri AS (
+    s"""$lshPairsCte, tri AS (""".stripMargin +
+    """
       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
       |  FROM pairs e1
       |  JOIN pairs e2 ON e2.id_a = e1.id_b
@@ -466,9 +507,8 @@ object DedupQueries {
     * not collapse. Shares the triangle machinery; one extra grouped
     * degree count and a left join. */
   def qdClustering(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", "label")
-      .where(col("cosine") >= 0.2)
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphPlanes, GraphDims, GraphMinCosine)
       .select("id_a", "id_b")
     Dedup.clusteringCoefficient(edges)
       .select(col("vertex").as("vec_id"), col("degree"),
@@ -477,20 +517,8 @@ object DedupQueries {
   }
 
   val qdClusteringSql: String =
-    """WITH v AS (
-      |  SELECT label, vec_id, embedding FROM embeddings
-      |), pairs AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      |  WHERE round(
-      |    list_reduce(list_transform(range(1, 65),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-      |    / (sqrt(list_reduce(list_transform(range(1, 65),
-      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-      |       * sqrt(list_reduce(list_transform(range(1, 65),
-      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-      |  , 6) >= 0.2
-      |), deg AS (
+    s"""$lshPairsCte, deg AS (""" +
+    """
       |  SELECT vtx AS vec_id, COUNT(*) AS degree FROM (
       |    SELECT id_a AS vtx FROM pairs UNION ALL SELECT id_b FROM pairs
       |  ) GROUP BY vtx
@@ -524,33 +552,27 @@ object DedupQueries {
     * the Spark side fails loudly past 14) reproduces the converged
     * result exactly. */
   def qdKcore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", "label")
-      .where(col("cosine") >= 0.2)
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphPlanes, GraphDims, GraphMinCosine)
       .select("id_a", "id_b")
     Dedup.kCore(edges, k = 2)
       .select(col("vertex").as("vec_id"), col("core_degree"))
       .orderBy("vec_id")
   }
 
-  /** Shared oracle CTE: the cosine ≥ 0.2 label-blocked embedding edge
-    * list (mirrors [[Dedup.embeddingPairs]]), consumed by the k-core
-    * and PageRank unrolled replays below. */
+  /** Shared oracle CTE: the LSH-bucketed cosine ≥ 0.2 embedding edge
+    * list as `e0(a, b)` (mirrors [[Dedup.lshCosinePairs]]), consumed by
+    * the k-core and PageRank unrolled replays below. */
   private val embeddingEdgeCte: String =
-    """WITH v AS (
-      |  SELECT label, vec_id, embedding FROM embeddings
-      |), e0 AS MATERIALIZED (
-      |  SELECT a.vec_id AS a, b.vec_id AS b
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      |  WHERE round(
-      |    list_reduce(list_transform(range(1, 65),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-      |    / (sqrt(list_reduce(list_transform(range(1, 65),
-      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-      |       * sqrt(list_reduce(list_transform(range(1, 65),
-      |           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-      |  , 6) >= 0.2
-      |)""".stripMargin
+    s"""WITH bktd AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${gBucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM bktd a JOIN bktd b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${gCosineSql("a.embedding", "b.embedding")} >= $GraphMinCosine
+       |)""".stripMargin
 
   val qdKcoreSql: String = {
     val pairs = embeddingEdgeCte
@@ -582,9 +604,8 @@ object DedupQueries {
     * unroll; DECIMAL(38,18) contribution sums make each iteration
     * accumulation-order-exact, so the replay is bit-identical. */
   def qdPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", "label")
-      .where(col("cosine") >= 0.2)
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphPlanes, GraphDims, GraphMinCosine)
       .select("id_a", "id_b")
     Dedup.pageRank(edges, iterations = 10)
       .select(col("vertex").as("vec_id"), col("pagerank"))
@@ -623,7 +644,13 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin
   }
 
-  /** §2.25 — embedding cosine near-dup pairs blocked by label. */
+  /** §2.25 — embedding cosine near-dup pairs blocked by label: the
+    * EXACT-threshold pair set within metadata blocks, kept as the
+    * oracle-scale cross-check for the approximate LSH generator
+    * ([[Dedup.lshCosinePairs]]) that the graph-analytics family
+    * consumes. At 100× data the label-blocked all-pairs join is the
+    * wrong tool (blocks grow with the corpus); use the LSH path and
+    * widen `numPlanes`. */
   def qdEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.load(spark, dir, "embeddings"),
       "embedding", "vec_id", "label")

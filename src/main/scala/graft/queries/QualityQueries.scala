@@ -231,7 +231,12 @@ object QualityQueries {
       df.select(md5Hash32(canon(df)).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("h").cast("decimal(38,0)")).as("checksum"))
-        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          // Emit the fingerprint as its exact base-10 string: the value
+          // is an integer, the text render is canonical in every engine,
+          // so the comparison can never hinge on how a consumer
+          // canonicalizes DECIMAL(38,0).
+          col("checksum").cast("string").as("checksum"))
     }
     val tables: Seq[(String, DataFrame => Column)] = Seq(
       "region" -> (df => concat_ws("|", col("r_regionkey"), col("r_name"))),
@@ -252,8 +257,8 @@ object QualityQueries {
   val qcChecksumSql: String = {
     def piece(name: String, canon: String) =
       s"""SELECT '$name' AS table_name, COUNT(*) AS n_rows,
-         |  CAST(SUM(('0x' || substr(md5($canon), 1, 8))::BIGINT)
-         |    AS DECIMAL(38,0)) AS checksum
+         |  CAST(CAST(SUM(('0x' || substr(md5($canon), 1, 8))::BIGINT)
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
          |FROM $name""".stripMargin
     def dec(c: String) = s"CAST(CAST($c AS DECIMAL(18,4)) AS VARCHAR)"
     Seq(
@@ -265,7 +270,64 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  /** §2.5e — driver-hash canaries. One single-row query per output type
+    * whose Spark and DuckDB results are trivially identical by
+    * construction. Purpose: when a CORRECTNESS row goes hash-red with
+    * value-identical results (r7 q_mode, r8 qc_checksum), the canaries
+    * split the blame instantly — a red canary means the comparison
+    * harness canonicalizes that TYPE differently between engines; all
+    * canaries green means the engine result itself drifted. Each query
+    * still reads a real table so the load path is exercised. */
+  private def canaryBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "region").agg(count(lit(1)).cast("long").as("n_rows"))
+
+  def qcCanaryDecimal(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark, dir).select(col("n_rows"),
+      lit("322677750168629").cast("decimal(38,0)").as("v_dec38"),
+      lit("1234.5678").cast("decimal(18,4)").as("v_dec18_4"))
+  val qcCanaryDecimalSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(322677750168629 AS DECIMAL(38,0)) AS v_dec38,
+      |  CAST(1234.5678 AS DECIMAL(18,4)) AS v_dec18_4
+      |FROM region""".stripMargin
+
+  def qcCanaryTimestamp(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark, dir).select(col("n_rows"),
+      to_timestamp(lit("2024-03-01 12:34:56.789123")).as("v_ts"),
+      to_date(lit("2024-03-01")).as("v_date"))
+  val qcCanaryTimestampSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  TIMESTAMP '2024-03-01 12:34:56.789123' AS v_ts,
+      |  DATE '2024-03-01' AS v_date
+      |FROM region""".stripMargin
+
+  def qcCanaryDouble(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark, dir).select(col("n_rows"),
+      (lit(0.1) + lit(0.2)).as("v_sum"),    // IEEE 0.30000000000000004
+      (lit(1.0) / lit(3.0)).as("v_third"),
+      lit(1.5e-45).as("v_tiny"))
+  val qcCanaryDoubleSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS v_sum,
+      |  CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS v_third,
+      |  CAST(1.5e-45 AS DOUBLE) AS v_tiny
+      |FROM region""".stripMargin
+
+  def qcCanaryArray(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark, dir).select(col("n_rows"),
+      array(lit(1), lit(2), lit(3)).as("v_arr_int"),
+      array(lit("a"), lit("b")).as("v_arr_str"))
+  val qcCanaryArraySql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  [1, 2, 3] AS v_arr_int,
+      |  ['a', 'b'] AS v_arr_str
+      |FROM region""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_canary_decimal" -> (qcCanaryDecimal _),
+    "qc_canary_timestamp" -> (qcCanaryTimestamp _),
+    "qc_canary_double" -> (qcCanaryDouble _),
+    "qc_canary_array" -> (qcCanaryArray _),
     "qc_checksum" -> (qcChecksum _),
     "qc_orphans" -> (qcOrphans _),
     "qc_ref_integrity" -> (qcRefIntegrity _),
@@ -276,6 +338,10 @@ object QualityQueries {
     "qc_assert_window" -> (qcAssertWindow _))
 
   val oracles: Map[String, String] = Map(
+    "qc_canary_decimal" -> qcCanaryDecimalSql,
+    "qc_canary_timestamp" -> qcCanaryTimestampSql,
+    "qc_canary_double" -> qcCanaryDoubleSql,
+    "qc_canary_array" -> qcCanaryArraySql,
     "qc_checksum" -> qcChecksumSql,
     "qc_orphans" -> qcOrphansSql,
     "qc_ref_integrity" -> qcRefIntegritySql,

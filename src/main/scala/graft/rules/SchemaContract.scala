@@ -22,19 +22,37 @@ case class ColumnContract(name: String, dataType: String,
 
 object SchemaContract {
 
+  /** Column-name lookup matching Spark's DEFAULT case-insensitive
+    * resolution (lowercased keys) — a column differing only in case
+    * must read as `ok`/`type_mismatch`, never as simultaneously
+    * `missing` and `unexpected`. Duplicate actual names (possible on
+    * case-sensitively-written parquet) fail loudly instead of silently
+    * collapsing in the map. */
+  private def actualByName(df: DataFrame): Map[String, org.apache.spark.sql.types.StructField] = {
+    val keyed = df.schema.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f)
+    val dups = keyed.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"schema has case-colliding duplicate column names: ${dups.mkString(", ")}")
+    keyed.toMap
+  }
+
+  private def key(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
   /** Per-column comparison report: one row per contract column plus one
     * per unexpected actual column — (column_name, expected_type,
     * actual_type, status) with status ∈ ok | type_mismatch |
-    * nullability_violation | missing | unexpected. `unexpected` rows
-    * are informational unless `allowExtra = false` makes them
-    * violations (`passed` counts them). */
+    * nullability_violation | missing | unexpected. The report always
+    * labels undeclared columns `unexpected` as information; whether
+    * they FAIL the contract is [[passed]]'s `allowExtra` switch (this
+    * method takes no such parameter by design — the report shape does
+    * not change with the policy). */
   def report(spark: SparkSession, df: DataFrame,
       contract: Seq[ColumnContract]): DataFrame = {
-    val actual = df.schema.map(f => f.name -> f).toMap
-    val declared = contract.map(_.name).toSet
+    val actual = actualByName(df)
+    val declared = contract.map(c => key(c.name)).toSet
     val rows =
       contract.map { c =>
-        actual.get(c.name) match {
+        actual.get(key(c.name)) match {
           case None =>
             Row(c.name, c.dataType, null, "missing")
           case Some(f) =>
@@ -46,7 +64,7 @@ object SchemaContract {
             Row(c.name, c.dataType, t, status)
         }
       } ++
-      df.schema.filterNot(f => declared(f.name)).map { f =>
+      df.schema.filterNot(f => declared(key(f.name))).map { f =>
         Row(f.name, null, f.dataType.simpleString, "unexpected")
       }
     spark.createDataFrame(
@@ -62,14 +80,14 @@ object SchemaContract {
     * no undeclared columns exist. Pure metadata — no job runs. */
   def passed(df: DataFrame, contract: Seq[ColumnContract],
       allowExtra: Boolean = true): Boolean = {
-    val actual = df.schema.map(f => f.name -> f).toMap
-    val declared = contract.map(_.name).toSet
+    val actual = actualByName(df)
+    val declared = contract.map(c => key(c.name)).toSet
     val contractOk = contract.forall { c =>
-      actual.get(c.name).exists { f =>
+      actual.get(key(c.name)).exists { f =>
         f.dataType.simpleString.equalsIgnoreCase(c.dataType) &&
           (c.nullable || !f.nullable)
       }
     }
-    contractOk && (allowExtra || df.schema.forall(f => declared(f.name)))
+    contractOk && (allowExtra || df.schema.forall(f => declared(key(f.name))))
   }
 }

@@ -32,4 +32,23 @@ class ContractSpec extends SparkSpec {
       ProfileQueries.queries, OperatorQueries.queries).map(_.size).sum
     assert(SparkEntry.queries.size === moduleSizes)
   }
+
+  test("SURVEY §2 checklist item ids are unique") {
+    // The §2 checklist is the auditable coverage contract; a duplicated
+    // item id makes two different operators claim the same line (r7
+    // caught 13p, r8 caught 31x and 33aq-33au — this pins it shut).
+    // Item lines look like `31x. description`; the §7 build plan's
+    // plain `1.`-style steps (after the section header) are excluded.
+    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toVector
+    val sec2 = lines
+      .dropWhile(!_.startsWith("## §2"))
+      .drop(1)
+      .takeWhile(!_.startsWith("## §"))
+    val ids = sec2.flatMap { l =>
+      "^(\\d+[a-z0-9]*)\\. ".r.findFirstMatchIn(l).map(_.group(1))
+    }
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate SURVEY §2 item ids: $dups")
+    assert(ids.size >= 216, s"expected the full checklist, found ${ids.size}")
+  }
 }

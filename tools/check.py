@@ -36,6 +36,13 @@ for name, sql in sorted(oracle.items()):
         continue
     def canon(df):
         df = df[sorted(df.columns)]
+        # list/ndarray cells (array-typed output columns) are unhashable
+        # for pandas sorting — canonicalize to tuples first.
+        for c in df.columns:
+            if (df[c].dtype == object and len(df)
+                    and not isinstance(df[c].iloc[0], (str, bytes))
+                    and hasattr(df[c].iloc[0], '__len__')):
+                df = df.assign(**{c: df[c].map(lambda v: tuple(v))})
         if len(df):
             df = df.sort_values(by=list(df.columns), kind="mergesort")
         return df.reset_index(drop=True)

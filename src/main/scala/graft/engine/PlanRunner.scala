@@ -39,8 +39,17 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
 
   def resolve(input: InputRef): DataFrame =
     if (!input.onDisk)
-      lookup.getOrElse(input.ref, throw new IllegalArgumentException(
-        s"Input ${input.ref} not in lookup table."))
+      // Catalog-mode input (reference: tnengine/TnEngine.scala:38
+      // enableHiveSupport): a non-disk ref not produced by an earlier
+      // command resolves through the session catalog — temp views,
+      // spark_catalog / warehouse-backed tables, and (when the session
+      // was built with enableHiveSupport) Hive-metastore tables, all via
+      // the same spark.table() path. Plan keys win on collision so a
+      // command output can shadow a catalog name deliberately.
+      lookup.getOrElse(input.ref,
+        if (spark.catalog.tableExists(input.ref)) spark.table(input.ref)
+        else throw new IllegalArgumentException(
+          s"Input ${input.ref} not in lookup table or session catalog."))
     else input.format.orElse {
       input.delimiter.map(_ => "csv").orElse {
         val ext = input.ref.reverse.takeWhile(_ != '.').reverse.toLowerCase

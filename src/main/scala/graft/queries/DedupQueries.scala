@@ -1144,14 +1144,20 @@ object DedupQueries {
     * cluster) — the one-page read that tells a dedup reviewer whether
     * the graph is healthy near-dup pairs (sizes 2-3) or a degenerate
     * hairball (one giant component = the LSH threshold is wrong). Two
-    * tiny rollups over [[qdComponents]]'s assignment frame — the
-    * expensive part (the iterative components) is shared, everything
-    * after runs on ≤ |docs| rows collapsing to ≤ |distinct sizes|. */
+    * tiny rollups over the component assignment — the expensive part is
+    * the components pass, so it runs on the O(log n)-round star
+    * contraction ([[Dedup.connectedComponentsStar]]): label propagation
+    * here cost a round count tracking graph DIAMETER, the wrong bound
+    * for the chain-shaped clusters this report exists to flag (both
+    * forms measure ~1 s on the test graph; the star bound is what
+    * survives a deep graph). Everything after runs on ≤ |docs| rows
+    * collapsing to ≤ |distinct sizes|. Component IDs (min-id canonical)
+    * are algorithm-invariant, so the oracle is unchanged. */
   def qdClusterReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
       .select("id_a", "id_b")
-    Dedup.connectedComponents(docs.select("doc_id"), edges)
+    Dedup.connectedComponentsStar(docs.select("doc_id"), edges)
       .groupBy("component_id")
       .agg(count(lit(1)).as("__sz"))
       .groupBy(col("__sz").as("cluster_size"))

@@ -271,4 +271,42 @@ class PlanRunnerSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("nope.json"))
   }
+
+  test("catalog-mode input: plan reads a warehouse-backed spark_catalog table") {
+    // Reference parity: TnEngine.scala:38 builds its session with
+    // enableHiveSupport() so plan inputs can name metastore tables.
+    // graft's resolve() goes through spark.table() for any non-disk ref
+    // absent from the plan lookup — the one code path that serves temp
+    // views, spark_catalog warehouse tables, and (on a Hive-enabled
+    // session) metastore tables alike. This exercises the
+    // warehouse-backed branch with a managed parquet table; swapping the
+    // session builder to enableHiveSupport() changes nothing in graft.
+    spark.sql("DROP TABLE IF EXISTS graft_cat_src")
+    spark.sql(
+      "CREATE TABLE graft_cat_src USING parquet AS " +
+        "SELECT * FROM VALUES (1, 5.0), (2, -1.0), (3, 2.0) AS t(id, bal)")
+    try {
+      assert(spark.catalog.tableExists("graft_cat_src"))
+      val plan = PlanParser.parse(
+        """{
+          |  "commands": [
+          |    {"command": "assertion",
+          |     "input": {"ref": "graft_cat_src", "onDisk": false},
+          |     "params": {"assertions": [
+          |        {"query": "bal > 0", "description": "positive", "threshold": 0.5}]},
+          |     "outputKey": "bad"}
+          |  ]
+          |}""".stripMargin)
+      val res = new PlanRunner(spark).run(plan)
+      assert(res.numFailedAssertions === 0) // 1/3 invalid, under 0.5
+      assert(res.outputs("bad").select("id").as[Int].collect().toSeq === Seq(2))
+      // A ref that is neither a plan key nor a catalog table still fails
+      // loudly, naming both places it looked.
+      val err = intercept[IllegalArgumentException] {
+        new PlanRunner(spark).resolve(InputRef("graft_no_such", onDisk = false,
+          format = None, delimiter = None))
+      }
+      assert(err.getMessage.contains("catalog"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_src")
+  }
 }

@@ -166,15 +166,73 @@ object OperatorQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** §2.40 — join-cardinality forecast from per-key histograms: for the
+    * M:N join events.user_id = orders.o_custkey, the EXACT output size
+    * is Σ_k cnt_events(k)·cnt_orders(k) — computable from the two
+    * COLLAPSED key-count frames without ever running the join. This is
+    * the pre-flight a planner (or an on-call engineer) runs before an
+    * unfamiliar join at 100 TB: the fact tables collapse map-side to
+    * ≤ |distinct keys| rows each, the count-frame join shuffles only
+    * those, and the report names the keys that would explode — the
+    * exact rows each would emit and its share of the total — so a
+    * hot key is known (and saltable, §37) before a single fact row
+    * moves. Top-5 via distributed TakeOrdered, never a global window;
+    * the 1-row total joins by broadcast. */
+  def qoJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id").as("join_key"))
+      .agg(count(lit(1)).as("cnt_events"))
+    val ord = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("join_key"))
+      .agg(count(lit(1)).as("cnt_orders"))
+    val contrib = ev.join(ord, "join_key")
+      .select(col("join_key"), col("cnt_events"), col("cnt_orders"),
+        (col("cnt_events") * col("cnt_orders")).as("est_rows"))
+    val total = contrib.agg(sum("est_rows").as("total_est_rows"))
+    contrib
+      .orderBy(col("est_rows").desc, col("join_key"))
+      .limit(5)
+      .join(broadcast(total))
+      .select(col("join_key"), col("cnt_events"), col("cnt_orders"),
+        col("est_rows"), col("total_est_rows"),
+        round(col("est_rows").cast("double") /
+          col("total_est_rows").cast("double"), 6).as("share"))
+      .orderBy(col("est_rows").desc, col("join_key"))
+  }
+
+  val qoJoinCardinalitySql: String =
+    """WITH ev AS (
+      |  SELECT user_id AS join_key, COUNT(*) AS cnt_events
+      |  FROM events GROUP BY 1
+      |), ord AS (
+      |  SELECT o_custkey AS join_key, COUNT(*) AS cnt_orders
+      |  FROM orders GROUP BY 1
+      |), contrib AS (
+      |  SELECT e.join_key, e.cnt_events, o.cnt_orders,
+      |    e.cnt_events * o.cnt_orders AS est_rows
+      |  FROM ev e JOIN ord o ON e.join_key = o.join_key
+      |), tot AS (
+      |  SELECT SUM(est_rows) AS total_est_rows FROM contrib
+      |)
+      |SELECT join_key, cnt_events, cnt_orders, est_rows,
+      |  CAST(total_est_rows AS BIGINT) AS total_est_rows,
+      |  round(CAST(est_rows AS DOUBLE) / CAST(total_est_rows AS DOUBLE), 6)
+      |    AS share
+      |FROM contrib, tot
+      |ORDER BY est_rows DESC, join_key
+      |LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qo_skew_join" -> (qoSkewJoin _),
     "qo_skew_distinct" -> (qoSkewDistinct _),
     "qo_merge" -> (qoMerge _),
-    "qo_bloom_anti" -> (qoBloomAnti _))
+    "qo_bloom_anti" -> (qoBloomAnti _),
+    "qo_join_cardinality" -> (qoJoinCardinality _))
 
   val oracles: Map[String, String] = Map(
     "qo_bloom_anti" -> qoBloomAntiSql,
     "qo_skew_join" -> qoSkewJoinSql,
     "qo_skew_distinct" -> qoSkewDistinctSql,
-    "qo_merge" -> qoMergeSql)
+    "qo_merge" -> qoMergeSql,
+    "qo_join_cardinality" -> qoJoinCardinalitySql)
 }

@@ -1072,7 +1072,240 @@ object PipelineQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY custkey, version""".stripMargin
 
+  /** §2.31aa — data selection via importance resampling (DSIR, Xie et
+    * al. 2023, arXiv:2302.03169): score every raw-pool document by how
+    * target-domain-like its hashed n-gram distribution is. Features are
+    * md5-hashed unigram buckets (B = 256); the target (sources src0 +
+    * src1 here) and raw pools each yield add-1-smoothed bucket
+    * probabilities, and a document's importance weight is
+    * Σ_tokens log(p_target(b)/p_raw(b)) — the top-weighted raw docs are
+    * the ones to promote into a target-domain mix. Scale shape: the
+    * 100 TB raw side sees one token explode, a BROADCAST join against
+    * the 256-row log-ratio table, and a per-doc sum — the only
+    * shuffle is the per-doc aggregation; the model itself (two
+    * 256-bucket count frames) is collapsed map-side. Per-token
+    * log-ratios round to DECIMAL(18,9) before summing, so doc weights
+    * are accumulation-order-exact. Top-3 per source reported. */
+  def qpDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val docs = Tables.load(spark, dir, "documents")
+    val tokenized = docs.select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("bucket", md5Hash32(col("tok")) % B)
+      .withColumn("is_target", col("source").isin("src0", "src1"))
+    val counts = tokenized.groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
+    val totals = counts.agg(sum("c_t").as("tt"), sum("c_r").as("tr"))
+    val spine = spark.range(B).select(col("id").as("bucket"))
+    val lam = spine.join(counts, Seq("bucket"), "left")
+      .join(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("c_t"), lit(0L)) + lit(1)).cast("double") /
+            (col("tt") + lit(B)).cast("double")) /
+          ((coalesce(col("c_r"), lit(0L)) + lit(1)).cast("double") /
+            (col("tr") + lit(B)).cast("double"))), 9)
+          .cast("decimal(18,9)").as("lam"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("weight_dec").desc, col("doc_id"))
+    tokenized.where(!col("is_target"))
+      .join(broadcast(lam), "bucket")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lam").as("weight_dec"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        round(col("weight_dec").cast("double"), 6).as("weight"), col("rank"))
+      .orderBy("source", "rank")
+  }
+
+  val qpDsirSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    (source IN ('src0', 'src1')) AS is_target,
+      |    ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 256 AS bucket
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |), counts AS (
+      |  SELECT bucket,
+      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+      |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
+      |  FROM tok GROUP BY bucket
+      |), tot AS (
+      |  SELECT SUM(c_t) AS tt, SUM(c_r) AS tr FROM counts
+      |), lam AS (
+      |  SELECT s.bucket,
+      |    CAST(round(ln(
+      |      ((COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE) /
+      |      ((COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE)), 9)
+      |      AS DECIMAL(18,9)) AS lam
+      |  FROM range(0, 256) s(bucket)
+      |  LEFT JOIN counts c ON c.bucket = s.bucket, tot t
+      |), weights AS (
+      |  SELECT k.source, k.doc_id, COUNT(*) AS n_tokens,
+      |    SUM(l.lam) AS weight_dec
+      |  FROM tok k JOIN lam l ON l.bucket = k.bucket
+      |  WHERE NOT k.is_target
+      |  GROUP BY k.source, k.doc_id
+      |)
+      |SELECT source, doc_id, n_tokens,
+      |  round(CAST(weight_dec AS DOUBLE), 6) AS weight, rank
+      |FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY weight_dec DESC, doc_id) AS INTEGER) AS rank
+      |  FROM weights
+      |) t
+      |WHERE rank <= 3
+      |ORDER BY source, rank""".stripMargin
+
+  /** §2.31ab — quality-score calibration against duplication: bucket
+    * the corpus by quality decile (fixed-width on the [0,1] score) and
+    * read, per bucket, the exact-duplicate rate and mean length. The
+    * release gate for any learned-or-heuristic quality score: a score
+    * worth filtering on should show duplication and degenerate-length
+    * concentrated in its low buckets — if dup_rate is flat across
+    * buckets, the score is not measuring what the pipeline assumes.
+    * Shape: one content-hash group (the dedup shuffle already priced
+    * into any release), one broadcast-back, one ≤ 10-row rollup. */
+  def qpCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val q = lit(0.3) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.4) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(0.3) * (lit(1.0) - countIn(toks, TextQueries.stopwords).cast("double") / nTok)
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        size(toks).as("n_tokens"),
+        least(floor(q * lit(10.0)), lit(9.0)).cast("int").as("q_bucket"))
+    val groupSizes = scored.groupBy("content_hash")
+      .agg(count(lit(1)).as("grp"))
+    scored.join(groupSizes, "content_hash")
+      .groupBy("q_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(when(col("grp") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("dup_rate"),
+        round(sum(col("n_tokens").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)), 6).as("mean_tokens"))
+      .orderBy("q_bucket")
+  }
+
+  val qpCalibrationSql: String = {
+    val stop = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val q = s"""0.3 * least($nTok / 50.0, 1.0)
+       | + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)
+       | + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |     t -> t IN ($stop))) AS DOUBLE) / $nTok)""".stripMargin.replace("\n", "")
+    s"""WITH scored AS (
+       |  SELECT doc_id, md5(text) AS content_hash,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    CAST(least(floor(($q) * 10.0), 9.0) AS INTEGER) AS q_bucket
+       |  FROM documents
+       |), grp AS (
+       |  SELECT content_hash, COUNT(*) AS grp FROM scored GROUP BY 1
+       |)
+       |SELECT s.q_bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  round(CAST(SUM(CASE WHEN g.grp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS dup_rate,
+       |  round(CAST(SUM(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_tokens
+       |FROM scored s JOIN grp g ON s.content_hash = g.content_hash
+       |GROUP BY s.q_bucket
+       |ORDER BY s.q_bucket""".stripMargin
+  }
+
+  /** §2.31ac — Neyman-allocation stratified sampling: a fixed budget of
+    * 100 sample slots splits across source strata proportional to
+    * N_h·σ_h (stratum size × stratum std-dev of n_chars) — the
+    * textbook minimum-variance allocation, vs 31i's equal/proportional
+    * strata. σ comes from exact integer moment sums; stratum weights
+    * round to DECIMAL(28,9) before the grand total so the shares are
+    * accumulation-order-exact; integer slots assign by largest
+    * remainder (floor + ranked fractional parts — Σ alloc = budget
+    * exactly); the winning rows are the deterministic seeded-md5
+    * minimum ranks per stratum. Everything after the one grouped
+    * moment pass runs on the ≤ |sources| frame; the per-stratum rank
+    * is the same shuffle any stratified sampler pays. */
+  def qpNeyman(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("s2"))
+      .select(col("source"), col("n_docs"),
+        (sqrt((col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double")) /
+          col("n_docs")).as("sigma"))
+      .withColumn("w_dec",
+        round(col("n_docs") * col("sigma"), 9).cast("decimal(28,9)"))
+    val tw = stats.agg(sum("w_dec").as("tw"))
+    val raw = stats.join(broadcast(tw))
+      .withColumn("raw_alloc",
+        lit(budget) * col("w_dec").cast("double") / col("tw").cast("double"))
+      .withColumn("base", floor(col("raw_alloc")).cast("long"))
+      .withColumn("rem", col("raw_alloc") - col("base"))
+    val leftover = raw.agg((lit(budget) - sum("base")).as("leftover"))
+    val wr = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = raw.join(broadcast(leftover))
+      .withColumn("rr", row_number().over(wr))
+      .select(col("source"), col("n_docs"),
+        round(col("sigma"), 6).as("sigma"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+    val ws = Window.partitionBy("source")
+      .orderBy(md5Hash32(concat_ws(":", lit("neyman"), col("doc_id"))),
+        col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("sample_rank", row_number().over(ws))
+      .join(broadcast(alloc), "source")
+      .where(col("sample_rank") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("sample_rank"),
+        col("alloc"), col("n_docs"), col("sigma"))
+      .orderBy("source", "sample_rank")
+  }
+
+  val qpNeymanSql: String =
+    """WITH stats AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    sqrt(CAST(COUNT(*) * SUM(CAST(n_chars * n_chars AS DECIMAL(38,0)))
+      |      - SUM(CAST(n_chars AS DECIMAL(38,0))) * SUM(CAST(n_chars AS DECIMAL(38,0)))
+      |      AS DOUBLE)) / COUNT(*) AS sigma
+      |  FROM documents GROUP BY source
+      |), wdec AS (
+      |  SELECT *, CAST(round(n_docs * sigma, 9) AS DECIMAL(28,9)) AS w_dec
+      |  FROM stats
+      |), tw AS (SELECT SUM(w_dec) AS tw FROM wdec
+      |), raw AS (
+      |  SELECT w.*, 100 * CAST(w.w_dec AS DOUBLE) / CAST(t.tw AS DOUBLE) AS raw_alloc
+      |  FROM wdec w, tw t
+      |), based AS (
+      |  SELECT *, CAST(floor(raw_alloc) AS BIGINT) AS base,
+      |    raw_alloc - floor(raw_alloc) AS rem
+      |  FROM raw
+      |), lo AS (SELECT 100 - SUM(base) AS leftover FROM based
+      |), alloc AS (
+      |  SELECT source, n_docs, round(sigma, 6) AS sigma,
+      |    base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+      |      <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS alloc
+      |  FROM based
+      |), ranked AS (
+      |  SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY ('0x' || substr(md5('neyman:' || doc_id), 1, 8))::BIGINT,
+      |      doc_id) AS INTEGER) AS sample_rank
+      |  FROM documents
+      |)
+      |SELECT r.source, r.doc_id, r.sample_rank, a.alloc, a.n_docs, a.sigma
+      |FROM ranked r JOIN alloc a ON r.source = a.source
+      |WHERE r.sample_rank <= a.alloc
+      |ORDER BY r.source, r.sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_dsir" -> (qpDsir _),
+    "qp_calibration" -> (qpCalibration _),
+    "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
     "qp_waterfill" -> (qpWaterfill _),
     "qp_reservoir" -> (qpReservoir _),
@@ -1095,6 +1328,9 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_dsir" -> qpDsirSql,
+    "qp_calibration" -> qpCalibrationSql,
+    "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,
     "qp_waterfill" -> qpWaterfillSql,
     "qp_reservoir" -> qpReservoirSql,

@@ -559,7 +559,136 @@ object SimilarityQueries {
        |GROUP BY e.label
        |ORDER BY e.label""".stripMargin
 
+  /** §2.26e — embedding QC census per label: mean ‖v‖ and σ(‖v‖)
+    * (an un-normalized or exploded encoder batch shows up here first —
+    * cosine silently hides magnitude bugs), plus a per-label outlier
+    * count on the coordinate SUM Σᵢvᵢ, i.e. the dot with the all-ones
+    * direction: for a healthy encoder the activation sum is centered
+    * per label, and a > 2σ vector flags systematic bias drift in a
+    * batch. The coordinate sum — not the norm — carries the z-test
+    * because on unit-normalized corpora (this one) norm variance is
+    * ulp-scale noise and any threshold on it is numerically
+    * meaningless. Both statistics round to DECIMAL(18,9) per row before
+    * the moment sums, so per-label aggregation is accumulation-order-
+    * exact; one grouped pass builds the moments, the ≤ |labels| frame
+    * broadcasts back for the outlier count — two scans, zero wide
+    * shuffles of the vector column. */
+  def qsEmbedQc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{asDoubles, dot}
+    val ones = typedLit(Seq.fill(Dims)(1.0))
+    val perRow = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        round(sqrt(dot(asDoubles(col("embedding")), asDoubles(col("embedding")))), 9)
+          .cast("decimal(18,9)").as("nrm"),
+        round(dot(asDoubles(col("embedding")), ones), 9)
+          .cast("decimal(18,9)").as("csum"))
+    val moments = perRow.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("nrm")).as("n1"),
+        sum((col("nrm") * col("nrm")).cast("decimal(38,18)")).as("n2"),
+        sum(col("csum")).as("c1"),
+        sum((col("csum") * col("csum")).cast("decimal(38,18)")).as("c2"))
+      .select(col("label"), col("n_vecs"),
+        (col("n1").cast("double") / col("n_vecs")).as("mean_norm"),
+        sqrt(col("n2").cast("double") / col("n_vecs") -
+          (col("n1").cast("double") / col("n_vecs")) *
+          (col("n1").cast("double") / col("n_vecs"))).as("std_norm"),
+        (col("c1").cast("double") / col("n_vecs")).as("mean_csum"),
+        sqrt(col("c2").cast("double") / col("n_vecs") -
+          (col("c1").cast("double") / col("n_vecs")) *
+          (col("c1").cast("double") / col("n_vecs"))).as("std_csum"))
+    perRow.join(broadcast(moments), "label")
+      .groupBy(col("label"))
+      .agg(first(col("n_vecs")).as("n_vecs"),
+        round(first(col("mean_norm")), 6).as("mean_norm"),
+        round(first(col("std_norm")), 6).as("std_norm"),
+        round(first(col("mean_csum")), 6).as("mean_csum"),
+        round(first(col("std_csum")), 6).as("std_csum"),
+        sum(when(abs(col("csum").cast("double") - col("mean_csum")) >
+          lit(2.0) * col("std_csum"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("label")
+  }
+
+  val qsEmbedQcSql: String = {
+    val onesDot =
+      s"""list_reduce(list_transform(range(1, ${Dims + 1}),
+         | i -> CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)"""
+        .stripMargin.replace("\n", "")
+    s"""WITH pr AS (
+       |  SELECT label, vec_id,
+       |    CAST(round(sqrt(${dotSql("embedding", "embedding")}), 9)
+       |      AS DECIMAL(18,9)) AS nrm,
+       |    CAST(round($onesDot, 9) AS DECIMAL(18,9)) AS csum
+       |  FROM embeddings
+       |), mo AS (
+       |  SELECT label, COUNT(*) AS n_vecs,
+       |    CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS mean_norm,
+       |    sqrt(CAST(SUM(CAST(nrm * nrm AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+       |      - (CAST(SUM(nrm) AS DOUBLE) / COUNT(*))
+       |        * (CAST(SUM(nrm) AS DOUBLE) / COUNT(*))) AS std_norm,
+       |    CAST(SUM(csum) AS DOUBLE) / COUNT(*) AS mean_csum,
+       |    sqrt(CAST(SUM(CAST(csum * csum AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+       |      - (CAST(SUM(csum) AS DOUBLE) / COUNT(*))
+       |        * (CAST(SUM(csum) AS DOUBLE) / COUNT(*))) AS std_csum
+       |  FROM pr GROUP BY label
+       |)
+       |SELECT p.label, MIN(m.n_vecs) AS n_vecs,
+       |  round(MIN(m.mean_norm), 6) AS mean_norm,
+       |  round(MIN(m.std_norm), 6) AS std_norm,
+       |  round(MIN(m.mean_csum), 6) AS mean_csum,
+       |  round(MIN(m.std_csum), 6) AS std_csum,
+       |  CAST(SUM(CASE WHEN abs(CAST(p.csum AS DOUBLE) - m.mean_csum)
+       |    > 2.0 * m.std_csum THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM pr p JOIN mo m ON p.label = m.label
+       |GROUP BY p.label
+       |ORDER BY p.label""".stripMargin
+  }
+
+  /** §2.27k — mutual-kNN graph over the LSH index: directed top-3
+    * neighbor lists from [[Knn.lshTopK]] (each vertex ranks only its
+    * own bucket — the billion-scale candidate discipline), an edge kept
+    * iff BOTH endpoints rank each other. Mutuality is the standard
+    * symmetric sparsifier between raw kNN lists and clustering
+    * (spectral / community detection): hub vertices lose their
+    * one-sided fans, so cluster boundaries stop bleeding through
+    * popular neighbors. The mutual check is a self-join of the ≤ 3n
+    * directed-edge frame on the reversed key — never touches vectors
+    * again. */
+  def qsKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val topk = Knn.lshTopK(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", NumPlanes, Dims, 3)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"))
+    val fwd = topk.toDF("a_id", "b_id", "cosine")
+    val rev = topk.select(col("neighbor_id").as("a_id"), col("q_id").as("b_id"))
+    fwd.where(col("a_id") < col("b_id"))
+      .join(rev.where(col("a_id") < col("b_id")), Seq("a_id", "b_id"), "left_semi")
+      .orderBy("a_id", "b_id")
+  }
+
+  val qsKnnGraphSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cosine FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |      ${cosineSql("a.embedding", "b.embedding")} AS cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+       |    FROM bucketed a JOIN bucketed b
+       |      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  ) t WHERE rank <= 3
+       |)
+       |SELECT f.q_id AS a_id, f.neighbor_id AS b_id, f.cosine
+       |FROM ranked f
+       |WHERE f.q_id < f.neighbor_id
+       |  AND EXISTS (SELECT 1 FROM ranked r
+       |    WHERE r.q_id = f.neighbor_id AND r.neighbor_id = f.q_id)
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_embed_qc" -> (qsEmbedQc _),
+    "qs_knn_graph" -> (qsKnnGraph _),
     "qs_lsh_stats" -> (qsLshStats _),
     "qs_knn_classify" -> (qsKnnClassify _),
     "qs_quantize_recall" -> (qsQuantizeRecall _),
@@ -575,6 +704,8 @@ object SimilarityQueries {
     "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
+    "qs_embed_qc" -> qsEmbedQcSql,
+    "qs_knn_graph" -> qsKnnGraphSql,
     "qs_lsh_stats" -> qsLshStatsSql,
     "qs_quantize_recall" -> qsQuantizeRecallSql,
     "qs_knn_classify" -> qsKnnClassifySql,

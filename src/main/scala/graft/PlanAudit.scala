@@ -72,7 +72,20 @@ object PlanAudit {
       "qs_quantize_recall",
       // qs_knn_classify: the qs_knn_brute broadcast-panel exhaustive
       // scan feeding the kNN label-vote eval (same documented BNLJ).
-      "qs_knn_classify")
+      "qs_knn_classify",
+      // qo_join_cardinality: the top-5 contributor frame crosses a
+      // broadcast ONE-ROW total-estimate aggregate (scalar-subquery
+      // pattern, same as qe_decay).
+      "qo_join_cardinality",
+      // qp_dsir: the 256-row bucket spine crosses a broadcast ONE-ROW
+      // token-total aggregate while building the log-ratio model
+      // (scalar-subquery pattern; the 100 TB raw side itself joins the
+      // finished 256-row model by hash, not BNLJ).
+      "qp_dsir",
+      // qp_neyman: the ≤|strata| allocation frame crosses broadcast
+      // ONE-ROW grand-weight and leftover-slot aggregates (scalar-
+      // subquery pattern over a collapsed frame).
+      "qp_neyman")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1216,7 +1216,77 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** §2.24h — content-defined chunking (CDC) dedup stats: documents
+    * split at CONTENT-DERIVED boundaries (after any token whose md5
+    * lands in 1/8 of hash space → ~8-token expected chunks, the
+    * Rabin-style gear of storage dedup), then chunks dedup by hash
+    * within source. Against fixed-window segmentation (the multimodal
+    * 35-family), CDC is insert-shift robust: an inserted sentence moves
+    * every fixed window after it but re-synchronizes CDC at the next
+    * content boundary, so the chunks downstream still dedup. All
+    * chunking is per-row array work fused into the scan (no shuffle
+    * until the ≤ |chunks| hash rollup); the report is per source:
+    * total/distinct chunks, mean chunk tokens, and the tokens a
+    * chunk-store would save. */
+  def qdCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{md5Hash32, tokens}
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bpos = filter(sequence(lit(1), n),
+      i => md5Hash32(element_at(toks, i)) % 8 === 0)
+    val edges = array_distinct(concat(array(lit(0)), bpos, array(n)))
+    val chunks = transform(sequence(lit(1), size(edges) - 1),
+      j => array_join(
+        slice(toks, element_at(edges, j) + 1,
+          element_at(edges, j + 1) - element_at(edges, j)), " "))
+    val perChunk = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("chunk_hash"),
+        size(split(col("chunk"), " ")).as("tlen"))
+    perChunk.groupBy("source", "chunk_hash")
+      .agg(count(lit(1)).as("cnt"), min(col("tlen")).as("tlen"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("cnt") - 1) * col("tlen")).as("tokens_saved"),
+        round(sum(col("cnt") * col("tlen")).cast("double") /
+          sum("cnt"), 6).as("mean_chunk_tokens"))
+      .orderBy("source")
+  }
+
+  val qdCdcChunksSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents
+      |), e AS (
+      |  SELECT source, doc_id, toks,
+      |    list_sort(list_distinct(list_concat(list_concat([0],
+      |      list_filter(range(1, len(toks) + 1),
+      |        i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 8 = 0)),
+      |      [len(toks)]))) AS edges
+      |  FROM t
+      |), c AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(edges)),
+      |      j -> array_to_string(toks[edges[j] + 1:edges[j + 1]], ' '))) AS chunk
+      |  FROM e
+      |), h AS (
+      |  SELECT source, md5(chunk) AS chunk_hash,
+      |    len(string_split(chunk, ' ')) AS tlen
+      |  FROM c
+      |), g AS (
+      |  SELECT source, chunk_hash, COUNT(*) AS cnt, MIN(tlen) AS tlen
+      |  FROM h GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(SUM((cnt - 1) * tlen) AS BIGINT) AS tokens_saved,
+      |  round(CAST(SUM(cnt * tlen) AS DOUBLE) / SUM(cnt), 6)
+      |    AS mean_chunk_tokens
+      |FROM g GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_cdc_chunks" -> (qdCdcChunks _),
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
     "qd_kcore" -> (qdKcore _),
@@ -1247,6 +1317,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_cdc_chunks" -> qdCdcChunksSql,
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
     "qd_kcore" -> qdKcoreSql,

@@ -85,7 +85,10 @@ object PlanAudit {
       // qp_neyman: the ≤|strata| allocation frame crosses broadcast
       // ONE-ROW grand-weight and leftover-slot aggregates (scalar-
       // subquery pattern over a collapsed frame).
-      "qp_neyman")
+      "qp_neyman",
+      // qo_join_cardinality_sketch: the 1-row CMS estimate crosses the
+      // 1-row exact-count aggregate (1x1 broadcast no-op).
+      "qo_join_cardinality_sketch")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -644,6 +644,97 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin
   }
 
+  /** §2.25o — recall instrumentation of the LSH edge generator: the
+    * ground truth is the UNBLOCKED exact threshold graph (every pair
+    * with cosine ≥ 0.2 — an all-pairs join, affordable only at eval
+    * scale and clearly marked as such), against which each pair is
+    * flagged caught/missed by the 25n bucketing (same bucket ⇔ edge
+    * survives). Reported per cosine band, because that is exactly how
+    * hyperplane LSH degrades — collision probability 1 − θ/π per plane
+    * rises with cosine, so recall should climb toward 1.0 in the top
+    * band; a flat profile would mean the bucketing is broken, and the
+    * per-band numbers are what justify (or veto) trusting the 25j-25m
+    * graph analytics on the approximate edge set. Alongside the
+    * single-table recall, the same pairs are scored against 4-table
+    * OR-amplification (4 independent 6-plane families; a pair survives
+    * if ANY table collides — recall 1−(1−p)⁴ per pair at 4× candidate
+    * cost): the two columns ARE the recall-vs-cost dial an operator
+    * turns at scale, measured rather than assumed. The production-scale
+    * form of this eval samples the corpus before the all-pairs step;
+    * the measurement logic is unchanged. */
+  def qdLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{asDoubles, dot}
+    import graft.similarity.Knn
+    val tables = 4
+    val allPlanes = Knn.planes(GraphPlanes * tables, GraphDims)
+    val prepared0 = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val prepared = (0 until tables).foldLeft(prepared0) { (df, t) =>
+      df.withColumn(s"bkt$t", Knn.bucketId(col("v"),
+        allPlanes.slice(t * GraphPlanes, (t + 1) * GraphPlanes)))
+    }
+    val aCols = Seq("id_a", "v_a", "norm_a") ++ (0 until tables).map(t => s"a$t")
+    val bCols = Seq("id_b", "v_b", "norm_b") ++ (0 until tables).map(t => s"b$t")
+    val a = prepared.toDF(aCols: _*)
+    val b = prepared.toDF(bCols: _*)
+    val anyTable = (0 until tables)
+      .map(t => col(s"a$t") === col(s"b$t")).reduce(_ || _)
+    a.join(b, col("id_a") < col("id_b"))
+      .select(
+        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine"),
+        (col("a0") === col("b0")).as("caught"),
+        anyTable.as("caught_4t"))
+      .where(col("cosine") >= GraphMinCosine)
+      .groupBy(least(floor(col("cosine") * 5), lit(4.0)).cast("int")
+        .as("cos_band"))
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"),
+        round(sum(when(col("caught"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("recall"),
+        sum(when(col("caught_4t"), 1L).otherwise(0L)).as("n_caught_4t"),
+        round(sum(when(col("caught_4t"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("recall_4t"))
+      .orderBy("cos_band")
+  }
+
+  /** Bucket oracle fragment for multi-table LSH: table `t` uses global
+    * plane indices [t·GraphPlanes, (t+1)·GraphPlanes) of the same
+    * md5-derived family, exactly like the Scala side's slice. */
+  private def gBucketSqlAt(vec: String, t: Int): String =
+    (0 until GraphPlanes).map { p =>
+      s"(CASE WHEN ${gPlaneDotSql(vec, t * GraphPlanes + p)} >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val qdLshRecallSql: String = {
+    val bcols = (0 until 4)
+      .map(t => s"${gBucketSqlAt("embedding", t)} AS bkt$t").mkString(",\n       |    ")
+    val any = (0 until 4).map(t => s"a.bkt$t = b.bkt$t").mkString(" OR ")
+    s"""WITH pr AS (
+       |  SELECT vec_id, embedding,
+       |    $bcols
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT ${gCosineSql("a.embedding", "b.embedding")} AS cosine,
+       |    (a.bkt0 = b.bkt0) AS caught,
+       |    ($any) AS caught_4t
+       |  FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+       |)
+       |SELECT CAST(least(floor(cosine * 5), 4.0) AS INTEGER) AS cos_band,
+       |  COUNT(*) AS n_exact_pairs,
+       |  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       |  round(CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS recall,
+       |  CAST(SUM(CASE WHEN caught_4t THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_4t,
+       |  round(CAST(SUM(CASE WHEN caught_4t THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS recall_4t
+       |FROM pairs
+       |WHERE cosine >= $GraphMinCosine
+       |GROUP BY 1
+       |ORDER BY cos_band""".stripMargin
+  }
+
   /** §2.25 — embedding cosine near-dup pairs blocked by label: the
     * EXACT-threshold pair set within metadata blocks, kept as the
     * oracle-scale cross-check for the approximate LSH generator
@@ -1287,6 +1378,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd_cdc_chunks" -> (qdCdcChunks _),
+    "qd_lsh_recall" -> (qdLshRecall _),
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
     "qd_kcore" -> (qdKcore _),
@@ -1318,6 +1410,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "qd_cdc_chunks" -> qdCdcChunksSql,
+    "qd_lsh_recall" -> qdLshRecallSql,
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
     "qd_kcore" -> qdKcoreSql,

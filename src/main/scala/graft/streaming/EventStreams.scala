@@ -90,6 +90,37 @@ object EventStreams {
             element_at(col("km"), -1).cast("double"))
           .as("distinct_estimate"))
 
+  /** Windowed streaming join-volume forecaster on the mergeable
+    * [[graft.operators.AmsSketch]]: per tumbling window the stream
+    * folds its join keys into a d×w signed AMS sketch — O(d·w) integer
+    * state per window regardless of key cardinality, merged cell-wise
+    * across partitions like any algebraic aggregate — and each emitted
+    * window carries the ESTIMATED row count of joining that window
+    * against a static side whose sketch was built once and inlined as
+    * a literal. This is the streaming pre-flight for "will tonight's
+    * enrichment join explode": the answer arrives per window without
+    * the join (or the static side's data) ever being touched.
+    * Estimate = exact median over the d per-row sketch inner products
+    * (an all-integer HOF fold — no float drift, engine-portable).
+    * Append-mode emission once the watermark passes the window end;
+    * batch parity is strict because the sketch is deterministic. */
+  def windowedJoinVolumeAms(events: DataFrame, staticSketch: Seq[Long],
+      d: Int = 5, w: Int = 256, windowLen: String = "1 day",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(staticSketch.length == d * w, "static sketch shape mismatch")
+    val b = typedLit(staticSketch)
+    val ips = transform(sequence(lit(0), lit(d - 1)), r =>
+      aggregate(sequence(lit(0), lit(w - 1)), lit(0L), (acc, j) =>
+        acc + element_at(col("sk"), (r * lit(w) + j + 1).cast("int")) *
+          element_at(b, (r * lit(w) + j + 1).cast("int"))))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("wd"))
+      .agg(graft.operators.AmsSketch.sketch(d, w)(col("user_id")).as("sk"))
+      .select(col("wd.start").as("window_start"),
+        element_at(array_sort(ips), d / 2 + 1).as("est_join_rows"))
+  }
+
   /** Native `session_window` aggregation on a stream — LITERALLY the
     * batch expression of EventQueries.qeSessionWindow plus a watermark
     * (the point of the unified API: no gaps-and-islands rewrite, no

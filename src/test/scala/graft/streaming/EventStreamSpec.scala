@@ -201,6 +201,58 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming AMS join-volume forecaster matches batch and tracks " +
+      "the exact per-window join size") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+    val (d, w) = (5, 256)
+    // Static side sketched ONCE: orders keyed by customer.
+    val staticSketch = Tables.load(spark, dir, "orders")
+      .agg(graft.operators.AmsSketch.sketch(d, w)(col("o_custkey")).as("s"))
+      .as[Seq[Long]].head()
+
+    val stream = MemoryStream[Ev]
+    val query = EventStreams
+      .windowedJoinVolumeAms(stream.toDF(), staticSketch, d, w)
+      .writeStream.format("memory").queryName("ams_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(sentinel(new Timestamp(maxTs), -1))
+      query.processAllAvailable()
+
+      val got = spark.table("ams_out").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val batchDf = Tables.load(spark, dir, "events")
+      val want = EventStreams
+        .windowedJoinVolumeAms(batchDf, staticSketch, d, w)
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(got == want) // deterministic sketch ⇒ strict parity
+      assert(want.nonEmpty)
+
+      // The estimate tracks the exact per-window join size.
+      val exact = batchDf
+        .groupBy(window(col("ts"), "1 day").as("wd"), col("user_id"))
+        .agg(count(lit(1)).as("ne"))
+        .join(Tables.load(spark, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("no")), "user_id")
+        .groupBy(col("wd.start").as("ws"))
+        .agg(sum(col("ne") * col("no")).as("rows"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val checked = exact.filter(_._2 >= 50) // skip tiny windows
+      assert(checked.nonEmpty)
+      checked.foreach { case (ws, ex) =>
+        val est = want(ws)
+        assert(math.abs(est - ex).toDouble / ex < 0.5,
+          s"window $ws: estimate $est vs exact $ex")
+      }
+    } finally query.stop()
+  }
+
   test("streaming windowed heavy-hitters matches the batch sketch") {
     val s = spark
     import s.implicits._

@@ -86,9 +86,13 @@ object PlanAudit {
       // ONE-ROW grand-weight and leftover-slot aggregates (scalar-
       // subquery pattern over a collapsed frame).
       "qp_neyman",
-      // qo_join_cardinality_sketch: the 1-row CMS estimate crosses the
+      // qo_join_cardinality_sketch: the 1-row AMS estimate crosses the
       // 1-row exact-count aggregate (1x1 broadcast no-op).
-      "qo_join_cardinality_sketch")
+      "qo_join_cardinality_sketch",
+      // qe_forecast_eval: the generated day spine crosses the distinct
+      // event types (constant-folded key -> BNLJ), both sides bounded
+      // by days x types at any data scale (same as qe_gapfill).
+      "qe_forecast_eval")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -616,6 +616,83 @@ object EventQueries {
       |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
       |ORDER BY s.hour, t.event_type""".stripMargin
 
+  /** §2.33ba — seasonal-naive forecast backtest: forecast each day's
+    * per-type volume as the volume 7 days earlier (the weekly-rhythm
+    * baseline every fancier model must beat) and score it against the
+    * actuals — MAE and WAPE per event type. This is the missing eval
+    * half of the seasonality family: 33q PROFILES the weekly cycle,
+    * this measures how predictive it actually is, and a capacity
+    * planner should not trust either until this table says the naive
+    * error is small. The backtest runs on the zero-filled day×type
+    * grid (same spine discipline as 33i — an outage day must score as
+    * a miss, not vanish from the frame); the fact table collapses to
+    * its daily histogram first, the lag-7 window runs over ≤ days
+    * rows per type, and every statistic is integer until the two
+    * final divisions. */
+  def qeForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .withColumn("__k", lit(1))
+    val types = ev.select("event_type").distinct().withColumn("__k", lit(1))
+    val counts = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = spine.join(broadcast(types), "__k")
+      .join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    grid.withColumn("forecast", lag(col("actual"), 7).over(wl))
+      .where(col("forecast").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("actual") - col("forecast"))).as("abs_err_total"),
+        sum(col("actual")).as("actual_total"),
+        round(sum(abs(col("actual") - col("forecast"))).cast("double") /
+          count(lit(1)), 6).as("mae"),
+        round(sum(abs(col("actual") - col("forecast"))).cast("double") /
+          sum(col("actual")), 6).as("wape"))
+      .orderBy("event_type")
+  }
+
+  val qeForecastEvalSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+      |         CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.day, t.event_type, COALESCE(c.n, 0) AS actual
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type),
+      |scored AS (
+      |  SELECT event_type, actual,
+      |    LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS forecast
+      |  FROM grid)
+      |SELECT event_type, COUNT(*) AS n_days_scored,
+      |  CAST(SUM(abs(actual - forecast)) AS BIGINT) AS abs_err_total,
+      |  CAST(SUM(actual) AS BIGINT) AS actual_total,
+      |  round(CAST(SUM(abs(actual - forecast)) AS DOUBLE) / COUNT(*), 6)
+      |    AS mae,
+      |  round(CAST(SUM(abs(actual - forecast)) AS DOUBLE) / SUM(actual), 6)
+      |    AS wape
+      |FROM scored
+      |WHERE forecast IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** §2.33j — hourly volume anomaly detection: z-score outliers on the
     * GAP-FILLED (hour, event_type) grid — zero-filled hours are exactly
     * why the spine matters (an outage hour scores as an outlier instead
@@ -2815,6 +2892,7 @@ object EventQueries {
     "qe_paths" -> (qePaths _),
     "qe_histogram" -> (qeHistogram _),
     "qe_props" -> (qeProps _),
+    "qe_forecast_eval" -> (qeForecastEval _),
     "qe_windows" -> (qeWindows _),
     "qe_sliding" -> (qeSliding _),
     "qe_range" -> (qeRange _),
@@ -2874,6 +2952,7 @@ object EventQueries {
     "qe_paths" -> qePathsSql,
     "qe_histogram" -> qeHistogramSql,
     "qe_props" -> qePropsSql,
+    "qe_forecast_eval" -> qeForecastEvalSql,
     "qe_windows" -> qeWindowsSql,
     "qe_sliding" -> qeSlidingSql,
     "qe_range" -> qeRangeSql,

@@ -1243,7 +1243,82 @@ object ProfileQueries {
        |FROM $table""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
 
+  /** §2.13aa — k-anonymity audit over quasi-identifiers: group the
+    * table by the attacker-linkable column combination (here customer's
+    * nation × market segment) and report the equivalence-class-size
+    * histogram plus which classes violate k ≥ 5 — the standard
+    * re-identification risk read before a dataset leaves the trust
+    * boundary (a class of size 1 is a fingerprint; the table's
+    * k-anonymity level is the smallest class). Two grouped passes,
+    * first on the quasi-id (the only data-scale shuffle), then on the
+    * ≤ |classes| size frame. */
+  def qcKanonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val classes = Tables.load(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("n_classes") * col("class_size")).as("n_rows"),
+        (col("class_size") < k).as("violates_k5"))
+      .orderBy("class_size")
+  }
+
+  val qcKanonymitySql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT class_size, COUNT(*) AS n_classes,
+      |  CAST(COUNT(*) * class_size AS BIGINT) AS n_rows,
+      |  (class_size < 5) AS violates_k5
+      |FROM classes
+      |GROUP BY class_size
+      |ORDER BY class_size""".stripMargin
+
+  /** §2.13ab — differentially-private count release (Laplace
+    * mechanism, ε = 0.5, sensitivity 1): per-segment customer counts
+    * plus Laplace(1/ε) noise drawn by inverse-CDF from an md5-seeded
+    * uniform. The SEEDED draw is the testing artifact that makes the
+    * mechanism oracle-verifiable bit-for-bit across engines — a
+    * production release swaps the seed for real randomness and drops
+    * the true_count column; what this query pins is everything
+    * deterministic around the draw (the inverse CDF, the scale, the
+    * rounding, the per-group independence). Shape: one grouped count,
+    * noise is a per-row projection. */
+  def qcDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    val eps = 0.5
+    val scale = 1.0 / eps
+    val u = ((md5Hash32(concat_ws(":", lit("dp"), col("c_mktsegment")))
+      % 1000000).cast("double") + 0.5) / 1000000.0
+    val p = u - lit(0.5)
+    val noise = -lit(scale) * signum(p) * log(lit(1.0) - lit(2.0) * abs(p))
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("c_mktsegment"), col("true_count"),
+        round(col("true_count") + noise, 6).as("noisy_count"),
+        round(noise, 6).as("noise"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qcDpReleaseSql: String = {
+    val u = "((('0x' || substr(md5('dp:' || c_mktsegment), 1, 8))::BIGINT % 1000000 + 0.5) / 1000000.0)"
+    val p = s"($u - 0.5)"
+    val noise = s"(-2.0 * sign($p) * ln(1.0 - 2.0 * abs($p)))"
+    s"""SELECT c_mktsegment, COUNT(*) AS true_count,
+       |  round(COUNT(*) + $noise, 6) AS noisy_count,
+       |  round($noise, 6) AS noise
+       |FROM customer
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_kanonymity" -> (qcKanonymity _),
+    "qc_dp_release" -> (qcDpRelease _),
     "qc_kmv" -> (qcKmv _),
     "qc_format" -> (qcFormat _),
     "qc_drift_timeline" -> (qcDriftTimeline _),
@@ -1270,6 +1345,8 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_kanonymity" -> qcKanonymitySql,
+    "qc_dp_release" -> qcDpReleaseSql,
     "qc_kmv" -> qcKmvSql,
     "qc_format" -> qcFormatSql,
     "qc_drift_timeline" -> qcDriftTimelineSql,

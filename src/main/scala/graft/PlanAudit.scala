@@ -92,7 +92,14 @@ object PlanAudit {
       // qe_forecast_eval: the generated day spine crosses the distinct
       // event types (constant-folded key -> BNLJ), both sides bounded
       // by days x types at any data scale (same as qe_gapfill).
-      "qe_forecast_eval")
+      "qe_forecast_eval",
+      // qd_lsh_recall: the recall EVAL deliberately materializes the
+      // unblocked exact-threshold ground truth (all-pairs under only
+      // id_a < id_b -> BNLJ) to score the LSH generator against it --
+      // eval-scale by design and documented as such in the query doc;
+      // the production form samples the corpus first. The measured
+      // path (25n's bucketed generator) joins on the bucket key.
+      "qd_lsh_recall")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -987,6 +987,14 @@ object Dedup {
       .repartition(col("__src"))
       .localCheckpoint()
     val n = deg.count().toDouble
+    // Empty graph: no vertices, no ranks — return the empty frame
+    // instead of letting the 1/n and teleport constants fold into a
+    // DIVIDE_BY_ZERO under ANSI mode (a QC run over a filtered-to-empty
+    // corpus must report nothing, not throw).
+    if (n == 0) {
+      return deg.select(col("__src").as("vertex"),
+        lit(0.0).as("pagerank")).where(lit(false))
+    }
     val teleport = (1.0 - damping) / n
     var pr = deg.select(col("__src"), (lit(1.0) / lit(n)).as("__pr"))
     for (i <- 1 to iterations) {

@@ -49,6 +49,30 @@ class EmptyInputSpec extends SparkSpec {
         .toDF("id_a", "id_b")).count() === 0)
   }
 
+  test("round-9 operators survive empty inputs") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    // LSH edge generator: empty corpus → empty edge set, no throw.
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.lshCosinePairs(emptyVecs, "embedding", "vec_id",
+      numPlanes = 6, dims = 4, minCosine = 0.2).count() === 0)
+    // Graph ops on an empty edge frame.
+    val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.trianglesPerVertex(noEdges).count() === 0)
+    assert(Dedup.kCore(noEdges, k = 2).count() === 0)
+    assert(Dedup.pageRank(noEdges).count() === 0)
+    assert(Dedup.clusteringCoefficient(noEdges).count() === 0)
+    // AMS sketch of an empty stream is the all-zero cell array, and its
+    // inner product with anything estimates 0.
+    val zeroSketch = Seq.empty[Long].toDF("k")
+      .agg(graft.operators.AmsSketch.sketch(3, 8)(col("k")).as("s"))
+      .as[Seq[Long]].head()
+    assert(zeroSketch === Seq.fill(24)(0L))
+    assert(graft.operators.AmsSketch.innerProduct(
+      zeroSketch, zeroSketch, 3, 8) === 0L)
+  }
+
   test("diff of two empty frames validates and emits nothing") {
     import graft.diff._
     val cfg = DiffConfig(

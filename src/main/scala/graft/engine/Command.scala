@@ -9,16 +9,20 @@ import graft.diff.{DiffConfig, DiffSide}
   * @param ref       path on storage (when onDisk) or the outputKey of an
   *                  earlier command
   * @param onDisk    true → load from storage; false → lookup table
-  * @param format    explicit source format (parquet/csv/json/orc); when
-  *                  absent, inferred from delimiter or file extension
+  * @param format    explicit source format (parquet/csv/json/orc/xml/
+  *                  text/wholetext); when absent, inferred from
+  *                  delimiter or file extension
   * @param delimiter for delimited text inputs (header + inferSchema, as in
   *                  the reference)
+  * @param rowTag    for XML inputs: the element naming one record
+  *                  (Spark default "ROW")
   */
 case class InputRef(
     ref: String,
     onDisk: Boolean,
     format: Option[String] = None,
-    delimiter: Option[String] = None)
+    delimiter: Option[String] = None,
+    rowTag: Option[String] = None)
 
 /** A plan step. Mirrors the reference's command surface
   * (reference: tnengine/TnCmd.scala:30-48): every command stores its

@@ -326,7 +326,8 @@ object PlanParser {
     ref = n.path("ref").asText(),
     onDisk = n.path("onDisk").asBoolean(false),
     format = optText(n, "format"),
-    delimiter = optText(n, "delimiter"))
+    delimiter = optText(n, "delimiter"),
+    rowTag = optText(n, "rowTag"))
 
   private def strings(n: JsonNode): Seq[String] =
     n.elements().asScala.map(_.asText()).toSeq

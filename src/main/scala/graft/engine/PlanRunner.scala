@@ -53,7 +53,7 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
     else input.format.orElse {
       input.delimiter.map(_ => "csv").orElse {
         val ext = input.ref.reverse.takeWhile(_ != '.').reverse.toLowerCase
-        Some(ext).filter(Set("csv", "tsv", "json", "orc", "txt"))
+        Some(ext).filter(Set("csv", "tsv", "json", "orc", "txt", "xml"))
       }
     } match {
       case Some("csv") | Some("tsv") =>
@@ -64,6 +64,11 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
           .load(input.ref)
       case Some("json") => spark.read.json(input.ref)
       case Some("orc") => spark.read.orc(input.ref)
+      // XML records (Spark 4 ships the former spark-xml as a built-in
+      // source): one row per `rowTag` element, schema inferred.
+      case Some("xml") =>
+        spark.read.option("rowTag", input.rowTag.getOrElse("ROW"))
+          .xml(input.ref)
       // Raw text corpus: one document per line in a `value` column —
       // the native LLM-pipeline ingestion path for crawl/text drops
       // that carry no schema at all.

@@ -37,6 +37,27 @@ class FormatsSpec extends SparkSpec {
   test("orc round-trips through the engine reader")(roundTrip("orc"))
   test("parquet round-trips through the engine reader")(roundTrip("parquet"))
 
+  test("xml round-trips through the engine reader (built-in Spark 4 source)") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_fmt_roundtrip/xml"
+    sample.write.mode("overwrite")
+      .option("rowTag", "rec").option("rootTag", "recs")
+      .xml(path)
+    // Explicit format + custom rowTag.
+    val back = new PlanRunner(spark).resolve(
+      InputRef(path, onDisk = true, format = Some("xml"), rowTag = Some("rec")))
+    assert(back.select("id", "name", "score").orderBy("id")
+      .collect().map(_.toSeq).toSeq ===
+      sample.orderBy("id").collect().map(_.toSeq).toSeq)
+    // Extension sniffing: a .xml path with no explicit format routes to
+    // the XML reader (default ROW tag).
+    val path2 = "/tmp/graft_fmt_roundtrip/sniff.xml"
+    sample.write.mode("overwrite").option("rowTag", "ROW").xml(path2)
+    val sniffed = new PlanRunner(spark).resolve(InputRef(path2, onDisk = true))
+    assert(sniffed.count() === 3)
+  }
+
   test("raw text reads one document per line into `value`") {
     val s = spark
     import s.implicits._

@@ -99,7 +99,11 @@ object PlanAudit {
       // eval-scale by design and documented as such in the query doc;
       // the production form samples the corpus first. The measured
       // path (25n's bucketed generator) joins on the bucket key.
-      "qd_lsh_recall")
+      "qd_lsh_recall",
+      // qp_dsir_eval: chains the documented qp_dsir scalar-subquery
+      // crosses plus 1-row threshold/KL broadcasts (all 1-row or
+      // 256-row bounded sides).
+      "qp_dsir_eval")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -616,14 +616,16 @@ object EventQueries {
       |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
       |ORDER BY s.hour, t.event_type""".stripMargin
 
-  /** §2.33ba — seasonal-naive forecast backtest: forecast each day's
-    * per-type volume as the volume 7 days earlier (the weekly-rhythm
-    * baseline every fancier model must beat) and score it against the
-    * actuals — MAE and WAPE per event type. This is the missing eval
-    * half of the seasonality family: 33q PROFILES the weekly cycle,
-    * this measures how predictive it actually is, and a capacity
-    * planner should not trust either until this table says the naive
-    * error is small. The backtest runs on the zero-filled day×type
+  /** §2.33ba — seasonal-NAIVE (persistence) forecast backtest:
+    * forecast each day's per-type volume as the volume 7 days earlier
+    * and score it against the actuals — MAE and WAPE per event type.
+    * The no-parameter floor that pairs with [[qeForecast]]'s TRAINED
+    * (dow, hour)-profile backtest: profile beating naive means the
+    * weekly profile carries real signal; naive beating profile means
+    * the profile overfit its training days — a capacity planner reads
+    * both tables before trusting either model for
+    * deviation-from-forecast alerting.
+    * The backtest runs on the zero-filled day×type
     * grid (same spine discipline as 33i — an outage day must score as
     * a miss, not vanish from the frame); the fact table collapses to
     * its daily histogram first, the lag-7 window runs over ≤ days

@@ -1086,13 +1086,20 @@ object PipelineQueries {
     * 256-bucket count frames) is collapsed map-side. Per-token
     * log-ratios round to DECIMAL(18,9) before summing, so doc weights
     * are accumulation-order-exact. Top-3 per source reported. */
-  def qpDsir(spark: SparkSession, dir: String): DataFrame = {
-    val B = 256
-    val docs = Tables.load(spark, dir, "documents")
-    val tokenized = docs.select(col("source"), col("doc_id"),
+  private val DsirB = 256
+
+  /** Shared DSIR feature stage: every token hashed into one of
+    * [[DsirB]] buckets, rows flagged target (src0+src1) vs raw. */
+  private def dsirTokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
         explode(tokens(col("text"))).as("tok"))
-      .withColumn("bucket", md5Hash32(col("tok")) % B)
+      .withColumn("bucket", md5Hash32(col("tok")) % DsirB)
       .withColumn("is_target", col("source").isin("src0", "src1"))
+
+  def qpDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirB
+    val tokenized = dsirTokenized(spark, dir)
     val counts = tokenized.groupBy("bucket")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
@@ -1157,6 +1164,126 @@ object PipelineQueries {
       |) t
       |WHERE rank <= 3
       |ORDER BY source, rank""".stripMargin
+
+  /** §2.31ad — DSIR selection-quality eval: does promoting the
+    * top-quintile DSIR-weighted raw documents actually move the
+    * selected pool's hashed-feature distribution toward the target
+    * domain? Reported as KL(target‖raw) vs KL(target‖selected) over
+    * the same 256 smoothed buckets — selection "works" iff the second
+    * is smaller, and the gap is the effect size. This is the closure
+    * 31aa needs before anyone retrains on its output: importance
+    * weights that do not shrink the divergence mean the hashed
+    * features are too coarse for the domain (raise B) or the domains
+    * already agree. Selection threshold = exact 80th percentile of
+    * doc weights (one percentile aggregation — no global rank window);
+    * KL terms round to DECIMAL(18,9) before the 256-row sum. */
+  def qpDsirEval(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirB
+    val tok = dsirTokenized(spark, dir)
+    val counts = tok.groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
+    val totals = counts.agg(sum("c_t").as("tt"), sum("c_r").as("tr"))
+    val spine = spark.range(B).select(col("id").as("bucket"))
+    val model = spine.join(counts, Seq("bucket"), "left")
+      .join(broadcast(totals))
+      .select(col("bucket"),
+        ((coalesce(col("c_t"), lit(0L)) + lit(1)).cast("double") /
+          (col("tt") + lit(B)).cast("double")).as("p_t"),
+        ((coalesce(col("c_r"), lit(0L)) + lit(1)).cast("double") /
+          (col("tr") + lit(B)).cast("double")).as("p_r"))
+      .withColumn("lam",
+        round(log(col("p_t") / col("p_r")), 9).cast("decimal(18,9)"))
+    val weights = tok.where(!col("is_target"))
+      .join(broadcast(model.select("bucket", "lam")), "bucket")
+      .groupBy("source", "doc_id")
+      .agg(sum("lam").as("w_dec"))
+      .select(col("doc_id"), col("w_dec").cast("double").as("w"))
+    val thr = weights.agg(expr("percentile(w, 0.8D)").as("thr"))
+    val selDocs = weights.join(broadcast(thr))
+      .where(col("w") >= col("thr")).select("doc_id")
+    val selCounts = tok.where(!col("is_target"))
+      .join(selDocs, Seq("doc_id"), "left_semi")
+      .groupBy("bucket").agg(count(lit(1)).as("c_s"))
+    val selTotal = selCounts.agg(sum("c_s").as("ts"))
+    val sel = spine.join(selCounts, Seq("bucket"), "left")
+      .join(broadcast(selTotal))
+      .select(col("bucket"),
+        ((coalesce(col("c_s"), lit(0L)) + lit(1)).cast("double") /
+          (col("ts") + lit(B)).cast("double")).as("p_s"))
+    val kl = model.join(sel, "bucket")
+      .select(
+        round(col("p_t") * log(col("p_t") / col("p_r")), 9)
+          .cast("decimal(18,9)").as("t_raw"),
+        round(col("p_t") * log(col("p_t") / col("p_s")), 9)
+          .cast("decimal(18,9)").as("t_sel"))
+      .agg(sum("t_raw").as("klr"), sum("t_sel").as("kls"))
+    weights.join(broadcast(thr))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("w") >= col("thr"), 1L).otherwise(0L)).as("n_selected"),
+        round(first(col("thr")), 6).as("threshold_w"))
+      .join(broadcast(kl))
+      .select(col("n_raw"), col("n_selected"), col("threshold_w"),
+        round(col("klr").cast("double"), 6).as("kl_target_vs_raw"),
+        round(col("kls").cast("double"), 6).as("kl_target_vs_selected"),
+        (col("kls") < col("klr")).as("selection_improves"))
+  }
+
+  val qpDsirEvalSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    (source IN ('src0', 'src1')) AS is_target,
+      |    ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 256 AS bucket
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |), counts AS (
+      |  SELECT bucket,
+      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+      |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
+      |  FROM tok GROUP BY bucket
+      |), tot AS (
+      |  SELECT SUM(c_t) AS tt, SUM(c_r) AS tr FROM counts
+      |), model AS (
+      |  SELECT s.bucket,
+      |    (COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE AS p_t,
+      |    (COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE AS p_r,
+      |    CAST(round(ln(((COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE)
+      |      / ((COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE)), 9)
+      |      AS DECIMAL(18,9)) AS lam
+      |  FROM range(0, 256) s(bucket)
+      |  LEFT JOIN counts c ON c.bucket = s.bucket, tot t
+      |), weights AS (
+      |  SELECT k.doc_id, CAST(SUM(l.lam) AS DOUBLE) AS w
+      |  FROM tok k JOIN model l ON l.bucket = k.bucket
+      |  WHERE NOT k.is_target
+      |  GROUP BY k.doc_id
+      |), thr AS (
+      |  SELECT quantile_cont(w, 0.8) AS thr FROM weights
+      |), sel_docs AS (
+      |  SELECT w.doc_id FROM weights w, thr WHERE w.w >= thr.thr
+      |), sel_counts AS (
+      |  SELECT k.bucket, COUNT(*) AS c_s
+      |  FROM tok k JOIN sel_docs d ON d.doc_id = k.doc_id
+      |  WHERE NOT k.is_target
+      |  GROUP BY k.bucket
+      |), sel_tot AS (
+      |  SELECT SUM(c_s) AS ts FROM sel_counts
+      |), sel AS (
+      |  SELECT s.bucket,
+      |    (COALESCE(c.c_s, 0) + 1)::DOUBLE / (t.ts + 256)::DOUBLE AS p_s
+      |  FROM range(0, 256) s(bucket)
+      |  LEFT JOIN sel_counts c ON c.bucket = s.bucket, sel_tot t
+      |), kl AS (
+      |  SELECT SUM(CAST(round(m.p_t * ln(m.p_t / m.p_r), 9) AS DECIMAL(18,9))) AS klr,
+      |    SUM(CAST(round(m.p_t * ln(m.p_t / x.p_s), 9) AS DECIMAL(18,9))) AS kls
+      |  FROM model m JOIN sel x ON x.bucket = m.bucket
+      |)
+      |SELECT (SELECT COUNT(*) FROM weights) AS n_raw,
+      |  CAST((SELECT COUNT(*) FROM sel_docs) AS BIGINT) AS n_selected,
+      |  round((SELECT thr FROM thr), 6) AS threshold_w,
+      |  round(CAST(klr AS DOUBLE), 6) AS kl_target_vs_raw,
+      |  round(CAST(kls AS DOUBLE), 6) AS kl_target_vs_selected,
+      |  (kls < klr) AS selection_improves
+      |FROM kl""".stripMargin
 
   /** §2.31ab — quality-score calibration against duplication: bucket
     * the corpus by quality decile (fixed-width on the [0,1] score) and
@@ -1304,6 +1431,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qp_dsir" -> (qpDsir _),
+    "qp_dsir_eval" -> (qpDsirEval _),
     "qp_calibration" -> (qpCalibration _),
     "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
@@ -1329,6 +1457,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "qp_dsir" -> qpDsirSql,
+    "qp_dsir_eval" -> qpDsirEvalSql,
     "qp_calibration" -> qpCalibrationSql,
     "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,

@@ -103,7 +103,10 @@ object PlanAudit {
       // qp_dsir_eval: chains the documented qp_dsir scalar-subquery
       // crosses plus 1-row threshold/KL broadcasts (all 1-row or
       // 256-row bounded sides).
-      "qp_dsir_eval")
+      "qp_dsir_eval",
+      // qe_trigrams: the |types|^3-bounded trigram frame crosses 1-row
+      // total-count aggregates (scalar-subquery pattern).
+      "qe_trigrams")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1376,7 +1376,104 @@ object DedupQueries {
       |FROM g GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** §2.25p — modularity of the SOURCE partition over the jaccard
+    * near-dup graph: Q = Σ_s [e_s/m − (d_s/2m)²] with e_s the edges
+    * internal to source s and d_s its degree mass — the one-number
+    * graph-theoretic answer to "is duplication a within-source
+    * phenomenon here?" (Q near its maximum: each source dups mostly
+    * with itself, per-source dedup is safe; Q ≈ 0: the dup graph
+    * ignores source boundaries and only global dedup is sound). The
+    * per-source rows carry the decomposition; every statistic is an
+    * integer until the final per-row doubles. Complements
+    * qd_cross_source's candidate counts with a degree-normalized
+    * measure that is comparable across corpora. Edge endpoints join
+    * their source once (one shuffle), everything after runs on the
+    * ≤ |sources| frame. */
+  def qdModularity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    // GLOBAL near-dup graph (constant block): cross-source edges must
+    // exist for the partition quality question to be non-trivial — the
+    // inverted shingle index does the candidate pruning, so removing
+    // the source blocking changes candidates, not complexity class.
+    val edges = Dedup.jaccardNeighbors(docs.withColumn("__g", lit(1)),
+        "text", "doc_id", 3, "__g", 0.5)
+      .select("id_a", "id_b")
+      .join(srcOf.toDF("id_a", "src_a"), "id_a")
+      .join(srcOf.toDF("id_b", "src_b"), "id_b")
+      .localCheckpoint() // consumed three times below
+    val m = edges.count()
+    val intra = edges.where(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source"))
+      .agg(count(lit(1)).as("n_intra_edges"))
+    val degree = edges.select(col("src_a").as("source"))
+      .union(edges.select(col("src_b").as("source")))
+      .groupBy("source").agg(count(lit(1)).as("degree_sum"))
+    val terms = degree.join(intra, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_intra_edges"), lit(0L)).as("n_intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("n_intra_edges"), lit(0L)).cast("double") / m -
+          (col("degree_sum").cast("double") / (2.0 * m)) *
+          (col("degree_sum").cast("double") / (2.0 * m)), 9)
+          .cast("decimal(18,9)").as("term"))
+    val q = terms.agg(sum("term").as("qd"))
+    terms.join(broadcast(q))
+      .select(col("source"), col("n_intra_edges"), col("degree_sum"),
+        round(col("term").cast("double"), 6).as("term"),
+        round(col("qd").cast("double"), 6).as("modularity_total"))
+      .orderBy("source")
+  }
+
+  val qdModularitySql: String =
+    """WITH sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), post AS MATERIALIZED (
+      |  SELECT source, doc_id, len(g) AS ng, unnest(g) AS shingle FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    MIN(a.source) AS src_a, MIN(b.source) AS src_b,
+      |    MIN(a.ng) AS n_a, MIN(b.ng) AS n_b, COUNT(*) AS i
+      |  FROM post a JOIN post b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS MATERIALIZED (
+      |  SELECT id_a, id_b, src_a, src_b FROM inter
+      |  WHERE CAST(i AS DOUBLE) / CAST(n_a + n_b - i AS DOUBLE) >= 0.5
+      |), m AS (SELECT COUNT(*) AS m FROM pairs
+      |), intra AS (
+      |  SELECT src_a AS source, COUNT(*) AS n_intra_edges
+      |  FROM pairs WHERE src_a = src_b GROUP BY 1
+      |), deg AS (
+      |  SELECT source, COUNT(*) AS degree_sum FROM (
+      |    SELECT src_a AS source FROM pairs
+      |    UNION ALL SELECT src_b FROM pairs
+      |  ) GROUP BY 1
+      |), terms AS (
+      |  SELECT d.source,
+      |    COALESCE(i.n_intra_edges, 0) AS n_intra_edges,
+      |    d.degree_sum,
+      |    CAST(round(COALESCE(i.n_intra_edges, 0)::DOUBLE / t.m
+      |      - (d.degree_sum::DOUBLE / (2.0 * t.m))
+      |        * (d.degree_sum::DOUBLE / (2.0 * t.m)), 9)
+      |      AS DECIMAL(18,9)) AS term
+      |  FROM deg d LEFT JOIN intra i ON i.source = d.source, m t
+      |), q AS (SELECT SUM(term) AS qd FROM terms)
+      |SELECT source, CAST(n_intra_edges AS BIGINT) AS n_intra_edges,
+      |  CAST(degree_sum AS BIGINT) AS degree_sum,
+      |  round(CAST(term AS DOUBLE), 6) AS term,
+      |  round(CAST((SELECT qd FROM q) AS DOUBLE), 6) AS modularity_total
+      |FROM terms
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_modularity" -> (qdModularity _),
     "qd_cdc_chunks" -> (qdCdcChunks _),
     "qd_lsh_recall" -> (qdLshRecall _),
     "qd_triangles" -> (qdTriangles _),
@@ -1410,6 +1507,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "qd_cdc_chunks" -> qdCdcChunksSql,
+    "qd_modularity" -> qdModularitySql,
     "qd_lsh_recall" -> qdLshRecallSql,
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,

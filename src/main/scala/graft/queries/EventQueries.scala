@@ -823,6 +823,77 @@ object EventQueries {
       |  round(n_trans / SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p_trans
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** §2.33bb — sequential-pattern (trigram) mining with independence
+    * lift: the top-10 in-user event-type trigrams by support, each
+    * scored against its expected count under the independence null
+    * (N_tri · p(a)·p(b)·p(c) from the global type distribution) — the
+    * step beyond 33l's first-order transitions that surfaces true
+    * three-step FLOWS (browse→cart→purchase) vs sequences frequent
+    * only because their parts are. High-support low-lift trigrams are
+    * popularity artifacts; high-lift ones are the funnels worth
+    * instrumenting. One per-user lead window (shared sort for both
+    * leads), then rollups on frames bounded by |types|³; lift terms
+    * are products of exact integer ratios, computed once as doubles
+    * from the same expression tree in both engines. */
+  def qeTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+    val tri = ev
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .where(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n_obs"))
+    val typeDist = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val total = typeDist.agg(sum("n_type").as("n_events"))
+    val nTri = tri.agg(sum("n_obs").as("n_tri"))
+    val p = typeDist.join(broadcast(total))
+      .select(col("event_type"),
+        (col("n_type").cast("double") / col("n_events")).as("p"))
+    tri
+      .join(broadcast(p.select(col("event_type").as("t1"), col("p").as("p1"))), "t1")
+      .join(broadcast(p.select(col("event_type").as("t2"), col("p").as("p2"))), "t2")
+      .join(broadcast(p.select(col("event_type").as("t3"), col("p").as("p3"))), "t3")
+      .join(broadcast(nTri))
+      .select(col("t1"), col("t2"), col("t3"), col("n_obs"),
+        round(col("n_tri") * col("p1") * col("p2") * col("p3"), 6)
+          .as("n_expected"),
+        round(col("n_obs") /
+          (col("n_tri") * col("p1") * col("p2") * col("p3")), 6).as("lift"))
+      .orderBy(col("n_obs").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
+  val qeTrigramsSql: String =
+    """WITH l AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |  FROM events
+      |), tri AS (
+      |  SELECT t1, t2, t3, COUNT(*) AS n_obs
+      |  FROM l WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+      |), td AS (
+      |  SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY 1
+      |), tot AS (SELECT SUM(n_type) AS n_events FROM td
+      |), nt AS (SELECT SUM(n_obs) AS n_tri FROM tri
+      |), p AS (
+      |  SELECT event_type, n_type::DOUBLE / t.n_events AS p FROM td, tot t
+      |)
+      |SELECT t1, t2, t3, n_obs,
+      |  round(n.n_tri * p1.p * p2.p * p3.p, 6) AS n_expected,
+      |  round(n_obs / (n.n_tri * p1.p * p2.p * p3.p), 6) AS lift
+      |FROM tri
+      |JOIN p p1 ON p1.event_type = tri.t1
+      |JOIN p p2 ON p2.event_type = tri.t2
+      |JOIN p p3 ON p3.event_type = tri.t3
+      |CROSS JOIN nt n
+      |ORDER BY n_obs DESC, t1, t2, t3
+      |LIMIT 10""".stripMargin
+
   /** §2.33m — burst (rate-spike) detection: events that are the 3rd in
     * ≤ 60 minutes for their user, i.e. `ts - lag(ts, 2) ≤ 1h` — the
     * exact sliding-count trigger, as ONE lag window parallel across
@@ -2895,6 +2966,7 @@ object EventQueries {
     "qe_histogram" -> (qeHistogram _),
     "qe_props" -> (qeProps _),
     "qe_forecast_eval" -> (qeForecastEval _),
+    "qe_trigrams" -> (qeTrigrams _),
     "qe_windows" -> (qeWindows _),
     "qe_sliding" -> (qeSliding _),
     "qe_range" -> (qeRange _),
@@ -2955,6 +3027,7 @@ object EventQueries {
     "qe_histogram" -> qeHistogramSql,
     "qe_props" -> qePropsSql,
     "qe_forecast_eval" -> qeForecastEvalSql,
+    "qe_trigrams" -> qeTrigramsSql,
     "qe_windows" -> qeWindowsSql,
     "qe_sliding" -> qeSlidingSql,
     "qe_range" -> qeRangeSql,

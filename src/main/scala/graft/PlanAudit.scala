@@ -106,7 +106,10 @@ object PlanAudit {
       "qp_dsir_eval",
       // qe_trigrams: the |types|^3-bounded trigram frame crosses 1-row
       // total-count aggregates (scalar-subquery pattern).
-      "qe_trigrams")
+      "qe_trigrams",
+      // qc_scorecard: the 1-row quality aggregate crosses the 1-row
+      // orphan count (1x1 broadcast no-op).
+      "qc_scorecard")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -823,6 +823,59 @@ object EventQueries {
       |  round(n_trans / SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p_trans
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** §2.33bc — audience-overlap matrix: Jaccard similarity between the
+    * USER SETS of every event-type pair (|users_a ∩ users_b| /
+    * |users_a ∪ users_b|) — the product-analytics read of whether two
+    * features share an audience or split it (near 1: same users do
+    * both; near 0: disjoint populations — bundling, cross-promotion
+    * and cannibalization calls all start here). The fact table
+    * collapses to the DISTINCT (type, user) frame first; the pair
+    * intersection is a self-join on user over that collapsed frame
+    * (≤ |types| fan-out per user), and union sizes come from the
+    * ≤ |types| per-type distinct counts by inclusion-exclusion —
+    * user sets themselves never materialize per pair. */
+  def qeAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val inter = tu.toDF("type_a", "user_id")
+      .join(tu.toDF("type_b", "user_id"), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.toDF("type_a", "n_a")), "type_a")
+      .join(broadcast(sizes.toDF("type_b", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("audience_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qeAudienceOverlapSql: String =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), sizes AS (
+      |  SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY 1
+      |), inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+      |  i.n_both,
+      |  round(CAST(i.n_both AS DOUBLE)
+      |    / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE), 6)
+      |    AS audience_jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.event_type = i.type_a
+      |JOIN sizes sb ON sb.event_type = i.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** §2.33bb — sequential-pattern (trigram) mining with independence
     * lift: the top-10 in-user event-type trigrams by support, each
     * scored against its expected count under the independence null
@@ -2967,6 +3020,7 @@ object EventQueries {
     "qe_props" -> (qeProps _),
     "qe_forecast_eval" -> (qeForecastEval _),
     "qe_trigrams" -> (qeTrigrams _),
+    "qe_audience_overlap" -> (qeAudienceOverlap _),
     "qe_windows" -> (qeWindows _),
     "qe_sliding" -> (qeSliding _),
     "qe_range" -> (qeRange _),
@@ -3028,6 +3082,7 @@ object EventQueries {
     "qe_props" -> qePropsSql,
     "qe_forecast_eval" -> qeForecastEvalSql,
     "qe_trigrams" -> qeTrigramsSql,
+    "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,
     "qe_sliding" -> qeSlidingSql,
     "qe_range" -> qeRangeSql,

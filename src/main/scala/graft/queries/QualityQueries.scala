@@ -270,6 +270,70 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  /** §2.5f — composite data-quality scorecard: the one-row executive
+    * rollup a table's owner actually gets paged on, composed from the
+    * dimensions the individual operators measure — primary-key
+    * duplication, referential orphans, null incidence on critical
+    * columns, domain validity — folded into a weighted 0-100 score.
+    * Every rate is exact and integer-derived; the score is one double
+    * expression over them, so the whole card is engine-reproducible.
+    * Shape: one aggregation over orders (all four counts in a single
+    * pass — COUNT(DISTINCT) included, its documented skew swap-in
+    * being §37b's salted form) plus one broadcast anti-join count
+    * against the customer dimension. */
+  def qcScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val custKeys = Tables.load(spark, dir, "customer").select("c_custkey")
+    val orphans = orders.join(broadcast(custKeys),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    orders.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("o_custkey").isNull || col("o_totalprice").isNull ||
+          col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_invalid"))
+      .join(broadcast(orphans))
+      .select(lit("orders").as("table_name"), col("n_rows"),
+        round((col("n_rows") - col("n_keys")).cast("double") / col("n_rows"), 6)
+          .as("pk_dup_rate"),
+        round(col("n_orphans").cast("double") / col("n_rows"), 6)
+          .as("orphan_rate"),
+        round(col("n_null").cast("double") / col("n_rows"), 6).as("null_rate"),
+        round(col("n_invalid").cast("double") / col("n_rows"), 6)
+          .as("invalid_rate"),
+        round(lit(100.0) * (lit(1.0) -
+          (lit(0.4) * ((col("n_rows") - col("n_keys")).cast("double") / col("n_rows")) +
+            lit(0.3) * (col("n_orphans").cast("double") / col("n_rows")) +
+            lit(0.2) * (col("n_null").cast("double") / col("n_rows")) +
+            lit(0.1) * (col("n_invalid").cast("double") / col("n_rows")))), 6)
+          .as("dq_score"))
+  }
+
+  val qcScorecardSql: String =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT o_orderkey) AS n_keys,
+      |    SUM(CASE WHEN o_custkey IS NULL OR o_totalprice IS NULL
+      |      OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_invalid
+      |  FROM orders
+      |), orph AS (
+      |  SELECT COUNT(*) AS n_orphans FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |)
+      |SELECT 'orders' AS table_name, n_rows,
+      |  round(CAST(n_rows - n_keys AS DOUBLE) / n_rows, 6) AS pk_dup_rate,
+      |  round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
+      |  round(CAST(n_null AS DOUBLE) / n_rows, 6) AS null_rate,
+      |  round(CAST(n_invalid AS DOUBLE) / n_rows, 6) AS invalid_rate,
+      |  round(100.0 * (1.0 -
+      |    (0.4 * (CAST(n_rows - n_keys AS DOUBLE) / n_rows) +
+      |     0.3 * (CAST(n_orphans AS DOUBLE) / n_rows) +
+      |     0.2 * (CAST(n_null AS DOUBLE) / n_rows) +
+      |     0.1 * (CAST(n_invalid AS DOUBLE) / n_rows))), 6) AS dq_score
+      |FROM base, orph""".stripMargin
+
   /** §2.5e — driver-hash canaries. One single-row query per output type
     * whose Spark and DuckDB results are trivially identical by
     * construction. Purpose: when a CORRECTNESS row goes hash-red with
@@ -325,6 +389,7 @@ object QualityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_canary_decimal" -> (qcCanaryDecimal _),
+    "qc_scorecard" -> (qcScorecard _),
     "qc_canary_timestamp" -> (qcCanaryTimestamp _),
     "qc_canary_double" -> (qcCanaryDouble _),
     "qc_canary_array" -> (qcCanaryArray _),
@@ -339,6 +404,7 @@ object QualityQueries {
 
   val oracles: Map[String, String] = Map(
     "qc_canary_decimal" -> qcCanaryDecimalSql,
+    "qc_scorecard" -> qcScorecardSql,
     "qc_canary_timestamp" -> qcCanaryTimestampSql,
     "qc_canary_double" -> qcCanaryDoubleSql,
     "qc_canary_array" -> qcCanaryArraySql,

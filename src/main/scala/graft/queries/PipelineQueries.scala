@@ -61,6 +61,72 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** §2.31ae — EXACT 13-gram benchmark-overlap check (the GPT-3
+    * appendix-C / industry-standard contamination test): a training
+    * document is flagged iff it shares ANY exact 13-token span with
+    * the benchmark set (src0+src1 here) — zero false negatives for
+    * long verbatim inclusions, which the MinHash check (31f) can miss
+    * below its similarity threshold and the n-gram novelty read (28g)
+    * only aggregates. Per-source report: docs, contaminated docs,
+    * rate, total shared-span incidences. Shape: distinct 13-gram
+    * hashes per doc ([[shingles]]), posting join on the hash —
+    * inverted-index linear, the benchmark side's postings are the
+    * small side at any corpus scale. */
+  def qpOverlap13(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs.select(col("source"), col("doc_id"),
+        explode(shingles(tokens(col("text")), 13)).as("g"))
+    val bench = grams.where(col("source").isin("src0", "src1"))
+      .select(col("g")).distinct()
+    val hits = grams.where(!col("source").isin("src0", "src1"))
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    docs.where(!col("source").isin("src0", "src1"))
+      .select("source", "doc_id")
+      .join(hits, Seq("source", "doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared_grams").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        round(sum(when(col("n_shared_grams").isNotNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("contamination_rate"),
+        sum(coalesce(col("n_shared_grams"), lit(0L))).as("n_shared_total"))
+      .orderBy("source")
+  }
+
+  val qpOverlap13Sql: String =
+    """WITH sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 13 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 11),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+12], ' '))))
+      |    ELSE [] END AS gs
+      |  FROM documents
+      |), grams AS (
+      |  SELECT source, doc_id, unnest(gs) AS g FROM sh
+      |), bench AS (
+      |  SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')
+      |), hits AS (
+      |  SELECT t.source, t.doc_id, COUNT(*) AS n_shared_grams
+      |  FROM grams t
+      |  WHERE t.source NOT IN ('src0', 'src1')
+      |    AND EXISTS (SELECT 1 FROM bench b WHERE b.g = t.g)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN h.n_shared_grams IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_contaminated,
+      |  round(CAST(SUM(CASE WHEN h.n_shared_grams IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS contamination_rate,
+      |  CAST(SUM(COALESCE(h.n_shared_grams, 0)) AS BIGINT) AS n_shared_total
+      |FROM documents d
+      |LEFT JOIN hits h ON h.source = d.source AND h.doc_id = d.doc_id
+      |WHERE d.source NOT IN ('src0', 'src1')
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   /** Train/test contamination report: MinHash-LSH near-dup candidate
     * pairs whose members land in DIFFERENT splits of the deterministic
     * md5 split (TextQueries.qtSplit's assignment) — the canonical
@@ -1432,6 +1498,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qp_dsir" -> (qpDsir _),
     "qp_dsir_eval" -> (qpDsirEval _),
+    "qp_overlap_13gram" -> (qpOverlap13 _),
     "qp_calibration" -> (qpCalibration _),
     "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
@@ -1458,6 +1525,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "qp_dsir" -> qpDsirSql,
     "qp_dsir_eval" -> qpDsirEvalSql,
+    "qp_overlap_13gram" -> qpOverlap13Sql,
     "qp_calibration" -> qpCalibrationSql,
     "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,

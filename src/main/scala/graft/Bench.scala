@@ -98,7 +98,10 @@ object Bench {
     // any stray log line the session emits after us — so budget the
     // queries map at 1500 chars (~70-90 entries vs the old fixed 40).
     val bySlowest = results.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
-    val budget = 1500
+    // The failed list rides the same line; charge its actual length
+    // against the budget so a mass-failure round (the one whose failed
+    // list matters most) cannot push the line past the capture window.
+    val budget = math.max(200, 1500 - failedJson.length)
     var used = 0
     val kept = bySlowest.takeWhile { case (k, v) =>
       used += k.length + ms(v).length + 4 // "k":v,

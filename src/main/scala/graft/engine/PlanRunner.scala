@@ -46,10 +46,18 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
       // was built with enableHiveSupport) Hive-metastore tables, all via
       // the same spark.table() path. Plan keys win on collision so a
       // command output can shadow a catalog name deliberately.
-      lookup.getOrElse(input.ref,
-        if (spark.catalog.tableExists(input.ref)) spark.table(input.ref)
+      lookup.getOrElse(input.ref, {
+        // tableExists throws ParseException for refs that are not valid
+        // SQL identifiers (e.g. a typo'd output key with a space) —
+        // treat unparseable as not-a-table so the plan author gets the
+        // descriptive missing-input error, not an identifier-parser one.
+        val inCatalog =
+          try spark.catalog.tableExists(input.ref)
+          catch { case _: Exception => false }
+        if (inCatalog) spark.table(input.ref)
         else throw new IllegalArgumentException(
-          s"Input ${input.ref} not in lookup table or session catalog."))
+          s"Input ${input.ref} not in lookup table or session catalog.")
+      })
     else input.format.orElse {
       input.delimiter.map(_ => "csv").orElse {
         val ext = input.ref.reverse.takeWhile(_ != '.').reverse.toLowerCase

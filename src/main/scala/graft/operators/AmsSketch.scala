@@ -40,12 +40,23 @@ class AmsSketch(d: Int, w: Int)
   /** The same per-row bucket/sign derivation as the portable SQL form:
     * bucket_r(k) = md5_32("r_k") mod w, sign_r(k) = md5_32("s_r_k")
     * mod 2 → ±1. Computed from the key hash via a second md5 round so
-    * rows are independent. */
+    * rows are independent. One thread-local digest instance (reduce
+    * runs 2d times per input row — per-call getInstance allocation and
+    * a hex-string round-trip would dominate the hot loop; the first 4
+    * digest bytes read as an unsigned 32-bit int are exactly the
+    * parsed first-8-hex-chars value). */
+  @transient private lazy val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private def md5_32(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+    val md = digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
 
   override def reduce(b: Array[Long], keyHash: Long): Array[Long] = {

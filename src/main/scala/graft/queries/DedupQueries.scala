@@ -430,41 +430,21 @@ object DedupQueries {
   private val GraphDims = 64
   private val GraphMinCosine = 0.2
 
-  private def gDotSql(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, ${GraphDims + 1}),
-       | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
-      .stripMargin.replace("\n", "")
-
+  // Oracle fragments — single source of truth in [[VecSql]].
   private def gCosineSql(a: String, b: String): String =
-    s"round(${gDotSql(a, b)} / (sqrt(${gDotSql(a, a)}) * sqrt(${gDotSql(b, b)})), 6)"
-
-  /** Oracle fragment: md5-derived hyperplane component w(p, i), 1-based
-    * dim index i — mirrors [[graft.similarity.Knn.planes]]. */
-  private def gWSql(p: Int): String =
-    s"((('0x' || substr(md5('${p}_' || (i - 1)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)"
-
-  private def gPlaneDotSql(vec: String, p: Int): String =
-    s"""list_reduce(list_transform(range(1, ${GraphDims + 1}),
-       | i -> CAST($vec[i] AS DOUBLE) * ${gWSql(p)}), (x, y) -> x + y)"""
-      .stripMargin.replace("\n", "")
+    VecSql.cosineSql(a, b, GraphDims)
 
   private def gBucketSql(vec: String): String =
-    (0 until GraphPlanes).map { p =>
-      s"(CASE WHEN ${gPlaneDotSql(vec, p)} >= 0.0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+    VecSql.bucketSql(vec, GraphPlanes, GraphDims)
 
   /** Shared oracle CTE: the LSH-bucketed cosine ≥ 0.2 embedding edge
-    * list as `pairs(id_a, id_b)` (mirrors [[Dedup.lshCosinePairs]]). */
+    * list as `pairs(id_a, id_b)` (mirrors [[Dedup.lshCosinePairs]]) —
+    * same [[VecSql.lshEdgeCte]] builder as [[embeddingEdgeCte]], so the
+    * triangles/clustering oracles and the k-core/PageRank oracles
+    * replay the identical edge set by construction. */
   private val lshPairsCte: String =
-    s"""WITH bktd AS MATERIALIZED (
-       |  SELECT vec_id, embedding, ${gBucketSql("embedding")} AS bucket
-       |  FROM embeddings
-       |), pairs AS MATERIALIZED (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM bktd a JOIN bktd b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  WHERE ${gCosineSql("a.embedding", "b.embedding")} >= $GraphMinCosine
-       |)""".stripMargin
+    VecSql.lshEdgeCte("pairs", "id_a", "id_b",
+      GraphPlanes, GraphDims, GraphMinCosine)
 
   /** §2.25j — per-vertex triangle counts over the LSH-bucketed
     * embedding near-dup graph (cosine ≥ 0.2 within hyperplane
@@ -560,19 +540,11 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
-  /** Shared oracle CTE: the LSH-bucketed cosine ≥ 0.2 embedding edge
-    * list as `e0(a, b)` (mirrors [[Dedup.lshCosinePairs]]), consumed by
-    * the k-core and PageRank unrolled replays below. */
+  /** Shared oracle CTE: the same edge set as [[lshPairsCte]] aliased
+    * `e0(a, b)` for the k-core and PageRank unrolled replays below. */
   private val embeddingEdgeCte: String =
-    s"""WITH bktd AS MATERIALIZED (
-       |  SELECT vec_id, embedding, ${gBucketSql("embedding")} AS bucket
-       |  FROM embeddings
-       |), e0 AS MATERIALIZED (
-       |  SELECT a.vec_id AS a, b.vec_id AS b
-       |  FROM bktd a JOIN bktd b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  WHERE ${gCosineSql("a.embedding", "b.embedding")} >= $GraphMinCosine
-       |)""".stripMargin
+    VecSql.lshEdgeCte("e0", "a", "b",
+      GraphPlanes, GraphDims, GraphMinCosine)
 
   val qdKcoreSql: String = {
     val pairs = embeddingEdgeCte
@@ -703,9 +675,7 @@ object DedupQueries {
     * plane indices [t·GraphPlanes, (t+1)·GraphPlanes) of the same
     * md5-derived family, exactly like the Scala side's slice. */
   private def gBucketSqlAt(vec: String, t: Int): String =
-    (0 until GraphPlanes).map { p =>
-      s"(CASE WHEN ${gPlaneDotSql(vec, t * GraphPlanes + p)} >= 0.0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+    VecSql.bucketSql(vec, GraphPlanes, GraphDims, offset = t * GraphPlanes)
 
   val qdLshRecallSql: String = {
     val bcols = (0 until 4)

@@ -655,8 +655,12 @@ object EventQueries {
         sum(col("actual")).as("actual_total"),
         round(sum(abs(col("actual") - col("forecast"))).cast("double") /
           count(lit(1)), 6).as("mae"),
-        round(sum(abs(col("actual") - col("forecast"))).cast("double") /
-          sum(col("actual")), 6).as("wape"))
+        // NULL (not Infinity) when the scored span has zero actuals —
+        // matches DuckDB's x/0 → NULL so the oracle compare cannot
+        // diverge on an all-quiet event type.
+        when(sum(col("actual")) > 0,
+          round(sum(abs(col("actual") - col("forecast"))).cast("double") /
+            sum(col("actual")), 6)).as("wape"))
       .orderBy("event_type")
   }
 

@@ -245,7 +245,10 @@ object OperatorQueries {
     val d = 5
     val w = 256
     def sketch(df: DataFrame, key: Column, cellName: String): DataFrame =
-      df.select(key.as("k"))
+      // NULL keys can never join, so they must not contribute sketch
+      // mass (concat_ws would silently skip a NULL and hash just the
+      // row index — inflating matching cells on BOTH sides).
+      df.select(key.as("k")).where(col("k").isNotNull)
         .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
         .select(col("r"),
           (md5Hash32(concat_ws("_", col("r"), col("k"))) % w).as("j"),
@@ -280,6 +283,7 @@ object OperatorQueries {
          |    SUM(('0x' || substr(md5('s_' || r.r || '_' || $key), 1, 8))::BIGINT
          |      % 2 * 2 - 1) AS $cell
          |  FROM $table, range(0, 5) r(r)
+         |  WHERE $key IS NOT NULL
          |  GROUP BY 1, 2""".stripMargin
     s"""WITH ev AS (
        |  ${ams("events", "user_id", "ca")}

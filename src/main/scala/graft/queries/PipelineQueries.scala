@@ -1163,23 +1163,33 @@ object PipelineQueries {
       .withColumn("bucket", md5Hash32(col("tok")) % DsirB)
       .withColumn("is_target", col("source").isin("src0", "src1"))
 
-  def qpDsir(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared DSIR bucket model over [[dsirTokenized]]'s frame:
+    * (bucket, p_t, p_r, lam) for all 256 buckets, add-1 smoothed.
+    * qp_dsir and qp_dsir_eval MUST share this by construction — the
+    * eval judges the selection the weights produce, so a smoothing or
+    * B change applied to one but not the other would silently skew
+    * the verdict. Same discipline as the paired SQL prefix below. */
+  private def dsirModel(spark: SparkSession, tokenized: DataFrame): DataFrame = {
     val B = DsirB
-    val tokenized = dsirTokenized(spark, dir)
     val counts = tokenized.groupBy("bucket")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
     val totals = counts.agg(sum("c_t").as("tt"), sum("c_r").as("tr"))
     val spine = spark.range(B).select(col("id").as("bucket"))
-    val lam = spine.join(counts, Seq("bucket"), "left")
+    spine.join(counts, Seq("bucket"), "left")
       .join(broadcast(totals))
       .select(col("bucket"),
-        round(log(
-          ((coalesce(col("c_t"), lit(0L)) + lit(1)).cast("double") /
-            (col("tt") + lit(B)).cast("double")) /
-          ((coalesce(col("c_r"), lit(0L)) + lit(1)).cast("double") /
-            (col("tr") + lit(B)).cast("double"))), 9)
-          .cast("decimal(18,9)").as("lam"))
+        ((coalesce(col("c_t"), lit(0L)) + lit(1)).cast("double") /
+          (col("tt") + lit(B)).cast("double")).as("p_t"),
+        ((coalesce(col("c_r"), lit(0L)) + lit(1)).cast("double") /
+          (col("tr") + lit(B)).cast("double")).as("p_r"))
+      .withColumn("lam",
+        round(log(col("p_t") / col("p_r")), 9).cast("decimal(18,9)"))
+  }
+
+  def qpDsir(spark: SparkSession, dir: String): DataFrame = {
+    val tokenized = dsirTokenized(spark, dir)
+    val lam = dsirModel(spark, tokenized).select("bucket", "lam")
     val w = Window.partitionBy("source")
       .orderBy(col("weight_dec").desc, col("doc_id"))
     tokenized.where(!col("is_target"))
@@ -1193,7 +1203,11 @@ object PipelineQueries {
       .orderBy("source", "rank")
   }
 
-  val qpDsirSql: String =
+  /** Shared oracle prefix: the DSIR token/bucket-model CTEs (mirrors
+    * [[dsirTokenized]] + [[dsirModel]]) — both qp_dsir and
+    * qp_dsir_eval build on this one string so the two oracles can
+    * never disagree about the model. */
+  private val dsirSqlPrefix: String =
     """WITH tok AS (
       |  SELECT source, doc_id,
       |    (source IN ('src0', 'src1')) AS is_target,
@@ -1206,18 +1220,22 @@ object PipelineQueries {
       |  FROM tok GROUP BY bucket
       |), tot AS (
       |  SELECT SUM(c_t) AS tt, SUM(c_r) AS tr FROM counts
-      |), lam AS (
+      |), model AS (
       |  SELECT s.bucket,
-      |    CAST(round(ln(
-      |      ((COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE) /
-      |      ((COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE)), 9)
+      |    (COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE AS p_t,
+      |    (COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE AS p_r,
+      |    CAST(round(ln(((COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE)
+      |      / ((COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE)), 9)
       |      AS DECIMAL(18,9)) AS lam
       |  FROM range(0, 256) s(bucket)
       |  LEFT JOIN counts c ON c.bucket = s.bucket, tot t
-      |), weights AS (
+      |)""".stripMargin
+
+  val qpDsirSql: String = dsirSqlPrefix +
+    """, weights AS (
       |  SELECT k.source, k.doc_id, COUNT(*) AS n_tokens,
       |    SUM(l.lam) AS weight_dec
-      |  FROM tok k JOIN lam l ON l.bucket = k.bucket
+      |  FROM tok k JOIN model l ON l.bucket = k.bucket
       |  WHERE NOT k.is_target
       |  GROUP BY k.source, k.doc_id
       |)
@@ -1246,20 +1264,8 @@ object PipelineQueries {
   def qpDsirEval(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirB
     val tok = dsirTokenized(spark, dir)
-    val counts = tok.groupBy("bucket")
-      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
-        sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
-    val totals = counts.agg(sum("c_t").as("tt"), sum("c_r").as("tr"))
+    val model = dsirModel(spark, tok)
     val spine = spark.range(B).select(col("id").as("bucket"))
-    val model = spine.join(counts, Seq("bucket"), "left")
-      .join(broadcast(totals))
-      .select(col("bucket"),
-        ((coalesce(col("c_t"), lit(0L)) + lit(1)).cast("double") /
-          (col("tt") + lit(B)).cast("double")).as("p_t"),
-        ((coalesce(col("c_r"), lit(0L)) + lit(1)).cast("double") /
-          (col("tr") + lit(B)).cast("double")).as("p_r"))
-      .withColumn("lam",
-        round(log(col("p_t") / col("p_r")), 9).cast("decimal(18,9)"))
     val weights = tok.where(!col("is_target"))
       .join(broadcast(model.select("bucket", "lam")), "bucket")
       .groupBy("source", "doc_id")
@@ -1295,29 +1301,8 @@ object PipelineQueries {
         (col("kls") < col("klr")).as("selection_improves"))
   }
 
-  val qpDsirEvalSql: String =
-    """WITH tok AS (
-      |  SELECT source, doc_id,
-      |    (source IN ('src0', 'src1')) AS is_target,
-      |    ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 256 AS bucket
-      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
-      |), counts AS (
-      |  SELECT bucket,
-      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
-      |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
-      |  FROM tok GROUP BY bucket
-      |), tot AS (
-      |  SELECT SUM(c_t) AS tt, SUM(c_r) AS tr FROM counts
-      |), model AS (
-      |  SELECT s.bucket,
-      |    (COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE AS p_t,
-      |    (COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE AS p_r,
-      |    CAST(round(ln(((COALESCE(c.c_t, 0) + 1)::DOUBLE / (t.tt + 256)::DOUBLE)
-      |      / ((COALESCE(c.c_r, 0) + 1)::DOUBLE / (t.tr + 256)::DOUBLE)), 9)
-      |      AS DECIMAL(18,9)) AS lam
-      |  FROM range(0, 256) s(bucket)
-      |  LEFT JOIN counts c ON c.bucket = s.bucket, tot t
-      |), weights AS (
+  val qpDsirEvalSql: String = dsirSqlPrefix +
+    """, weights AS (
       |  SELECT k.doc_id, CAST(SUM(l.lam) AS DOUBLE) AS w
       |  FROM tok k JOIN model l ON l.bucket = k.bucket
       |  WHERE NOT k.is_target

@@ -319,8 +319,14 @@ object QualityQueries {
       |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_invalid
       |  FROM orders
       |), orph AS (
-      |  SELECT COUNT(*) AS n_orphans FROM orders
-      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  -- LEFT JOIN + IS NULL, not NOT IN: mirrors the Spark side's
+      |  -- left_anti exactly — a NULL o_custkey counts as an orphan,
+      |  -- and a NULL c_custkey cannot zero the whole count the way
+      |  -- NOT IN's three-valued logic would.
+      |  SELECT COUNT(*) AS n_orphans
+      |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
       |)
       |SELECT 'orders' AS table_name, n_rows,
       |  round(CAST(n_rows - n_keys AS DOUBLE) / n_rows, 6) AS pk_dup_rate,

@@ -15,14 +15,11 @@ object SimilarityQueries {
   private val Dims = 64
   private val NumPlanes = 4
 
-  /** Shared oracle fragment: left-fold dot of two FLOAT[] columns. */
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, ${Dims + 1}),
-       | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
-      .stripMargin.replace("\n", "")
+  /** Shared oracle fragments — single source of truth in [[VecSql]]. */
+  private def dotSql(a: String, b: String): String = VecSql.dotSql(a, b, Dims)
 
   private def cosineSql(a: String, b: String): String =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    VecSql.cosineSql(a, b, Dims)
 
   /** §2.26 — exact brute-force cosine top-5 for query vectors vec_id<10. */
   def qsKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -87,20 +84,13 @@ object SimilarityQueries {
        |  AND ${cosineSql("q.embedding", "c.embedding")} >= 0.2
        |ORDER BY q_id, neighbor_id""".stripMargin
 
-  /** Oracle fragment: the md5-derived hyperplane component w(p, i) for
-    * 1-based dim index i (formula mirrors [[Knn.planes]]). */
-  private def wSql(p: Int): String =
-    s"((('0x' || substr(md5('${p}_' || (i - 1)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)"
+  private def wSql(p: Int): String = VecSql.wSql(p)
 
   private def planeDotSql(vec: String, p: Int): String =
-    s"""list_reduce(list_transform(range(1, ${Dims + 1}),
-       | i -> CAST($vec[i] AS DOUBLE) * ${wSql(p)}), (x, y) -> x + y)"""
-      .stripMargin.replace("\n", "")
+    VecSql.planeDotSql(vec, p, Dims)
 
   private def bucketSql(vec: String): String =
-    (0 until NumPlanes).map { p =>
-      s"(CASE WHEN ${planeDotSql(vec, p)} >= 0.0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+    VecSql.bucketSql(vec, NumPlanes, Dims)
 
   /** §2.27 — LSH random-hyperplane bucketed approximate top-3. */
   def qsKnnLsh(spark: SparkSession, dir: String): DataFrame =

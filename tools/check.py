@@ -38,11 +38,18 @@ for name, sql in sorted(oracle.items()):
         df = df[sorted(df.columns)]
         # list/ndarray cells (array-typed output columns) are unhashable
         # for pandas sorting — canonicalize to tuples first.
+        import numpy as np
+        def _canon_cell(v):
+            # per-VALUE, not row-0-sniffed: a nullable array column whose
+            # first cell is None must still convert its list cells
+            if v is None:
+                return v
+            if isinstance(v, (list, np.ndarray)):
+                return tuple(v)
+            return v
         for c in df.columns:
-            if (df[c].dtype == object and len(df)
-                    and not isinstance(df[c].iloc[0], (str, bytes))
-                    and hasattr(df[c].iloc[0], '__len__')):
-                df = df.assign(**{c: df[c].map(lambda v: tuple(v))})
+            if df[c].dtype == object and len(df):
+                df = df.assign(**{c: df[c].map(_canon_cell)})
         if len(df):
             df = df.sort_values(by=list(df.columns), kind="mergesort")
         return df.reset_index(drop=True)

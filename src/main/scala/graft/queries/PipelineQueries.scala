@@ -353,6 +353,67 @@ object PipelineQueries {
       |GROUP BY source, shard_id
       |ORDER BY source, shard_id""".stripMargin
 
+  /** §2.31ag — padding-waste report for batch-shape strategies: when
+    * sequences batch together they pad to the bucket's maximum, and
+    * wasted (padded) tokens are wasted FLOPs — this query scores three
+    * standard bucketing strategies on the real length distribution:
+    * pad-to-global-max (the naive collate), power-of-two length
+    * buckets, and fixed 64-token-granularity buckets. Per strategy:
+    * real tokens, padded slots, waste share — the table that justifies
+    * (or kills) a length-bucketing stage before anyone implements it
+    * in the loader. All integer arithmetic; the global max is a 1-row
+    * broadcast; everything else is per-row + one rollup. */
+  def qpPadding(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.load(spark, dir, "documents")
+      .select(size(tokens(col("text"))).cast("long").as("len"))
+    val maxLen = lens.agg(max("len").as("max_len"))
+    // Exact-integer pow2 bucket (a log2+ceil round-trip is ulp-fragile
+    // at exact powers of two and could disagree across engines): the
+    // smallest power of 2 >= len via a 21-branch comparison chain.
+    val pow2 = (0 to 20).map(i => 1L << i)
+      .foldRight(lit(1L << 20)) { (p, els) =>
+        when(col("len") <= p, lit(p)).otherwise(els)
+      }
+    val g64 = (ceil(col("len").cast("double") / 64.0) * 64).cast("long")
+    def strat(name: String, slot: Column): DataFrame =
+      lens.join(broadcast(maxLen))
+        .select(lit(name).as("strategy"), col("len"),
+          (slot - col("len")).as("waste"), slot.as("slot"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("len").as("real_tokens"),
+          sum("slot").as("padded_slots"),
+          round(sum("waste").cast("double") / sum("slot"), 6)
+            .as("waste_share"))
+    strat("global_max", col("max_len"))
+      .unionByName(strat("pow2_buckets", pow2))
+      .unionByName(strat("granularity_64", g64))
+      .orderBy("strategy")
+  }
+
+  val qpPaddingSql: String = {
+    def strat(name: String, slot: String) =
+      s"""SELECT '$name' AS strategy, COUNT(*) AS n_docs,
+         |  CAST(SUM(len) AS BIGINT) AS real_tokens,
+         |  CAST(SUM($slot) AS BIGINT) AS padded_slots,
+         |  round(CAST(SUM(($slot) - len) AS DOUBLE) / SUM($slot), 6)
+         |    AS waste_share
+         |FROM lens, mx""".stripMargin
+    s"""WITH lens AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+       |  FROM documents
+       |), mx AS (SELECT MAX(len) AS max_len FROM lens)
+       |${strat("global_max", "max_len")}
+       |UNION ALL
+       |${strat("pow2_buckets",
+          (0 to 20).map(i => s"WHEN len <= ${1L << i} THEN ${1L << i}")
+            .mkString("CASE ", " ", s" ELSE ${1L << 20} END"))}
+       |UNION ALL
+       |${strat("granularity_64",
+          "CAST(ceil(CAST(len AS DOUBLE) / 64.0) * 64 AS BIGINT)")}
+       |ORDER BY strategy""".stripMargin
+  }
+
   /** §2.31x — shard-packing efficiency report over [[qpPack]]'s
     * assignment: per source, shard count and the fill distribution
     * (total / min / max / mean tokens per shard) — the one-page read
@@ -1530,6 +1591,7 @@ object PipelineQueries {
     "qp_dsir_eval" -> (qpDsirEval _),
     "qp_overlap_13gram" -> (qpOverlap13 _),
     "qp_manifest" -> (qpManifest _),
+    "qp_padding" -> (qpPadding _),
     "qp_calibration" -> (qpCalibration _),
     "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
@@ -1558,6 +1620,7 @@ object PipelineQueries {
     "qp_dsir_eval" -> qpDsirEvalSql,
     "qp_overlap_13gram" -> qpOverlap13Sql,
     "qp_manifest" -> qpManifestSql,
+    "qp_padding" -> qpPaddingSql,
     "qp_calibration" -> qpCalibrationSql,
     "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,

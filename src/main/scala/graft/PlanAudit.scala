@@ -112,7 +112,10 @@ object PlanAudit {
       "qc_scorecard",
       // qp_padding: lengths cross a broadcast ONE-ROW global-max
       // aggregate (scalar-subquery pattern, three strategies share it).
-      "qp_padding")
+      "qp_padding",
+      // qd_modularity: the <=|sources| per-source term frame crosses
+      // the 1-row total-modularity aggregate (1xN broadcast no-op).
+      "qd_modularity")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

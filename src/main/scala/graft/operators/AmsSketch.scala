@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *    regardless of input size — and yesterday's sketch never needs
   *    yesterday's data again.
   *
-  * Input is the key's portable 32-bit hash (so any key type reduces to
-  * one column); state is one flat Array[Long] of d·w cells.
+  * Input is the key's RAW long value (reduce any key type to one long
+  * column first; the aggregator derives its own md5 buckets and signs
+  * from the rendered value, exactly like the SQL oracle's
+  * `md5(r || '_' || key)`). NULL keys must be filtered by the caller —
+  * they can never join, so they must not contribute sketch mass.
   */
 class AmsSketch(d: Int, w: Int)
     extends Aggregator[Long, Array[Long], Seq[Long]] {
@@ -86,8 +89,9 @@ class AmsSketch(d: Int, w: Int)
 object AmsSketch {
 
   /** Untyped-DataFrame entry:
-    * `df.agg(AmsSketch.sketch(5, 256)(hashCol))` where `hashCol` is the
-    * key's portable 32-bit hash. Result: the flat d·w cell array. */
+    * `df.agg(AmsSketch.sketch(5, 256)(keyCol))` where `keyCol` is the
+    * raw long join key (pre-filtered of NULLs). Result: the flat d·w
+    * cell array. */
   def sketch(d: Int, w: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new AmsSketch(d, w), Encoders.scalaLong)
@@ -103,7 +107,7 @@ object AmsSketch {
       while (j < w) { s += a(r * w + j) * b(r * w + j); j += 1 }
       s
     }.sorted
-    perRow(d / 2) // exact median for odd d; lower median for even
+    perRow(d / 2) // exact median for odd d; UPPER median for even
   }
 
   /** Column form of the per-key bucket for row r (mirrors the SQL

@@ -188,6 +188,9 @@ object OperatorQueries {
     val contrib = ev.join(ord, "join_key")
       .select(col("join_key"), col("cnt_events"), col("cnt_orders"),
         (col("cnt_events") * col("cnt_orders")).as("est_rows"))
+      // Consumed twice (top-5 and the 1-row total): materialize once so
+      // the two fact-table scans + key-count join don't run twice.
+      .localCheckpoint()
     val total = contrib.agg(sum("est_rows").as("total_est_rows"))
     contrib
       .orderBy(col("est_rows").desc, col("join_key"))

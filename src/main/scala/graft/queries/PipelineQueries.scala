@@ -398,7 +398,8 @@ object PipelineQueries {
          |  CAST(SUM($slot) AS BIGINT) AS padded_slots,
          |  round(CAST(SUM(($slot) - len) AS DOUBLE) / SUM($slot), 6)
          |    AS waste_share
-         |FROM lens, mx""".stripMargin
+         |FROM lens, mx
+         |HAVING COUNT(*) > 0""".stripMargin
     s"""WITH lens AS (
        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
        |  FROM documents

@@ -114,6 +114,12 @@ object EventStreams {
         acc + element_at(col("sk"), (r * lit(w) + j + 1).cast("int")) *
           element_at(b, (r * lit(w) + j + 1).cast("int"))))
     events
+      // NULL join keys can never join; they must not contribute sketch
+      // mass (same guard as the batch qo_join_cardinality_sketch — a
+      // null slot would otherwise read as key 0 through the Long
+      // encoder and inflate the estimate). The static side's sketch is
+      // expected to have been built under the same rule.
+      .where(col("user_id").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLen).as("wd"))
       .agg(graft.operators.AmsSketch.sketch(d, w)(col("user_id")).as("sk"))

@@ -120,6 +120,21 @@ case class DedupCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Deterministic stratified sample step: keep `k` rows per stratum by
+  * seeded-md5 election ([[graft.operators.Sampling.stratifiedTopK]]) —
+  * the reproducible "pull N examples per segment for review" step a QC
+  * plan runs after an assertion flags a segment. */
+case class SampleCommand(
+    input: InputRef,
+    stratumCols: Seq[String],
+    idCol: String,
+    k: Int,
+    seed: String = "sample",
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

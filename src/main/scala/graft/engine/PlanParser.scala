@@ -300,11 +300,25 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "sample" =>
+        require(params.path("k").asInt() > 0, "sample k must be positive")
+        require(params.path("stratumCols").size() > 0,
+          "sample needs stratumCols")
+        SampleCommand(
+          input = inputRef(node.get("input")),
+          stratumCols = strings(params.path("stratumCols")),
+          idCol = params.path("idCol").asText(),
+          k = params.path("k").asInt(),
+          seed = params.path("seed").asText("sample"),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, dedup, profile, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, profile, sample, or plan; got '$other'")
     }
   }
 

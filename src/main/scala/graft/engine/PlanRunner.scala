@@ -137,6 +137,10 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
             graft.dedup.Dedup.exactGroups(input, c.textCol, c.idCol)
           else graft.dedup.Dedup.canonicalRows(input, c.textCol, c.idCol), c)
         0
+      case c: SampleCommand =>
+        store(graft.operators.Sampling.stratifiedTopK(
+          resolve(c.input), c.stratumCols, c.idCol, c.k, c.seed), c)
+        0
       case c: PlanCommand =>
         runCommands(c.plan.commands, reports)
     }.sum

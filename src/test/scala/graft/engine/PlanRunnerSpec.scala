@@ -309,4 +309,37 @@ class PlanRunnerSpec extends SparkSpec {
       assert(err.getMessage.contains("catalog"))
     } finally spark.sql("DROP TABLE IF EXISTS graft_cat_src")
   }
+
+  test("sample command: deterministic k-per-stratum election in a plan") {
+    val s = spark
+    import s.implicits._
+    val src = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "parity")
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "sample",
+        |     "input": {"ref": "src", "onDisk": false},
+        |     "params": {"stratumCols": ["parity"], "idCol": "id", "k": 3},
+        |     "outputKey": "sampled"}
+        |  ]
+        |}""".stripMargin)
+    val res = new PlanRunner(spark).register("src", src).run(plan)
+    val out = res.outputs("sampled").collect()
+    assert(out.length === 6) // 3 per stratum
+    assert(out.map(_.getAs[Int]("sample_rank")).count(_ == 1) === 2)
+    // Determinism: a second run elects the identical rows.
+    val again = new PlanRunner(spark).register("src", src).run(plan)
+      .outputs("sampled").collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(again === out.map(_.getAs[Long]("id")).sorted.toSeq)
+    // Parse-time validation: k must be positive.
+    val err = intercept[IllegalArgumentException] {
+      PlanParser.parse(
+        """{"commands": [{"command": "sample",
+          |  "input": {"ref": "src", "onDisk": false},
+          |  "params": {"stratumCols": ["parity"], "idCol": "id", "k": 0},
+          |  "outputKey": "x"}]}""".stripMargin)
+    }
+    assert(err.getMessage.contains("positive"))
+  }
 }

@@ -1107,4 +1107,60 @@ object Dedup {
           .as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Maximal shared-substring spans between document pairs — the
+    * span-level form of exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * verbatim overlap of ≥ n tokens between two documents appears as a
+    * run of consecutive shared positional n-grams, and gaps-and-islands
+    * over the match diagonal (pos_a − pos_b) recovers every maximal run
+    * exactly. One row per (doc_a, doc_b, span): 1-based start positions
+    * in both documents and the span length in tokens (run + n − 1).
+    *
+    * Scale shape: positional n-gram postings joined on the gram hash —
+    * inverted-index linear in corpus size, the same skeleton as
+    * [[jaccardNeighbors]] but keeping positions and duplicates (a gram
+    * repeated in one document matches at every occurrence, on its own
+    * diagonal). `maxDf` caps a gram's document frequency before pairing,
+    * bounding per-gram join fan-out at C(maxDf, 2); beyond-cap grams are
+    * corpus boilerplate, not verbatim copies — the standard guard in
+    * production substring-dedup pipelines. Run detection is one window
+    * over (doc pair, diagonal): the shuffle key is the pair, never a
+    * global order.
+    */
+  def substringRuns(df: DataFrame, textCol: String, idCol: String,
+      n: Int, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = tokens(col(textCol))
+    val grams = df
+      .where(size(ts) >= n)
+      .select(col(idCol).as("__id"),
+        explode(transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(ts, i, lit(n)))).as("g")))).as("__pg"))
+      .select(col("__id"), col("__pg.pos").as("pos"), col("__pg.g").as("g"))
+    // Document-frequency gate: left_semi against the 2..maxDf gram set
+    // (distinct docs, not occurrences — a gram repeated within one doc
+    // is not "shared").
+    val kept = grams.join(
+      grams.groupBy("g").agg(countDistinct(col("__id")).as("__df"))
+        .where(col("__df").between(2, maxDf)).select("g"),
+      Seq("g"), "left_semi")
+    val a = kept.select(col("g"), col("__id").as("doc_a"), col("pos").as("pos_a"))
+    val b = kept.select(col("g"), col("__id").as("doc_b"), col("pos").as("pos_b"))
+    val pairs = a.join(b, Seq("g")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("__diag"))
+    // Within a (pair, diagonal) group pos_a is unique (pos_b is pinned
+    // by the diagonal), so pos_a − row_number is constant exactly on
+    // maximal consecutive runs.
+    val w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("pos_a")
+    pairs
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "__diag", "__isl")
+      .agg(min(col("pos_a")).as("start_a"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("__diag")).as("start_b"), col("span_tokens"))
+  }
 }

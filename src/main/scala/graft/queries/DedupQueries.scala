@@ -1442,7 +1442,58 @@ object DedupQueries {
       |FROM terms
       |ORDER BY source""".stripMargin
 
+  /** §2.25n — maximal duplicated-substring report (exact substring
+    * dedup, the span-level complement of 31ae's any-overlap flag): per
+    * near-dup document pair, the LONGEST verbatim shared token span, the
+    * number of maximal shared spans, and their summed length (an upper
+    * bound on shared tokens — overlapping diagonals can double-count).
+    * [[Dedup.substringRuns]] recovers every maximal run ≥ 13 tokens via
+    * gaps-and-islands on the positional-13-gram match diagonal; the
+    * df ≤ 100 hot-gram cap is inert at test scale (max observed df = 3)
+    * and bounds fan-out at corpus scale. */
+  def qdSubstringRuns(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringRuns(Tables.load(spark, dir, "documents"),
+        "text", "doc_id", 13, 100)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("span_tokens")).as("max_span_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("shared_tokens_ub"))
+      .orderBy("doc_a", "doc_b")
+
+  val qdSubstringRunsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+12], ' ')) AS g
+      |  FROM toks, LATERAL unnest(range(1, len(ts) - 11)) AS t(i)
+      |  WHERE len(ts) >= 13
+      |), freq AS (
+      |  SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+      |), kept AS (
+      |  SELECT gr.doc_id, gr.pos, gr.g FROM grams gr JOIN freq f USING (g)
+      |  WHERE f.df BETWEEN 2 AND 100
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.pos AS pos_a, a.pos - b.pos AS diag
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      |), islands AS (
+      |  SELECT doc_a, doc_b, diag,
+      |    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+      |                               ORDER BY pos_a) AS isl
+      |  FROM pairs
+      |), runs AS (
+      |  SELECT doc_a, doc_b, COUNT(*) + 12 AS span_tokens
+      |  FROM islands GROUP BY doc_a, doc_b, diag, isl
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(span_tokens) AS BIGINT) AS shared_tokens_ub
+      |FROM runs GROUP BY doc_a, doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd_substring_runs" -> (qdSubstringRuns _),
     "qd_modularity" -> (qdModularity _),
     "qd_cdc_chunks" -> (qdCdcChunks _),
     "qd_lsh_recall" -> (qdLshRecall _),
@@ -1476,6 +1527,7 @@ object DedupQueries {
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "qd_substring_runs" -> qdSubstringRunsSql,
     "qd_cdc_chunks" -> qdCdcChunksSql,
     "qd_modularity" -> qdModularitySql,
     "qd_lsh_recall" -> qdLshRecallSql,

@@ -115,7 +115,11 @@ object PlanAudit {
       "qp_padding",
       // qd_modularity: the <=|sources| per-source term frame crosses
       // the 1-row total-modularity aggregate (1xN broadcast no-op).
-      "qd_modularity")
+      "qd_modularity",
+      // qt_heaps: the fact scan crosses a broadcast ONE-ROW max-doc-id
+      // aggregate to form doc-order buckets (scalar-subquery pattern,
+      // same as qe_decay).
+      "qt_heaps")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

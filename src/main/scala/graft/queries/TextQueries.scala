@@ -1052,7 +1052,117 @@ object TextQueries {
       |    (a, b) -> a + b) / n_bigrams, 6) AS bigram_nll
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** §2.28n — Heaps-law vocabulary-growth fit over 3-gram shingles:
+    * V(n) ≈ K·n^β estimated by log-log OLS over 32 doc-order
+    * checkpoints of (cumulative gram occurrences, cumulative distinct
+    * grams). β near 1 = every batch still novel (keep crawling), β
+    * well below 1 = the corpus is saturating — the
+    * stop-adding-more-of-the-same dial for crawl budgeting. 3-gram
+    * (not word) vocabulary because this corpus's WORD vocabulary is 31
+    * types — saturated in the first bucket, a degenerate 0/0 fit.
+    *
+    * Scale shape: gram explode is linear; first-occurrence = one
+    * gram-key groupBy; the cumulative window runs over exactly 32
+    * checkpoint rows (never the corpus); the OLS moments are decimal
+    * sums (order-independent) cast to double only inside the final
+    * 1-row fit. The doc-order bucket needs max(doc_id) — a broadcast
+    * 1-row scalar (PlanAudit-allowlisted pattern). */
+  def qtHeaps(spark: SparkSession, dir: String): DataFrame =
+    heapsFit(Tables.load(spark, dir, "documents"), "doc_id", "text", 32)
+
+  /** Library form of 28n (spec entry point): Heaps-law log-log OLS over
+    * `buckets` id-order checkpoints of 3-gram vocabulary growth. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val b = buckets
+    val mx = docs.agg(max(col(idCol).cast("long")).as("mx"))
+    val ts = tokens(col(textCol))
+    val grams = docs.crossJoin(broadcast(mx))
+      .where(size(ts) >= 3)
+      .select(floor(col(idCol) * b / (col("mx") + 1)).cast("int").as("b"),
+        explode(transform(sequence(lit(1), size(ts) - 2),
+          i => md5(concat_ws(" ", slice(ts, i, lit(3)))))).as("g"))
+    val tb = grams.groupBy("b").agg(count(lit(1)).as("n_tok"))
+    val nb = grams.groupBy("g").agg(min(col("b")).as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("n_new"))
+      .withColumnRenamed("fb", "b")
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = tb.join(nb, Seq("b"), "left")
+      .select(col("b"),
+        sum(col("n_tok")).over(w).as("grams_cum"),
+        sum(coalesce(col("n_new"), lit(0L))).over(w).as("vocab_cum"))
+    val pts = cum.select(col("grams_cum"), col("vocab_cum"),
+      round(log(col("grams_cum").cast("double")), 6)
+        .cast("decimal(12,6)").as("x"),
+      round(log(col("vocab_cum").cast("double")), 6)
+        .cast("decimal(12,6)").as("y"))
+    val s = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      max(col("grams_cum")).as("total_grams"),
+      max(col("vocab_cum")).as("total_vocab"))
+      .where(col("n") >= 2)
+      .withColumn("beta", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+    s.select(col("n").as("n_points"), col("total_grams"), col("total_vocab"),
+      round(col("beta"), 6).as("beta_hat"),
+      round(exp((col("sy") - col("beta") * col("sx")) / col("n")), 6)
+        .as("k_hat"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val qtHeapsSql: String =
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+      |tok AS (
+      |  SELECT CAST(floor(doc_id * 32 / (mx + 1)) AS INTEGER) AS b,
+      |         md5(array_to_string(ts[i:i+2], ' ')) AS g
+      |  FROM (SELECT doc_id, mx, string_split(text, ' ') AS ts
+      |        FROM documents, m),
+      |       LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+      |  WHERE len(ts) >= 3
+      |), tb AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY b
+      |), nb AS (
+      |  SELECT fb AS b, CAST(count(*) AS BIGINT) AS n_new
+      |  FROM (SELECT g, min(b) AS fb FROM tok GROUP BY g) GROUP BY fb
+      |), cum AS (
+      |  SELECT tb.b,
+      |    SUM(tb.n_tok) OVER (ORDER BY tb.b) AS grams_cum,
+      |    SUM(COALESCE(nb.n_new, 0)) OVER (ORDER BY tb.b) AS vocab_cum
+      |  FROM tb LEFT JOIN nb USING (b)
+      |), pts AS (
+      |  SELECT grams_cum, vocab_cum,
+      |    CAST(round(ln(CAST(grams_cum AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+      |    CAST(round(ln(CAST(vocab_cum AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+      |  FROM cum
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y*y) AS DOUBLE) AS syy,
+      |    CAST(max(grams_cum) AS BIGINT) AS total_grams,
+      |    CAST(max(vocab_cum) AS BIGINT) AS total_vocab
+      |  FROM pts
+      |), f AS (
+      |  SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta FROM s WHERE n >= 2
+      |)
+      |SELECT n AS n_points, total_grams, total_vocab,
+      |  round(beta, 6) AS beta_hat,
+      |  round(exp((sy - beta*sx) / n), 6) AS k_hat,
+      |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) /
+      |        ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_heaps" -> (qtHeaps _),
     "qt_bigram_lm" -> (qtBigramLm _),
     "qt_langid_eval" -> (qtLangidEval _),
     "qt_chunks" -> (qtChunks _),
@@ -1079,6 +1189,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_heaps" -> qtHeapsSql,
     "qt_bigram_lm" -> qtBigramLmSql,
     "qt_langid_eval" -> qtLangidEvalSql,
     "qt_chunks" -> qtChunksSql,

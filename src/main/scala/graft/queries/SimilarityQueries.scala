@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.similarity.Knn
@@ -158,6 +159,123 @@ object SimilarityQueries {
        |) t
        |WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** §2.27m — multi-probe operating curve: per probe budget
+    * nflip ∈ {0, 1, 2, 4}, mean recall@3 against the exact brute-force
+    * ground truth AND mean candidates scanned per query — the
+    * recall-vs-cost dial that picks the probe budget before an index
+    * ships (the ANN counterpart of the MinHash threshold sweep 22c).
+    * nflip = 0 is plain single-bucket LSH, nflip = 4 probes every
+    * 1-flip neighbor of a 4-plane index. All means are exact integer
+    * sums divided once at the end; the per-flip candidate frames are
+    * the same bucket-key-join shape as the production search (the
+    * panel side fans out probes, the corpus side stays one bucket per
+    * vector). */
+  def qsProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val panel = emb.where(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+    val brute = Knn.bruteForce(emb, emb.where(col("vec_id") < 10),
+        "embedding", "vec_id", 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val perFlip = Seq(0, 1, 2, 4).map { nf =>
+      val cand = Knn.multiProbeCandidates(emb, "embedding", "vec_id",
+          NumPlanes, Dims, nf)
+        .where(col("q_id") < 10)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val top3 = cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      val hits = brute.join(top3, Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      panel.join(hits, Seq("q_id"), "left").join(nc, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("n_hit"), lit(0L))).as("__sh"),
+          sum(coalesce(col("n_cand"), lit(0L))).as("__sc"))
+        // No-groupBy agg yields one n_queries = 0 row on an empty panel;
+        // the oracle's GROUP BY yields none — drop it (and its 0/0).
+        .where(col("n_queries") > 0)
+        .select(lit(nf).as("nflip"), col("n_queries"),
+          round(col("__sh").cast("double") /
+            (col("n_queries") * 3).cast("double"), 6).as("mean_recall_at_3"),
+          round(col("__sc").cast("double") / col("n_queries").cast("double"), 6)
+            .as("mean_candidates"))
+    }
+    perFlip.reduce(_.unionByName(_)).orderBy("nflip")
+  }
+
+  val qsProbeSweepSql: String = {
+    val projCols = (0 until NumPlanes)
+      .map(p => s"${planeDotSql("embedding", p)} AS p$p").mkString(",\n       |    ")
+    val bucketExpr = (0 until NumPlanes)
+      .map(p => s"(CASE WHEN p$p >= 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val structs = (0 until NumPlanes)
+      .map(p => s"{'a': abs(p$p), 'i': $p, 'm': ${1L << p}}").mkString(", ")
+    s"""WITH pr AS (
+       |  SELECT vec_id, embedding,
+       |    $projCols
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, embedding, p0, p1, p2, p3,
+       |    $bucketExpr AS bucket
+       |  FROM pr
+       |), nf AS (
+       |  SELECT unnest([0, 1, 2, 4]) AS nflip
+       |), probes AS (
+       |  SELECT n.nflip, k.vec_id, k.bucket,
+       |    unnest(list_concat([k.bucket], list_transform(
+       |      list_slice(list_sort([$structs]), 1, n.nflip),
+       |      s -> xor(k.bucket, s.m)))) AS probe
+       |  FROM bk k, nf n
+       |  WHERE k.vec_id < 10
+       |), cand AS (
+       |  SELECT p.nflip, p.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    ${cosineSql("p.embedding", "b.embedding")} AS cosine
+       |  FROM (SELECT pr2.embedding, probes.* FROM probes
+       |        JOIN bk pr2 ON probes.vec_id = pr2.vec_id) p
+       |  JOIN bk b ON p.probe = b.bucket AND p.vec_id <> b.vec_id
+       |), ncand AS (
+       |  SELECT nflip, q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM cand GROUP BY 1, 2
+       |), top3 AS (
+       |  SELECT nflip, q_id, neighbor_id FROM (
+       |    SELECT nflip, q_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nflip, q_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM cand) t
+       |  WHERE rank <= 3
+       |), brute AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10) t
+       |  WHERE rank <= 3
+       |), hits AS (
+       |  SELECT n.nflip, b.q_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_hit
+       |  FROM brute b CROSS JOIN nf n
+       |  LEFT JOIN top3 t ON t.nflip = n.nflip AND t.q_id = b.q_id
+       |    AND t.neighbor_id = b.neighbor_id
+       |  GROUP BY 1, 2
+       |), panel AS (
+       |  SELECT n.nflip, e.vec_id AS q_id FROM embeddings e CROSS JOIN nf n
+       |  WHERE e.vec_id < 10
+       |)
+       |SELECT p.nflip, CAST(count(*) AS BIGINT) AS n_queries,
+       |  round(CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE) /
+       |        CAST(count(*) * 3 AS DOUBLE), 6) AS mean_recall_at_3,
+       |  round(CAST(SUM(COALESCE(c.n_cand, 0)) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 6) AS mean_candidates
+       |FROM panel p
+       |LEFT JOIN hits h ON h.nflip = p.nflip AND h.q_id = p.q_id
+       |LEFT JOIN ncand c ON c.nflip = p.nflip AND c.q_id = p.q_id
+       |GROUP BY p.nflip
+       |ORDER BY p.nflip""".stripMargin
   }
 
   /** §2.27b — IVF bucketed ANN (deterministic k-means quantizer, nprobe
@@ -756,6 +874,7 @@ object SimilarityQueries {
     "qs_knn_filtered" -> (qsKnnFiltered _),
     "qs_knn_lsh" -> (qsKnnLsh _),
     "qs_knn_multiprobe" -> (qsKnnMultiprobe _),
+    "qs_probe_sweep" -> (qsProbeSweep _),
     "qs_knn_ivf" -> (qsKnnIvf _),
     "qs_recall" -> (qsRecall _))
 
@@ -774,6 +893,7 @@ object SimilarityQueries {
     "qs_knn_filtered" -> qsKnnFilteredSql,
     "qs_knn_lsh" -> qsKnnLshSql,
     "qs_knn_multiprobe" -> qsKnnMultiprobeSql,
+    "qs_probe_sweep" -> qsProbeSweepSql,
     // Full-probe IVF == exact top-k, so it shares the brute-force oracle.
     "qs_knn_ivf" -> qsKnnBruteSql,
     "qs_recall" -> qsRecallSql)

@@ -314,6 +314,20 @@ object Knn {
     * Returns (q_id, neighbor_id, bucket, cosine, rank). */
   def lshMultiProbeTopK(corpus: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int, dims: Int, k: Int, nflip: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    multiProbeCandidates(corpus, vecCol, idCol, numPlanes, dims, nflip)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** The pre-rank candidate frame of [[lshMultiProbeTopK]] — one row per
+    * (query, corpus vector sharing any probed bucket), each candidate
+    * generated exactly once (probed buckets are distinct, a corpus
+    * vector lives in one bucket). Exposed for the probe operating-curve
+    * eval, whose scan-cost metric is the size of THIS frame. */
+  def multiProbeCandidates(corpus: DataFrame, vecCol: String, idCol: String,
+      numPlanes: Int, dims: Int, nflip: Int): DataFrame = {
     require(nflip >= 0 && nflip <= numPlanes, s"nflip $nflip out of range")
     val ps = planes(numPlanes, dims)
     val prepared = corpus.select(col(idCol).as("__id"),
@@ -338,14 +352,10 @@ object Knn {
       explode(probes).as("bucket"), col("__norm").as("q_norm"))
     val b = prepared.select(col("__id").as("neighbor_id"),
       col("__v").as("c_vec"), col("bucket"), col("__norm").as("c_norm"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     a.join(b, Seq("bucket")).where(col("q_id") =!= col("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"), col("bucket"),
         round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
           .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
   }
 
   /** LSH index-health histogram — the ANN counterpart of the MinHash

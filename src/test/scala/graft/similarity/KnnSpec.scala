@@ -57,6 +57,25 @@ class KnnSpec extends SparkSpec {
     assert(multi.contains((1L, 2L)) && multi.contains((2L, 1L)))
   }
 
+  test("multiProbeCandidates grow monotonically with the probe budget") {
+    val corpus = vecs(
+      1L -> Seq(-0.374134, 0.566254), 2L -> Seq(-0.371866, 0.567746),
+      3L -> Seq(-1.0, 0.5), 4L -> Seq(0.3, 1.0), 5L -> Seq(0.9, -0.4))
+    def cands(nf: Int) = Knn
+      .multiProbeCandidates(corpus, "embedding", "vec_id", 4, 2, nf)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val c0 = cands(0); val c1 = cands(1); val c4 = cands(4)
+    assert(c0.subsetOf(c1) && c1.subsetOf(c4))
+    // Full flip budget on 4 planes probes all 1-bit neighbors, strictly
+    // more than the home bucket alone on this crafted corpus.
+    assert(c0.size < c4.size)
+    // Each candidate pair appears exactly once (probed buckets distinct,
+    // corpus vector lives in one bucket).
+    val rows = Knn.multiProbeCandidates(corpus, "embedding", "vec_id", 4, 2, 4)
+    assert(rows.count() == rows.dropDuplicates("q_id", "neighbor_id").count())
+  }
+
   test("ivfTopK finds exact neighbors when clusters are well separated") {
     // Two tight clusters far apart; with nprobe=1 each query stays in
     // its own cluster and must recover the exact in-cluster ranking.

@@ -119,7 +119,12 @@ object PlanAudit {
       // qt_heaps: the fact scan crosses a broadcast ONE-ROW max-doc-id
       // aggregate to form doc-order buckets (scalar-subquery pattern,
       // same as qe_decay).
-      "qt_heaps")
+      "qt_heaps",
+      // qe_holt: the day spine crosses the distinct event types
+      // (constant-folded key, bounded by days x types — same as
+      // qe_gapfill/qe_forecast_eval) and the grid crosses a broadcast
+      // ONE-ROW holdout-cutoff date (scalar-subquery pattern).
+      "qe_holt")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -2972,7 +2972,130 @@ object EventQueries {
       |GROUP BY c.c_mktsegment, e.event_type
       |ORDER BY c.c_mktsegment, e.event_type""".stripMargin
 
+  /** §2.33bd — Holt linear-trend (double exponential smoothing)
+    * forecast backtest: per event type, fit level+trend (α = 0.5,
+    * β = 0.3, init l₁ = y₁, b₁ = 0) on all but the last 7 days of the
+    * zero-filled day×type grid, forecast ŷ_{t+h} = l + h·b over the
+    * 7-day holdout, score MAE + WAPE — the first TRENDED model over
+    * the seasonal-naive floor (33ba): Holt beats naive ⇒ volume has
+    * real drift worth modeling, naive beats Holt ⇒ the trend term
+    * chases noise. The recurrence is inherently sequential, so it runs
+    * as a LEFT-TO-RIGHT fold over each type's day-sorted series
+    * (`aggregate` HOF ≡ DuckDB list_reduce, same fp op order =
+    * bit-identical) — per-type series are bounded by the calendar
+    * (days, not events), facts collapse to the daily histogram first.
+    * Cross-row error sums go through round-6 DECIMAL(18,6) terms
+    * (order-independent); the 1-row bounds frame rides a broadcast
+    * cross (PlanAudit-allowlisted scalar pattern). */
+  def qeHolt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val bounds = ev
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .withColumn("__k", lit(1))
+    val types = ev.select("event_type").distinct().withColumn("__k", lit(1))
+    val counts = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = spine.join(broadcast(types), "__k")
+      .join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+      .crossJoin(broadcast(bounds.select(date_sub(col("d1"), 7).as("cutday"))))
+    val train = grid.where(col("day") <= col("cutday"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("actual")))).as("s"))
+      .select(col("event_type"),
+        transform(col("s"), x => x.getField("actual").cast("double")).as("ys"))
+      .where(size(col("ys")) >= 2)
+    val model = train.select(col("event_type"),
+      size(col("ys")).cast("long").as("n_train"),
+      aggregate(
+        slice(col("ys"), lit(2), size(col("ys")) - 1),
+        struct(element_at(col("ys"), 1).as("l"), lit(0.0).as("b")),
+        (acc, y) => struct(
+          (lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
+            .as("l"),
+          (lit(0.3) * ((lit(0.5) * y + lit(0.5) *
+              (acc.getField("l") + acc.getField("b"))) - acc.getField("l"))
+            + lit(0.7) * acc.getField("b")).as("b"))).as("hw"))
+      .select(col("event_type"), col("n_train"),
+        col("hw.l").as("l"), col("hw.b").as("b"))
+    grid.where(col("day") > col("cutday"))
+      .join(model, Seq("event_type"))
+      .withColumn("h", datediff(col("day"), col("cutday")))
+      .withColumn("__err",
+        round(abs(col("actual").cast("double") -
+          (col("l") + col("h") * col("b"))), 6).cast("decimal(18,6)"))
+      .groupBy("event_type", "n_train", "l", "b")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("__err")).as("__se"), sum(col("actual")).as("__sa"))
+      .select(col("event_type"), col("n_train"), col("n_scored"),
+        round(col("l"), 6).as("l_final"), round(col("b"), 6).as("b_final"),
+        round(col("__se").cast("double") / col("n_scored"), 6).as("mae"),
+        when(col("__sa") > 0,
+          round(col("__se").cast("double") / col("__sa"), 6)).as("wape"))
+      .orderBy("event_type")
+  }
+
+  val qeHoltSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+      |         CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.day, t.event_type, COALESCE(c.n, 0) AS actual
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type),
+      |cut AS (SELECT d1 - 7 AS cutday FROM bounds),
+      |train AS (
+      |  SELECT g.event_type,
+      |    list_transform(list_sort(list({'day': g.day, 'actual': g.actual})),
+      |      x -> CAST(x.actual AS DOUBLE)) AS ys
+      |  FROM grid g, cut WHERE g.day <= cutday
+      |  GROUP BY g.event_type),
+      |model AS (
+      |  -- State rides a 2-list [l, b], NOT a struct: DuckDB v1.0's
+      |  -- list_reduce mis-binds struct-field references to the
+      |  -- accumulator mid-step (verified: the 'b' field sees a mix of
+      |  -- old and new 'l' across iterations), while list-element
+      |  -- indexing folds correctly.
+      |  SELECT event_type, CAST(len(ys) AS BIGINT) AS n_train,
+      |    list_reduce(list_transform(ys, y -> [y, 0.0e0]),
+      |      (acc, x) -> [0.5e0*x[1] + 0.5e0*(acc[1] + acc[2]),
+      |                   0.3e0*((0.5e0*x[1] + 0.5e0*(acc[1] + acc[2]))
+      |                        - acc[1]) + 0.7e0*acc[2]]) AS hw
+      |  FROM train WHERE len(ys) >= 2),
+      |scored AS (
+      |  SELECT g.event_type, m.n_train, m.hw[1] AS l, m.hw[2] AS b,
+      |    g.actual, date_diff('day', c.cutday, g.day) AS h
+      |  FROM grid g, cut c, model m
+      |  WHERE g.day > c.cutday AND m.event_type = g.event_type)
+      |SELECT event_type, n_train,
+      |  CAST(count(*) AS BIGINT) AS n_scored,
+      |  round(l, 6) AS l_final, round(b, 6) AS b_final,
+      |  round(CAST(SUM(CAST(round(abs(CAST(actual AS DOUBLE) - (l + h*b)), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mae,
+      |  CASE WHEN SUM(actual) > 0 THEN
+      |    round(CAST(SUM(CAST(round(abs(CAST(actual AS DOUBLE) - (l + h*b)), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) / SUM(actual), 6) END AS wape
+      |FROM scored
+      |GROUP BY event_type, n_train, l, b
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_holt" -> (qeHolt _),
     "qe_stl" -> (qeStl _),
     "qe_segment_value" -> (qeSegmentValue _),
     "qe_entry_analysis" -> (qeEntryAnalysis _),
@@ -3085,6 +3208,7 @@ object EventQueries {
     "qe_histogram" -> qeHistogramSql,
     "qe_props" -> qePropsSql,
     "qe_forecast_eval" -> qeForecastEvalSql,
+    "qe_holt" -> qeHoltSql,
     "qe_trigrams" -> qeTrigramsSql,
     "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,

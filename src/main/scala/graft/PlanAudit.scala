@@ -124,7 +124,10 @@ object PlanAudit {
       // (constant-folded key, bounded by days x types — same as
       // qe_gapfill/qe_forecast_eval) and the grid crosses a broadcast
       // ONE-ROW holdout-cutoff date (scalar-subquery pattern).
-      "qe_holt")
+      "qe_holt",
+      // qt_burstiness: the per-term frame crosses a broadcast ONE-ROW
+      // corpus doc count (scalar-subquery pattern, same as qt_keywords).
+      "qt_burstiness")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

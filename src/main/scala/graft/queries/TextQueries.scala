@@ -1161,7 +1161,64 @@ object TextQueries {
       |        ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
       |FROM f""".stripMargin
 
+  /** §2.28o — term burstiness + dispersion index for the top-20 terms
+    * by corpus frequency: burstiness = cf/df (Church & Gale — mean
+    * occurrences per CONTAINING document) and the variance-to-mean
+    * dispersion D over per-document counts INCLUDING zero-docs (D ≈ 1
+    * Poisson, D > 1 clumped content word, D < 1 regular function
+    * word) — separates topical terms from glue vocabulary where raw
+    * frequency can't. Exactness: D derives entirely from integer sums
+    * (n·Σx² − cf², zero-docs contribute nothing to either), doubles
+    * only in the final division. Scale: two grouped passes (term×doc,
+    * then term), top-20 via distributed sort+limit (TakeOrdered — no
+    * single-partition window), one broadcast 1-row doc count. */
+  def qtBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("x"))
+    perDoc.groupBy("token")
+      .agg(sum(col("x")).as("cf"), count(lit(1)).as("df"),
+        sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(n))
+      .orderBy(col("cf").desc, col("token")).limit(20)
+      .select(col("token"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df"), 6).as("burstiness"),
+        when(col("n_docs") > 1,
+          round((((col("n_docs") * col("sxx") - col("cf") * col("cf"))
+              .cast("double")) / (col("n_docs") * (col("n_docs") - 1))) /
+            (col("cf").cast("double") / col("n_docs")), 6)).as("dispersion"))
+      .orderBy(col("cf").desc, col("token"))
+  }
+
+  val qtBurstinessSql: String =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), per_doc AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS x
+      |  FROM tok GROUP BY 1, 2
+      |), term AS (
+      |  SELECT token, CAST(SUM(x) AS BIGINT) AS cf,
+      |    CAST(count(*) AS BIGINT) AS df,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM per_doc GROUP BY token
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY cf DESC, token) AS rnk
+      |  FROM term
+      |)
+      |SELECT token, cf, df,
+      |  round(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+      |  CASE WHEN n_docs > 1 THEN
+      |    round((CAST(n_docs*sxx - cf*cf AS DOUBLE) / (n_docs*(n_docs-1))) /
+      |          (CAST(cf AS DOUBLE) / n_docs), 6) END AS dispersion
+      |FROM ranked, n WHERE rnk <= 20
+      |ORDER BY cf DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_burstiness" -> (qtBurstiness _),
     "qt_heaps" -> (qtHeaps _),
     "qt_bigram_lm" -> (qtBigramLm _),
     "qt_langid_eval" -> (qtLangidEval _),
@@ -1189,6 +1246,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_burstiness" -> qtBurstinessSql,
     "qt_heaps" -> qtHeapsSql,
     "qt_bigram_lm" -> qtBigramLmSql,
     "qt_langid_eval" -> qtLangidEvalSql,

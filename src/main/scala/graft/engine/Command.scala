@@ -135,6 +135,25 @@ case class SampleCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Drift gate between a current input and a baseline input: PSI over
+  * fixed-width bins of `valueCol` ([[graft.rules.Profiler.drift]]).
+  * The stored output is the per-bin PSI frame; a rule-report row
+  * carries the TOTAL PSI, and when `maxPsi` is set a total above it
+  * counts toward the failed-assertion exit status (3) — distribution
+  * shift becomes a first-class plan gate, not only a profiling read.
+  * Cost: one bin-count aggregation per side; the PSI total is a scalar
+  * over the bounded per-bin frame. */
+case class DriftCommand(
+    input: InputRef,
+    baseline: InputRef,
+    valueCol: String,
+    binWidth: Double,
+    maxPsi: Option[Double] = None,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

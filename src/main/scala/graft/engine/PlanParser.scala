@@ -314,11 +314,25 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "drift" =>
+        require(params.path("binWidth").asDouble() > 0,
+          "drift binWidth must be positive")
+        DriftCommand(
+          input = inputRef(node.get("input")),
+          baseline = inputRef(node.get("baseline")),
+          valueCol = params.path("valueCol").asText(),
+          binWidth = params.path("binWidth").asDouble(),
+          maxPsi = if (params.has("maxPsi"))
+            Some(params.get("maxPsi").asDouble()) else None,
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, dedup, profile, sample, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, or plan; got '$other'")
     }
   }
 

@@ -141,6 +141,30 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         store(graft.operators.Sampling.stratifiedTopK(
           resolve(c.input), c.stratumCols, c.idCol, c.k, c.seed), c)
         0
+      case c: DriftCommand =>
+        val bins = graft.rules.Profiler.drift(
+          resolve(c.baseline), resolve(c.input), c.valueCol, c.binWidth)
+        store(bins, c)
+        // Total PSI is one scalar over the bounded per-bin frame (the
+        // store() above keeps the lazy plan; cache: true avoids the
+        // second bin pass when the output is also consumed downstream).
+        val agg = bins.agg(
+          org.apache.spark.sql.functions.sum("psi"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).head()
+        val total = if (agg.isNullAt(0)) 0.0 else agg.getDouble(0)
+        val failed = c.maxPsi.exists(total > _)
+        reports.append(c.outputKey -> Seq(RuleReport(
+          query = s"psi(${c.valueCol}, binWidth=${c.binWidth})" +
+            c.maxPsi.map(m => s" <= $m").getOrElse(""),
+          description = s"PSI drift gate on ${c.valueCol} vs baseline",
+          threshold = c.maxPsi.getOrElse(Double.PositiveInfinity),
+          totalRows = agg.getLong(1),
+          numInvalid = if (failed) 1 else 0,
+          fractionInvalid = if (failed) 1.0 else 0.0,
+          failed = failed,
+          summaryStats = Map("psi_total" -> total))))
+        if (failed) 1 else 0
       case c: PlanCommand =>
         runCommands(c.plan.commands, reports)
     }.sum

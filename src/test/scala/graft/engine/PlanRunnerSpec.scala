@@ -342,4 +342,47 @@ class PlanRunnerSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("positive"))
   }
+
+  test("drift command gates the plan on total PSI vs a baseline") {
+    val s = spark
+    import s.implicits._
+    // Baseline uniform over bins 0..3; current shifted hard into bin 3.
+    val base = (1 to 40).map(i => (i % 4).toDouble).toDF("v")
+    val curr = ((1 to 10).map(i => (i % 4).toDouble) ++
+      Seq.fill(30)(3.0)).toDF("v")
+    def plan(maxPsi: String) = PlanParser.parse(
+      s"""{
+         |  "commands": [
+         |    {"command": "drift",
+         |     "input": {"ref": "curr", "onDisk": false},
+         |     "baseline": {"ref": "base", "onDisk": false},
+         |     "params": {"valueCol": "v", "binWidth": 1.0$maxPsi},
+         |     "outputKey": "psi_bins"}
+         |  ]
+         |}""".stripMargin)
+    // Ungated: informational, exit 0, per-bin frame stored, report row
+    // carries the PSI total.
+    val res = new PlanRunner(spark).register("base", base)
+      .register("curr", curr).run(plan(""))
+    assert(res.exitCode === 0)
+    assert(res.outputs("psi_bins").collect().length === 4)
+    val total = res.reports.head._2.head
+      .summaryStats("psi_total").asInstanceOf[Double]
+    assert(total > 0.5) // hard shift: a large PSI
+    // Gated at 0.25 (the standard "significant shift" line): fails the
+    // plan with exit 3; a loose gate above the measured total passes.
+    val gated = new PlanRunner(spark).register("base", base)
+      .register("curr", curr).run(plan(""", "maxPsi": 0.25"""))
+    assert(gated.exitCode === 3)
+    assert(gated.reports.head._2.head.failed)
+    val loose = new PlanRunner(spark).register("base", base)
+      .register("curr", curr).run(plan(s""", "maxPsi": ${total + 1}"""))
+    assert(loose.exitCode === 0)
+    // Identical sides drift nothing: PSI exactly 0, never failed.
+    val same = new PlanRunner(spark).register("base", base)
+      .register("curr", base).run(plan(""", "maxPsi": 0.0001"""))
+    assert(same.exitCode === 0)
+    assert(same.reports.head._2.head
+      .summaryStats("psi_total").asInstanceOf[Double] === 0.0)
+  }
 }

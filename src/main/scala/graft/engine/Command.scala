@@ -154,6 +154,22 @@ case class DriftCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Order-independent table fingerprint as a plan step
+  * ([[graft.rules.Fingerprint]]): the stored output is the 1-row
+  * (n_rows, checksum) frame; when `expected` is set, a mismatched
+  * checksum counts toward the failed-assertion exit status — the
+  * release-sign-off gate ("this drop is byte-for-byte the corpus we
+  * signed") as a plan primitive. One hash projection + one combinable
+  * sum; row-order independent by construction. */
+case class ChecksumCommand(
+    input: InputRef,
+    columns: Seq[String],
+    expected: Option[String] = None,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

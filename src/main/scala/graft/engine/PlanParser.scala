@@ -328,11 +328,21 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "checksum" =>
+        require(params.path("columns").size() > 0, "checksum needs columns")
+        ChecksumCommand(
+          input = inputRef(node.get("input")),
+          columns = strings(params.path("columns")),
+          expected = optText(params, "expected"),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, checksum, or plan; got '$other'")
     }
   }
 

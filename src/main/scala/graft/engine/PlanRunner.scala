@@ -141,6 +141,24 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         store(graft.operators.Sampling.stratifiedTopK(
           resolve(c.input), c.stratumCols, c.idCol, c.k, c.seed), c)
         0
+      case c: ChecksumCommand =>
+        val fp = graft.rules.Fingerprint.of(resolve(c.input), c.columns)
+        store(fp, c)
+        val row = fp.head()
+        val checksum = row.getAs[String]("checksum")
+        val failed = c.expected.exists(_ != checksum)
+        reports.append(c.outputKey -> Seq(RuleReport(
+          query = s"checksum(${c.columns.mkString(", ")})" +
+            c.expected.map(e => s" == $e").getOrElse(""),
+          description = "order-independent table fingerprint" +
+            (if (c.expected.isDefined) " gate" else ""),
+          threshold = 0.0,
+          totalRows = row.getAs[Long]("n_rows"),
+          numInvalid = if (failed) 1 else 0,
+          fractionInvalid = if (failed) 1.0 else 0.0,
+          failed = failed,
+          summaryStats = Map("checksum" -> checksum))))
+        if (failed) 1 else 0
       case c: DriftCommand =>
         val bins = graft.rules.Profiler.drift(
           resolve(c.baseline), resolve(c.input), c.valueCol, c.binWidth)

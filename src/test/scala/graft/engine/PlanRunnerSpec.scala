@@ -385,4 +385,45 @@ class PlanRunnerSpec extends SparkSpec {
     assert(same.reports.head._2.head
       .summaryStats("psi_total").asInstanceOf[Double] === 0.0)
   }
+
+  test("checksum command fingerprints order-independently and gates on expected") {
+    val s = spark
+    import s.implicits._
+    val src = (1L to 100L).map(i => (i, s"name_$i")).toDF("id", "name")
+    def plan(expected: String) = PlanParser.parse(
+      s"""{
+         |  "commands": [
+         |    {"command": "checksum",
+         |     "input": {"ref": "src", "onDisk": false},
+         |     "params": {"columns": ["id", "name"]$expected},
+         |     "outputKey": "fp"}
+         |  ]
+         |}""".stripMargin)
+    val res = new PlanRunner(spark).register("src", src).run(plan(""))
+    assert(res.exitCode === 0)
+    val checksum = res.reports.head._2.head
+      .summaryStats("checksum").asInstanceOf[String]
+    assert(res.outputs("fp").collect().head.getAs[Long]("n_rows") === 100L)
+    // Row order must not matter: a shuffled copy fingerprints identically.
+    val shuffled = src.orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(5)
+    val again = new PlanRunner(spark).register("src", shuffled).run(plan(""))
+      .reports.head._2.head.summaryStats("checksum").asInstanceOf[String]
+    assert(again === checksum)
+    // Gate: matching expected passes, a tampered row fails with exit 3.
+    assert(new PlanRunner(spark).register("src", src)
+      .run(plan(s""", "expected": "$checksum"""")).exitCode === 0)
+    val tampered = src.withColumn("name",
+      org.apache.spark.sql.functions.when($"id" === 42L, "oops")
+        .otherwise($"name"))
+    val gate = new PlanRunner(spark).register("src", tampered)
+      .run(plan(s""", "expected": "$checksum""""))
+    assert(gate.exitCode === 3)
+    assert(gate.reports.head._2.head.failed)
+    // Empty frame renders the identity fingerprint, not null.
+    val empty = new PlanRunner(spark)
+      .register("src", src.where($"id" < 0L)).run(plan(""))
+    assert(empty.reports.head._2.head
+      .summaryStats("checksum").asInstanceOf[String] === "0")
+  }
 }

@@ -127,7 +127,10 @@ object PlanAudit {
       "qe_holt",
       // qt_burstiness: the per-term frame crosses a broadcast ONE-ROW
       // corpus doc count (scalar-subquery pattern, same as qt_keywords).
-      "qt_burstiness")
+      "qt_burstiness",
+      // qe_did: the fact table crosses a broadcast ONE-ROW period-cut
+      // date (scalar-subquery pattern, same as qe_decay/qe_rfm).
+      "qe_did")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

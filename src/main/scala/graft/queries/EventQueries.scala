@@ -3094,7 +3094,126 @@ object EventQueries {
       |GROUP BY event_type, n_train, l, b
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33be — difference-in-differences: deterministic md5 treatment
+    * split × pre/post period split at the calendar midpoint, outcome =
+    * per-user-period spend (the ab_ttest decimal quantization: exact
+    * DECIMAL sums, doubles only for the final moments); effect =
+    * (T,post − T,pre) − (C,post − C,pre) with the four-cell SE
+    * √(Σ var/n) and a z test — the "did the rollout move the metric
+    * beyond its ambient drift" read that a plain post-only A/B
+    * comparison (33q) gets wrong whenever both arms drift together.
+    * One conditional-sum pass over the per-user-period frame per
+    * event type; the period cut is a broadcast 1-row date scalar
+    * (allowlisted pattern). With a random split and no intervention
+    * this measures ≈ 0 — the null calibration the spec pins. */
+  def qeDid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val ev = Tables.load(spark, dir, "events").where(col("user_id").isNotNull)
+    val cut = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("cutday"))
+    val pu = ev.crossJoin(broadcast(cut))
+      .withColumn("post", to_date(col("ts")) > col("cutday"))
+      .groupBy("event_type", "user_id", "post")
+      .agg((sum(col("value").cast("decimal(18,4)")) * lit(10000))
+        .cast("decimal(38,0)").as("x"))
+      .withColumn("treat", md5Bucket("did", col("user_id"), 2) === 1)
+    def cell(t: Boolean, p: Boolean, f: Column) =
+      sum(when(col("treat") === t && col("post") === p, f))
+    def n(t: Boolean, p: Boolean) =
+      sum(when(col("treat") === t && col("post") === p, 1L).otherwise(0L))
+        .cast("double")
+    val g = pu.groupBy("event_type").agg(
+      n(true, false).as("ntp0"), n(true, true).as("ntp1"),
+      n(false, false).as("ncp0"), n(false, true).as("ncp1"),
+      cell(true, false, col("x")).cast("double").as("s1tp0"),
+      cell(true, true, col("x")).cast("double").as("s1tp1"),
+      cell(false, false, col("x")).cast("double").as("s1cp0"),
+      cell(false, true, col("x")).cast("double").as("s1cp1"),
+      cell(true, false, col("x") * col("x")).cast("double").as("s2tp0"),
+      cell(true, true, col("x") * col("x")).cast("double").as("s2tp1"),
+      cell(false, false, col("x") * col("x")).cast("double").as("s2cp0"),
+      cell(false, true, col("x") * col("x")).cast("double").as("s2cp1"))
+    def m(s1: String, nn: String) = col(s1) / col(nn)
+    def v(s2: String, s1: String, nn: String) =
+      (col(s2) - col(s1) * col(s1) / col(nn)) / (col(nn) - 1)
+    val effect = (m("s1tp1", "ntp1") - m("s1tp0", "ntp0")) -
+      (m("s1cp1", "ncp1") - m("s1cp0", "ncp0"))
+    val se2 = v("s2tp1", "s1tp1", "ntp1") / col("ntp1") +
+      v("s2tp0", "s1tp0", "ntp0") / col("ntp0") +
+      v("s2cp1", "s1cp1", "ncp1") / col("ncp1") +
+      v("s2cp0", "s1cp0", "ncp0") / col("ncp0")
+    val z = effect / sqrt(se2)
+    g.select(col("event_type"),
+        (col("ntp0") + col("ntp1")).cast("bigint").as("n_treat"),
+        (col("ncp0") + col("ncp1")).cast("bigint").as("n_ctrl"),
+        round(m("s1tp0", "ntp0") / 10000, 6).as("mean_treat_pre"),
+        round(m("s1tp1", "ntp1") / 10000, 6).as("mean_treat_post"),
+        round(m("s1cp0", "ncp0") / 10000, 6).as("mean_ctrl_pre"),
+        round(m("s1cp1", "ncp1") / 10000, 6).as("mean_ctrl_post"),
+        round(effect / 10000, 6).as("did_effect"),
+        round(z, 6).as("z_stat"),
+        (abs(z) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
+
+  val qeDidSql: String = {
+    def trt(id: String) =
+      s"(('0x' || substr(md5('did:' || $id), 1, 8))::BIGINT % 2 = 1)"
+    """WITH cut AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) +
+      |    CAST((date_diff('day', CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE),
+      |      CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE)) // 2) AS INTEGER)
+      |    AS cutday
+      |  FROM events WHERE user_id IS NOT NULL),
+      |pu AS (
+      |  SELECT event_type, user_id,
+      |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) > cutday) AS post,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS x,
+      |    TREAT AS treat
+      |  FROM events, cut WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2, 3, 5),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS DOUBLE) AS ntp0,
+      |    CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS DOUBLE) AS ntp1,
+      |    CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS DOUBLE) AS ncp0,
+      |    CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS DOUBLE) AS ncp1,
+      |    CAST(SUM(CASE WHEN treat AND NOT post THEN x END) AS DOUBLE) AS s1tp0,
+      |    CAST(SUM(CASE WHEN treat AND post THEN x END) AS DOUBLE) AS s1tp1,
+      |    CAST(SUM(CASE WHEN NOT treat AND NOT post THEN x END) AS DOUBLE) AS s1cp0,
+      |    CAST(SUM(CASE WHEN NOT treat AND post THEN x END) AS DOUBLE) AS s1cp1,
+      |    CAST(SUM(CASE WHEN treat AND NOT post THEN x*x END) AS DOUBLE) AS s2tp0,
+      |    CAST(SUM(CASE WHEN treat AND post THEN x*x END) AS DOUBLE) AS s2tp1,
+      |    CAST(SUM(CASE WHEN NOT treat AND NOT post THEN x*x END) AS DOUBLE) AS s2cp0,
+      |    CAST(SUM(CASE WHEN NOT treat AND post THEN x*x END) AS DOUBLE) AS s2cp1
+      |  FROM pu GROUP BY event_type),
+      |f AS (
+      |  SELECT *,
+      |    (s1tp1/ntp1 - s1tp0/ntp0) - (s1cp1/ncp1 - s1cp0/ncp0) AS effect,
+      |    (s2tp1 - s1tp1*s1tp1/ntp1)/(ntp1 - 1)/ntp1 +
+      |    (s2tp0 - s1tp0*s1tp0/ntp0)/(ntp0 - 1)/ntp0 +
+      |    (s2cp1 - s1cp1*s1cp1/ncp1)/(ncp1 - 1)/ncp1 +
+      |    (s2cp0 - s1cp0*s1cp0/ncp0)/(ncp0 - 1)/ncp0 AS se2
+      |  FROM g)
+      |SELECT event_type,
+      |  CAST(ntp0 + ntp1 AS BIGINT) AS n_treat,
+      |  CAST(ncp0 + ncp1 AS BIGINT) AS n_ctrl,
+      |  round(s1tp0/ntp0 / 10000, 6) AS mean_treat_pre,
+      |  round(s1tp1/ntp1 / 10000, 6) AS mean_treat_post,
+      |  round(s1cp0/ncp0 / 10000, 6) AS mean_ctrl_pre,
+      |  round(s1cp1/ncp1 / 10000, 6) AS mean_ctrl_post,
+      |  round(effect / 10000, 6) AS did_effect,
+      |  round(effect / sqrt(se2), 6) AS z_stat,
+      |  (abs(effect / sqrt(se2)) > 1.96) AS significant
+      |FROM f
+      |ORDER BY event_type""".stripMargin
+      .replace("TREAT", trt("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_did" -> (qeDid _),
     "qe_holt" -> (qeHolt _),
     "qe_stl" -> (qeStl _),
     "qe_segment_value" -> (qeSegmentValue _),
@@ -3209,6 +3328,7 @@ object EventQueries {
     "qe_props" -> qePropsSql,
     "qe_forecast_eval" -> qeForecastEvalSql,
     "qe_holt" -> qeHoltSql,
+    "qe_did" -> qeDidSql,
     "qe_trigrams" -> qeTrigramsSql,
     "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,

@@ -130,7 +130,9 @@ object PlanAudit {
       "qt_burstiness",
       // qe_did: the fact table crosses a broadcast ONE-ROW period-cut
       // date (scalar-subquery pattern, same as qe_decay/qe_rfm).
-      "qe_did")
+      "qe_did",
+      // qe_cuped: same broadcast ONE-ROW period-cut scalar as qe_did.
+      "qe_cuped")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -3144,7 +3144,9 @@ object EventQueries {
       v("s2tp0", "s1tp0", "ntp0") / col("ntp0") +
       v("s2cp1", "s1cp1", "ncp1") / col("ncp1") +
       v("s2cp0", "s1cp0", "ncp0") / col("ncp0")
-    val z = effect / sqrt(se2)
+    // ANSI division guard: zero pooled SE (constant outcomes in every
+    // cell) yields NULL in both engines instead of a Spark /0 error.
+    val z = when(se2 > 0, effect / sqrt(se2))
     g.select(col("event_type"),
         (col("ntp0") + col("ntp1")).cast("bigint").as("n_treat"),
         (col("ncp0") + col("ncp1")).cast("bigint").as("n_ctrl"),
@@ -3205,14 +3207,160 @@ object EventQueries {
       |  round(s1cp0/ncp0 / 10000, 6) AS mean_ctrl_pre,
       |  round(s1cp1/ncp1 / 10000, 6) AS mean_ctrl_post,
       |  round(effect / 10000, 6) AS did_effect,
-      |  round(effect / sqrt(se2), 6) AS z_stat,
-      |  (abs(effect / sqrt(se2)) > 1.96) AS significant
+      |  CASE WHEN se2 > 0 THEN round(effect / sqrt(se2), 6) END AS z_stat,
+      |  CASE WHEN se2 > 0 THEN (abs(effect / sqrt(se2)) > 1.96) END
+      |    AS significant
       |FROM f
       |ORDER BY event_type""".stripMargin
       .replace("TREAT", trt("user_id"))
   }
 
+  /** §2.33bf — CUPED variance reduction (Deng et al. 2013): the
+    * post-period A/B spend comparison (33q's metric) re-run with each
+    * user's PRE-period spend as the control covariate — Y_adj = Y −
+    * θ(X − X̄) with the pooled θ = cov(X,Y)/var(X); ρ² of (X, Y) is the
+    * variance removed, so the same data answers with a √(1−ρ²)-tighter
+    * confidence interval and the report shows raw-vs-CUPED z side by
+    * side (the "how much experiment runtime does our covariate buy"
+    * read). Exactness: per-user period spends quantize to exact
+    * decimals (ab_ttest discipline), every moment (Σx, Σy, Σxy, Σx²,
+    * Σy²) is a decimal sum per arm, doubles only in the final algebra;
+    * one conditional-sum pass per event type; the period cut rides the
+    * broadcast 1-row scalar. Null-calibrated: a covariate identical in
+    * both arms leaves the diff unchanged while ρ² → 1 collapses the
+    * noise (spec pins both). */
+  def qeCuped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val ev = Tables.load(spark, dir, "events").where(col("user_id").isNotNull)
+    val cut = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("cutday"))
+    val vq = col("value").cast("decimal(18,4)")
+    val pu = ev.crossJoin(broadcast(cut))
+      .withColumn("post", to_date(col("ts")) > col("cutday"))
+      .groupBy("event_type", "user_id")
+      .agg(
+        (coalesce(sum(when(!col("post"), vq)), lit(0)) * lit(10000))
+          .cast("decimal(38,0)").as("x"),
+        (coalesce(sum(when(col("post"), vq)), lit(0)) * lit(10000))
+          .cast("decimal(38,0)").as("y"))
+      .withColumn("a", md5Bucket("exp1", col("user_id"), 2) === 0)
+    val g = pu.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(when(col("a"), 1L).otherwise(0L)).cast("double").as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).cast("double").as("nb"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(when(col("a"), col("x"))).cast("double").as("sxa"),
+      sum(when(!col("a"), col("x"))).cast("double").as("sxb"),
+      sum(when(col("a"), col("y"))).cast("double").as("sya"),
+      sum(when(!col("a"), col("y"))).cast("double").as("syb"),
+      sum(when(col("a"), col("y") * col("y"))).cast("double").as("syya"),
+      sum(when(!col("a"), col("y") * col("y"))).cast("double").as("syyb"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val rho2 = ((col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))) /
+      ((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
+    val xbar = col("sx") / col("n")
+    val diffRaw = col("sya") / col("na") - col("syb") / col("nb")
+    val diffCuped = (col("sya") / col("na") -
+        theta * (col("sxa") / col("na") - xbar)) -
+      (col("syb") / col("nb") - theta * (col("sxb") / col("nb") - xbar))
+    val va = (col("syya") - col("sya") * col("sya") / col("na")) /
+      (col("na") - 1)
+    val vb = (col("syyb") - col("syb") * col("syb") / col("nb")) /
+      (col("nb") - 1)
+    val se2Raw = va / col("na") + vb / col("nb")
+    // ANSI division guards (Spark throws on /0 even for doubles; DuckDB
+    // yields NULL — the guard makes both engines emit NULL): zero raw
+    // SE means no within-arm variance, zero CUPED SE additionally
+    // covers the perfect-covariate case rho2 = 1.
+    val zRaw = when(se2Raw > 0, diffRaw / sqrt(se2Raw))
+    val zCuped = when((lit(1.0) - rho2) * se2Raw > 0,
+      diffCuped / sqrt((lit(1.0) - rho2) * se2Raw))
+    g.select(col("event_type"),
+        col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        round(theta, 6).as("theta"),
+        round(rho2, 6).as("rho2"),
+        round(diffRaw / 10000, 6).as("diff_raw"),
+        round(diffCuped / 10000, 6).as("diff_cuped"),
+        round(zRaw, 6).as("z_raw"),
+        round(zCuped, 6).as("z_cuped"))
+      .orderBy("event_type")
+  }
+
+  val qeCupedSql: String = {
+    def arm(id: String) =
+      s"(('0x' || substr(md5('exp1:' || $id), 1, 8))::BIGINT % 2 = 0)"
+    """WITH cut AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) +
+      |    CAST((date_diff('day', CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE),
+      |      CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE)) // 2) AS INTEGER)
+      |    AS cutday
+      |  FROM events WHERE user_id IS NOT NULL),
+      |pu AS (
+      |  SELECT event_type, user_id,
+      |    CAST(COALESCE(SUM(CASE WHEN NOT (CAST(CAST(ts AS TIMESTAMP) AS DATE) > cutday)
+      |      THEN CAST(value AS DECIMAL(18,4)) END), 0) * 10000 AS HUGEINT) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) > cutday
+      |      THEN CAST(value AS DECIMAL(18,4)) END), 0) * 10000 AS HUGEINT) AS y,
+      |    ARM AS a
+      |  FROM events, cut WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2, 5),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+      |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x*y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(x*x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y*y) AS DOUBLE) AS syy,
+      |    CAST(SUM(CASE WHEN a THEN x END) AS DOUBLE) AS sxa,
+      |    CAST(SUM(CASE WHEN NOT a THEN x END) AS DOUBLE) AS sxb,
+      |    CAST(SUM(CASE WHEN a THEN y END) AS DOUBLE) AS sya,
+      |    CAST(SUM(CASE WHEN NOT a THEN y END) AS DOUBLE) AS syb,
+      |    CAST(SUM(CASE WHEN a THEN y*y END) AS DOUBLE) AS syya,
+      |    CAST(SUM(CASE WHEN NOT a THEN y*y END) AS DOUBLE) AS syyb
+      |  FROM pu GROUP BY event_type),
+      |f AS (
+      |  SELECT *,
+      |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS theta,
+      |    ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+      |      ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS rho2,
+      |    sya/na - syb/nb AS diff_raw,
+      |    (syya - sya*sya/na)/(na - 1)/na +
+      |      (syyb - syb*syb/nb)/(nb - 1)/nb AS se2_raw
+      |  FROM g),
+      |f2 AS (
+      |  SELECT *,
+      |    (sya/na - theta*(sxa/na - sx/n)) -
+      |      (syb/nb - theta*(sxb/nb - sx/n)) AS diff_cuped
+      |  FROM f)
+      |SELECT event_type,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(theta, 6) AS theta,
+      |  round(rho2, 6) AS rho2,
+      |  round(diff_raw / 10000, 6) AS diff_raw,
+      |  round(diff_cuped / 10000, 6) AS diff_cuped,
+      |  CASE WHEN se2_raw > 0 THEN
+      |    round(diff_raw / sqrt(se2_raw), 6) END AS z_raw,
+      |  CASE WHEN (1.0e0 - rho2) * se2_raw > 0 THEN
+      |    round(diff_cuped / sqrt((1.0e0 - rho2) * se2_raw), 6) END AS z_cuped
+      |FROM f2
+      |ORDER BY event_type""".stripMargin
+      .replace("ARM", arm("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_cuped" -> (qeCuped _),
     "qe_did" -> (qeDid _),
     "qe_holt" -> (qeHolt _),
     "qe_stl" -> (qeStl _),
@@ -3329,6 +3477,7 @@ object EventQueries {
     "qe_forecast_eval" -> qeForecastEvalSql,
     "qe_holt" -> qeHoltSql,
     "qe_did" -> qeDidSql,
+    "qe_cuped" -> qeCupedSql,
     "qe_trigrams" -> qeTrigramsSql,
     "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,

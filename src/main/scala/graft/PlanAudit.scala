@@ -132,7 +132,11 @@ object PlanAudit {
       // date (scalar-subquery pattern, same as qe_decay/qe_rfm).
       "qe_did",
       // qe_cuped: same broadcast ONE-ROW period-cut scalar as qe_did.
-      "qe_cuped")
+      "qe_cuped",
+      // qt_js_sources: the share frame crosses the broadcast DISTINCT
+      // source list under a <> predicate (bounded side = |sources|,
+      // same shape as qe_gapfill's spine x types).
+      "qt_js_sources")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1217,7 +1217,77 @@ object TextQueries {
       |FROM ranked, n WHERE rnk <= 20
       |ORDER BY cf DESC, token""".stripMargin
 
+  /** §2.28p — Jensen–Shannon divergence matrix between sources over
+    * unigram distributions: JSD(a,b) = ½·Σ p·ln(2p/(p+q)) summed from
+    * BOTH directions (tokens absent on one side contribute their full
+    * p·ln 2 — no smoothing epsilon needed, JSD is finite by
+    * construction) — the pairwise domain-shift map that says which
+    * sources are interchangeable and which add genuinely different
+    * text (pairs with JSD ≈ 0 are redundant crawl; the mixing
+    * operators (31)'s diversity assumption is checkable here). Scale:
+    * per-source shares are one token-key groupBy; the directed-term
+    * frame is counts × (|sources|−1) via a broadcast source-list
+    * nested loop (bounded side = the distinct source list), then one
+    * hash join back on (source, token); cross-token sums quantize each
+    * term to DECIMAL(18,9) (order-independent). */
+  def qtJsSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cnts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = cnts.groupBy("source").agg(sum(col("c")).as("t"))
+    val sh = cnts.join(tot, "source")
+      .select(col("source"), col("token"),
+        (col("c").cast("double") / col("t")).as("p"))
+    val srcs = docs.select(col("source").as("s2")).distinct()
+    val other = sh.select(col("source").as("s2b"), col("token").as("tk"),
+      col("p").as("q0"))
+    sh.join(broadcast(srcs), col("s2") =!= col("source"))
+      .join(other,
+        col("s2b") === col("s2") && col("tk") === col("token"), "left")
+      .select(
+        least(col("source"), col("s2")).as("source_a"),
+        greatest(col("source"), col("s2")).as("source_b"),
+        round(col("p") * log(lit(2.0) * col("p") /
+            (col("p") + coalesce(col("q0"), lit(0.0)))), 9)
+          .cast("decimal(18,9)").as("term"))
+      .groupBy("source_a", "source_b")
+      .agg(round(lit(0.5) * sum(col("term")).cast("double"), 6).as("jsd"),
+        count(lit(1)).as("n_terms"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val qtJsSourcesSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), cnts AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnts GROUP BY source
+      |), sh AS (
+      |  SELECT c.source, c.token, CAST(c.c AS DOUBLE) / t.t AS p
+      |  FROM cnts c JOIN tot t USING (source)
+      |), srcs AS (SELECT DISTINCT source FROM documents),
+      |e AS (
+      |  SELECT a.source AS sa, s2.source AS sb, a.token,
+      |    a.p AS p, COALESCE(b.p, 0.0e0) AS q
+      |  FROM sh a
+      |  JOIN srcs s2 ON s2.source <> a.source
+      |  LEFT JOIN sh b ON b.source = s2.source AND b.token = a.token
+      |), terms AS (
+      |  SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+      |    CAST(round(p * ln(2.0e0 * p / (p + q)), 9) AS DECIMAL(18,9)) AS term
+      |  FROM e
+      |)
+      |SELECT source_a, source_b,
+      |  round(0.5e0 * CAST(SUM(term) AS DOUBLE), 6) AS jsd,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_js_sources" -> (qtJsSources _),
     "qt_burstiness" -> (qtBurstiness _),
     "qt_heaps" -> (qtHeaps _),
     "qt_bigram_lm" -> (qtBigramLm _),
@@ -1246,6 +1316,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_js_sources" -> qtJsSourcesSql,
     "qt_burstiness" -> qtBurstinessSql,
     "qt_heaps" -> qtHeapsSql,
     "qt_bigram_lm" -> qtBigramLmSql,

@@ -3359,7 +3359,85 @@ object EventQueries {
       .replace("ARM", arm("user_id"))
   }
 
+  /** §2.33bg — minimum detectable effect (experiment power planning):
+    * per event type, the smallest true lift the CURRENT arm sizes and
+    * outcome variance can detect at α = 0.05 / 80% power —
+    * MDE = (z_{α/2} + z_{power})·SE = 2.8·√(v_a/n_a + v_b/n_b), plus
+    * its relative form against the pooled mean. The before-you-launch
+    * companion to 33q's after-the-fact t test: if the MDE is larger
+    * than the effect you hope for, the experiment cannot succeed and
+    * needs more users or a variance-reduced metric (33bf). Same
+    * quantized-decimal per-user frame and one conditional-sum pass as
+    * ab_ttest; doubles only in the final algebra; NULL where a
+    * variance or mean is degenerate (ANSI-safe, DuckDB-identical). */
+  def qeMde(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val isA = md5Bucket("exp1", col("user_id"), 2) === 0
+    val x = Tables.load(spark, dir, "events")
+      .where(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg((sum(col("value").cast("decimal(18,4)")) * lit(10000))
+        .cast("decimal(38,0)").as("x"))
+      .withColumn("a", isA)
+    val g = x.groupBy("event_type").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).cast("double").as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).cast("double").as("nb"),
+      sum(when(col("a"), col("x"))).cast("double").as("s1a"),
+      sum(when(!col("a"), col("x"))).cast("double").as("s1b"),
+      sum(when(col("a"), col("x") * col("x"))).cast("double").as("s2a"),
+      sum(when(!col("a"), col("x") * col("x"))).cast("double").as("s2b"))
+    val va = (col("s2a") - col("s1a") * col("s1a") / col("na")) / (col("na") - 1)
+    val vb = (col("s2b") - col("s1b") * col("s1b") / col("nb")) / (col("nb") - 1)
+    val se = sqrt(va / col("na") + vb / col("nb"))
+    val meanPooled = (col("s1a") + col("s1b")) / (col("na") + col("nb"))
+    val mde = lit(2.8) * se
+    g.where(col("na") > 1 && col("nb") > 1)
+      .select(col("event_type"),
+        col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        round(meanPooled / 10000, 6).as("mean_pooled"),
+        round(mde / 10000, 6).as("mde_abs"),
+        when(meanPooled > 0, round(mde / meanPooled, 6)).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
+  val qeMdeSql: String = {
+    def armA(id: String) =
+      s"(('0x' || substr(md5('exp1:' || $id), 1, 8))::BIGINT % 2 = 0)"
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS x,
+       |    ${armA("user_id")} AS a
+       |  FROM events WHERE user_id IS NOT NULL
+       |  GROUP BY 1, 2, 4),
+       |g AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+       |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+       |    CAST(SUM(CASE WHEN a THEN x END) AS DOUBLE) AS s1a,
+       |    CAST(SUM(CASE WHEN NOT a THEN x END) AS DOUBLE) AS s1b,
+       |    CAST(SUM(CASE WHEN a THEN x*x END) AS DOUBLE) AS s2a,
+       |    CAST(SUM(CASE WHEN NOT a THEN x*x END) AS DOUBLE) AS s2b
+       |  FROM pu GROUP BY event_type),
+       |f AS (
+       |  SELECT *,
+       |    2.8e0 * sqrt(
+       |      (s2a - s1a*s1a/na)/(na - 1)/na +
+       |      (s2b - s1b*s1b/nb)/(nb - 1)/nb) AS mde,
+       |    (s1a + s1b) / (na + nb) AS mean_pooled
+       |  FROM g WHERE na > 1 AND nb > 1)
+       |SELECT event_type,
+       |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  round(mean_pooled / 10000, 6) AS mean_pooled,
+       |  round(mde / 10000, 6) AS mde_abs,
+       |  CASE WHEN mean_pooled > 0 THEN round(mde / mean_pooled, 6) END
+       |    AS mde_rel
+       |FROM f
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_mde" -> (qeMde _),
     "qe_cuped" -> (qeCuped _),
     "qe_did" -> (qeDid _),
     "qe_holt" -> (qeHolt _),
@@ -3478,6 +3556,7 @@ object EventQueries {
     "qe_holt" -> qeHoltSql,
     "qe_did" -> qeDidSql,
     "qe_cuped" -> qeCupedSql,
+    "qe_mde" -> qeMdeSql,
     "qe_trigrams" -> qeTrigramsSql,
     "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,

@@ -136,7 +136,12 @@ object PlanAudit {
       // qt_js_sources: the share frame crosses the broadcast DISTINCT
       // source list under a <> predicate (bounded side = |sources|,
       // same shape as qe_gapfill's spine x types).
-      "qt_js_sources")
+      "qt_js_sources",
+      // qs_probe_sweep: embeds the qs_knn_brute plan as its recall
+      // ground truth (documented broadcast-panel exhaustive scan, same
+      // as qs_recall); the measured per-flip candidate frames join on
+      // the bucket key.
+      "qs_probe_sweep")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

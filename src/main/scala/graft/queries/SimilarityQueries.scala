@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -277,6 +277,82 @@ object SimilarityQueries {
        |GROUP BY p.nflip
        |ORDER BY p.nflip""".stripMargin
   }
+
+  /** §2.27n — embedding drift monitor: per label, the L2 displacement
+    * and cosine between the centroids of two deterministic corpus
+    * halves (vec_id parity — the stand-in for "yesterday's batch vs
+    * today's") — the embedding-space analogue of the tabular PSI gate:
+    * a re-trained or silently re-normalized encoder moves centroids
+    * long before any row-level QC notices. Exactness discipline is
+    * [[qsCentroids]]'s: vectors micro-quantize to integers, per-dim
+    * sums are exact bigints, per-dim mean terms are doubles derived
+    * from exact integers, and every cross-DIM reduction (shift², dot,
+    * norms) quantizes its term to DECIMAL(18,9) so the sum is
+    * order-independent. Plan: one posexplode shuffle on (label, half,
+    * dim), one (label, dim) join, one label rollup — scales as
+    * corpus × dims, no pair joins. */
+  def qsEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.select(col("label"), (col("vec_id") % 2).as("half"),
+      posexplode(expr("transform(cast(embedding as array<double>), " +
+        "v -> cast(floor(v * 1000000.0 + 0.5) as bigint))"))
+        .as(Seq("dim", "qv")))
+    val m = q.groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+    val a = m.where(col("half") === 0)
+      .select(col("label"), col("dim"), col("n").as("n0"), col("s").as("s0"))
+    val b = m.where(col("half") === 1)
+      .select(col("label"), col("dim"), col("n").as("n1"), col("s").as("s1"))
+    val m0 = col("s0").cast("double") / col("n0") / 1000000.0
+    val m1 = col("s1").cast("double") / col("n1") / 1000000.0
+    def dsum(c: Column): Column =
+      sum(round(c, 9).cast("decimal(18,9)")).cast("double")
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        dsum((m0 - m1) * (m0 - m1)).as("__shift2"),
+        dsum(m0 * m1).as("__dot"),
+        dsum(m0 * m0).as("__na2"),
+        dsum(m1 * m1).as("__nb2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("__shift2")), 6).as("shift_l2"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          round(col("__dot") / (sqrt(col("__na2")) * sqrt(col("__nb2"))), 6))
+          .as("centroid_cos"))
+      .orderBy("label")
+  }
+
+  val qsEmbeddingDriftSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id % 2 AS half, i AS dim,
+      |    CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)
+      |), m AS (
+      |  SELECT label, half, dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(qv) AS BIGINT) AS s
+      |  FROM e GROUP BY 1, 2, 3
+      |), j AS (
+      |  SELECT a.label, a.dim, a.n AS n0, a.s AS s0, b.n AS n1, b.s AS s1,
+      |    CAST(a.s AS DOUBLE) / a.n / 1000000.0 AS m0,
+      |    CAST(b.s AS DOUBLE) / b.n / 1000000.0 AS m1
+      |  FROM (SELECT * FROM m WHERE half = 0) a
+      |  JOIN (SELECT * FROM m WHERE half = 1) b
+      |    ON a.label = b.label AND a.dim = b.dim
+      |), g AS (
+      |  SELECT label, MAX(n0) AS n_a, MAX(n1) AS n_b,
+      |    CAST(SUM(CAST(round((m0 - m1) * (m0 - m1), 9) AS DECIMAL(18,9)))
+      |      AS DOUBLE) AS shift2,
+      |    CAST(SUM(CAST(round(m0 * m1, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dt,
+      |    CAST(SUM(CAST(round(m0 * m0, 9) AS DECIMAL(18,9))) AS DOUBLE) AS na2,
+      |    CAST(SUM(CAST(round(m1 * m1, 9) AS DECIMAL(18,9))) AS DOUBLE) AS nb2
+      |  FROM j GROUP BY label
+      |)
+      |SELECT label, n_a, n_b,
+      |  round(sqrt(shift2), 6) AS shift_l2,
+      |  CASE WHEN na2 > 0 AND nb2 > 0 THEN
+      |    round(dt / (sqrt(na2) * sqrt(nb2)), 6) END AS centroid_cos
+      |FROM g ORDER BY label""".stripMargin
 
   /** §2.27b — IVF bucketed ANN (deterministic k-means quantizer, nprobe
     * probing). The index build is iterative (not SQL-expressible), but
@@ -875,6 +951,7 @@ object SimilarityQueries {
     "qs_knn_lsh" -> (qsKnnLsh _),
     "qs_knn_multiprobe" -> (qsKnnMultiprobe _),
     "qs_probe_sweep" -> (qsProbeSweep _),
+    "qs_embedding_drift" -> (qsEmbeddingDrift _),
     "qs_knn_ivf" -> (qsKnnIvf _),
     "qs_recall" -> (qsRecall _))
 
@@ -894,6 +971,7 @@ object SimilarityQueries {
     "qs_knn_lsh" -> qsKnnLshSql,
     "qs_knn_multiprobe" -> qsKnnMultiprobeSql,
     "qs_probe_sweep" -> qsProbeSweepSql,
+    "qs_embedding_drift" -> qsEmbeddingDriftSql,
     // Full-probe IVF == exact top-k, so it shares the brute-force oracle.
     "qs_knn_ivf" -> qsKnnBruteSql,
     "qs_recall" -> qsRecallSql)

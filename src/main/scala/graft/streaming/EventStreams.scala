@@ -272,6 +272,25 @@ object EventStreams {
         graft.rules.Profiler.drift(baseline, batch, valueCol, binWidth))
     }
 
+  /** Running corpus fingerprint on a stream: the same order-independent
+    * checksum as [[graft.rules.Fingerprint]] (canonical row string →
+    * md5-prefix hash → exact DECIMAL(38,0) sum), maintained as a
+    * streaming aggregation — after ANY prefix of the stream the value
+    * equals the batch fingerprint of the rows seen so far, because the
+    * hash sum is mergeable and micro-batch boundaries are invisible to
+    * a commutative sum. The incremental release gate: a continuously
+    * ingesting corpus carries its up-to-the-moment fingerprint without
+    * ever rescanning. State is two scalars; run with output mode
+    * "complete" (or "update"). */
+  def runningFingerprint(stream: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "fingerprint needs at least one column")
+    val canon = concat_ws("|", columns.map(c => col(c).cast("string")): _*)
+    stream.select(graft.functions.Portable.md5Hash32(canon).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__h").cast("decimal(38,0)")).cast("string"),
+          lit("0")).as("checksum"))
+  }
+
   /** Running CUSUM accumulator for [[volumeCusumSink]]. Lives at the
     * driver inside the foreachBatch sink; foreachBatch is at-least-once,
     * so a production deployment persists (window_start, cusum) to an

@@ -393,7 +393,67 @@ object QualityQueries {
       |  ['a', 'b'] AS v_arr_str
       |FROM region""".stripMargin
 
+  /** §2.13b8 (query face) — rule suggestion facts over orders: per
+    * audited column, the learned kind (numeric p1/p99 range widened 5%,
+    * low-cardinality enum set, not-null), the band, the enum-set size,
+    * and the threshold the suggested rule would carry (observed
+    * out-of-band rate + ε) — [[graft.rules.RuleSuggest]]'s structured
+    * output, oracle-checked so the learned facts themselves are
+    * engine-exact (the rendered Rules are spec-checked for
+    * self-consistency in RuleSuggestSpec). */
+  def qcSuggest(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cols = Seq("o_totalprice", "o_orderstatus", "o_orderpriority",
+      "o_orderdate")
+    val rows = RuleSuggest.suggest(orders, cols).map { s =>
+      (s.column, s.kind,
+        s.lo.map(v => BigDecimal(v).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble),
+        s.hi.map(v => BigDecimal(v).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble),
+        s.values.length.toLong,
+        BigDecimal(s.threshold - 1e-9).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "kind", "lo", "hi", "n_values", "out_rate")
+      .orderBy("column_name")
+  }
+
+  val qcSuggestSql: String =
+    """WITH p AS (
+      |  SELECT quantile_cont(o_totalprice, 0.01) AS p1,
+      |         quantile_cont(o_totalprice, 0.99) AS p99,
+      |         CAST(count(*) AS DOUBLE) AS total
+      |  FROM orders
+      |), band AS (
+      |  SELECT p1, p99, total,
+      |    greatest(p99 - p1, greatest(abs(p1), 1.0) * 1e-9) AS span
+      |  FROM p
+      |), r AS (
+      |  SELECT 'o_totalprice' AS column_name, 'range' AS kind,
+      |    round(p1 - 0.05 * span, 6) AS lo,
+      |    round(p99 + 0.05 * span, 6) AS hi,
+      |    CAST(0 AS BIGINT) AS n_values,
+      |    round((SELECT count(*) FROM orders, band
+      |           WHERE o_totalprice < p1 - 0.05 * span
+      |              OR o_totalprice > p99 + 0.05 * span) / total, 6)
+      |      AS out_rate
+      |  FROM band
+      |)
+      |SELECT * FROM r
+      |UNION ALL
+      |SELECT 'o_orderstatus', 'enum', NULL, NULL,
+      |  (SELECT count(DISTINCT o_orderstatus) FROM orders), 0.0
+      |UNION ALL
+      |SELECT 'o_orderpriority', 'enum', NULL, NULL,
+      |  (SELECT count(DISTINCT o_orderpriority) FROM orders), 0.0
+      |UNION ALL
+      |SELECT 'o_orderdate', 'not_null', NULL, NULL, 0, 0.0
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_suggest" -> (qcSuggest _),
     "qc_canary_decimal" -> (qcCanaryDecimal _),
     "qc_scorecard" -> (qcScorecard _),
     "qc_canary_timestamp" -> (qcCanaryTimestamp _),
@@ -409,6 +469,7 @@ object QualityQueries {
     "qc_assert_window" -> (qcAssertWindow _))
 
   val oracles: Map[String, String] = Map(
+    "qc_suggest" -> qcSuggestSql,
     "qc_canary_decimal" -> qcCanaryDecimalSql,
     "qc_scorecard" -> qcScorecardSql,
     "qc_canary_timestamp" -> qcCanaryTimestampSql,

@@ -141,7 +141,10 @@ object PlanAudit {
       // ground truth (documented broadcast-panel exhaustive scan, same
       // as qs_recall); the measured per-flip candidate frames join on
       // the bucket key.
-      "qs_probe_sweep")
+      "qs_probe_sweep",
+      // qp_scd2_asof: the history frame crosses a broadcast ONE-ROW
+      // as-of timestamp (scalar-subquery pattern, same as qe_decay).
+      "qp_scd2_asof")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1245,6 +1245,43 @@ object PipelineQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY custkey, version""".stripMargin
 
+  /** §2.31ah — SCD2 as-of snapshot read, the query face of 31x's
+    * history build: reconstruct each key's single valid row at a point
+    * in time T (valid_from ≤ T < valid_to, open intervals current) —
+    * "what did the dimension look like when that training run
+    * started", the reproducibility read every SCD2 table exists for.
+    * T here is the calendar midpoint (broadcast 1-row scalar,
+    * allowlisted pattern); the filter is a scan predicate over the
+    * history frame — no extra shuffle beyond 31x's build. */
+  def qpScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val asof = Tables.load(spark, dir, "orders")
+      .agg(to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int"))
+        .cast("timestamp").as("asof_ts"))
+    qpScd2(spark, dir).crossJoin(broadcast(asof))
+      .where(col("valid_from") <= col("asof_ts") &&
+        (col("valid_to").isNull || col("valid_to") > col("asof_ts")))
+      .select(col("custkey"), col("version"), col("priority"),
+        col("valid_from"))
+      .orderBy("custkey")
+  }
+
+  val qpScd2AsofSql: String =
+    s"""WITH scd AS (${"\n"}${qpScd2Sql.stripSuffix("\nORDER BY custkey, version")}
+       |), cut AS (
+       |  SELECT CAST(CAST(MIN(o_orderdate) AS DATE) +
+       |    CAST((date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+       |      CAST(MAX(o_orderdate) AS DATE)) // 2) AS INTEGER)
+       |    AS TIMESTAMP) AS asof_ts
+       |  FROM orders
+       |)
+       |SELECT custkey, version, priority, valid_from
+       |FROM scd, cut
+       |WHERE valid_from <= asof_ts AND (valid_to IS NULL OR valid_to > asof_ts)
+       |ORDER BY custkey""".stripMargin
+
   /** §2.31aa — data selection via importance resampling (DSIR, Xie et
     * al. 2023, arXiv:2302.03169): score every raw-pool document by how
     * target-domain-like its hashed n-gram distribution is. Features are
@@ -1596,6 +1633,7 @@ object PipelineQueries {
     "qp_calibration" -> (qpCalibration _),
     "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
+    "qp_scd2_asof" -> (qpScd2Asof _),
     "qp_waterfill" -> (qpWaterfill _),
     "qp_reservoir" -> (qpReservoir _),
     "qp_quality_sample" -> (qpQualitySample _),
@@ -1625,6 +1663,7 @@ object PipelineQueries {
     "qp_calibration" -> qpCalibrationSql,
     "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,
+    "qp_scd2_asof" -> qpScd2AsofSql,
     "qp_waterfill" -> qpWaterfillSql,
     "qp_reservoir" -> qpReservoirSql,
     "qp_quality_sample" -> qpQualitySampleSql,

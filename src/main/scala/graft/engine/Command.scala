@@ -136,7 +136,9 @@ case class SampleCommand(
     tableName: Option[String] = None) extends Command
 
 /** Drift gate between a current input and a baseline input: PSI over
-  * fixed-width bins of `valueCol` ([[graft.rules.Profiler.drift]]).
+  * fixed-width bins of `valueCol` ([[graft.rules.Profiler.driftOuter]] —
+  * the FULL-outer epsilon-smoothed form, so mass in bins the other side
+  * never hits scores as large finite drift rather than vanishing).
   * The stored output is the per-bin PSI frame; a rule-report row
   * carries the TOTAL PSI, and when `maxPsi` is set a total above it
   * counts toward the failed-assertion exit status (3) — distribution

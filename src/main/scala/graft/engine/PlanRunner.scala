@@ -160,7 +160,10 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
           summaryStats = Map("checksum" -> checksum))))
         if (failed) 1 else 0
       case c: DriftCommand =>
-        val bins = graft.rules.Profiler.drift(
+        // driftOuter, not drift: the gate must see bins present on only
+        // one side (epsilon-smoothed large finite terms) — an inner
+        // join would score a COMPLETE distribution shift as zero.
+        val bins = graft.rules.Profiler.driftOuter(
           resolve(c.baseline), resolve(c.input), c.valueCol, c.binWidth)
         store(bins, c)
         // Total PSI is one scalar over the bounded per-bin frame (the
@@ -176,7 +179,10 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
           query = s"psi(${c.valueCol}, binWidth=${c.binWidth})" +
             c.maxPsi.map(m => s" <= $m").getOrElse(""),
           description = s"PSI drift gate on ${c.valueCol} vs baseline",
-          threshold = c.maxPsi.getOrElse(Double.PositiveInfinity),
+          // -1 = ungated (informational): a finite sentinel, because
+          // Infinity would serialize as a STRING in the JSON report and
+          // break numeric consumers.
+          threshold = c.maxPsi.getOrElse(-1.0),
           totalRows = agg.getLong(1),
           numInvalid = if (failed) 1 else 0,
           fractionInvalid = if (failed) 1.0 else 0.0,

@@ -3135,15 +3135,19 @@ object EventQueries {
       cell(true, true, col("x") * col("x")).cast("double").as("s2tp1"),
       cell(false, false, col("x") * col("x")).cast("double").as("s2cp0"),
       cell(false, true, col("x") * col("x")).cast("double").as("s2cp1"))
-    def m(s1: String, nn: String) = col(s1) / col(nn)
-    def v(s2: String, s1: String, nn: String) =
-      (col(s2) - col(s1) * col(s1) / col(nn)) / (col(nn) - 1)
+    // Cell guards (ANSI /0 discipline): an empty cell yields NULL means
+    // and a 1-user cell a NULL variance — propagating to NULL effect/z,
+    // matching the oracle's CASE WHEN, instead of a Spark error.
+    def m(s1: String, nn: String) =
+      when(col(nn) > 0, col(s1) / col(nn))
+    // The /n rides INSIDE the n > 1 branch: a 0-user cell must not put
+    // a literal 0 divisor outside the guard.
+    def v(s2: String, s1: String, nn: String) = when(col(nn) > 1,
+      (col(s2) - col(s1) * col(s1) / col(nn)) / (col(nn) - 1) / col(nn))
     val effect = (m("s1tp1", "ntp1") - m("s1tp0", "ntp0")) -
       (m("s1cp1", "ncp1") - m("s1cp0", "ncp0"))
-    val se2 = v("s2tp1", "s1tp1", "ntp1") / col("ntp1") +
-      v("s2tp0", "s1tp0", "ntp0") / col("ntp0") +
-      v("s2cp1", "s1cp1", "ncp1") / col("ncp1") +
-      v("s2cp0", "s1cp0", "ncp0") / col("ncp0")
+    val se2 = v("s2tp1", "s1tp1", "ntp1") + v("s2tp0", "s1tp0", "ntp0") +
+      v("s2cp1", "s1cp1", "ncp1") + v("s2cp0", "s1cp0", "ncp0")
     // ANSI division guard: zero pooled SE (constant outcomes in every
     // cell) yields NULL in both engines instead of a Spark /0 error.
     val z = when(se2 > 0, effect / sqrt(se2))
@@ -3193,19 +3197,22 @@ object EventQueries {
       |  FROM pu GROUP BY event_type),
       |f AS (
       |  SELECT *,
-      |    (s1tp1/ntp1 - s1tp0/ntp0) - (s1cp1/ncp1 - s1cp0/ncp0) AS effect,
-      |    (s2tp1 - s1tp1*s1tp1/ntp1)/(ntp1 - 1)/ntp1 +
-      |    (s2tp0 - s1tp0*s1tp0/ntp0)/(ntp0 - 1)/ntp0 +
-      |    (s2cp1 - s1cp1*s1cp1/ncp1)/(ncp1 - 1)/ncp1 +
-      |    (s2cp0 - s1cp0*s1cp0/ncp0)/(ncp0 - 1)/ncp0 AS se2
+      |    (CASE WHEN ntp1 > 0 THEN s1tp1/ntp1 END
+      |      - CASE WHEN ntp0 > 0 THEN s1tp0/ntp0 END)
+      |    - (CASE WHEN ncp1 > 0 THEN s1cp1/ncp1 END
+      |      - CASE WHEN ncp0 > 0 THEN s1cp0/ncp0 END) AS effect,
+      |    CASE WHEN ntp1 > 1 THEN (s2tp1 - s1tp1*s1tp1/ntp1)/(ntp1 - 1)/ntp1 END +
+      |    CASE WHEN ntp0 > 1 THEN (s2tp0 - s1tp0*s1tp0/ntp0)/(ntp0 - 1)/ntp0 END +
+      |    CASE WHEN ncp1 > 1 THEN (s2cp1 - s1cp1*s1cp1/ncp1)/(ncp1 - 1)/ncp1 END +
+      |    CASE WHEN ncp0 > 1 THEN (s2cp0 - s1cp0*s1cp0/ncp0)/(ncp0 - 1)/ncp0 END AS se2
       |  FROM g)
       |SELECT event_type,
       |  CAST(ntp0 + ntp1 AS BIGINT) AS n_treat,
       |  CAST(ncp0 + ncp1 AS BIGINT) AS n_ctrl,
-      |  round(s1tp0/ntp0 / 10000, 6) AS mean_treat_pre,
-      |  round(s1tp1/ntp1 / 10000, 6) AS mean_treat_post,
-      |  round(s1cp0/ncp0 / 10000, 6) AS mean_ctrl_pre,
-      |  round(s1cp1/ncp1 / 10000, 6) AS mean_ctrl_post,
+      |  round(CASE WHEN ntp0 > 0 THEN s1tp0/ntp0 END / 10000, 6) AS mean_treat_pre,
+      |  round(CASE WHEN ntp1 > 0 THEN s1tp1/ntp1 END / 10000, 6) AS mean_treat_post,
+      |  round(CASE WHEN ncp0 > 0 THEN s1cp0/ncp0 END / 10000, 6) AS mean_ctrl_pre,
+      |  round(CASE WHEN ncp1 > 0 THEN s1cp1/ncp1 END / 10000, 6) AS mean_ctrl_post,
       |  round(effect / 10000, 6) AS did_effect,
       |  CASE WHEN se2 > 0 THEN round(effect / sqrt(se2), 6) END AS z_stat,
       |  CASE WHEN se2 > 0 THEN (abs(effect / sqrt(se2)) > 1.96) END
@@ -3261,22 +3268,26 @@ object EventQueries {
       sum(when(!col("a"), col("y"))).cast("double").as("syb"),
       sum(when(col("a"), col("y") * col("y"))).cast("double").as("syya"),
       sum(when(!col("a"), col("y") * col("y"))).cast("double").as("syyb"))
-    val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
-    val rho2 = ((col("n") * col("sxy") - col("sx") * col("sy")) *
-        (col("n") * col("sxy") - col("sx") * col("sy"))) /
-      ((col("n") * col("sxx") - col("sx") * col("sx")) *
-        (col("n") * col("syy") - col("sy") * col("sy")))
+    // ANSI /0 guards throughout (the project rule: a degenerate moment
+    // yields NULL in both engines, never a Spark error): dxx = 0 when
+    // the covariate is constant (e.g. a type first seen post-cut ⇒ all
+    // x = 0), dyy = 0 when the outcome is constant, empty/1-user arms
+    // null their means/variances, and NULLs propagate to the derived
+    // stats exactly as the oracle's CASE WHEN chain does.
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val theta = when(dxx > 0, dxy / dxx)
+    val rho2 = when(dxx > 0 && dyy > 0, (dxy * dxy) / (dxx * dyy))
     val xbar = col("sx") / col("n")
-    val diffRaw = col("sya") / col("na") - col("syb") / col("nb")
-    val diffCuped = (col("sya") / col("na") -
-        theta * (col("sxa") / col("na") - xbar)) -
-      (col("syb") / col("nb") - theta * (col("sxb") / col("nb") - xbar))
-    val va = (col("syya") - col("sya") * col("sya") / col("na")) /
-      (col("na") - 1)
-    val vb = (col("syyb") - col("syb") * col("syb") / col("nb")) /
-      (col("nb") - 1)
-    val se2Raw = va / col("na") + vb / col("nb")
+    def am(s: String, nn: String) = when(col(nn) > 0, col(s) / col(nn))
+    val diffRaw = am("sya", "na") - am("syb", "nb")
+    val diffCuped = (am("sya", "na") -
+        theta * (am("sxa", "na") - xbar)) -
+      (am("syb", "nb") - theta * (am("sxb", "nb") - xbar))
+    def vn(s2: String, s1: String, nn: String) = when(col(nn) > 1,
+      (col(s2) - col(s1) * col(s1) / col(nn)) / (col(nn) - 1) / col(nn))
+    val se2Raw = vn("syya", "sya", "na") + vn("syyb", "syb", "nb")
     // ANSI division guards (Spark throws on /0 even for doubles; DuckDB
     // yields NULL — the guard makes both engines emit NULL): zero raw
     // SE means no within-arm variance, zero CUPED SE additionally
@@ -3332,17 +3343,23 @@ object EventQueries {
       |  FROM pu GROUP BY event_type),
       |f AS (
       |  SELECT *,
-      |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS theta,
-      |    ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
-      |      ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS rho2,
-      |    sya/na - syb/nb AS diff_raw,
-      |    (syya - sya*sya/na)/(na - 1)/na +
-      |      (syyb - syb*syb/nb)/(nb - 1)/nb AS se2_raw
+      |    CASE WHEN n*sxx - sx*sx > 0
+      |      THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS theta,
+      |    CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |      THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+      |        ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS rho2,
+      |    CASE WHEN na > 0 THEN sya/na END
+      |      - CASE WHEN nb > 0 THEN syb/nb END AS diff_raw,
+      |    CASE WHEN na > 1 THEN (syya - sya*sya/na)/(na - 1)/na END +
+      |      CASE WHEN nb > 1 THEN (syyb - syb*syb/nb)/(nb - 1)/nb END
+      |      AS se2_raw
       |  FROM g),
       |f2 AS (
       |  SELECT *,
-      |    (sya/na - theta*(sxa/na - sx/n)) -
-      |      (syb/nb - theta*(sxb/nb - sx/n)) AS diff_cuped
+      |    (CASE WHEN na > 0 THEN sya/na END
+      |      - theta*(CASE WHEN na > 0 THEN sxa/na END - sx/n)) -
+      |      (CASE WHEN nb > 0 THEN syb/nb END
+      |        - theta*(CASE WHEN nb > 0 THEN sxb/nb END - sx/n)) AS diff_cuped
       |  FROM f)
       |SELECT event_type,
       |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,

@@ -412,7 +412,9 @@ object QualityQueries {
         s.hi.map(v => BigDecimal(v).setScale(6,
           BigDecimal.RoundingMode.HALF_UP).toDouble),
         s.values.length.toLong,
-        BigDecimal(s.threshold - 1e-9).setScale(6,
+        // Suggestion.threshold IS the raw observed rate (rules() adds
+        // its epsilon only when rendering runnable Rules).
+        BigDecimal(s.threshold).setScale(6,
           BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     import spark.implicits._

@@ -1109,14 +1109,22 @@ object TextQueries {
       .where(col("n") >= 2)
       .withColumn("beta", (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")))
+    // r2 is NULL when the vocab saturates in the first checkpoint
+    // (constant y): the variance denominator is then ~0 — not exactly 0
+    // in doubles (the decimal sums round on the cast), so the guard is
+    // a threshold, identical in the oracle; any real growth curve has
+    // dyy orders of magnitude above it. beta's denominator cannot
+    // vanish: tokens_cum is strictly increasing, so x always varies.
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
     s.select(col("n").as("n_points"), col("total_grams"), col("total_vocab"),
       round(col("beta"), 6).as("beta_hat"),
       round(exp((col("sy") - col("beta") * col("sx")) / col("n")), 6)
         .as("k_hat"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")) *
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-        ((col("n") * col("sxx") - col("sx") * col("sx")) *
-          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      when(dyy > 1e-9,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) * dyy), 6))
+        .as("r2"))
   }
 
   val qtHeapsSql: String =
@@ -1157,8 +1165,9 @@ object TextQueries {
       |SELECT n AS n_points, total_grams, total_vocab,
       |  round(beta, 6) AS beta_hat,
       |  round(exp((sy - beta*sx) / n), 6) AS k_hat,
-      |  round((n*sxy - sx*sy)*(n*sxy - sx*sy) /
-      |        ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+      |  CASE WHEN n*syy - sy*sy > 1e-9 THEN
+      |    round((n*sxy - sx*sy)*(n*sxy - sx*sy) /
+      |          ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) END AS r2
       |FROM f""".stripMargin
 
   /** §2.28o — term burstiness + dispersion index for the top-20 terms

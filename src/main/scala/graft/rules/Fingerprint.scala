@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *  - exact: DECIMAL(38,0) accumulation cannot round; the string
   *    render is canonical in every consumer.
   *
-  * NULL columns render as empty via concat_ws (documented: a NULL and
-  * an empty string collide — include an explicit sentinel column
-  * upstream if that distinction must gate).
+  * Caveat (same in both engines — concat_ws SKIPS null arguments
+  * rather than rendering them): rows that differ only in WHICH column
+  * is NULL can collide, as can values containing the '|' delimiter.
+  * Coalesce to an explicit sentinel upstream if those distinctions
+  * must gate.
   */
 object Fingerprint {
 

@@ -200,6 +200,39 @@ object Profiler {
       round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
         .as("psi"))
 
+  /** GATE form of [[drift]]: FULL-outer bin join with epsilon-smoothed
+    * shares, so bins present on only one side contribute a large FINITE
+    * PSI term instead of being dropped — a complete distribution shift
+    * (disjoint supports) must read as enormous drift, not zero, when
+    * the total gates a plan's exit status. [[drift]]'s inner-join
+    * contract remains the monitoring/report form (one-sided bins
+    * visible via counts there); this one exists to be summed and
+    * compared against a threshold. Same cost shape: one bin-count
+    * aggregation per side, everything after on the per-bin frames. */
+  def driftOuter(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Double, epsilon: Double = 1e-6): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def binned(df: DataFrame, n: String) =
+      df.groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as(n))
+    binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("__ta", sum(col("n_a")).over(all))
+      .withColumn("__tb", sum(col("n_b")).over(all))
+      // when-guarded: an entirely-empty side has total 0 (ANSI /0), and
+      // its every share floors to epsilon — maximal finite drift.
+      .withColumn("__p", greatest(
+        when(col("__ta") > 0, col("n_a") / col("__ta")).otherwise(lit(0.0)),
+        lit(epsilon)))
+      .withColumn("__q", greatest(
+        when(col("__tb") > 0, col("n_b") / col("__tb")).otherwise(lit(0.0)),
+        lit(epsilon)))
+      .transform(psiSelect)
+  }
+
   /** [[drift]] for the split-one-dataset case: `sideA` tags each row,
     * and both sides' bin counts come from ONE conditional-sum pass over
     * the fact table — the two-DataFrame form would scan it twice. Same

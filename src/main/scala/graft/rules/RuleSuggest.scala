@@ -56,22 +56,25 @@ object RuleSuggest {
           val r = df.where(col(c).isNotNull)
             .agg(expr(s"percentile($c, 0.01)").as("p1"),
               expr(s"percentile($c, 0.99)").as("p99")).head()
-          val (p1, p99) = (r.getDouble(0), r.getDouble(1))
-          val span = math.max(p99 - p1, math.max(math.abs(p1), 1.0) * 1e-9)
-          val (lo, hi) = (p1 - margin * span, p99 + margin * span)
-          val outRate = df.where(col(c).isNotNull &&
-            (col(c) < lo || col(c) > hi)).count().toDouble / total
-          Some(Suggestion(c, "range", Some(lo), Some(hi), Nil, nullFrac,
-            outRate))
+          if (r.isNullAt(0)) None // all-NULL column: nothing to learn
+          else {
+            val (p1, p99) = (r.getDouble(0), r.getDouble(1))
+            val span = math.max(p99 - p1, math.max(math.abs(p1), 1.0) * 1e-9)
+            val (lo, hi) = (p1 - margin * span, p99 + margin * span)
+            val outRate = df.where(col(c).isNotNull &&
+              (col(c) < lo || col(c) > hi)).count().toDouble / total
+            Some(Suggestion(c, "range", Some(lo), Some(hi), Nil, nullFrac,
+              outRate))
+          }
         case _: StringType =>
           val nd = df.select(c).na.drop().distinct()
           val vals = nd.limit(maxEnum + 1).collect().map(_.getString(0))
-          if (vals.length <= maxEnum)
+          if (vals.nonEmpty && vals.length <= maxEnum)
             Some(Suggestion(c, "enum", None, None, vals.sorted.toSeq,
               nullFrac, 0.0))
-          else if (nullFrac == 0.0)
+          else if (vals.nonEmpty && nullFrac == 0.0)
             Some(Suggestion(c, "not_null", None, None, Nil, 0.0, 0.0))
-          else None
+          else None // all-NULL, or high-cardinality with nulls
         case _ =>
           if (nullFrac == 0.0)
             Some(Suggestion(c, "not_null", None, None, Nil, 0.0, 0.0))

@@ -282,14 +282,12 @@ object EventStreams {
     * ingesting corpus carries its up-to-the-moment fingerprint without
     * ever rescanning. State is two scalars; run with output mode
     * "complete" (or "update"). */
-  def runningFingerprint(stream: DataFrame, columns: Seq[String]): DataFrame = {
-    require(columns.nonEmpty, "fingerprint needs at least one column")
-    val canon = concat_ws("|", columns.map(c => col(c).cast("string")): _*)
-    stream.select(graft.functions.Portable.md5Hash32(canon).as("__h"))
-      .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("__h").cast("decimal(38,0)")).cast("string"),
-          lit("0")).as("checksum"))
-  }
+  def runningFingerprint(stream: DataFrame, columns: Seq[String]): DataFrame =
+    // Literally the batch definition: Fingerprint.of is a projection +
+    // commutative aggregation, which Structured Streaming runs as
+    // incremental state — ONE canonical fingerprint definition, so the
+    // streaming-equals-batch invariant can't drift.
+    graft.rules.Fingerprint.of(stream, columns)
 
   /** Running CUSUM accumulator for [[volumeCusumSink]]. Lives at the
     * driver inside the foreachBatch sink; foreachBatch is at-least-once,

@@ -384,6 +384,14 @@ class PlanRunnerSpec extends SparkSpec {
     assert(same.exitCode === 0)
     assert(same.reports.head._2.head
       .summaryStats("psi_total").asInstanceOf[Double] === 0.0)
+    // DISJOINT supports — the worst possible shift — must fail the
+    // gate, not read as zero (full-outer epsilon-smoothed terms).
+    val far = (1 to 40).map(i => 100.0 + (i % 4)).toDF("v")
+    val disjoint = new PlanRunner(spark).register("base", base)
+      .register("curr", far).run(plan(""", "maxPsi": 0.25"""))
+    assert(disjoint.exitCode === 3)
+    assert(disjoint.reports.head._2.head
+      .summaryStats("psi_total").asInstanceOf[Double] > 10.0)
   }
 
   test("checksum command fingerprints order-independently and gates on expected") {

@@ -32,6 +32,17 @@ class HeapsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_points") == 32L)
   }
 
+  test("a saturated corpus (identical docs) fits beta = 0 with NULL r2") {
+    // Vocab complete after the first checkpoint: y is constant, so the
+    // slope is 0 and r2's variance denominator is exactly 0 → NULL
+    // (ANSI /0 rule), never an error.
+    val docs = (0L until 64L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val r = TextQueries.heapsFit(docs, "doc_id", "text", 32).collect().head
+    assert(r.getAs[Double]("beta_hat") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("r2")))
+    assert(r.getAs[Long]("total_vocab") == 3L)
+  }
+
   test("documents under 3 tokens contribute nothing; empty input → no fit") {
     val docs = Seq((0L, "one two"), (1L, "solo")).toDF("doc_id", "text")
     assert(TextQueries.heapsFit(docs, "doc_id", "text", 32).count() == 0)

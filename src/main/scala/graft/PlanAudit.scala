@@ -125,6 +125,8 @@ object PlanAudit {
       // qe_gapfill/qe_forecast_eval) and the grid crosses a broadcast
       // ONE-ROW holdout-cutoff date (scalar-subquery pattern).
       "qe_holt",
+      // qe_holt_winters: identical spine/cutoff shape to qe_holt.
+      "qe_holt_winters",
       // qt_burstiness: the per-term frame crosses a broadcast ONE-ROW
       // corpus doc count (scalar-subquery pattern, same as qt_keywords).
       "qt_burstiness",

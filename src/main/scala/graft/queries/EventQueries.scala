@@ -3453,7 +3453,177 @@ object EventQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** §2.33bh — Holt–Winters additive seasonal forecast backtest
+    * (triple exponential smoothing, weekly m = 7; α 0.5, β 0.3,
+    * γ 0.3): level + trend + a 7-slot seasonal state fit per event
+    * type on all but the last 7 days, ŷ_{n+h} = l + h·b + s_{(n+h−1)
+    * mod 7}, scored MAE + WAPE — the model that beats Holt (33bd)
+    * exactly when volume has a real weekly shape, closing the
+    * forecasting ladder (persistence 33ba → trend 33bd → trend +
+    * seasonality). Init: l₀ = mean(week 1), b₀ = (mean(week 2) −
+    * mean(week 1))/7, s = week-1 residuals; requires ≥ 14 train days.
+    * The recurrence folds LEFT-TO-RIGHT with a 10-slot state array
+    * [t, l, b, s₁..s₇] — Spark's `aggregate` HOF zero-vs-element
+    * types carry it natively, DuckDB list_reduce gets the init
+    * prepended as its first element (list state folds correctly where
+    * struct state mis-binds, see qe_holt) — and the two engines are
+    * BIT-identical (same fp op order, verified against a sequential
+    * reference in HoltWintersSpec). Facts collapse to the daily
+    * histogram; series are calendar-bounded; error sums are round-6
+    * decimals; the period cut is the broadcast 1-row scalar. */
+  def qeHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val bounds = ev
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .withColumn("__k", lit(1))
+    val types = ev.select("event_type").distinct().withColumn("__k", lit(1))
+    val counts = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = spine.join(broadcast(types), "__k")
+      .join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+      .crossJoin(broadcast(bounds.select(date_sub(col("d1"), 7).as("cutday"))))
+    val train = grid.where(col("day") <= col("cutday"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("actual")))).as("s"))
+      .select(col("event_type"),
+        transform(col("s"), x => x.getField("actual").cast("double")).as("ys"))
+      .where(size(col("ys")) >= 14)
+    def fold7(a: Column): Column =
+      aggregate(slice(a, lit(1), lit(7)), lit(0.0), (p, q) => p + q) / 7.0
+    def fold7b(a: Column): Column =
+      aggregate(slice(a, lit(8), lit(7)), lit(0.0), (p, q) => p + q) / 7.0
+    val model = train.select(col("event_type"),
+      size(col("ys")).cast("long").as("n_train"),
+      aggregate(
+        slice(col("ys"), lit(8), size(col("ys")) - 7),
+        concat(
+          array(lit(7.0), fold7(col("ys")),
+            (fold7b(col("ys")) - fold7(col("ys"))) / 7.0),
+          transform(slice(col("ys"), lit(1), lit(7)),
+            y => y - fold7(col("ys")))),
+        (acc, y) => {
+          def sIdx = element_at(acc,
+            (element_at(acc, lit(1)) % 7).cast("int") + 4)
+          def lNew = lit(0.5) * (y - sIdx) +
+            lit(0.5) * (element_at(acc, lit(2)) + element_at(acc, lit(3)))
+          concat(
+            array(
+              element_at(acc, lit(1)) + 1.0,
+              lNew,
+              lit(0.3) * (lNew - element_at(acc, lit(2))) +
+                lit(0.7) * element_at(acc, lit(3))),
+            transform(slice(acc, lit(4), lit(7)), (sv, i) =>
+              when(i === (element_at(acc, lit(1)) % 7).cast("int"),
+                lit(0.3) * (y - lNew) + lit(0.7) * sv).otherwise(sv)))
+        }).as("hw"))
+    grid.where(col("day") > col("cutday"))
+      .join(model, Seq("event_type"))
+      .withColumn("h", datediff(col("day"), col("cutday")))
+      .withColumn("fc",
+        element_at(col("hw"), lit(2)) +
+          col("h") * element_at(col("hw"), lit(3)) +
+          element_at(col("hw"),
+            ((element_at(col("hw"), lit(1)) + col("h") - 1) % 7)
+              .cast("int") + 4))
+      .withColumn("__err",
+        round(abs(col("actual").cast("double") - col("fc")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("event_type", "n_train")
+      .agg(count(lit(1)).as("n_scored"),
+        max(round(element_at(col("hw"), lit(2)), 6)).as("l_final"),
+        max(round(element_at(col("hw"), lit(3)), 6)).as("b_final"),
+        sum(col("__err")).as("__se"), sum(col("actual")).as("__sa"))
+      .select(col("event_type"), col("n_train"), col("n_scored"),
+        col("l_final"), col("b_final"),
+        round(col("__se").cast("double") / col("n_scored"), 6).as("mae"),
+        when(col("__sa") > 0,
+          round(col("__se").cast("double") / col("__sa"), 6)).as("wape"))
+      .orderBy("event_type")
+  }
+
+  val qeHoltWintersSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+      |         CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.day, t.event_type, COALESCE(c.n, 0) AS actual
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type),
+      |cut AS (SELECT d1 - 7 AS cutday FROM bounds),
+      |train AS (
+      |  SELECT g.event_type,
+      |    list_transform(list_sort(list({'day': g.day, 'actual': g.actual})),
+      |      x -> CAST(x.actual AS DOUBLE)) AS ys
+      |  FROM grid g, cut WHERE g.day <= cutday
+      |  GROUP BY g.event_type),
+      |init AS (
+      |  SELECT event_type, ys,
+      |    list_reduce(ys[1:7], (p, q) -> p + q) / 7.0e0 AS l0,
+      |    (list_reduce(ys[8:14], (p, q) -> p + q) / 7.0e0
+      |     - list_reduce(ys[1:7], (p, q) -> p + q) / 7.0e0) / 7.0e0 AS b0
+      |  FROM train WHERE len(ys) >= 14),
+      |model AS (
+      |  SELECT event_type, CAST(len(ys) AS BIGINT) AS n_train,
+      |    list_reduce(
+      |      list_concat(
+      |        [list_concat([7.0e0, l0, b0],
+      |                     list_transform(ys[1:7], y -> y - l0))],
+      |        list_transform(ys[8:len(ys)],
+      |          y -> [y,0e0,0e0,0e0,0e0,0e0,0e0,0e0,0e0,0e0])),
+      |      (acc, x) -> list_concat(
+      |        [acc[1] + 1.0e0,
+      |         0.5e0*(x[1] - acc[CAST(acc[1] % 7 AS INT) + 4])
+      |           + 0.5e0*(acc[2] + acc[3]),
+      |         0.3e0*((0.5e0*(x[1] - acc[CAST(acc[1] % 7 AS INT) + 4])
+      |           + 0.5e0*(acc[2] + acc[3])) - acc[2]) + 0.7e0*acc[3]],
+      |        list_transform(acc[4:10], (sv, i) ->
+      |          CASE WHEN i = CAST(acc[1] % 7 AS INT) + 1
+      |               THEN 0.3e0*(x[1] - (0.5e0*(x[1]
+      |                 - acc[CAST(acc[1] % 7 AS INT) + 4])
+      |                 + 0.5e0*(acc[2] + acc[3]))) + 0.7e0*sv
+      |               ELSE sv END))) AS hw
+      |  FROM init),
+      |scored AS (
+      |  SELECT g.event_type, m.n_train, m.hw, g.actual,
+      |    date_diff('day', c.cutday, g.day) AS h
+      |  FROM grid g, cut c, model m
+      |  WHERE g.day > c.cutday AND m.event_type = g.event_type),
+      |fc AS (
+      |  SELECT event_type, n_train, actual,
+      |    hw[2] + h * hw[3] +
+      |      hw[CAST((hw[1] + h - 1) % 7 AS INT) + 4] AS fc,
+      |    hw[2] AS l, hw[3] AS b
+      |  FROM scored)
+      |SELECT event_type, n_train,
+      |  CAST(count(*) AS BIGINT) AS n_scored,
+      |  MAX(round(l, 6)) AS l_final, MAX(round(b, 6)) AS b_final,
+      |  round(CAST(SUM(CAST(round(abs(CAST(actual AS DOUBLE) - fc), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mae,
+      |  CASE WHEN SUM(actual) > 0 THEN
+      |    round(CAST(SUM(CAST(round(abs(CAST(actual AS DOUBLE) - fc), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) / SUM(actual), 6) END AS wape
+      |FROM fc
+      |GROUP BY event_type, n_train
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_holt_winters" -> (qeHoltWinters _),
     "qe_mde" -> (qeMde _),
     "qe_cuped" -> (qeCuped _),
     "qe_did" -> (qeDid _),
@@ -3574,6 +3744,7 @@ object EventQueries {
     "qe_did" -> qeDidSql,
     "qe_cuped" -> qeCupedSql,
     "qe_mde" -> qeMdeSql,
+    "qe_holt_winters" -> qeHoltWintersSql,
     "qe_trigrams" -> qeTrigramsSql,
     "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,

@@ -127,6 +127,9 @@ object PlanAudit {
       "qe_holt",
       // qe_holt_winters: identical spine/cutoff shape to qe_holt.
       "qe_holt_winters",
+      // qe_ewma_chart: the day spine crosses the distinct event types
+      // (bounded by days x types, same as qe_gapfill).
+      "qe_ewma_chart",
       // qt_burstiness: the per-term frame crosses a broadcast ONE-ROW
       // corpus doc count (scalar-subquery pattern, same as qt_keywords).
       "qt_burstiness",

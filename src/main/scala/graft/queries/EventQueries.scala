@@ -3622,7 +3622,118 @@ object EventQueries {
       |GROUP BY event_type, n_train
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33bi — EWMA control chart over daily volume (λ = 0.2, 3σ
+    * asymptotic limits — which at λ = 0.2 collapse to exactly ±σ since
+    * 3·√(λ/(2−λ)) = 1): the small-persistent-shift detector between
+    * 33ao's CUSUM (cumulative, best for level shifts) and 33r's
+    * z-score (memoryless, best for single spikes) — an EWMA crossing
+    * says the last ~1/λ days drifted together. Per type: mean/σ from
+    * EXACT integer moments of the daily counts, then one
+    * left-to-right fold carrying [ewma, n_signals, first_signal_day,
+    * t] (same list-state machinery as 33bh, bit-identical across
+    * engines), reporting the final EWMA, signal count, and the first
+    * crossing day index (0 = in control throughout). */
+  def qeEwmaChart(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .withColumn("__k", lit(1))
+    val types = ev.select("event_type").distinct().withColumn("__k", lit(1))
+    val counts = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = spine.join(broadcast(types), "__k")
+      .join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+    val series = grid.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("actual")))).as("s"),
+        count(lit(1)).as("n_days"),
+        sum(col("actual")).as("sy"),
+        sum(col("actual") * col("actual")).as("syy"))
+      .select(col("event_type"), col("n_days"),
+        transform(col("s"), x => x.getField("actual").cast("double")).as("ys"),
+        (col("sy").cast("double") / col("n_days")).as("mu"),
+        when(col("n_days") > 1, sqrt(
+          (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double") /
+            (col("n_days") * (col("n_days") - 1)))).as("sigma"))
+      .where(col("sigma").isNotNull)
+    series.select(col("event_type"), col("n_days"),
+        round(col("mu"), 6).as("mean_daily"),
+        round(col("sigma"), 6).as("sigma_daily"),
+        aggregate(col("ys"),
+          array(col("mu"), lit(0.0), lit(0.0), lit(0.0)),
+          (acc, y) => {
+            def eNew = lit(0.2) * y + lit(0.8) * element_at(acc, lit(1))
+            def tNew = element_at(acc, lit(4)) + 1.0
+            def viol = abs(eNew - col("mu")) > col("sigma")
+            array(eNew,
+              element_at(acc, lit(2)) + when(viol, 1.0).otherwise(0.0),
+              when(element_at(acc, lit(3)) > 0, element_at(acc, lit(3)))
+                .otherwise(when(viol, tNew).otherwise(lit(0.0))),
+              tNew)
+          }).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("mean_daily"), col("sigma_daily"),
+        round(element_at(col("st"), lit(1)), 6).as("ewma_final"),
+        element_at(col("st"), lit(2)).cast("long").as("n_signals"),
+        element_at(col("st"), lit(3)).cast("long").as("first_signal_day"))
+      .orderBy("event_type")
+  }
+
+  val qeEwmaChartSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+      |         CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.day, t.event_type, COALESCE(c.n, 0) AS actual
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type),
+      |series AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    list_transform(list_sort(list({'day': day, 'actual': actual})),
+      |      x -> CAST(x.actual AS DOUBLE)) AS ys,
+      |    CAST(SUM(actual) AS DOUBLE) / count(*) AS mu,
+      |    CASE WHEN count(*) > 1 THEN sqrt(
+      |      CAST(count(*) * SUM(actual*actual) - SUM(actual) * SUM(actual)
+      |        AS DOUBLE) / (count(*) * (count(*) - 1))) END AS sigma
+      |  FROM grid GROUP BY event_type),
+      |folded AS (
+      |  SELECT event_type, n_days, mu, sigma,
+      |    list_reduce(
+      |      list_concat([[mu, 0e0, 0e0, 0e0]],
+      |        list_transform(ys, y -> [y, 0e0, 0e0, 0e0])),
+      |      (acc, x) -> [
+      |        0.2e0*x[1] + 0.8e0*acc[1],
+      |        acc[2] + CASE WHEN abs(0.2e0*x[1] + 0.8e0*acc[1] - mu) > sigma
+      |                      THEN 1.0e0 ELSE 0.0e0 END,
+      |        CASE WHEN acc[3] > 0 THEN acc[3]
+      |             WHEN abs(0.2e0*x[1] + 0.8e0*acc[1] - mu) > sigma
+      |             THEN acc[4] + 1.0e0 ELSE 0.0e0 END,
+      |        acc[4] + 1.0e0]) AS st
+      |  FROM series WHERE sigma IS NOT NULL)
+      |SELECT event_type, n_days,
+      |  round(mu, 6) AS mean_daily, round(sigma, 6) AS sigma_daily,
+      |  round(st[1], 6) AS ewma_final,
+      |  CAST(st[2] AS BIGINT) AS n_signals,
+      |  CAST(st[3] AS BIGINT) AS first_signal_day
+      |FROM folded
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_ewma_chart" -> (qeEwmaChart _),
     "qe_holt_winters" -> (qeHoltWinters _),
     "qe_mde" -> (qeMde _),
     "qe_cuped" -> (qeCuped _),
@@ -3745,6 +3856,7 @@ object EventQueries {
     "qe_cuped" -> qeCupedSql,
     "qe_mde" -> qeMdeSql,
     "qe_holt_winters" -> qeHoltWintersSql,
+    "qe_ewma_chart" -> qeEwmaChartSql,
     "qe_trigrams" -> qeTrigramsSql,
     "qe_audience_overlap" -> qeAudienceOverlapSql,
     "qe_windows" -> qeWindowsSql,

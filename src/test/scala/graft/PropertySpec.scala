@@ -319,4 +319,60 @@ class PropertySpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_chunks")).head().getLong(0)
     assert(stats > 0)
   }
+
+  test("substringRuns equals diagonal-walk brute force on planted overlaps") {
+    val rnd = new Random(1234)
+    val s = spark
+    import s.implicits._
+
+    // Reference: walk every diagonal of the token-match matrix and
+    // collect maximal equal-runs of length >= n (1-based starts).
+    def spans(a: IndexedSeq[String], b: IndexedSeq[String], n: Int)
+        : Set[(Int, Int, Long)] = {
+      val out = scala.collection.mutable.Set[(Int, Int, Long)]()
+      for (d <- -(b.length - 1) to (a.length - 1)) {
+        var i = math.max(0, d)
+        var run = 0
+        var runStart = -1
+        while (i < a.length && (i - d) < b.length) {
+          if (a(i) == b(i - d)) { if (run == 0) runStart = i; run += 1 }
+          else { if (run >= n) out += ((runStart + 1, runStart - d + 1, run.toLong)); run = 0 }
+          i += 1
+        }
+        if (run >= n) out += ((runStart + 1, runStart - d + 1, run.toLong))
+      }
+      out.toSet
+    }
+
+    for (trial <- 1 to 3) {
+      // Shared segments (8..20 tokens) planted into docs of unique
+      // filler; only segments >= 13 can produce spans, and adjacent
+      // plants can merge — the reference walk decides, not the builder.
+      val segs = Vector.tabulate(4)(k =>
+        Vector.tabulate(8 + rnd.nextInt(13))(j => s"seg${trial}_${k}_$j"))
+      val docs = (0 until 6).map { id =>
+        var toks = Vector.empty[String]
+        var f = 0
+        def filler(): Unit = { toks ++= Vector.tabulate(1 + rnd.nextInt(3)) {
+          _ => f += 1; s"f${trial}_${id}_$f" } }
+        filler()
+        (0 until 2 + rnd.nextInt(2)).foreach { _ =>
+          toks ++= segs(rnd.nextInt(segs.length)); filler()
+        }
+        id.toLong -> toks
+      }
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup
+        .substringRuns(df, "text", "doc_id", 13, 1000).collect()
+        .groupBy(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .map { case (k, rs) => k -> rs.map(r => (r.getAs[Int]("start_a"),
+          r.getAs[Int]("start_b"), r.getAs[Long]("span_tokens"))).toSet }
+      val expected = (for {
+        a <- docs; b <- docs if a._1 < b._1
+        sp = spans(a._2, b._2, 13) if sp.nonEmpty
+      } yield (a._1, b._1) -> sp).toMap
+      assert(got == expected, s"trial=$trial")
+    }
+  }
 }

@@ -1282,6 +1282,45 @@ object PipelineQueries {
        |WHERE valid_from <= asof_ts AND (valid_to IS NULL OR valid_to > asof_ts)
        |ORDER BY custkey""".stripMargin
 
+  /** §2.31ai — soft-dedup training weights: instead of DROPPING
+    * near-duplicates, every document keeps weight 1/|its near-dup
+    * cluster| (singletons weigh 1) — the loss-weighting alternative to
+    * hard dedup: cluster mass totals 1, so over-crawled content stops
+    * dominating the gradient while no document is lost (the
+    * soft-dedup option the dedup-savings accounting (31o) prices).
+    * Composes the shared component assignment (25b's connected
+    * components over the inverted-index jaccard graph) with one
+    * component-size rollup and a broadcast-size join back — no new
+    * pair work. */
+  def qpWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(docs.select("doc_id"), edges)
+    val sizes = comps.groupBy("component_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "component_id")
+      .select(col("doc_id"), col("component_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val qpWeightsSql: String = {
+    val comps = DedupQueries.qdComponentsSql
+      .stripSuffix("\nORDER BY doc_id")
+    s"""WITH comps AS (
+       |$comps
+       |), sizes AS (
+       |  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comps GROUP BY component_id
+       |)
+       |SELECT c.doc_id, c.component_id, s.cluster_size,
+       |  round(1.0e0 / s.cluster_size, 6) AS weight
+       |FROM comps c JOIN sizes s USING (component_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.31aa — data selection via importance resampling (DSIR, Xie et
     * al. 2023, arXiv:2302.03169): score every raw-pool document by how
     * target-domain-like its hashed n-gram distribution is. Features are
@@ -1634,6 +1673,7 @@ object PipelineQueries {
     "qp_neyman" -> (qpNeyman _),
     "qp_scd2" -> (qpScd2 _),
     "qp_scd2_asof" -> (qpScd2Asof _),
+    "qp_weights" -> (qpWeights _),
     "qp_waterfill" -> (qpWaterfill _),
     "qp_reservoir" -> (qpReservoir _),
     "qp_quality_sample" -> (qpQualitySample _),
@@ -1664,6 +1704,7 @@ object PipelineQueries {
     "qp_neyman" -> qpNeymanSql,
     "qp_scd2" -> qpScd2Sql,
     "qp_scd2_asof" -> qpScd2AsofSql,
+    "qp_weights" -> qpWeightsSql,
     "qp_waterfill" -> qpWaterfillSql,
     "qp_reservoir" -> qpReservoirSql,
     "qp_quality_sample" -> qpQualitySampleSql,

@@ -320,6 +320,19 @@ class PropertySpec extends SparkSpec {
     assert(stats > 0)
   }
 
+  test("soft-dedup weights: every doc once, cluster mass exactly 1") {
+    val out = graft.queries.PipelineQueries
+      .qpWeights(spark, "/root/testdata/sf0.001").collect()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(out.length.toLong == docs.count()) // no doc dropped, none duplicated
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.groupBy(_.getAs[Long]("component_id")).foreach { case (_, rows) =>
+      val mass = rows.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - 1.0) < 1e-4) // round-6 weights; 1/size each
+      assert(rows.forall(_.getAs[Long]("cluster_size") == rows.length.toLong))
+    }
+  }
+
   test("substringRuns equals diagonal-walk brute force on planted overlaps") {
     val rnd = new Random(1234)
     val s = spark

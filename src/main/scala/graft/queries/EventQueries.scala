@@ -572,6 +572,82 @@ object EventQueries {
       |FROM risk
       |ORDER BY t_hours""".stripMargin
 
+  /** §2.33bj — discrete-time hazard / Nelson–Aalen estimator over the
+    * same 48 h time-to-conversion lifetable as [[qeSurvival]]: per
+    * hour t the instantaneous conversion hazard h(t) = deaths/at-risk
+    * (the probability a user who survived to t converts IN t — the
+    * "when is intent hottest" curve a lifecycle team reads directly,
+    * which S(t) only shows as slope), the cumulative hazard
+    * H(t) = Σ h and the Nelson–Aalen survival exp(−H) — the
+    * alternative estimator whose agreement with Kaplan–Meier is the
+    * standard small-sample sanity check. Same scale shape as
+    * qeSurvival: two combinable per-user aggregations collapse the
+    * fact table; all windows run over the ≤ horizon+1-row lifetable.
+    * h(t) divides exact longs; H(t) accumulates DECIMAL(38,18)-cast
+    * terms so the sum is order-exact. */
+  def qeHazard(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val firsts = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("__f"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("__p"))
+    val horizon = 48L
+    val perUser = firsts
+      .withColumn("__th", expr("(__p - __f) div 3600000000"))
+      .select(
+        when(col("__p").isNotNull && col("__th") < horizon, col("__th"))
+          .otherwise(lit(horizon)).as("t_hours"),
+        (col("__p").isNotNull && col("__th") < horizon).as("__death"))
+    val lifetable = perUser.groupBy("t_hours")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__death"), 1L).otherwise(0L)).as("deaths"))
+    val hazard = col("deaths").cast("double") / col("at_risk").cast("double")
+    val cumHazard = sum(hazard.cast("decimal(38,18)"))
+      .over(Window.orderBy("t_hours")).cast("double")
+    lifetable
+      .withColumn("at_risk",
+        sum(col("__n")).over(Window.orderBy(col("t_hours").desc)))
+      .select(col("t_hours"), col("at_risk"), col("deaths"),
+        round(hazard, 6).as("hazard"),
+        round(cumHazard, 6).as("cum_hazard"),
+        round(exp(-cumHazard), 6).as("s_nelson_aalen"))
+      .orderBy("t_hours")
+  }
+
+  val qeHazardSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS fus,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pus
+      |  FROM events GROUP BY user_id
+      |), per_user AS (
+      |  SELECT
+      |    CASE WHEN pus IS NOT NULL AND (pus - fus) // 3600000000 < 48
+      |         THEN (pus - fus) // 3600000000 ELSE 48 END AS t_hours,
+      |    (pus IS NOT NULL AND (pus - fus) // 3600000000 < 48) AS death
+      |  FROM f
+      |), lifetable AS (
+      |  SELECT t_hours, COUNT(*) AS n,
+      |    SUM(CASE WHEN death THEN 1 ELSE 0 END) AS deaths
+      |  FROM per_user GROUP BY t_hours
+      |), risk AS (
+      |  SELECT t_hours, deaths,
+      |    SUM(n) OVER (ORDER BY t_hours DESC) AS at_risk
+      |  FROM lifetable
+      |), h AS (
+      |  SELECT t_hours, at_risk, deaths,
+      |    CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hz
+      |  FROM risk
+      |)
+      |SELECT t_hours, CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(deaths AS BIGINT) AS deaths,
+      |  round(hz, 6) AS hazard,
+      |  round(CAST(SUM(CAST(hz AS DECIMAL(38,18)))
+      |    OVER (ORDER BY t_hours) AS DOUBLE), 6) AS cum_hazard,
+      |  round(exp(-CAST(SUM(CAST(hz AS DECIMAL(38,18)))
+      |    OVER (ORDER BY t_hours) AS DOUBLE)), 6) AS s_nelson_aalen
+      |FROM h
+      |ORDER BY t_hours""".stripMargin
+
   /** §2.33i — time-spine gap fill: every (hour, event_type) cell over
     * the observed range, zero-filled where no events landed — the
     * densification step dashboards and downsampling need. The spine is
@@ -3783,6 +3859,7 @@ object EventQueries {
     "qe_attribution" -> (qeAttribution _),
     "qe_attribution_multi" -> (qeAttributionMulti _),
     "qe_survival" -> (qeSurvival _),
+    "qe_hazard" -> (qeHazard _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -3845,6 +3922,7 @@ object EventQueries {
     "qe_attribution" -> qeAttributionSql,
     "qe_attribution_multi" -> qeAttributionMultiSql,
     "qe_survival" -> qeSurvivalSql,
+    "qe_hazard" -> qeHazardSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

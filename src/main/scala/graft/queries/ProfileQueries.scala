@@ -1316,7 +1316,87 @@ object ProfileQueries {
        |ORDER BY c_mktsegment""".stripMargin
   }
 
+  /** §2.13ac — Wasserstein-1 (earth mover's) drift between the md5-split
+    * halves of `orders.o_totalprice` on fixed-width bins: per bin the
+    * two counts, both CDFs, the |ΔCDF|·width transport term, and the
+    * summed W1 distance — the drift metric with DISTANCE semantics
+    * (dollars of probability mass moved) that PSI/KS/χ² lack: PSI
+    * explodes on empty bins and KS sees only the worst bin, while W1
+    * degrades smoothly and weighs HOW FAR mass moved. One conditional-
+    * sum scan tags both halves (no second pass), the dense bin axis is
+    * generated from a 1-row min/max aggregate (gap bins between
+    * occupied ones still carry transport cost — skipping them would
+    * under-count), and the cumulative window runs over the ≤
+    * range/width collapsed frame, never the raw table. CDFs divide
+    * exact long cumsums; the W1 total sums DECIMAL(18,9)-quantized
+    * terms so it is order-independent (the qt_js_sources discipline). */
+  def qcWasserstein(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val width = 50000.0
+    val tagged = Tables.load(spark, dir, "orders").select(
+      floor(col("o_totalprice") / width).cast("bigint").as("bin"),
+      (md5Bucket("w1", col("o_orderkey"), 100) < 50).as("__a"))
+    val counts = tagged.groupBy("bin").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val dense = counts.agg(min("bin").as("__lo"), max("bin").as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("bin"))
+    val filled = dense.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdfA = sum("n_a").over(cum).cast("double") /
+      sum("n_a").over(all).cast("double")
+    val cdfB = sum("n_b").over(cum).cast("double") /
+      sum("n_b").over(all).cast("double")
+    val term = round(abs(cdfA - cdfB) * width, 9).cast("decimal(18,9)")
+    filled
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(cdfA, 6).as("cdf_a"), round(cdfB, 6).as("cdf_b"),
+        round(term.cast("double"), 6).as("w1_term"),
+        round(sum(term).over(all).cast("double"), 6).as("w1_total"))
+      .orderBy("bin")
+  }
+
+  val qcWassersteinSql: String =
+    """WITH tagged AS (
+      |  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      |    ('0x' || substr(md5('w1:' || o_orderkey), 1, 8))::BIGINT % 100 < 50
+      |      AS in_a
+      |  FROM orders
+      |), counts AS (
+      |  SELECT bin, SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_b
+      |  FROM tagged GROUP BY bin
+      |), dense AS (
+      |  SELECT unnest(range((SELECT MIN(bin) FROM counts),
+      |    (SELECT MAX(bin) FROM counts) + 1)) AS bin
+      |), filled AS (
+      |  SELECT d.bin, COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b
+      |  FROM dense d LEFT JOIN counts c USING (bin)
+      |), cum AS (
+      |  SELECT bin, n_a, n_b,
+      |    CAST(SUM(n_a) OVER (ORDER BY bin) AS DOUBLE)
+      |      / CAST(SUM(n_a) OVER () AS DOUBLE) AS ca,
+      |    CAST(SUM(n_b) OVER (ORDER BY bin) AS DOUBLE)
+      |      / CAST(SUM(n_b) OVER () AS DOUBLE) AS cb
+      |  FROM filled
+      |), terms AS (
+      |  SELECT bin, n_a, n_b, ca, cb,
+      |    CAST(round(abs(ca - cb) * 50000.0, 9) AS DECIMAL(18,9)) AS t
+      |  FROM cum
+      |)
+      |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  round(ca, 6) AS cdf_a, round(cb, 6) AS cdf_b,
+      |  round(CAST(t AS DOUBLE), 6) AS w1_term,
+      |  round(CAST(SUM(t) OVER () AS DOUBLE), 6) AS w1_total
+      |FROM terms ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_wasserstein" -> (qcWasserstein _),
     "qc_kanonymity" -> (qcKanonymity _),
     "qc_dp_release" -> (qcDpRelease _),
     "qc_kmv" -> (qcKmv _),
@@ -1345,6 +1425,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_wasserstein" -> qcWassersteinSql,
     "qc_kanonymity" -> qcKanonymitySql,
     "qc_dp_release" -> qcDpReleaseSql,
     "qc_kmv" -> qcKmvSql,

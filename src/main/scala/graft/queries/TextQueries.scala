@@ -1295,7 +1295,60 @@ object TextQueries {
       |  CAST(count(*) AS BIGINT) AS n_terms
       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** §2.28q — duplicated n-gram coverage per document (the Gopher /
+    * RefinedWeb "fraction of duplicated n-grams" quality rule): for
+    * each document, the share of its 5-gram INSTANCES whose shingle
+    * also occurs in at least one OTHER document. Unlike the pairwise
+    * dedup family this is a corpus-level per-doc score — the signal a
+    * quality-filtering stage thresholds to drop template/mirror pages
+    * before pair-precision dedup ever runs. Inverted-index shaped:
+    * explode instances, distinct (doc, shingle) → per-shingle doc
+    * frequency, join back on the shingle key, one per-doc aggregate —
+    * two key-partitioned shuffles, no pair grid, linear in corpus
+    * size. Shingle hashes are portable md5 so the oracle recomputes
+    * them exactly. */
+  def qtDupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val toks = tokens(col("text"))
+    val inst = Tables.load(spark, dir, "documents")
+      .where(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))).as("__sh"))
+    val dfreq = inst.select("__sh", "doc_id").distinct()
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+    inst.join(dfreq, Seq("__sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("__dup"))
+      .select(col("doc_id"), col("n_shingles"),
+        col("__dup").cast("bigint").as("n_dup"),
+        round(col("__dup").cast("double") / col("n_shingles"), 6)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  val qtDupFractionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), inst AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS sh
+      |  FROM d WHERE len(toks) >= 5
+      |), dfreq AS (
+      |  SELECT sh, COUNT(DISTINCT doc_id) AS df FROM inst GROUP BY sh
+      |)
+      |SELECT i.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  round(CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS dup_fraction
+      |FROM inst i JOIN dfreq f USING (sh)
+      |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_dup_fraction" -> (qtDupFraction _),
     "qt_js_sources" -> (qtJsSources _),
     "qt_burstiness" -> (qtBurstiness _),
     "qt_heaps" -> (qtHeaps _),
@@ -1325,6 +1378,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_dup_fraction" -> qtDupFractionSql,
     "qt_js_sources" -> qtJsSourcesSql,
     "qt_burstiness" -> qtBurstinessSql,
     "qt_heaps" -> qtHeapsSql,

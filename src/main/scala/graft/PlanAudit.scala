@@ -63,6 +63,14 @@ object PlanAudit {
       "qe_anomaly_hours", "qe_decay", "qt_keywords", "qe_rfm",
       "qs_recall", "qe_cooccurrence", "qp_dataset_card",
       "qc_psi_quantile", "qm_modality_mix", "qp_curriculum",
+      // q_basket_lift: crosses the bounded brand-pair frame with a
+      // broadcast ONE-ROW basket-total aggregate (scalar-subquery
+      // pattern, same as qe_decay/qt_keywords).
+      "q_basket_lift",
+      // qe_markov_entropy: crosses the ≤|types| per-state frame with a
+      // broadcast ONE-ROW marginal-entropy aggregate (scalar-subquery
+      // pattern, same as qe_decay/qt_keywords).
+      "qe_markov_entropy",
       // qs_radius: same broadcast-query exhaustive-scoring BNLJ as
       // qs_knn_brute (documented-intentional range-query scan).
       "qs_radius",

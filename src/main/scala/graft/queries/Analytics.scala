@@ -595,7 +595,79 @@ object Analytics {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
       |ORDER BY c_custkey, o_orderkey""".stripMargin
 
+  /** §2.19q — market-basket association rules over order baskets at
+    * brand granularity: for every brand pair co-purchased in ≥5
+    * orders, joint support, both directional confidences and lift —
+    * the classic affinity report (which brands sell together beyond
+    * chance). Brand granularity is the scale decision: the pair
+    * explosion is per-basket C(k,2) with k ≤ |brands| (25), so work
+    * is LINEAR in orders at any corpus size, never |parts|² (pair
+    * mining at raw part granularity degenerates to support-1 noise
+    * AND an unbounded pair space). One distinct (order, brand)
+    * projection feeds the within-order self-join (co-partitioned on
+    * the order key — one shuffle), the per-brand marginals, and the
+    * 1-row basket total (broadcast scalar, PlanAudit-documented).
+    * Lift/support divide exact longs; ordering is fully
+    * deterministic (lift desc, then brand pair). */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val pairs = ob.as("a")
+      .join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 5)
+    val marg = ob.groupBy("brand").agg(count(lit(1)).as("n_m"))
+    val tot = ob.agg(countDistinct("okey").as("__n"))
+    pairs
+      .join(marg.select(col("brand").as("brand_a"), col("n_m").as("n_a")),
+        Seq("brand_a"))
+      .join(marg.select(col("brand").as("brand_b"), col("n_m").as("n_b")),
+        Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("__n"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_to_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_to_a"),
+        round(col("n_ab").cast("double") * col("__n") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(desc("lift"), col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val qBasketLiftSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |), pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |), marg AS (
+      |  SELECT brand, COUNT(*) AS n_m FROM ob GROUP BY brand
+      |), tot AS (SELECT COUNT(DISTINCT okey) AS n FROM ob)
+      |SELECT p.brand_a, p.brand_b, p.n_ab, ma.n_m AS n_a, mb.n_m AS n_b,
+      |  round(CAST(p.n_ab AS DOUBLE) / t.n, 6) AS support,
+      |  round(CAST(p.n_ab AS DOUBLE) / ma.n_m, 6) AS conf_a_to_b,
+      |  round(CAST(p.n_ab AS DOUBLE) / mb.n_m, 6) AS conf_b_to_a,
+      |  round(CAST(p.n_ab AS DOUBLE) * t.n
+      |    / (CAST(ma.n_m AS DOUBLE) * mb.n_m), 6) AS lift
+      |FROM pairs p
+      |JOIN marg ma ON ma.brand = p.brand_a
+      |JOIN marg mb ON mb.brand = p.brand_b
+      |CROSS JOIN tot t
+      |ORDER BY lift DESC, p.brand_a, p.brand_b
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> (qBasketLift _),
     "q_lateral" -> (qLateral _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_mode" -> (qMode _),
@@ -617,6 +689,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_basket_lift" -> qBasketLiftSql,
     "q_lateral" -> qLateralSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_mode" -> qModeSql,

@@ -29,6 +29,61 @@ object DedupQueries {
       |GROUP BY md5(text)
       |ORDER BY content_hash""".stripMargin
 
+  /** §2.20c — canonicalization-ladder dedup census: per source, the
+    * exact-duplicate rate at three normalization levels — raw text
+    * hash, sorted token-multiset hash (order-insensitive: catches
+    * shuffled boilerplate), sorted distinct-token-set hash
+    * (count-insensitive: catches padded repeats). The ladder answers
+    * the calibration question BEFORE configuring near-dup thresholds:
+    * how much duplicate mass does each cheap canonicalization level
+    * already expose (each level is a hash groupBy, ~free) vs what must
+    * be left to O(corpus)·bands MinHash work. All three hashes are
+    * one per-row projection fused into the scan; stack() unpivots to
+    * (source, level) and one aggregate computes docs/distinct/rate —
+    * no joins, two shuffle keys total, linear at any corpus size. */
+  def qdNormLevels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    val toks = tokens(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        md5(col("text")).as("__h1"),
+        md5(concat_ws(" ", array_sort(toks))).as("__h2"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("__h3"))
+      .select(col("source"), expr(
+        """stack(3, 'exact', __h1, 'token_bag', __h2, 'token_set', __h3)
+          | AS (level, h)""".stripMargin))
+      .groupBy("source", "level")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("source", "level")
+  }
+
+  val qdNormLevelsSql: String =
+    """WITH h AS (
+      |  SELECT source,
+      |    md5(text) AS h1,
+      |    md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+      |      AS h2,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(text, ' '))), ' ')) AS h3
+      |  FROM documents
+      |), lv AS (
+      |  SELECT source, 'exact' AS level, h1 AS h FROM h
+      |  UNION ALL
+      |  SELECT source, 'token_bag', h2 FROM h
+      |  UNION ALL
+      |  SELECT source, 'token_set', h3 FROM h
+      |)
+      |SELECT source, level, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT h) AS n_distinct,
+      |  round(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+      |FROM lv GROUP BY source, level
+      |ORDER BY source, level""".stripMargin
+
   /** §2.21 — 16-permutation MinHash signatures. */
   def qdMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.withMinhashSignature(Tables.load(spark, dir, "documents"), "text", NumPerms)
@@ -1511,6 +1566,7 @@ object DedupQueries {
     "qd_report" -> (qdReport _),
     "qd_components" -> (qdComponents _),
     "qd_exact" -> (qdExact _),
+    "qd_norm_levels" -> (qdNormLevels _),
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
     "qd_simhash" -> (qdSimhash _),
@@ -1545,6 +1601,7 @@ object DedupQueries {
     "qd_report" -> qdReportSql,
     "qd_components" -> qdComponentsSql,
     "qd_exact" -> qdExactSql,
+    "qd_norm_levels" -> qdNormLevelsSql,
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,
     "qd_simhash" -> qdSimhashSql,

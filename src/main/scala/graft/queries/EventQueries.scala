@@ -2270,6 +2270,112 @@ object EventQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** §2.33bk — transition-entropy profile of the user event chain: per
+    * from-state the outgoing-transition entropy H(to|from=i) in nats
+    * and its transition-mass weight, plus the three chain-level
+    * scalars every row carries — conditional entropy H(to|from)
+    * (= the chain's empirical entropy rate), marginal next-event
+    * entropy H(to), and their difference, the information gain of
+    * knowing the previous event (0 = memoryless stream where Markov
+    * modeling buys nothing; large = strongly sequential behavior worth
+    * a sequence model). Complements [[qeMarkovStationary]] (WHERE the
+    * chain settles) with HOW PREDICTABLE each step is. One lead()
+    * window + one groupBy collapse the fact table to the ≤ |types|²
+    * pair frame; every entropy sum runs over that tiny frame with
+    * DECIMAL(38,12)-quantized p·ln p terms so accumulation is
+    * order-exact; the marginal-entropy scalar joins back as a 1-row
+    * broadcast (PlanAudit-documented). */
+  def qeMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byFrom = Window.partitionBy("from_type")
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val p = col("n").cast("double") / col("n_out").cast("double")
+    val perFrom = pairs
+      .withColumn("n_out", sum("n").over(byFrom))
+      .withColumn("__t",
+        round(-p * log(p), 12).cast("decimal(38,12)"))
+      .groupBy("from_type")
+      .agg(min("n_out").as("n_out"), sum(col("__t")).as("__h"))
+      .withColumn("__N", sum("n_out").over(all))
+      .withColumn("weight",
+        col("n_out").cast("double") / col("__N").cast("double"))
+      .withColumn("__wh",
+        round(col("weight") * col("__h").cast("double"), 12)
+          .cast("decimal(38,12)"))
+      .withColumn("__hc", sum("__wh").over(all).cast("double"))
+    val q = col("m").cast("double") / col("__N").cast("double")
+    val marg = pairs.groupBy("to_type").agg(sum("n").as("m"))
+      .withColumn("__N", sum("m").over(all))
+      .select(round(-q * log(q), 12).cast("decimal(38,12)").as("__t"))
+      .agg(sum("__t").cast("double").as("__hm"))
+    perFrom.crossJoin(broadcast(marg))
+      .select(col("from_type"), col("n_out"),
+        round(col("weight"), 6).as("weight"),
+        round(col("__h").cast("double"), 6).as("row_entropy"),
+        round(col("__hc"), 6).as("h_cond"),
+        round(col("__hm"), 6).as("h_marg"),
+        round(col("__hm") - col("__hc"), 6).as("info_gain"))
+      .orderBy("from_type")
+  }
+
+  val qeMarkovEntropySql: String =
+    """WITH l AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), o AS (
+      |  SELECT from_type, n,
+      |    SUM(n) OVER (PARTITION BY from_type) AS n_out
+      |  FROM c
+      |), t AS (
+      |  SELECT from_type, n_out,
+      |    CAST(round(-(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE)), 12)
+      |      AS DECIMAL(38,12)) AS tm
+      |  FROM o
+      |), pf AS (
+      |  SELECT from_type, MIN(n_out) AS n_out, SUM(tm) AS h
+      |  FROM t GROUP BY from_type
+      |), pf2 AS (
+      |  SELECT from_type, n_out, h, SUM(n_out) OVER () AS nn FROM pf
+      |), pf3 AS (
+      |  SELECT from_type, n_out, h,
+      |    CAST(n_out AS DOUBLE) / CAST(nn AS DOUBLE) AS weight,
+      |    CAST(round(CAST(n_out AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * CAST(h AS DOUBLE), 12) AS DECIMAL(38,12)) AS wh
+      |  FROM pf2
+      |), mg AS (
+      |  SELECT to_type, SUM(n) AS m FROM c GROUP BY to_type
+      |), mg2 AS (
+      |  SELECT m, SUM(m) OVER () AS nn FROM mg
+      |), hm AS (
+      |  SELECT CAST(SUM(CAST(round(
+      |    -(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * ln(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE)), 12)
+      |    AS DECIMAL(38,12))) AS DOUBLE) AS hm
+      |  FROM mg2
+      |)
+      |SELECT p.from_type, CAST(p.n_out AS BIGINT) AS n_out,
+      |  round(p.weight, 6) AS weight,
+      |  round(CAST(p.h AS DOUBLE), 6) AS row_entropy,
+      |  round(CAST(SUM(p.wh) OVER () AS DOUBLE), 6) AS h_cond,
+      |  round(hm.hm, 6) AS h_marg,
+      |  round(hm.hm - CAST(SUM(p.wh) OVER () AS DOUBLE), 6) AS info_gain
+      |FROM pf3 p CROSS JOIN hm
+      |ORDER BY p.from_type""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -3860,6 +3966,7 @@ object EventQueries {
     "qe_attribution_multi" -> (qeAttributionMulti _),
     "qe_survival" -> (qeSurvival _),
     "qe_hazard" -> (qeHazard _),
+    "qe_markov_entropy" -> (qeMarkovEntropy _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -3923,6 +4030,7 @@ object EventQueries {
     "qe_attribution_multi" -> qeAttributionMultiSql,
     "qe_survival" -> qeSurvivalSql,
     "qe_hazard" -> qeHazardSql,
+    "qe_markov_entropy" -> qeMarkovEntropySql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

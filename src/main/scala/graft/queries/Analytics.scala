@@ -666,7 +666,58 @@ object Analytics {
       |ORDER BY lift DESC, p.brand_a, p.brand_b
       |LIMIT 20""".stripMargin
 
+  /** §2.19r — skyline (Pareto-frontier) operator: per market segment,
+    * the customers not dominated on (total spend, order count) — the
+    * multi-criteria "best tradeoffs" query (no scalarization weights
+    * needed) classic OLAP engines ship as SKYLINE OF. 2-D skylines
+    * need NO pair join: sort each segment by spend desc and keep rows
+    * whose order count strictly exceeds the running max of all
+    * higher-spend rows — one window over the per-customer aggregate,
+    * O(n log n), scale-safe (the naive dominance self-join is O(n²)).
+    * Ties: equal-spend rows resolve in custkey order, so an
+    * equal-spend equal-count pair keeps only the lower key (documented
+    * tie rule, deterministic in both engines). Spend aggregates as
+    * DECIMAL(18,4) so the sort key is exact, not a float-sum race. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__spend"),
+        count(lit(1)).as("n_orders"))
+    val stair = Window.partitionBy("c_mktsegment")
+      .orderBy(col("__spend").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .withColumn("__pm", max("n_orders").over(stair))
+      .where(col("__pm").isNull || col("n_orders") > col("__pm"))
+      .select(col("c_mktsegment"), col("c_custkey"),
+        col("__spend").cast("double").as("total_spend"), col("n_orders"))
+      .orderBy(col("c_mktsegment"), desc("total_spend"), col("c_custkey"))
+  }
+
+  val qSkylineSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sp,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |), j AS (
+      |  SELECT c.c_mktsegment, c.c_custkey, s.sp, s.n_orders,
+      |    MAX(s.n_orders) OVER (
+      |      PARTITION BY c.c_mktsegment
+      |      ORDER BY s.sp DESC, c.c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+      |)
+      |SELECT c_mktsegment, c_custkey, CAST(sp AS DOUBLE) AS total_spend,
+      |  n_orders
+      |FROM j
+      |WHERE pm IS NULL OR n_orders > pm
+      |ORDER BY c_mktsegment, total_spend DESC, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_basket_lift" -> (qBasketLift _),
     "q_lateral" -> (qLateral _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -689,6 +740,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_basket_lift" -> qBasketLiftSql,
     "q_lateral" -> qLateralSql,
     "q_grouping_sets" -> qGroupingSetsSql,

@@ -1395,7 +1395,91 @@ object ProfileQueries {
       |  round(CAST(SUM(t) OVER () AS DOUBLE), 6) AS w1_total
       |FROM terms ORDER BY bin""".stripMargin
 
+  /** §2.13ad — Wald SPRT (sequential probability-ratio test) gate over
+    * the monthly return-flag defect rate: H0 p=0.30 vs H1 p=0.40,
+    * α=β=0.05. Per month the trial/defect counts, the month's
+    * log-likelihood-ratio increment k·ln(p1/p0)+(n−k)·ln(q1/q0), the
+    * cumulative LLR walk, the boundary decision (≥ ln 19 → accept_h1,
+    * ≤ −ln 19 → accept_h0, else continue) and the replicated stopping
+    * month — the sequential alternative to fixed-horizon χ²/EWMA
+    * monitoring: it bounds BOTH error rates while stopping as early
+    * as the evidence allows (the reason ramp gates use SPRT, not
+    * p-values). The fact table collapses to one bounded
+    * calendar-month frame in a single conditional-sum pass; the walk
+    * windows run over that frame only. The ln constants are embedded
+    * double literals (no engine ln), and the cumulative sum is
+    * DECIMAL(38,12)-quantized — the decision column compares exact
+    * decimals against an exact literal, so no last-ulp flip. */
+  def qcSprt(spark: SparkSession, dir: String): DataFrame = {
+    val lnRatio1 = 0.287682072451781       // ln(0.4/0.3)
+    val lnRatio0 = -0.15415067982725822    // ln(0.6/0.7)
+    val lnBound = 2.9444389791664403       // ln((1-β)/α) = ln 19
+    val monthly = Tables.load(spark, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+    val llr = round(col("n_returned").cast("double") * lnRatio1 +
+      (col("n_items") - col("n_returned")).cast("double") * lnRatio0, 12)
+      .cast("decimal(38,12)")
+    val walk = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = sum(llr).over(walk)
+    val decision = when(cum >= lit(lnBound).cast("decimal(38,12)"),
+        "accept_h1")
+      .when(cum <= lit(-lnBound).cast("decimal(38,12)"), "accept_h0")
+      .otherwise("continue")
+    monthly
+      .select(col("month"), col("n_items"), col("n_returned"),
+        round(llr.cast("double"), 6).as("llr_month"),
+        round(cum.cast("double"), 6).as("cum_llr"),
+        decision.as("decision"),
+        min(when(decision =!= "continue", col("month"))).over(all)
+          .as("first_decision_month"))
+      .orderBy("month")
+  }
+
+  val qcSprtSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', l_shipdate) AS month,
+      |    COUNT(*) AS n_items,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS n_returned
+      |  FROM lineitem GROUP BY 1
+      |), s AS (
+      |  SELECT month, n_items, n_returned,
+      |    CAST(round(CAST(n_returned AS DOUBLE) * 0.287682072451781
+      |      + CAST(n_items - n_returned AS DOUBLE)
+      |        * -0.15415067982725822, 12) AS DECIMAL(38,12)) AS llr
+      |  FROM m
+      |), w AS (
+      |  SELECT month, n_items, n_returned, llr,
+      |    SUM(llr) OVER (ORDER BY month) AS cum
+      |  FROM s
+      |), d AS (
+      |  SELECT month, n_items, n_returned, llr, cum,
+      |    CASE
+      |      WHEN cum >= CAST(2.9444389791664403 AS DECIMAL(38,12))
+      |        THEN 'accept_h1'
+      |      WHEN cum <= CAST(-2.9444389791664403 AS DECIMAL(38,12))
+      |        THEN 'accept_h0'
+      |      ELSE 'continue' END AS decision
+      |  FROM w
+      |)
+      |SELECT month, CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n_returned AS BIGINT) AS n_returned,
+      |  round(CAST(llr AS DOUBLE), 6) AS llr_month,
+      |  round(CAST(cum AS DOUBLE), 6) AS cum_llr,
+      |  decision,
+      |  MIN(CASE WHEN decision <> 'continue' THEN month END) OVER ()
+      |    AS first_decision_month
+      |FROM d
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_sprt" -> (qcSprt _),
     "qc_wasserstein" -> (qcWasserstein _),
     "qc_kanonymity" -> (qcKanonymity _),
     "qc_dp_release" -> (qcDpRelease _),
@@ -1425,6 +1509,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_sprt" -> qcSprtSql,
     "qc_wasserstein" -> qcWassersteinSql,
     "qc_kanonymity" -> qcKanonymitySql,
     "qc_dp_release" -> qcDpReleaseSql,

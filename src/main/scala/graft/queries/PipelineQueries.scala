@@ -1663,7 +1663,117 @@ object PipelineQueries {
       |WHERE r.sample_rank <= a.alloc
       |ORDER BY r.source, r.sample_rank""".stripMargin
 
+  /** §2.31aj — quality-filter ablation waterfall: the governance
+    * report a filtering stage ships with — per source, for a FIXED
+    * rule order (too-short → too-few-stopwords → too-repetitive →
+    * duplicated-ngram), both the MARGINAL flag count of each rule
+    * alone and the WATERFALL count it removes given everything before
+    * it passed, plus survivors. Marginal−waterfall gaps expose rule
+    * overlap (two rules firing on the same docs = one is nearly
+    * redundant); the waterfall is what actually ships. Rules 1–3 are
+    * per-row expressions fused into the scan; rule 4 joins the
+    * [[TextQueries.qtDupFraction]] inverted-index doc-frequency back
+    * per doc (two key shuffles, no pair grid; short docs with no
+    * 5-gram default to dup 0). One per-source aggregate emits the
+    * whole report. */
+  def qpFilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).as("__nt"),
+        (countIn(toks, TextQueries.stopwords).cast("double") / nTok)
+          .as("__stop"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("__dr"))
+    val inst = Tables.load(spark, dir, "documents")
+      .where(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))).as("__sh"))
+    val dfreq = inst.select("__sh", "doc_id").distinct()
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val dup = inst.join(dfreq, Seq("__sh"))
+      .groupBy("doc_id")
+      .agg((sum(when(col("__df") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("__dupf"))
+    val f1 = col("__nt") < 20
+    val f2 = col("__stop") < 0.03
+    val f3 = col("__dr") < 0.40
+    val f4 = coalesce(col("__dupf"), lit(0.0)) > 0.5
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    docs.join(dup, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(f1).as("f_short"), cnt(f2).as("f_low_stop"),
+        cnt(f3).as("f_repetitive"), cnt(f4).as("f_dup"),
+        cnt(f1).as("rem_short"),
+        cnt(!f1 && f2).as("rem_low_stop"),
+        cnt(!f1 && !f2 && f3).as("rem_repetitive"),
+        cnt(!f1 && !f2 && !f3 && f4).as("rem_dup"),
+        cnt(!f1 && !f2 && !f3 && !f4).as("n_survivors"))
+      .withColumn("survivor_rate",
+        round(col("n_survivors").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  val qpFilterAblationSql: String = {
+    val stop = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, source, len(toks) AS nt,
+       |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS stopr,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS dr
+       |  FROM d
+       |), inst AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 3),
+       |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS sh
+       |  FROM d WHERE len(toks) >= 5
+       |), dfreq AS (
+       |  SELECT sh, COUNT(DISTINCT doc_id) AS df FROM inst GROUP BY sh
+       |), dup AS (
+       |  SELECT i.doc_id,
+       |    CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*) AS dupf
+       |  FROM inst i JOIN dfreq f USING (sh) GROUP BY i.doc_id
+       |), flagged AS (
+       |  SELECT b.source,
+       |    b.nt < 20 AS f1,
+       |    b.stopr < 0.03 AS f2,
+       |    b.dr < 0.40 AS f3,
+       |    COALESCE(u.dupf, 0.0) > 0.5 AS f4
+       |  FROM base b LEFT JOIN dup u ON b.doc_id = u.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS f_short,
+       |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS f_low_stop,
+       |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS f_repetitive,
+       |  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_dup,
+       |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS rem_short,
+       |  CAST(SUM(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rem_low_stop,
+       |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS rem_repetitive,
+       |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS rem_dup,
+       |  CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |  round(CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS survivor_rate
+       |FROM flagged GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp_filter_ablation" -> (qpFilterAblation _),
     "qp_dsir" -> (qpDsir _),
     "qp_dsir_eval" -> (qpDsirEval _),
     "qp_overlap_13gram" -> (qpOverlap13 _),
@@ -1695,6 +1805,7 @@ object PipelineQueries {
     "qp_contamination" -> (qpContamination _))
 
   val oracles: Map[String, String] = Map(
+    "qp_filter_ablation" -> qpFilterAblationSql,
     "qp_dsir" -> qpDsirSql,
     "qp_dsir_eval" -> qpDsirEvalSql,
     "qp_overlap_13gram" -> qpOverlap13Sql,

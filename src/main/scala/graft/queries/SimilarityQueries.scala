@@ -935,7 +935,142 @@ object SimilarityQueries {
        |WHERE n.vec_id % 10 = 7
        |ORDER BY new_id""".stripMargin
 
+  /** §2.27o — MMR (maximal marginal relevance) diversity re-rank:
+    * for each query (vec_id < 8), greedily select 5 of its top-20
+    * cosine candidates maximizing λ·relevance − (1−λ)·max-similarity-
+    * to-already-selected (λ=0.7) — the standard redundancy-aware
+    * re-rank (Carbonell & Goldstein '98): plain top-k returns 5
+    * near-copies when the corpus has duplicate clusters, MMR forces
+    * coverage; for RAG-style retrieval over a deduplicated-but-still-
+    * redundant corpus this is the step between ANN and the prompt.
+    * Scale shape: ANN (here the exact scorer; LSH/IVF at size)
+    * produces the BOUNDED candidate panel, so everything after — the
+    * 20×20-per-query pair-sim frame and the 5 greedy rounds (driver
+    * loop over localCheckpointed bounded frames, one argmax window
+    * each) — is O(queries · k·c) regardless of corpus size. The
+    * greedy argmax compares scores computed from 6-rounded rel/sim in
+    * both engines with an id tie-break, so selection is bit-stable. */
+  def qsMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{asDoubles, dot}
+    // 0.3 as a literal, NOT 1-lam: 1.0-0.7 == 0.30000000000000004 in
+    // IEEE-754 and the oracle's 0.3 would diverge in the 17th digit.
+    val lam = 0.7
+    val oneMinusLam = 0.3
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cand = Knn.bruteForce(emb, emb.where(col("vec_id") < 8),
+        "embedding", "vec_id", 20)
+      .select(col("q_id"), col("neighbor_id").as("id"),
+        col("cosine").as("rel"))
+      .localCheckpoint()
+    val vecs = emb
+      .select(col("vec_id").as("id"), asDoubles(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val ca = cand.select(col("q_id"), col("id").as("id_a"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+    val cb = cand.select(col("q_id"), col("id").as("id_b"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+    val pairs = ca.join(cb, Seq("q_id"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("q_id"), col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), col("id"))
+    var selected = cand
+      .withColumn("score",
+        lit(lam) * col("rel") - lit(oneMinusLam) * lit(0.0))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("q_id"), col("id"), col("rel"), col("score"),
+        lit(1).as("sel_rank"))
+    for (r <- 2 to 5) {
+      val rem = cand.join(selected.select("q_id", "id"),
+        Seq("q_id", "id"), "left_anti")
+      val ms = pairs
+        .join(selected.select(col("q_id"), col("id").as("id_b")),
+          Seq("q_id", "id_b"))
+        .groupBy(col("q_id"), col("id_a"))
+        .agg(max("sim").as("ms"))
+        .withColumnRenamed("id_a", "id")
+      val pick = rem.join(ms, Seq("q_id", "id"))
+        .withColumn("score",
+          lit(lam) * col("rel") - lit(oneMinusLam) * col("ms"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("q_id"), col("id"), col("rel"), col("score"),
+          lit(r).as("sel_rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      // round to SEVEN digits: score = 0.7·rel − 0.3·ms over 6-rounded
+      // inputs is an exact multiple of 1e-7, so round(·,6) sits ON the
+      // half boundary whenever digit 7 is 5 and the engines' half-up
+      // vs float-trick rounding split; at 7 digits no boundary exists.
+      .select(col("q_id"), col("sel_rank"), col("id").as("neighbor_id"),
+        col("rel").as("relevance"), round(col("score"), 7).as("mmr_score"))
+      .orderBy("q_id", "sel_rank")
+  }
+
+  val qsMmrSql: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""rem$r AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN sel${r - 1} s ON c.q_id = s.q_id AND c.id = s.id
+         |  WHERE s.id IS NULL
+         |), ms$r AS (
+         |  SELECT m.q_id, m.id_a AS id, MAX(m.sim) AS ms
+         |  FROM pairs m
+         |  JOIN sel${r - 1} s ON s.q_id = m.q_id AND s.id = m.id_b
+         |  GROUP BY m.q_id, m.id_a
+         |), s$r AS (
+         |  SELECT q_id, id, rel, score, CAST($r AS INTEGER) AS sel_rank
+         |  FROM (
+         |    SELECT c.q_id, c.id, c.rel,
+         |      0.7e0 * c.rel - 0.3e0 * m.ms AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+         |        ORDER BY 0.7e0 * c.rel - 0.3e0 * m.ms DESC, c.id) AS rn
+         |    FROM rem$r c JOIN ms$r m ON c.q_id = m.q_id AND c.id = m.id
+         |  ) t WHERE rn = 1
+         |), sel$r AS (
+         |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH cand AS (
+       |  SELECT q_id, id, rel FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS id,
+       |      round(${cosineSql("q.embedding", "c.embedding")}, 6) AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6)
+       |          DESC, c.vec_id) AS rk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 8
+       |  ) t WHERE rk <= 20
+       |), pairs AS (
+       |  SELECT a.q_id, a.id AS id_a, b.id AS id_b,
+       |    round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS sim
+       |  FROM cand a
+       |  JOIN cand b ON a.q_id = b.q_id AND a.id <> b.id
+       |  JOIN embeddings ea ON ea.vec_id = a.id
+       |  JOIN embeddings eb ON eb.vec_id = b.id
+       |), sel1 AS (
+       |  SELECT q_id, id, rel, score, CAST(1 AS INTEGER) AS sel_rank
+       |  FROM (
+       |    SELECT q_id, id, rel, 0.7e0 * rel - 0.3e0 * 0.0e0 AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY 0.7e0 * rel - 0.3e0 * 0.0e0 DESC, id) AS rn
+       |    FROM cand
+       |  ) t WHERE rn = 1
+       |), $rounds
+       |SELECT q_id, sel_rank, id AS neighbor_id, rel AS relevance,
+       |  round(score, 7) AS mmr_score
+       |FROM sel5
+       |ORDER BY q_id, sel_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_mmr" -> (qsMmr _),
     "qs_incremental" -> (qsIncremental _),
     "qs_embed_qc" -> (qsEmbedQc _),
     "qs_knn_graph" -> (qsKnnGraph _),
@@ -956,6 +1091,7 @@ object SimilarityQueries {
     "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
+    "qs_mmr" -> qsMmrSql,
     "qs_incremental" -> qsIncrementalSql,
     "qs_embed_qc" -> qsEmbedQcSql,
     "qs_knn_graph" -> qsKnnGraphSql,

@@ -71,6 +71,10 @@ object PlanAudit {
       // broadcast ONE-ROW marginal-entropy aggregate (scalar-subquery
       // pattern, same as qe_decay/qt_keywords).
       "qe_markov_entropy",
+      // qe_shapley: the 16-row generated coalition lattice crossed with
+      // the ≤16-row exposure-cell aggregate, plus 1-row v_full/v_empty
+      // scalar subqueries — every side bounded by 2^k at any data scale.
+      "qe_shapley",
       // qs_radius: same broadcast-query exhaustive-scoring BNLJ as
       // qs_knn_brute (documented-intentional range-query scan).
       "qs_radius",

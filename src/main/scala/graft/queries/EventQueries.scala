@@ -2376,6 +2376,108 @@ object EventQueries {
       |FROM pf3 p CROSS JOIN hm
       |ORDER BY p.from_type""".stripMargin
 
+  /** Shared-dialect SQL for [[qeShapley]], parameterized only by the
+    * events table name: the Spark side runs it over a temp view and
+    * the DuckDB oracle over `events`, so both engines evaluate the
+    * IDENTICAL text — dialect-shared constructs only (UNION ALL
+    * inline tables instead of VALUES/range, `&` bit-tests instead of
+    * shifts or popcount builtins, e-notation float literals). */
+  private def shapleySql(tbl: String): String = {
+    val lattice = (0 until 16).map(i => s"SELECT $i AS c")
+      .mkString("\n  UNION ALL ")
+    val popcnt = "(v0.c & 1) " +
+      "+ CASE WHEN (v0.c & 2) = 2 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN (v0.c & 4) = 4 THEN 1 ELSE 0 END " +
+      "+ CASE WHEN (v0.c & 8) = 8 THEN 1 ELSE 0 END"
+    s"""WITH f AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS np
+       |  FROM $tbl GROUP BY user_id
+       |), pre AS (
+       |  SELECT e.user_id,
+       |    MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) * 1
+       |    + MAX(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) * 2
+       |    + MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) * 4
+       |    + MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) * 8 AS m
+       |  FROM $tbl e JOIN f ON e.user_id = f.user_id
+       |  WHERE f.fp IS NULL OR e.ts < f.fp
+       |  GROUP BY e.user_id
+       |), cells AS (
+       |  SELECT COALESCE(p.m, 0) AS m, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(f.np) AS BIGINT) AS k
+       |  FROM f LEFT JOIN pre p ON f.user_id = p.user_id
+       |  GROUP BY COALESCE(p.m, 0)
+       |), lattice AS (
+       |  $lattice
+       |), vals AS (
+       |  SELECT l.c,
+       |    CAST(SUM(CASE WHEN (l.c & ce.m) = ce.m THEN ce.n ELSE 0 END)
+       |      AS BIGINT) AS n_in,
+       |    CAST(SUM(CASE WHEN (l.c & ce.m) = ce.m THEN ce.k ELSE 0 END)
+       |      AS BIGINT) AS k_in
+       |  FROM lattice l CROSS JOIN cells ce
+       |  GROUP BY l.c
+       |), v AS (
+       |  SELECT c, n_in, k_in,
+       |    CASE WHEN n_in > 0
+       |      THEN CAST(k_in AS DOUBLE) / CAST(n_in AS DOUBLE)
+       |      ELSE 0.0e0 END AS v
+       |  FROM vals
+       |), ch AS (
+       |  SELECT 1 AS bit, 'click' AS channel
+       |  UNION ALL SELECT 2, 'error'
+       |  UNION ALL SELECT 4, 'signup'
+       |  UNION ALL SELECT 8, 'view'
+       |), terms AS (
+       |  SELECT ch.channel,
+       |    CAST(round(
+       |      (CASE $popcnt
+       |         WHEN 0 THEN 6.0e0 / 24.0e0
+       |         WHEN 1 THEN 2.0e0 / 24.0e0
+       |         WHEN 2 THEN 2.0e0 / 24.0e0
+       |         ELSE 6.0e0 / 24.0e0 END)
+       |      * (v1.v - v0.v), 12) AS DECIMAL(38,12)) AS t
+       |  FROM ch
+       |  JOIN v v0 ON (v0.c & ch.bit) = 0
+       |  JOIN v v1 ON v1.c = v0.c + ch.bit
+       |), shap AS (
+       |  SELECT channel, CAST(SUM(t) AS DOUBLE) AS phi
+       |  FROM terms GROUP BY channel
+       |)
+       |SELECT s.channel, round(s.phi, 6) AS shapley,
+       |  round((SELECT v FROM v WHERE c = 15), 6) AS v_full,
+       |  round((SELECT v FROM v WHERE c = 0), 6) AS v_empty,
+       |  round((SELECT v FROM v WHERE c = 15)
+       |    - (SELECT v FROM v WHERE c = 0), 6) AS efficiency_gap
+       |FROM shap s
+       |ORDER BY s.channel""".stripMargin
+  }
+
+  /** §2.33bl — exact Shapley-value channel attribution (the
+    * cooperative-game credit assignment marketing science prefers over
+    * first/last-touch heuristics): coalition value v(C) = EXPECTED
+    * PURCHASES per user among users whose pre-first-purchase channel
+    * exposure fits inside C (pre-purchase exposure, not lifetime —
+    * lifetime sets saturate to the full lattice on any active user
+    * base and degenerate to symmetric credit), and each channel's
+    * Shapley value φ_i = Σ_C w(|C|)·(v(C∪i)−v(C)) over the 2⁴
+    * coalition lattice, with the exact |C|!(k−1−|C|)!/k! weights. The replicated v_full/v_empty/efficiency_gap columns
+    * expose the efficiency axiom (Σφ = v(full)−v(∅)) for eyeball
+    * verification. Scale shape: ONE per-user aggregation collapses the
+    * fact table to ≤2ᵏ exposure cells; the entire lattice computation
+    * is over 16-row generated frames (the 16×16 cross join is the
+    * PlanAudit-documented bounded lattice). Both engines evaluate the
+    * IDENTICAL shared-dialect SQL text, and the per-coalition terms
+    * are DECIMAL(38,12)-quantized before summing. */
+  def qeShapley(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("__shap_events")
+    spark.sql(shapleySql("__shap_events"))
+  }
+
+  val qeShapleySql: String = shapleySql("events")
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -3967,6 +4069,7 @@ object EventQueries {
     "qe_survival" -> (qeSurvival _),
     "qe_hazard" -> (qeHazard _),
     "qe_markov_entropy" -> (qeMarkovEntropy _),
+    "qe_shapley" -> (qeShapley _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4031,6 +4134,7 @@ object EventQueries {
     "qe_survival" -> qeSurvivalSql,
     "qe_hazard" -> qeHazardSql,
     "qe_markov_entropy" -> qeMarkovEntropySql,
+    "qe_shapley" -> qeShapleySql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

@@ -674,23 +674,23 @@ object Analytics {
     * whose order count strictly exceeds the running max of all
     * higher-spend rows — one window over the per-customer aggregate,
     * O(n log n), scale-safe (the naive dominance self-join is O(n²)).
-    * Ties: equal-spend rows resolve in custkey order, so an
-    * equal-spend equal-count pair keeps only the lower key (documented
-    * tie rule, deterministic in both engines). Spend aggregates as
-    * DECIMAL(18,4) so the sort key is exact, not a float-sum race. */
+    * The sort is (spend DESC, count DESC, custkey): the count in the
+    * secondary key makes equal-spend groups scan best-first, so a row
+    * dominated by an equal-spend higher-count peer is correctly
+    * dropped; an exactly-equal (spend, count) pair keeps only the
+    * lower custkey (documented tie rule; SkylineSpec pins the whole
+    * contract against a brute-force dominance scan). Spend aggregates
+    * as DECIMAL(18,4) so the sort key is exact, not a float-sum race. */
   def qSkyline(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.load(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__spend"),
         count(lit(1)).as("n_orders"))
-    val stair = Window.partitionBy("c_mktsegment")
-      .orderBy(col("__spend").desc, col("c_custkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(spark, dir, "customer")
+    val joined = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
       .join(spend, col("c_custkey") === col("o_custkey"))
-      .withColumn("__pm", max("n_orders").over(stair))
-      .where(col("__pm").isNull || col("n_orders") > col("__pm"))
+    graft.operators.Skyline
+      .skyline2D(joined, "c_mktsegment", "c_custkey", "__spend", "n_orders")
       .select(col("c_mktsegment"), col("c_custkey"),
         col("__spend").cast("double").as("total_spend"), col("n_orders"))
       .orderBy(col("c_mktsegment"), desc("total_spend"), col("c_custkey"))
@@ -706,7 +706,7 @@ object Analytics {
       |  SELECT c.c_mktsegment, c.c_custkey, s.sp, s.n_orders,
       |    MAX(s.n_orders) OVER (
       |      PARTITION BY c.c_mktsegment
-      |      ORDER BY s.sp DESC, c.c_custkey
+      |      ORDER BY s.sp DESC, s.n_orders DESC, c.c_custkey
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
       |  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
       |)

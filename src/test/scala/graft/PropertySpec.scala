@@ -333,6 +333,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("qsMmr equals a driver-side greedy MMR walk") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val dir = "/root/testdata/sf0.001"
+    // Same primitives as the operator: LEFT-TO-RIGHT fold dot product
+    // (Portable.dot's order), HALF_UP rounding (Spark round's rule).
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, HALF_UP).toDouble
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val norms = vecs.map { case (k, v) => k -> math.sqrt(dot(v, v)) }
+    def cos(a: Long, b: Long): Double =
+      rnd(dot(vecs(a), vecs(b)) / (norms(a) * norms(b)), 6)
+
+    val expected = (for (q <- vecs.keys.filter(_ < 8)) yield {
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      var selected = Vector.empty[(Long, Double, Double)] // id, rel, score
+      for (_ <- 1 to 5) {
+        val rem = cand.filterNot(c => selected.exists(_._1 == c._1))
+        val pick = rem.map { case (id, rel) =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(id, s._1)).max
+          (id, rel, 0.7 * rel - 0.3 * ms)
+        }.minBy { case (id, _, score) => (-score, id) }
+        selected :+= pick
+      }
+      selected.zipWithIndex.map { case ((id, rel, score), i) =>
+        (q, i + 1, id, rel, rnd(score, 7)) }
+    }).flatten.toSet
+
+    val got = graft.queries.SimilarityQueries.qsMmr(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("sel_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("relevance"),
+        r.getAs[Double]("mmr_score"))).toSet
+    assert(got == expected)
+  }
+
   test("substringRuns equals diagonal-walk brute force on planted overlaps") {
     val rnd = new Random(1234)
     val s = spark

@@ -2478,6 +2478,174 @@ object EventQueries {
 
   val qeShapleySql: String = shapleySql("events")
 
+  /** §2.33bm — Croston's method for INTERMITTENT demand (daily order
+    * counts per priority over the multi-year order calendar, where
+    * zero-demand days are the norm): separate SES smoothing of demand
+    * SIZE z and inter-demand INTERVAL p (α=0.2), flat forecast rate
+    * z/p, backtested on the last 90 days against the naive train-mean
+    * rate. SES/Holt/Holt–Winters fit dense series; on intermittent
+    * ones they oscillate toward zero between demands — Croston is the
+    * standard fix (supply-chain lineage), and the mae vs mae_naive
+    * pair shows whether it earns its keep per series. Same scale
+    * shape as qe_holt: the fact table collapses to a bounded
+    * calendar×priority grid, the sequential fold runs as one
+    * `aggregate` HOF per series over the collected train array
+    * (state = 4-field struct; the DuckDB oracle carries it as a
+    * 4-LIST with a prepended init element — the documented
+    * list_reduce struct-accumulator bug workaround), and scoring is
+    * decimal-quantized. Counts-as-doubles sums are exact (< 2⁵³), so
+    * no fold-order hazard exists in the naive baseline. */
+  def qeCroston(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val bounds = orders.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .withColumn("__k", lit(1))
+    val prios = orders.select(col("o_orderpriority")).distinct()
+      .withColumn("__k", lit(1))
+    val counts = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val grid = spine.join(broadcast(prios), "__k")
+      .join(counts, Seq("day", "o_orderpriority"), "left_outer")
+      .select(col("day"), col("o_orderpriority"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+      .crossJoin(broadcast(
+        bounds.select(date_sub(col("d1"), 90).as("cutday"))))
+    val train = grid.where(col("day") <= col("cutday"))
+      .groupBy("o_orderpriority")
+      .agg(array_sort(collect_list(struct(col("day"), col("actual"))))
+        .as("s"))
+      .select(col("o_orderpriority"),
+        transform(col("s"), x => x.getField("actual").cast("double"))
+          .as("ys"))
+    val z = (acc: Column) => acc.getField("z")
+    val p = (acc: Column) => acc.getField("p")
+    val q = (acc: Column) => acc.getField("q")
+    val st = (acc: Column) => acc.getField("st")
+    val model = train.select(col("o_orderpriority"),
+      size(col("ys")).cast("long").as("n_train_days"),
+      size(filter(col("ys"), y => y > 0)).cast("long").as("n_demand_days"),
+      aggregate(col("ys"),
+        struct(lit(0.0).as("z"), lit(0.0).as("p"), lit(0.0).as("q"),
+          lit(0.0).as("st")),
+        (acc, y) => struct(
+          when(y > 0 && st(acc) === 0.0, y)
+            .when(y > 0, lit(0.2) * y + lit(0.8) * z(acc))
+            .otherwise(z(acc)).as("z"),
+          when(y > 0 && st(acc) === 0.0, q(acc) + lit(1.0))
+            .when(y > 0,
+              lit(0.2) * (q(acc) + lit(1.0)) + lit(0.8) * p(acc))
+            .otherwise(p(acc)).as("p"),
+          when(y > 0, lit(0.0)).otherwise(q(acc) + lit(1.0)).as("q"),
+          when(y > 0, lit(1.0)).otherwise(st(acc)).as("st"))).as("cr"),
+      (aggregate(col("ys"), lit(0.0), (a, y) => a + y) /
+        size(col("ys"))).as("naive_rate"))
+      .where(col("cr.st") === 1.0)
+      .select(col("o_orderpriority"), col("n_train_days"),
+        col("n_demand_days"), col("cr.z").as("__z"), col("cr.p").as("__p"),
+        (col("cr.z") / col("cr.p")).as("__rate"), col("naive_rate"))
+    grid.where(col("day") > col("cutday"))
+      .join(model, Seq("o_orderpriority"))
+      .withColumn("__err",
+        round(abs(col("actual").cast("double") - col("__rate")), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("__errn",
+        round(abs(col("actual").cast("double") - col("naive_rate")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("o_orderpriority", "n_train_days", "n_demand_days",
+        "__z", "__p", "__rate", "naive_rate")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("__err")).as("__se"), sum(col("__errn")).as("__sen"))
+      .select(col("o_orderpriority"), col("n_train_days"),
+        col("n_demand_days"),
+        round(col("__z"), 6).as("z_final"),
+        round(col("__p"), 6).as("p_final"),
+        round(col("__rate"), 6).as("forecast_rate"),
+        round(col("naive_rate"), 6).as("naive_rate"),
+        col("n_scored"),
+        round(col("__se").cast("double") / col("n_scored"), 6).as("mae"),
+        round(col("__sen").cast("double") / col("n_scored"), 6)
+          .as("mae_naive"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qeCrostonSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+      |         CAST(MAX(o_orderdate) AS DATE) AS d1
+      |  FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |counts AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.day, t.o_orderpriority, COALESCE(c.n, 0) AS actual
+      |  FROM spine s CROSS JOIN prios t
+      |  LEFT JOIN counts c
+      |    ON c.day = s.day AND c.o_orderpriority = t.o_orderpriority),
+      |cut AS (SELECT d1 - 90 AS cutday FROM bounds),
+      |train AS (
+      |  SELECT g.o_orderpriority,
+      |    list_transform(list_sort(list({'day': g.day, 'actual': g.actual})),
+      |      x -> CAST(x.actual AS DOUBLE)) AS ys
+      |  FROM grid g, cut WHERE g.day <= cutday
+      |  GROUP BY g.o_orderpriority),
+      |model AS (
+      |  -- State rides a 4-list [z, p, q, st] with a prepended init
+      |  -- element (list_reduce has no init arg, and struct
+      |  -- accumulators mis-bind in DuckDB v1.0 — see qe_holt).
+      |  SELECT o_orderpriority,
+      |    CAST(len(ys) AS BIGINT) AS n_train_days,
+      |    CAST(len(list_filter(ys, y -> y > 0)) AS BIGINT)
+      |      AS n_demand_days,
+      |    list_reduce(list_concat([[0.0e0, 0.0e0, 0.0e0, 0.0e0]],
+      |        list_transform(ys, y -> [y, 0.0e0, 0.0e0, 0.0e0])),
+      |      (acc, x) -> [
+      |        CASE WHEN x[1] > 0 AND acc[4] = 0.0e0 THEN x[1]
+      |             WHEN x[1] > 0 THEN 0.2e0 * x[1] + 0.8e0 * acc[1]
+      |             ELSE acc[1] END,
+      |        CASE WHEN x[1] > 0 AND acc[4] = 0.0e0 THEN acc[3] + 1.0e0
+      |             WHEN x[1] > 0
+      |               THEN 0.2e0 * (acc[3] + 1.0e0) + 0.8e0 * acc[2]
+      |             ELSE acc[2] END,
+      |        CASE WHEN x[1] > 0 THEN 0.0e0 ELSE acc[3] + 1.0e0 END,
+      |        CASE WHEN x[1] > 0 THEN 1.0e0 ELSE acc[4] END]) AS cr,
+      |    list_reduce(list_concat([0.0e0], ys), (a, y) -> a + y)
+      |      / len(ys) AS naive_rate
+      |  FROM train),
+      |fitted AS (
+      |  SELECT o_orderpriority, n_train_days, n_demand_days,
+      |    cr[1] AS z, cr[2] AS p, cr[1] / cr[2] AS rate, naive_rate
+      |  FROM model WHERE cr[4] = 1.0e0),
+      |scored AS (
+      |  SELECT g.o_orderpriority, m.n_train_days, m.n_demand_days,
+      |    m.z, m.p, m.rate, m.naive_rate, g.actual
+      |  FROM grid g, cut c, fitted m
+      |  WHERE g.day > c.cutday
+      |    AND m.o_orderpriority = g.o_orderpriority)
+      |SELECT o_orderpriority, n_train_days, n_demand_days,
+      |  round(z, 6) AS z_final, round(p, 6) AS p_final,
+      |  round(rate, 6) AS forecast_rate,
+      |  round(naive_rate, 6) AS naive_rate,
+      |  CAST(count(*) AS BIGINT) AS n_scored,
+      |  round(CAST(SUM(CAST(round(abs(CAST(actual AS DOUBLE) - rate), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mae,
+      |  round(CAST(SUM(CAST(round(abs(CAST(actual AS DOUBLE) - naive_rate),
+      |    6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mae_naive
+      |FROM scored
+      |GROUP BY o_orderpriority, n_train_days, n_demand_days, z, p, rate,
+      |  naive_rate
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -4070,6 +4238,7 @@ object EventQueries {
     "qe_hazard" -> (qeHazard _),
     "qe_markov_entropy" -> (qeMarkovEntropy _),
     "qe_shapley" -> (qeShapley _),
+    "qe_croston" -> (qeCroston _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4135,6 +4304,7 @@ object EventQueries {
     "qe_hazard" -> qeHazardSql,
     "qe_markov_entropy" -> qeMarkovEntropySql,
     "qe_shapley" -> qeShapleySql,
+    "qe_croston" -> qeCrostonSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

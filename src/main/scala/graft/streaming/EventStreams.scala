@@ -237,6 +237,23 @@ object EventStreams {
       events(eventKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Streaming ingestion dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` on the event id — the
+    * at-least-once-source guard (Kafka redeliveries, producer
+    * retries) every streaming pipeline needs in front of its first
+    * stateful stage. The watermark bounds the dedup state to the
+    * late-arrival horizon, unlike plain `dropDuplicates` on a
+    * streaming frame whose key state grows without bound (a
+    * 100 TB/day deployment would OOM its state store in hours).
+    * Rows re-delivered within the horizon hit the state and drop;
+    * rows older than the watermark are dropped as late by the same
+    * mechanism — either way the output carries each event id at most
+    * once (EventStreamSpec pins batch parity against `distinct`). */
+  def dedupWithinWatermark(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Continuous data-quality reporting: evaluate the rule set on every
     * micro-batch and hand the per-batch report to a [[graft.engine.ReportWriter]]
     * (file, console, or custom sink) — the streaming face of the

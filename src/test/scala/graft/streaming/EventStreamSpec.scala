@@ -290,4 +290,32 @@ class EventStreamSpec extends SparkSpec {
       assert(want.nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming watermarked dedup drops redeliveries, matches batch distinct") {
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: every event delivered TWICE in the same micro-batch
+      // (producer-retry shape) — state dedup must drop the copies.
+      stream.addData(events ++ events)
+      query.processAllAvailable()
+      // Batch 2: the full feed redelivered AFTER the watermark advanced
+      // (replayed-partition shape) — rows within the horizon hit state,
+      // older rows drop as late; either way nothing new may appear.
+      stream.addData(events)
+      query.processAllAvailable()
+
+      val got = spark.table("dedup_out").collect()
+      assert(got.map(_.getAs[Long]("event_id")).distinct.length == got.length)
+      assert(got.map(_.toSeq).toSet ==
+        events.map(e => Seq[Any](e.event_id, e.ts, e.user_id,
+          e.event_type, e.value)).toSet)
+    } finally query.stop()
+  }
 }

@@ -166,8 +166,11 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val qmPhashPairsSql: String =
-    """WITH seg AS (
+  /** The dHash-reconstruction CTEs shared verbatim by the pair and
+    * cluster oracles (single source of truth — the two must never
+    * drift on the hash definition). */
+  private val phashCtes: String =
+    """seg AS (
       |  SELECT doc_id, source,
       |    list_transform(range(0, 65), j ->
       |      coalesce(list_sum(list_transform(
@@ -186,14 +189,72 @@ object MultimodalQueries {
       |           THEN (1::BIGINT << (CAST(b AS INT) - 32)) ELSE 0 END)), 0)
       |      AS BIGINT) AS dhash_hi
       |  FROM seg
-      |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(bit_count(xor(a.dhash_lo, b.dhash_lo)) +
-      |       bit_count(xor(a.dhash_hi, b.dhash_hi)) AS INT) AS hamming
-      |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.dhash_lo, b.dhash_lo)) +
-      |      bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
-      |ORDER BY id_a, id_b""".stripMargin
+      |)""".stripMargin
+
+  val qmPhashPairsSql: String =
+    s"""WITH $phashCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash_lo, b.dhash_lo)) +
+       |       bit_count(xor(a.dhash_hi, b.dhash_hi)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash_lo, b.dhash_lo)) +
+       |      bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.35f — perceptual-hash near-dup CLUSTERS with storage savings:
+    * connected components over the hamming≤16 dHash pair graph
+    * (same edge set as 35d), reported per cluster — member count,
+    * total bytes, and the bytes a keep-one-representative policy
+    * frees (canonical = min doc id, the component id itself). This is
+    * the multimodal face of the dedup family's canonical election:
+    * pairs say WHAT matches, clusters say what to DELETE. Components
+    * run on the O(log n) star-contraction operator; the per-cluster
+    * rollup is one aggregate over the assignment, exact integer byte
+    * arithmetic throughout. */
+  def qmPhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = qmPhashPairs(spark, dir).select("id_a", "id_b")
+    graft.dedup.Dedup
+      .connectedComponentsStar(docs.select("doc_id"), edges)
+      .join(docs.select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("__b")),
+        Seq("doc_id"))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_media"),
+        sum("__b").as("total_bytes"),
+        sum(when(col("doc_id") =!= col("component_id"), col("__b"))
+          .otherwise(0L)).as("bytes_saved"))
+      .select(col("component_id").as("cluster_id"), col("n_media"),
+        col("total_bytes"), col("bytes_saved"))
+      .orderBy("cluster_id")
+  }
+
+  val qmPhashClustersSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.dhash_lo, b.dhash_lo)) +
+       |        bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT doc_id AS id, doc_id AS m FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+       |), comp AS (
+       |  SELECT id AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_media,
+       |  CAST(SUM(CAST(length(d.text) AS BIGINT)) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id
+       |    THEN CAST(length(d.text) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |    AS bytes_saved
+       |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       |GROUP BY c.cluster_id
+       |ORDER BY c.cluster_id""".stripMargin
 
   /** §2.35e — chunk-level storage-dedup savings per media type: what a
     * content-addressed chunk store would save — per type, the chunk
@@ -251,6 +312,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm_dedup_savings" -> (qmDedupSavings _),
     "qm_phash_pairs" -> (qmPhashPairs _),
+    "qm_phash_clusters" -> (qmPhashClusters _),
     "qm_binary_features" -> (qmBinaryFeatures _),
     "qm_frames" -> (qmFrames _),
     "qm_chunks" -> (qmChunks _),
@@ -259,6 +321,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "qm_phash_pairs" -> qmPhashPairsSql,
+    "qm_phash_clusters" -> qmPhashClustersSql,
     "qm_dedup_savings" -> qmDedupSavingsSql,
     "qm_binary_features" -> qmBinaryFeaturesSql,
     "qm_frames" -> qmFramesSql,

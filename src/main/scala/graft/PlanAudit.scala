@@ -71,6 +71,10 @@ object PlanAudit {
       // broadcast ONE-ROW marginal-entropy aggregate (scalar-subquery
       // pattern, same as qe_decay/qt_keywords).
       "qe_markov_entropy",
+      // qd_cluster_labels: crosses the bounded cluster-token frame with
+      // a broadcast ONE-ROW corpus-token-total aggregate (scalar-
+      // subquery pattern, same as qt_keywords).
+      "qd_cluster_labels",
       // qe_shapley: the 16-row generated coalition lattice crossed with
       // the ≤16-row exposure-cell aggregate, plus 1-row v_full/v_empty
       // scalar subqueries — every side bounded by 2^k at any data scale.

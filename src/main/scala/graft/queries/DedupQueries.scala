@@ -837,6 +837,117 @@ object DedupQueries {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.25r — near-dup cluster LABELS: per cluster (size ≥ 2) the
+    * top-3 distinctive tokens by frequency LIFT (in-cluster token
+    * share / corpus token share, support ≥ 3 occurrences in the
+    * cluster) — the exploration layer over the component assignment:
+    * a reviewer triaging ten thousand dup clusters reads labels, not
+    * doc ids (same lift construction as qt_keywords, applied to the
+    * DISCOVERED grouping instead of the given source column). Shape:
+    * the component assignment joins the exploded token frame once
+    * (key-partitioned), per-cluster and corpus counts are combinable
+    * aggregates, the corpus total is a 1-row broadcast scalar
+    * (PlanAudit-documented), and the final rank window runs per
+    * cluster. Lift divides exact long ratios, rounded once. */
+  def qdClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.jaccardNeighbors(docs, "text", "doc_id", 3, "source", 0.5)
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(docs.select("doc_id"), edges)
+    val sizes = comp.groupBy("component_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val corpus = toks.groupBy("token").agg(count(lit(1)).as("__ct"))
+    val corpusTotal = toks.agg(count(lit(1)).as("__N"))
+    val clusterToks = toks.join(comp, Seq("doc_id"))
+      .join(sizes, Seq("component_id"))
+      .groupBy("component_id", "n_docs", "token")
+      .agg(count(lit(1)).as("__cc"))
+      .withColumn("__ctot",
+        sum("__cc").over(Window.partitionBy("component_id")))
+      .where(col("__cc") >= 3)
+    val ranked = clusterToks
+      .join(corpus, Seq("token"))
+      .crossJoin(broadcast(corpusTotal))
+      // rank on the UNROUNDED lift (the oracle does the same), so a
+      // rounding collision can never flip the top-3 cut
+      .withColumn("__lift",
+        (col("__cc").cast("double") / col("__ctot")) /
+          (col("__ct").cast("double") / col("__N")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("component_id")
+          .orderBy(desc("__lift"), col("token"))))
+      .where(col("rank") <= 3)
+    ranked.select(col("component_id"), col("n_docs"),
+      col("rank").cast("int").as("rank"), col("token"),
+      round(col("__lift"), 6).as("lift"))
+      .orderBy("component_id", "rank")
+  }
+
+  val qdClusterLabelsSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS m FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+      |), comp AS (
+      |  SELECT id AS doc_id, MIN(m) AS component_id FROM reach GROUP BY id
+      |), sizes AS (
+      |  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM comp GROUP BY component_id HAVING COUNT(*) >= 2
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT token, COUNT(*) AS ct FROM toks GROUP BY token
+      |), tot AS (SELECT COUNT(*) AS n FROM toks),
+      |ctoks AS (
+      |  SELECT c.component_id, s.n_docs, t.token, COUNT(*) AS cc
+      |  FROM toks t
+      |  JOIN comp c ON c.doc_id = t.doc_id
+      |  JOIN sizes s ON s.component_id = c.component_id
+      |  GROUP BY 1, 2, 3
+      |), wtot AS (
+      |  SELECT component_id, n_docs, token, cc,
+      |    SUM(cc) OVER (PARTITION BY component_id) AS ctot
+      |  FROM ctoks
+      |), ranked AS (
+      |  SELECT w.component_id, w.n_docs, w.token,
+      |    round((CAST(w.cc AS DOUBLE) / w.ctot)
+      |      / (CAST(co.ct AS DOUBLE) / t.n), 6) AS lift,
+      |    ROW_NUMBER() OVER (PARTITION BY w.component_id
+      |      ORDER BY (CAST(w.cc AS DOUBLE) / w.ctot)
+      |        / (CAST(co.ct AS DOUBLE) / t.n) DESC, w.token) AS rnk
+      |  FROM wtot w
+      |  JOIN corpus co ON co.token = w.token
+      |  CROSS JOIN tot t
+      |  WHERE w.cc >= 3
+      |)
+      |SELECT component_id, n_docs, CAST(rnk AS INTEGER) AS rank, token,
+      |  lift
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY component_id, rank""".stripMargin
+
   /** §2.25h — cluster cohesion report: per near-dup cluster (size ≥ 2),
     * member count, realized edge count, edge DENSITY against the
     * C(size,2) clique bound, and the mean/min edge Jaccard — the
@@ -1567,6 +1678,7 @@ object DedupQueries {
     "qd_components" -> (qdComponents _),
     "qd_exact" -> (qdExact _),
     "qd_norm_levels" -> (qdNormLevels _),
+    "qd_cluster_labels" -> (qdClusterLabels _),
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
     "qd_simhash" -> (qdSimhash _),
@@ -1602,6 +1714,7 @@ object DedupQueries {
     "qd_components" -> qdComponentsSql,
     "qd_exact" -> qdExactSql,
     "qd_norm_levels" -> qdNormLevelsSql,
+    "qd_cluster_labels" -> qdClusterLabelsSql,
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,
     "qd_simhash" -> qdSimhashSql,

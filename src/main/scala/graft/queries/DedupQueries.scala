@@ -392,6 +392,132 @@ object DedupQueries {
       |  round(1.0 - mm * mm, 6) AS p_candidate
       |FROM m ORDER BY s""".stripMargin
 
+  /** §2.22f — LSH parameter DESIGN table: for every (bands,
+    * rows-per-band) factorization of the 16-hash budget, the
+    * integrated S-curve error against the τ=0.5 target — false-
+    * positive area ∫₀^τ P(s) ds plus false-negative area
+    * ∫τ^1 (1−P(s)) ds on a 201-point midpoint grid — plus the grid
+    * s50 crossover, with the arg-min row flagged. 22e PLOTS one
+    * configuration's curve; this CHOOSES the configuration, turning
+    * "how many bands?" from folklore into an optimization readout.
+    * Every exponent in P(s) = 1−(1−s^r)^b is a power of two, so both
+    * engines evaluate pure repeated-squaring multiplication chains —
+    * no pow(), no libm-vs-JVM divergence; area terms are
+    * DECIMAL(38,12)-quantized and the arg-min compares exact
+    * decimals. All frames are generated (5 configs × 201 grid rows);
+    * nothing scans data — the operator is free at any corpus size. */
+  def qdLshDesign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = spark.range(0, 201)
+      .select(((col("id").cast("double") + lit(0.5)) / lit(201.0)).as("s"))
+    val configs = spark.range(0, 1)
+      .select(explode(array(lit(1), lit(2), lit(4), lit(8), lit(16)))
+        .as("bands"))
+      .withColumn("rows_per_band", (lit(16) / col("bands")).cast("int"))
+    val s2 = col("s") * col("s")
+    val joined = configs.crossJoin(grid)
+      .withColumn("__s2", s2).withColumn("__s4", col("__s2") * col("__s2"))
+      .withColumn("__s8", col("__s4") * col("__s4"))
+      .withColumn("__s16", col("__s8") * col("__s8"))
+      .withColumn("__sr",
+        when(col("rows_per_band") === 16, col("__s16"))
+          .when(col("rows_per_band") === 8, col("__s8"))
+          .when(col("rows_per_band") === 4, col("__s4"))
+          .when(col("rows_per_band") === 2, col("__s2"))
+          .otherwise(col("s")))
+      .withColumn("__m", lit(1.0) - col("__sr"))
+      .withColumn("__m2", col("__m") * col("__m"))
+      .withColumn("__m4", col("__m2") * col("__m2"))
+      .withColumn("__m8", col("__m4") * col("__m4"))
+      .withColumn("__m16", col("__m8") * col("__m8"))
+      .withColumn("__p", lit(1.0) -
+        when(col("bands") === 16, col("__m16"))
+          .when(col("bands") === 8, col("__m8"))
+          .when(col("bands") === 4, col("__m4"))
+          .when(col("bands") === 2, col("__m2"))
+          .otherwise(col("__m")))
+    val dx = lit(1.0 / 201.0)
+    val agg = joined.groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("s") < 0.5,
+          round(col("__p") * dx, 12).cast("decimal(38,12)"))
+          .otherwise(lit(0.0).cast("decimal(38,12)"))).as("__fp"),
+        sum(when(col("s") >= 0.5,
+          round((lit(1.0) - col("__p")) * dx, 12).cast("decimal(38,12)"))
+          .otherwise(lit(0.0).cast("decimal(38,12)"))).as("__fn"),
+        min(when(col("__p") >= 0.5, col("s"))).as("__s50"))
+      .withColumn("__tot", col("__fp") + col("__fn"))
+      .withColumn("chosen", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__tot"), col("bands"))) === 1)
+    agg.select(col("bands"), col("rows_per_band"),
+      round(col("__fp").cast("double"), 6).as("fp_area"),
+      round(col("__fn").cast("double"), 6).as("fn_area"),
+      round(col("__tot").cast("double"), 6).as("total_error"),
+      round(col("__s50"), 6).as("s50"), col("chosen"))
+      .orderBy("bands")
+  }
+
+  val qdLshDesignSql: String =
+    """WITH cfg AS (
+      |  SELECT 1 AS bands UNION ALL SELECT 2 UNION ALL SELECT 4
+      |  UNION ALL SELECT 8 UNION ALL SELECT 16
+      |), cfg2 AS (
+      |  SELECT bands, CAST(16 / bands AS INTEGER) AS rows_per_band
+      |  FROM cfg
+      |), g AS (
+      |  SELECT (CAST(i AS DOUBLE) + 0.5e0) / 201.0e0 AS s
+      |  FROM range(0, 201) t(i)
+      |), j AS (
+      |  SELECT c.bands, c.rows_per_band, g.s,
+      |    g.s * g.s AS s2 FROM cfg2 c CROSS JOIN g
+      |), j2 AS (
+      |  SELECT *, s2 * s2 AS s4 FROM j
+      |), j3 AS (
+      |  SELECT *, s4 * s4 AS s8 FROM j2
+      |), j4 AS (
+      |  SELECT *, s8 * s8 AS s16 FROM j3
+      |), pm AS (
+      |  SELECT bands, rows_per_band, s,
+      |    1.0e0 - (CASE rows_per_band WHEN 16 THEN s16 WHEN 8 THEN s8
+      |      WHEN 4 THEN s4 WHEN 2 THEN s2 ELSE s END) AS m
+      |  FROM j4
+      |), pm2 AS (
+      |  SELECT *, m * m AS m2 FROM pm
+      |), pm3 AS (
+      |  SELECT *, m2 * m2 AS m4 FROM pm2
+      |), pm4 AS (
+      |  SELECT *, m4 * m4 AS m8 FROM pm3
+      |), pm5 AS (
+      |  SELECT *, m8 * m8 AS m16 FROM pm4
+      |), pp AS (
+      |  SELECT bands, rows_per_band, s,
+      |    1.0e0 - (CASE bands WHEN 16 THEN m16 WHEN 8 THEN m8
+      |      WHEN 4 THEN m4 WHEN 2 THEN m2 ELSE m END) AS p
+      |  FROM pm5
+      |), a AS (
+      |  SELECT bands, rows_per_band,
+      |    SUM(CASE WHEN s < 0.5e0
+      |      THEN CAST(round(p * (1.0e0 / 201.0e0), 12) AS DECIMAL(38,12))
+      |      ELSE CAST(0.0e0 AS DECIMAL(38,12)) END) AS fp,
+      |    SUM(CASE WHEN s >= 0.5e0
+      |      THEN CAST(round((1.0e0 - p) * (1.0e0 / 201.0e0), 12)
+      |        AS DECIMAL(38,12))
+      |      ELSE CAST(0.0e0 AS DECIMAL(38,12)) END) AS fn,
+      |    MIN(CASE WHEN p >= 0.5e0 THEN s END) AS s50
+      |  FROM pp GROUP BY 1, 2
+      |), w AS (
+      |  SELECT bands, rows_per_band, fp, fn, fp + fn AS tot, s50,
+      |    ROW_NUMBER() OVER (ORDER BY fp + fn, bands) AS rn
+      |  FROM a
+      |)
+      |SELECT bands, rows_per_band,
+      |  round(CAST(fp AS DOUBLE), 6) AS fp_area,
+      |  round(CAST(fn AS DOUBLE), 6) AS fn_area,
+      |  round(CAST(tot AS DOUBLE), 6) AS total_error,
+      |  round(s50, 6) AS s50, rn = 1 AS chosen
+      |FROM w
+      |ORDER BY bands""".stripMargin
+
   /** §2.24g — blocked sorted-neighborhood near-dup pass
     * ([[Dedup.sortedNeighborPairs]]): records sort inside their 6-char
     * text-prefix block, every pair within rank distance ≤ 5 is a
@@ -1679,6 +1805,7 @@ object DedupQueries {
     "qd_exact" -> (qdExact _),
     "qd_norm_levels" -> (qdNormLevels _),
     "qd_cluster_labels" -> (qdClusterLabels _),
+    "qd_lsh_design" -> (qdLshDesign _),
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
     "qd_simhash" -> (qdSimhash _),
@@ -1715,6 +1842,7 @@ object DedupQueries {
     "qd_exact" -> qdExactSql,
     "qd_norm_levels" -> qdNormLevelsSql,
     "qd_cluster_labels" -> qdClusterLabelsSql,
+    "qd_lsh_design" -> qdLshDesignSql,
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,
     "qd_simhash" -> qdSimhashSql,

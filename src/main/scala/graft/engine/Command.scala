@@ -172,6 +172,26 @@ case class ChecksumCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Sequential (SPRT) defect-rate gate as a plan step
+  * ([[graft.rules.Sprt]]): period-bucketed defect counts walk a
+  * cumulative log-likelihood ratio between H0 (defect rate p0) and H1
+  * (p1); the stored output is the full walk frame, and the plan fails
+  * when the walk's STOPPING decision is `accept_h1` — the
+  * both-error-rates-bounded alternative to a fixed-threshold rate
+  * check, as a plan primitive. */
+case class SprtCommand(
+    input: InputRef,
+    timeCol: String,
+    defectExpr: String,
+    granularity: String = "month",
+    p0: Double,
+    p1: Double,
+    alpha: Double = 0.05,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

@@ -338,11 +338,29 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "sprt" =>
+        val p0 = params.path("p0").asDouble()
+        val p1 = params.path("p1").asDouble()
+        require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+          "sprt p0/p1 must be in (0,1) and differ")
+        SprtCommand(
+          input = inputRef(node.get("input")),
+          timeCol = params.path("timeCol").asText(),
+          defectExpr = params.path("defectExpr").asText(),
+          granularity = params.path("granularity").asText("month"),
+          p0 = p0,
+          p1 = p1,
+          alpha = if (params.has("alpha"))
+            params.get("alpha").asDouble() else 0.05,
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, checksum, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, checksum, sprt, or plan; got '$other'")
     }
   }
 

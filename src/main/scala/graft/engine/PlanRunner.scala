@@ -189,6 +189,26 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
           failed = failed,
           summaryStats = Map("psi_total" -> total))))
         if (failed) 1 else 0
+      case c: SprtCommand =>
+        val walk = graft.rules.Sprt.walk(resolve(c.input), c.timeCol,
+          org.apache.spark.sql.functions.expr(c.defectExpr),
+          c.granularity, c.p0, c.p1, c.alpha)
+        store(walk, c)
+        // The gate reads only the STOPPING decision (1-row aggregate
+        // over the bounded per-period walk frame).
+        val decision = graft.rules.Sprt.stoppingDecision(walk)
+        val failed = decision == "accept_h1"
+        reports.append(c.outputKey -> Seq(RuleReport(
+          query = s"sprt(${c.defectExpr}; p0=${c.p0}, p1=${c.p1}, " +
+            s"alpha=${c.alpha}, per ${c.granularity})",
+          description = "sequential probability-ratio defect-rate gate",
+          threshold = c.p1,
+          totalRows = 1,
+          numInvalid = if (failed) 1 else 0,
+          fractionInvalid = if (failed) 1.0 else 0.0,
+          failed = failed,
+          summaryStats = Map("decision" -> decision))))
+        if (failed) 1 else 0
       case c: PlanCommand =>
         runCommands(c.plan.commands, reports)
     }.sum

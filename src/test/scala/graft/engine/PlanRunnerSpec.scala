@@ -343,6 +343,44 @@ class PlanRunnerSpec extends SparkSpec {
     assert(err.getMessage.contains("positive"))
   }
 
+  test("sprt command gates the plan on the walk's stopping decision") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // 12 months, 100 trials each, steady 35% defect rate.
+    val rows = for {
+      m <- 1 to 12; i <- 1 to 100
+    } yield (Timestamp.valueOf(f"2024-$m%02d-15 00:00:00"),
+      if (i <= 35) "bad" else "good")
+    val src = rows.toDF("ts", "status")
+    def plan(p0: Double, p1: Double) = PlanParser.parse(
+      s"""{
+         |  "commands": [
+         |    {"command": "sprt",
+         |     "input": {"ref": "src", "onDisk": false},
+         |     "params": {"timeCol": "ts", "defectExpr": "status = 'bad'",
+         |                "p0": $p0, "p1": $p1},
+         |     "outputKey": "sprt_walk"}
+         |  ]
+         |}""".stripMargin)
+    // Rate 0.35 sits above H1 when testing 0.2 vs 0.3: the walk drifts
+    // up, stops at accept_h1, and the plan fails with exit 3.
+    val hot = new PlanRunner(spark).register("src", src).run(plan(0.2, 0.3))
+    assert(hot.exitCode === 3)
+    assert(hot.reports.head._2.head.summaryStats("decision") === "accept_h1")
+    assert(hot.outputs("sprt_walk").collect().length === 12)
+    // The same data tested against 0.4 vs 0.5 is BELOW H0: accept_h0,
+    // informational, exit 0.
+    val cold = new PlanRunner(spark).register("src", src).run(plan(0.4, 0.5))
+    assert(cold.exitCode === 0)
+    assert(cold.reports.head._2.head.summaryStats("decision") === "accept_h0")
+    // A single ambiguous month decides nothing: continue, exit 0.
+    val tiny = new PlanRunner(spark).register("src",
+      rows.take(100).toDF("ts", "status")).run(plan(0.3, 0.4))
+    assert(tiny.exitCode === 0)
+    assert(tiny.reports.head._2.head.summaryStats("decision") === "continue")
+  }
+
   test("drift command gates the plan on total PSI vs a baseline") {
     val s = spark
     import s.implicits._

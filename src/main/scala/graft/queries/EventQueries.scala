@@ -2646,6 +2646,92 @@ object EventQueries {
       |  naive_rate
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** §2.33bn — out-of-order arrival profile (the watermark-tuning
+    * readout), over BOTH ingestion shapes in one report: an element is
+    * late by how far its event time sits behind the running max event
+    * time already seen in its partition's INGESTION order. Per group:
+    * late share, mean lateness over late rows, and the max + exact
+    * p99 lateness in seconds — p99 IS the watermark delay a
+    * `withWatermark` call should use instead of folklore. The two
+    * stream shapes are the lesson: `events_by_ingestion` (per-user
+    * append order) profiles all-zero — the feed is time-ordered,
+    * watermark ≈ 0 suffices — while `orders_by_key` (a CDC backfill
+    * read in primary-key order) is ~100% late with a years-deep p99:
+    * the readout that says "do NOT watermark this feed, time-
+    * repartition it first". Each side is one key-partitioned window
+    * (user / priority — never a global sort) + one rollup; exact
+    * `percentile` with the documented approx swap-in at scale. */
+  def qeLateness(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, part: String, ord: String, ts: Column,
+        grp: Column, stream: String): DataFrame = {
+      val w = Window.partitionBy(part).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.select(col(part), col(ord), grp.as("grp"), ts.as("__us"))
+        .withColumn("__late",
+          greatest(lit(0L), coalesce(max(col("__us")).over(w), lit(0L))
+            - col("__us")))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__late") > 0, 1L).otherwise(0L)).as("n_late"),
+          round(sum(when(col("__late") > 0, col("__late")))
+            .cast("double") / lit(1000000.0) /
+            sum(when(col("__late") > 0, 1L)).cast("double"), 6)
+            .as("mean_late_s"),
+          round(max(col("__late")).cast("double") / lit(1000000.0), 6)
+            .as("max_late_s"),
+          round(expr("percentile(__late, 0.99D)") / lit(1000000.0), 6)
+            .as("p99_late_s"))
+        .withColumn("late_share",
+          round(col("n_late").cast("double") / col("n_rows"), 6))
+        .withColumn("stream", lit(stream))
+    }
+    val ev = profile(Tables.load(spark, dir, "events"),
+      "user_id", "event_id", unix_micros(col("ts")), col("event_type"),
+      "events_by_ingestion")
+    val ord = profile(Tables.load(spark, dir, "orders"),
+      "o_orderpriority", "o_orderkey", unix_micros(col("o_orderdate")),
+      col("o_orderpriority"), "orders_by_key")
+    ev.unionByName(ord)
+      .select("stream", "grp", "n_rows", "n_late", "late_share",
+        "mean_late_s", "max_late_s", "p99_late_s")
+      .orderBy("stream", "grp")
+  }
+
+  val qeLatenessSql: String =
+    """WITH le AS (
+      |  SELECT event_type AS grp,
+      |    greatest(0, COALESCE(MAX(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      - epoch_us(ts)) AS late
+      |  FROM events
+      |), lo AS (
+      |  SELECT o_orderpriority AS grp,
+      |    greatest(0, COALESCE(MAX(epoch_us(o_orderdate)) OVER (
+      |      PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      - epoch_us(o_orderdate)) AS late
+      |  FROM orders
+      |), u AS (
+      |  SELECT 'events_by_ingestion' AS stream, grp, late FROM le
+      |  UNION ALL
+      |  SELECT 'orders_by_key', grp, late FROM lo
+      |)
+      |SELECT stream, grp, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  round(CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS late_share,
+      |  round(CAST(SUM(CASE WHEN late > 0 THEN late END) AS DOUBLE)
+      |    / 1000000.0e0
+      |    / CAST(SUM(CASE WHEN late > 0 THEN 1 END) AS DOUBLE), 6)
+      |    AS mean_late_s,
+      |  round(CAST(MAX(late) AS DOUBLE) / 1000000.0e0, 6) AS max_late_s,
+      |  round(quantile_cont(late, 0.99e0) / 1000000.0e0, 6) AS p99_late_s
+      |FROM u
+      |GROUP BY stream, grp
+      |ORDER BY stream, grp""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -4239,6 +4325,7 @@ object EventQueries {
     "qe_markov_entropy" -> (qeMarkovEntropy _),
     "qe_shapley" -> (qeShapley _),
     "qe_croston" -> (qeCroston _),
+    "qe_lateness" -> (qeLateness _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4305,6 +4392,7 @@ object EventQueries {
     "qe_markov_entropy" -> qeMarkovEntropySql,
     "qe_shapley" -> qeShapleySql,
     "qe_croston" -> qeCrostonSql,
+    "qe_lateness" -> qeLatenessSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

@@ -1478,8 +1478,99 @@ object ProfileQueries {
       |FROM d
       |ORDER BY month""".stripMargin
 
+  /** §2.13ae — whole-table drift SWEEP: PSI between the md5-split
+    * halves for EVERY monitored numeric column of lineitem in ONE
+    * scan — stack() unpivots the four columns into (column, value)
+    * rows so a single groupBy covers all of them (one shuffle total,
+    * vs four separate drift runs re-scanning the fact table; at
+    * 100 TB that factor is the whole job). Per column: populated-
+    * both-sides bin count and the summed PSI with the standard
+    * severity read (<0.1 stable / <0.25 moderate / else major).
+    * Same share + drop-one-sided-bins semantics as the single-column
+    * qc_drift gate; per-bin terms are DECIMAL(38,12)-quantized so
+    * the total is order-independent. */
+  def qcDriftSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    val cols = Seq("l_quantity" -> 5.0, "l_extendedprice" -> 10000.0,
+      "l_discount" -> 0.02, "l_tax" -> 0.02)
+    val stackExpr = "stack(4, " + cols.map { case (c, _) =>
+      s"'$c', $c" }.mkString(", ") + ") AS (colname, v)"
+    val width = cols.tail.foldLeft(
+      when(col("colname") === cols.head._1, lit(cols.head._2))) {
+      case (acc, (c, w)) => acc.when(col("colname") === c, lit(w))
+    }.otherwise(lit(1.0))
+    val sideA = md5Hash32(concat_ws(":", lit("dsweep"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")))) % 100 < 50
+    val byCol = Window.partitionBy("colname")
+    val binned = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), expr(stackExpr))
+      .withColumn("__a", sideA)
+      .groupBy(col("colname"), floor(col("v") / width).cast("long").as("bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("__p", col("n_a") / sum("n_a").over(byCol))
+      .withColumn("__q", col("n_b") / sum("n_b").over(byCol))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__t", round((col("__p") - col("__q")) *
+        log(col("__p") / col("__q")), 12).cast("decimal(38,12)"))
+    binned.groupBy("colname")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("__t").as("__psi"))
+      .select(col("colname"), col("n_bins"),
+        round(col("__psi").cast("double"), 6).as("psi_total"),
+        when(col("__psi").cast("double") < 0.1, "stable")
+          .when(col("__psi").cast("double") < 0.25, "moderate")
+          .otherwise("major").as("severity"))
+      .orderBy("colname")
+  }
+
+  val qcDriftSweepSql: String =
+    """WITH s AS (
+      |  SELECT l_orderkey, l_linenumber, colname, v,
+      |    ('0x' || substr(md5('dsweep:' || l_orderkey || ':' ||
+      |      l_linenumber), 1, 8))::BIGINT % 100 < 50 AS in_a
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber, 'l_quantity' AS colname,
+      |      l_quantity AS v FROM lineitem
+      |    UNION ALL
+      |    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |      l_extendedprice FROM lineitem
+      |    UNION ALL
+      |    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |    FROM lineitem
+      |    UNION ALL
+      |    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      |  )
+      |), binned AS (
+      |  SELECT colname,
+      |    CAST(FLOOR(v / (CASE colname WHEN 'l_quantity' THEN 5.0e0
+      |      WHEN 'l_extendedprice' THEN 10000.0e0
+      |      WHEN 'l_discount' THEN 0.02e0
+      |      WHEN 'l_tax' THEN 0.02e0 ELSE 1.0e0 END)) AS BIGINT) AS bin,
+      |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_b
+      |  FROM s GROUP BY 1, 2
+      |), shares AS (
+      |  SELECT colname, bin, n_a, n_b,
+      |    n_a / SUM(n_a) OVER (PARTITION BY colname) AS p,
+      |    n_b / SUM(n_b) OVER (PARTITION BY colname) AS q
+      |  FROM binned
+      |), terms AS (
+      |  SELECT colname,
+      |    CAST(round((p - q) * ln(p / q), 12) AS DECIMAL(38,12)) AS t
+      |  FROM shares WHERE n_a > 0 AND n_b > 0
+      |)
+      |SELECT colname, COUNT(*) AS n_bins,
+      |  round(CAST(SUM(t) AS DOUBLE), 6) AS psi_total,
+      |  CASE WHEN CAST(SUM(t) AS DOUBLE) < 0.1e0 THEN 'stable'
+      |       WHEN CAST(SUM(t) AS DOUBLE) < 0.25e0 THEN 'moderate'
+      |       ELSE 'major' END AS severity
+      |FROM terms GROUP BY colname
+      |ORDER BY colname""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_sprt" -> (qcSprt _),
+    "qc_drift_sweep" -> (qcDriftSweep _),
     "qc_wasserstein" -> (qcWasserstein _),
     "qc_kanonymity" -> (qcKanonymity _),
     "qc_dp_release" -> (qcDpRelease _),
@@ -1510,6 +1601,7 @@ object ProfileQueries {
 
   val oracles: Map[String, String] = Map(
     "qc_sprt" -> qcSprtSql,
+    "qc_drift_sweep" -> qcDriftSweepSql,
     "qc_wasserstein" -> qcWassersteinSql,
     "qc_kanonymity" -> qcKanonymitySql,
     "qc_dp_release" -> qcDpReleaseSql,

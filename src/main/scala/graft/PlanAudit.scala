@@ -75,6 +75,10 @@ object PlanAudit {
       // a broadcast ONE-ROW corpus-token-total aggregate (scalar-
       // subquery pattern, same as qt_keywords).
       "qd_cluster_labels",
+      // qe_mix_decomposition: crosses the fact table with a broadcast
+      // ONE-ROW calendar-midpoint aggregate (scalar-subquery pattern,
+      // same as qe_did/qe_decay).
+      "qe_mix_decomposition",
       // qe_shapley: the 16-row generated coalition lattice crossed with
       // the ≤16-row exposure-cell aggregate, plus 1-row v_full/v_empty
       // scalar subqueries — every side bounded by 2^k at any data scale.

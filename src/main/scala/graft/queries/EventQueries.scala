@@ -2732,6 +2732,113 @@ object EventQueries {
       |GROUP BY stream, grp
       |ORDER BY stream, grp""".stripMargin
 
+  /** §2.33bo — rate-vs-mix decomposition (the Oaxaca/Kitagawa
+    * decomposition analytics reviews run when a headline metric
+    * moves): the change in mean order value between the two calendar
+    * halves splits, per priority segment, into a RATE effect
+    * (w₁·(r₂−r₁): the segment's own mean moved), a MIX effect
+    * ((w₂−w₁)·r₁: traffic shifted between segments), and the
+    * interaction — answering "did behavior change, or did the mix?"
+    * exactly, since the three effects sum to the headline delta by
+    * construction (the replicated total columns let a reader verify).
+    * One conditional-sum pass collapses the fact table to the
+    * 2×|segments| cell frame (period cut = broadcast 1-row calendar
+    * midpoint, allowlisted); every downstream window runs on that
+    * tiny frame; effect totals sum DECIMAL(38,12)-quantized terms.
+    * Rates divide exact DECIMAL sums, weights exact longs. */
+  def qeMixDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val mid = orders.agg(((min(unix_micros(col("o_orderdate"))) +
+      max(unix_micros(col("o_orderdate")))).cast("long") / 2)
+      .cast("long").as("__mid"))
+    val cells = orders.crossJoin(broadcast(mid))
+      .withColumn("__p2", unix_micros(col("o_orderdate")) >= col("__mid"))
+      .groupBy("o_orderpriority", "__p2")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("__s"))
+      .withColumn("__w", col("__n").cast("double") /
+        sum("__n").over(Window.partitionBy("__p2")).cast("double"))
+      .withColumn("__r", col("__s").cast("double") / col("__n"))
+    val perSeg = cells.groupBy("o_orderpriority")
+      .agg(max(when(!col("__p2"), col("__w"))).as("w1"),
+        max(when(col("__p2"), col("__w"))).as("w2"),
+        max(when(!col("__p2"), col("__r"))).as("r1"),
+        max(when(col("__p2"), col("__r"))).as("r2"))
+      .withColumn("__rate", col("w1") * (col("r2") - col("r1")))
+      .withColumn("__mix", (col("w2") - col("w1")) * col("r1"))
+      .withColumn("__inter",
+        (col("w2") - col("w1")) * (col("r2") - col("r1")))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def tot(c: Column): Column =
+      sum(round(c, 12).cast("decimal(38,12)")).over(all).cast("double")
+    perSeg.select(col("o_orderpriority"),
+      round(col("w1"), 6).as("w1"), round(col("w2"), 6).as("w2"),
+      round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+      round(col("__rate"), 6).as("rate_effect"),
+      round(col("__mix"), 6).as("mix_effect"),
+      round(col("__inter"), 6).as("interaction"),
+      round(tot(col("__rate")), 6).as("total_rate_effect"),
+      round(tot(col("__mix")), 6).as("total_mix_effect"),
+      round(tot(col("__inter")), 6).as("total_interaction"),
+      round(tot(col("__rate")) + tot(col("__mix")) + tot(col("__inter")),
+        6).as("delta_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qeMixDecompositionSql: String =
+    """WITH mid AS (
+      |  SELECT (MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate)))
+      |    // 2 AS m
+      |  FROM orders
+      |), cells AS (
+      |  SELECT o_orderpriority,
+      |    epoch_us(o_orderdate) >= mid.m AS p2,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+      |  FROM orders, mid
+      |  GROUP BY 1, 2
+      |), wr AS (
+      |  SELECT o_orderpriority, p2, n,
+      |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY p2)
+      |      AS DOUBLE) AS w,
+      |    CAST(s AS DOUBLE) / n AS r
+      |  FROM cells
+      |), seg AS (
+      |  SELECT o_orderpriority,
+      |    MAX(CASE WHEN NOT p2 THEN w END) AS w1,
+      |    MAX(CASE WHEN p2 THEN w END) AS w2,
+      |    MAX(CASE WHEN NOT p2 THEN r END) AS r1,
+      |    MAX(CASE WHEN p2 THEN r END) AS r2
+      |  FROM wr GROUP BY o_orderpriority
+      |), eff AS (
+      |  SELECT o_orderpriority, w1, w2, r1, r2,
+      |    w1 * (r2 - r1) AS rate_e,
+      |    (w2 - w1) * r1 AS mix_e,
+      |    (w2 - w1) * (r2 - r1) AS inter_e
+      |  FROM seg
+      |)
+      |SELECT o_orderpriority,
+      |  round(w1, 6) AS w1, round(w2, 6) AS w2,
+      |  round(r1, 6) AS r1, round(r2, 6) AS r2,
+      |  round(rate_e, 6) AS rate_effect,
+      |  round(mix_e, 6) AS mix_effect,
+      |  round(inter_e, 6) AS interaction,
+      |  round(CAST(SUM(CAST(round(rate_e, 12) AS DECIMAL(38,12)))
+      |    OVER () AS DOUBLE), 6) AS total_rate_effect,
+      |  round(CAST(SUM(CAST(round(mix_e, 12) AS DECIMAL(38,12)))
+      |    OVER () AS DOUBLE), 6) AS total_mix_effect,
+      |  round(CAST(SUM(CAST(round(inter_e, 12) AS DECIMAL(38,12)))
+      |    OVER () AS DOUBLE), 6) AS total_interaction,
+      |  round(CAST(SUM(CAST(round(rate_e, 12) AS DECIMAL(38,12)))
+      |    OVER () AS DOUBLE)
+      |    + CAST(SUM(CAST(round(mix_e, 12) AS DECIMAL(38,12)))
+      |      OVER () AS DOUBLE)
+      |    + CAST(SUM(CAST(round(inter_e, 12) AS DECIMAL(38,12)))
+      |      OVER () AS DOUBLE), 6) AS delta_total
+      |FROM eff
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -4326,6 +4433,7 @@ object EventQueries {
     "qe_shapley" -> (qeShapley _),
     "qe_croston" -> (qeCroston _),
     "qe_lateness" -> (qeLateness _),
+    "qe_mix_decomposition" -> (qeMixDecomposition _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4393,6 +4501,7 @@ object EventQueries {
     "qe_shapley" -> qeShapleySql,
     "qe_croston" -> qeCrostonSql,
     "qe_lateness" -> qeLatenessSql,
+    "qe_mix_decomposition" -> qeMixDecompositionSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

@@ -75,6 +75,11 @@ object PlanAudit {
       // a broadcast ONE-ROW corpus-token-total aggregate (scalar-
       // subquery pattern, same as qt_keywords).
       "qd_cluster_labels",
+      // qd_consistent_hash: generated shard×replica ring frames (≤ 320
+      // rows) cross-joined among themselves and broadcast against the
+      // per-doc hash frame under the non-equi successor predicate —
+      // every non-doc side bounded by shards×32 at any data scale.
+      "qd_consistent_hash",
       // qe_mix_decomposition: crosses the fact table with a broadcast
       // ONE-ROW calendar-midpoint aggregate (scalar-subquery pattern,
       // same as qe_did/qe_decay).

@@ -518,6 +518,97 @@ object DedupQueries {
       |FROM w
       |ORDER BY bands""".stripMargin
 
+  /** §2.39d — consistent-hash resharding report: documents assign to
+    * shards via a virtual-node hash ring (32 md5 points per shard),
+    * and the report measures what fraction MOVES when the fleet grows
+    * 8 → 10 shards — against the naive `hash mod N` assignment, which
+    * reshuffles ~(1 − 1/N) of everything. This is the design readout
+    * behind incremental re-sharding / re-bucketing of a 100 TB corpus:
+    * the ring moves ≈ 2/10 of keys (only what lands on the new
+    * shards), so re-layout cost is proportional to the DELTA, not the
+    * corpus. The ring is a generated ≤ shards×32-row frame joined
+    * broadcast against per-doc hashes (successor = min ring point ≥
+    * h, wrapping to the global min; position ties resolve to the
+    * lowest shard — all portable md5 arithmetic, no engine hash). */
+  def qdConsistentHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    val V = 32
+    def ring(shards: Int): DataFrame =
+      spark.range(0, shards.toLong).select(col("id").as("s"))
+        .crossJoin(spark.range(0, V.toLong).select(col("id").as("v")))
+        .select(col("s"),
+          md5Hash32(concat_ws("_", lit("node"), col("s"), col("v")))
+            .as("pos"))
+    def assign(docs: DataFrame, shards: Int, outCol: String): DataFrame = {
+      val r = ring(shards)
+      val target = docs.crossJoin(broadcast(r))
+        .groupBy("doc_id", "h")
+        .agg(min(when(col("pos") >= col("h"), col("pos"))).as("__ge"),
+          min(col("pos")).as("__lo"))
+        .withColumn("__t", coalesce(col("__ge"), col("__lo")))
+      target.join(broadcast(r), col("__t") === col("pos"))
+        .groupBy("doc_id", "h")
+        .agg(min(col("s")).as(outCol))
+    }
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5Hash32(concat_ws(":", lit("ring"), col("doc_id"))).as("h"))
+    val a8 = assign(docs, 8, "shard8")
+    val a10 = assign(docs, 10, "shard10")
+    a8.join(a10, Seq("doc_id", "h"))
+      .groupBy("shard8")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard8") =!= col("shard10"), 1L).otherwise(0L))
+          .as("ring_moved"),
+        sum(when(col("h") % 8 =!= col("h") % 10, 1L).otherwise(0L))
+          .as("naive_moved"))
+      .withColumn("ring_moved_share",
+        round(col("ring_moved").cast("double") / col("n_docs"), 6))
+      .withColumn("naive_moved_share",
+        round(col("naive_moved").cast("double") / col("n_docs"), 6))
+      .orderBy("shard8")
+  }
+
+  val qdConsistentHashSql: String = {
+    def ringSql(shards: Int, name: String): String =
+      s"""$name AS (
+         |  SELECT s, ('0x' || substr(md5('node_' || s || '_' || v), 1, 8))
+         |    ::BIGINT AS pos
+         |  FROM range(0, $shards) t1(s), range(0, 32) t2(v)
+         |)""".stripMargin
+    def assignSql(ringName: String, outName: String, outCol: String): String =
+      s"""${outName}_t AS (
+         |  SELECT d.doc_id, d.h,
+         |    COALESCE(MIN(CASE WHEN r.pos >= d.h THEN r.pos END),
+         |      MIN(r.pos)) AS t
+         |  FROM docs d CROSS JOIN $ringName r
+         |  GROUP BY d.doc_id, d.h
+         |), $outName AS (
+         |  SELECT x.doc_id, x.h, MIN(r.s) AS $outCol
+         |  FROM ${outName}_t x JOIN $ringName r ON r.pos = x.t
+         |  GROUP BY x.doc_id, x.h
+         |)""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('ring:' || doc_id), 1, 8))::BIGINT AS h
+       |  FROM documents
+       |), ${ringSql(8, "r8")}, ${ringSql(10, "r10")},
+       |${assignSql("r8", "a8", "shard8")},
+       |${assignSql("r10", "a10", "shard10")}
+       |SELECT a8.shard8, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN a8.shard8 <> a10.shard10 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ring_moved,
+       |  CAST(SUM(CASE WHEN a8.h % 8 <> a8.h % 10 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS naive_moved,
+       |  round(CAST(SUM(CASE WHEN a8.shard8 <> a10.shard10 THEN 1 ELSE 0
+       |    END) AS DOUBLE) / COUNT(*), 6) AS ring_moved_share,
+       |  round(CAST(SUM(CASE WHEN a8.h % 8 <> a8.h % 10 THEN 1 ELSE 0
+       |    END) AS DOUBLE) / COUNT(*), 6) AS naive_moved_share
+       |FROM a8 JOIN a10 ON a8.doc_id = a10.doc_id
+       |GROUP BY a8.shard8
+       |ORDER BY a8.shard8""".stripMargin
+  }
+
   /** §2.24g — blocked sorted-neighborhood near-dup pass
     * ([[Dedup.sortedNeighborPairs]]): records sort inside their 6-char
     * text-prefix block, every pair within rank distance ≤ 5 is a
@@ -1806,6 +1897,7 @@ object DedupQueries {
     "qd_norm_levels" -> (qdNormLevels _),
     "qd_cluster_labels" -> (qdClusterLabels _),
     "qd_lsh_design" -> (qdLshDesign _),
+    "qd_consistent_hash" -> (qdConsistentHash _),
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
     "qd_simhash" -> (qdSimhash _),
@@ -1843,6 +1935,7 @@ object DedupQueries {
     "qd_norm_levels" -> qdNormLevelsSql,
     "qd_cluster_labels" -> qdClusterLabelsSql,
     "qd_lsh_design" -> qdLshDesignSql,
+    "qd_consistent_hash" -> qdConsistentHashSql,
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,
     "qd_simhash" -> qdSimhashSql,

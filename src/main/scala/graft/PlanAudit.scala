@@ -75,6 +75,14 @@ object PlanAudit {
       // a broadcast ONE-ROW corpus-token-total aggregate (scalar-
       // subquery pattern, same as qt_keywords).
       "qd_cluster_labels",
+      // qd_lsh_design: the 5-row config frame crossed with the 201-row
+      // generated integration grid — both sides constant-bounded
+      // (designs × grid points), no data scan at all.
+      "qd_lsh_design",
+      // qe_croston: the calendar×priority grid crossed with a broadcast
+      // ONE-ROW cutoff-date aggregate (scalar-subquery pattern, same
+      // as qe_holt/qe_decay).
+      "qe_croston",
       // qd_consistent_hash: generated shard×replica ring frames (≤ 320
       // rows) cross-joined among themselves and broadcast against the
       // per-doc hash frame under the non-equi successor predicate —

@@ -2839,6 +2839,149 @@ object EventQueries {
       |FROM eff
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** §2.33bp — log-rank test between the md5-split arms' time-to-
+    * conversion curves (the principled A/B readout for TIME-TO-EVENT
+    * outcomes, where a means t-test is wrong twice: censoring biases
+    * the mean, and speed differences can hide behind equal totals).
+    * Same 48 h lifetable construction as [[qeSurvival]], per arm; at
+    * each hour with deaths the hypergeometric expectation
+    * E₁ = d·n₁/n and variance d·(n₁/n)(1−n₁/n)(n−d)/(n−1) accumulate
+    * into the replicated z statistic Σ(d₁−E₁)/√ΣV — all per-hour
+    * inputs are exact longs, the two running sums are
+    * DECIMAL(38,12)-quantized, and every window runs over the
+    * ≤ horizon+1-row merged lifetable. With a null md5 split the
+    * statistic calibrates near zero (the same null-calibration
+    * discipline as qe_did). */
+  def qeLogrank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val events = Tables.load(spark, dir, "events")
+    val horizon = 48L
+    val perUser = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("__f"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("__p"))
+      .withColumn("__arm",
+        (md5Bucket("logrank", col("user_id"), 100) < 50).cast("int"))
+      .withColumn("__th", expr("(__p - __f) div 3600000000"))
+      .select(col("__arm"),
+        when(col("__p").isNotNull && col("__th") < horizon, col("__th"))
+          .otherwise(lit(horizon)).as("t_hours"),
+        (col("__p").isNotNull && col("__th") < horizon).as("__death"))
+    val lifetable = perUser.groupBy("t_hours", "__arm")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__death"), 1L).otherwise(0L)).as("__d"))
+    val atRisk = Window.partitionBy("__arm")
+      .orderBy(col("t_hours").desc)
+    val merged = lifetable
+      .withColumn("__risk", sum("__n").over(atRisk))
+      .groupBy("t_hours")
+      .agg(sum(when(col("__arm") === 1, col("__risk"))).as("n1"),
+        sum(when(col("__arm") === 0, col("__risk"))).as("n2"),
+        sum(when(col("__arm") === 1, col("__d"))).as("d1"),
+        sum(when(col("__arm") === 0, col("__d"))).as("d2"))
+      .select(col("t_hours"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("d1"), lit(0L)).as("d1"),
+        coalesce(col("d2"), lit(0L)).as("d2"))
+    // An arm absent at hour t is still at risk with the count it
+    // carries at its NEXT present hour (risk sets are suffix sums) —
+    // fill by a backward-looking max over the ordered frame.
+    val fwd = Window.orderBy(col("t_hours").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = merged
+      .withColumn("n1", max("n1").over(fwd))
+      .withColumn("n2", max("n2").over(fwd))
+      .where(col("d1") + col("d2") > 0)
+    val n = col("n1") + col("n2")
+    val d = col("d1") + col("d2")
+    val p1 = col("n1").cast("double") / n.cast("double")
+    val e1 = d.cast("double") * p1
+    val v = when(n > 1,
+      d.cast("double") * p1 * (lit(1.0) - p1) *
+        (n - d).cast("double") / (n - 1).cast("double"))
+      .otherwise(lit(0.0))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sumOE = sum(round(col("d1").cast("double") - e1, 12)
+      .cast("decimal(38,12)")).over(all).cast("double")
+    val sumV = sum(round(v, 12).cast("decimal(38,12)")).over(all)
+      .cast("double")
+    filled
+      .select(col("t_hours"), col("n1"), col("n2"), col("d1"), col("d2"),
+        round(e1, 6).as("e1"), round(v, 6).as("var_t"),
+        round(sumOE, 6).as("sum_o_minus_e"),
+        round(when(sumV > 0, sumOE / sqrt(sumV)), 6).as("z"),
+        round(when(sumV > 0, sumOE * sumOE / sumV), 6).as("chi2"))
+      .orderBy("t_hours")
+  }
+
+  val qeLogrankSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS fus,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS pus
+      |  FROM events GROUP BY user_id
+      |), per_user AS (
+      |  SELECT
+      |    CASE WHEN ('0x' || substr(md5('logrank:' || user_id), 1, 8))
+      |      ::BIGINT % 100 < 50 THEN 1 ELSE 0 END AS arm,
+      |    CASE WHEN pus IS NOT NULL AND (pus - fus) // 3600000000 < 48
+      |         THEN (pus - fus) // 3600000000 ELSE 48 END AS t_hours,
+      |    (pus IS NOT NULL AND (pus - fus) // 3600000000 < 48) AS death
+      |  FROM f
+      |), lifetable AS (
+      |  SELECT t_hours, arm, COUNT(*) AS n,
+      |    SUM(CASE WHEN death THEN 1 ELSE 0 END) AS d
+      |  FROM per_user GROUP BY 1, 2
+      |), risk AS (
+      |  SELECT t_hours, arm, d,
+      |    SUM(n) OVER (PARTITION BY arm ORDER BY t_hours DESC) AS r
+      |  FROM lifetable
+      |), merged AS (
+      |  SELECT t_hours,
+      |    COALESCE(SUM(CASE WHEN arm = 1 THEN r END), 0) AS n1,
+      |    COALESCE(SUM(CASE WHEN arm = 0 THEN r END), 0) AS n2,
+      |    COALESCE(SUM(CASE WHEN arm = 1 THEN d END), 0) AS d1,
+      |    COALESCE(SUM(CASE WHEN arm = 0 THEN d END), 0) AS d2
+      |  FROM risk GROUP BY t_hours
+      |), filled AS (
+      |  SELECT t_hours,
+      |    MAX(n1) OVER (ORDER BY t_hours DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+      |    MAX(n2) OVER (ORDER BY t_hours DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2,
+      |    d1, d2
+      |  FROM merged
+      |), terms AS (
+      |  SELECT t_hours, n1, n2, d1, d2,
+      |    CAST(d1 + d2 AS DOUBLE)
+      |      * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) AS e1,
+      |    CASE WHEN n1 + n2 > 1 THEN
+      |      CAST(d1 + d2 AS DOUBLE)
+      |        * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |        * (1.0e0 - CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |        * CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+      |        / CAST(n1 + n2 - 1 AS DOUBLE)
+      |      ELSE 0.0e0 END AS v
+      |  FROM filled WHERE d1 + d2 > 0
+      |), sums AS (
+      |  SELECT t_hours, n1, n2, d1, d2, e1, v,
+      |    CAST(SUM(CAST(round(CAST(d1 AS DOUBLE) - e1, 12)
+      |      AS DECIMAL(38,12))) OVER () AS DOUBLE) AS soe,
+      |    CAST(SUM(CAST(round(v, 12) AS DECIMAL(38,12))) OVER ()
+      |      AS DOUBLE) AS sv
+      |  FROM terms
+      |)
+      |SELECT t_hours, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+      |  round(e1, 6) AS e1, round(v, 6) AS var_t,
+      |  round(soe, 6) AS sum_o_minus_e,
+      |  round(CASE WHEN sv > 0 THEN soe / sqrt(sv) END, 6) AS z,
+      |  round(CASE WHEN sv > 0 THEN soe * soe / sv END, 6) AS chi2
+      |FROM sums
+      |ORDER BY t_hours""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -4434,6 +4577,7 @@ object EventQueries {
     "qe_croston" -> (qeCroston _),
     "qe_lateness" -> (qeLateness _),
     "qe_mix_decomposition" -> (qeMixDecomposition _),
+    "qe_logrank" -> (qeLogrank _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4502,6 +4646,7 @@ object EventQueries {
     "qe_croston" -> qeCrostonSql,
     "qe_lateness" -> qeLatenessSql,
     "qe_mix_decomposition" -> qeMixDecompositionSql,
+    "qe_logrank" -> qeLogrankSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

@@ -2982,6 +2982,88 @@ object EventQueries {
       |FROM sums
       |ORDER BY t_hours""".stripMargin
 
+  /** §2.33bq — one-way ANOVA across order-priority segments: does mean
+    * order value differ ANYWHERE among the k groups, in one F test —
+    * the k-group generalization the pairwise t-test family (33q)
+    * can't answer without k² comparisons and a multiplicity problem.
+    * Per group n and mean, with the replicated F statistic, both
+    * degrees of freedom, and η² (SSB/SST — the effect-size read the
+    * F number alone hides). Moment discipline as qe_ab_ttest: values
+    * aggregate as exact DECIMAL sums (Σx as DECIMAL(38,4), Σx² as
+    * DECIMAL(38,8) — one combinable pass), doubles appear only in
+    * the final closed-form moments; the 5-term between-group sum is
+    * DECIMAL-quantized. Everything after the one groupBy runs on the
+    * k-row frame. */
+  def qeAnova(spark: SparkSession, dir: String): DataFrame = {
+    val xd = col("o_totalprice").cast("decimal(18,4)")
+    val g = Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("s1"),
+        sum(xd * xd).as("s2"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s1d = col("s1").cast("double")
+    val term = round(s1d * s1d / col("n").cast("double"), 6)
+      .cast("decimal(38,12)")
+    val enriched = g
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("__N", sum("n").over(all))
+      .withColumn("__S1", sum("s1").over(all).cast("double"))
+      .withColumn("__S2", sum("s2").over(all).cast("double"))
+      .withColumn("__sb", sum(term).over(all).cast("double"))
+    val ssb = col("__sb") -
+      col("__S1") * col("__S1") / col("__N").cast("double")
+    val ssw = col("__S2") - col("__sb")
+    val dfb = (col("__k") - 1).cast("double")
+    val dfw = (col("__N") - col("__k")).cast("double")
+    val f = (ssb / dfb) / (ssw / dfw)
+    enriched.select(col("o_orderpriority"), col("n"),
+      round(s1d / col("n").cast("double"), 6).as("mean_value"),
+      round(f, 6).as("f_stat"),
+      col("__k").cast("bigint").minus(1).as("df_between"),
+      (col("__N") - col("__k")).cast("bigint").as("df_within"),
+      round(ssb / (ssb + ssw), 6).as("eta_sq"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qeAnovaSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s1,
+      |    -- (19,4) forces HUGEINT storage: DuckDB's int64 DECIMAL(18)
+      |    -- multiply overflows on these magnitudes; the product is
+      |    -- exact either way, so the Spark side can stay at (18,4).
+      |    SUM(CAST(o_totalprice AS DECIMAL(19,4))
+      |      * CAST(o_totalprice AS DECIMAL(19,4))) AS s2
+      |  FROM orders GROUP BY o_orderpriority
+      |), e AS (
+      |  SELECT o_orderpriority, n,
+      |    CAST(s1 AS DOUBLE) AS s1d,
+      |    COUNT(*) OVER () AS k,
+      |    SUM(n) OVER () AS nn,
+      |    CAST(SUM(s1) OVER () AS DOUBLE) AS gs1,
+      |    CAST(SUM(s2) OVER () AS DOUBLE) AS gs2,
+      |    CAST(SUM(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12))) OVER ()
+      |      AS DOUBLE) AS sb
+      |  FROM g
+      |), m AS (
+      |  SELECT o_orderpriority, n, s1d, k, nn, sb,
+      |    sb - gs1 * gs1 / CAST(nn AS DOUBLE) AS ssb,
+      |    gs2 - sb AS ssw
+      |  FROM e
+      |)
+      |SELECT o_orderpriority, n,
+      |  round(s1d / CAST(n AS DOUBLE), 6) AS mean_value,
+      |  round((ssb / CAST(k - 1 AS DOUBLE))
+      |    / (ssw / CAST(nn - k AS DOUBLE)), 6) AS f_stat,
+      |  CAST(k - 1 AS BIGINT) AS df_between,
+      |  CAST(nn - k AS BIGINT) AS df_within,
+      |  round(ssb / (ssb + ssw), 6) AS eta_sq
+      |FROM m
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -4578,6 +4660,7 @@ object EventQueries {
     "qe_lateness" -> (qeLateness _),
     "qe_mix_decomposition" -> (qeMixDecomposition _),
     "qe_logrank" -> (qeLogrank _),
+    "qe_anova" -> (qeAnova _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4647,6 +4730,7 @@ object EventQueries {
     "qe_lateness" -> qeLatenessSql,
     "qe_mix_decomposition" -> qeMixDecompositionSql,
     "qe_logrank" -> qeLogrankSql,
+    "qe_anova" -> qeAnovaSql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

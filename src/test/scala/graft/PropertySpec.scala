@@ -378,6 +378,17 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("qeShapley satisfies the efficiency axiom: sum of phi = v(full) - v(empty)") {
+    val out = graft.queries.EventQueries
+      .qeShapley(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 4)
+    val sumPhi = out.map(_.getAs[Double]("shapley")).sum
+    val gap = out.head.getAs[Double]("efficiency_gap")
+    // Each phi is independently rounded to 6 dp, so the axiom holds to
+    // the accumulated rounding tolerance, not exactly.
+    assert(math.abs(sumPhi - gap) < 4e-6, s"sumPhi=$sumPhi gap=$gap")
+  }
+
   test("substringRuns equals diagonal-walk brute force on planted overlaps") {
     val rnd = new Random(1234)
     val s = spark

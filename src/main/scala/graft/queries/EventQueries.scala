@@ -3064,6 +3064,79 @@ object EventQueries {
       |FROM m
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** §2.33br — log-log price elasticity of demand per brand: the OLS
+    * slope of ln(quantity) on ln(unit price) across line items — the
+    * textbook demand-curve readout (slope ≈ −1 = unit-elastic;
+    * magnitudes > 1 = revenue lost by raising price), with r² saying
+    * whether the brand's demand curve is real or noise. One key join
+    * to the part dimension for the brand label, then ONE combinable
+    * aggregation per brand over DECIMAL(38,12)-quantized ln-term
+    * sums (the float-accumulation discipline every ln-based operator
+    * here follows); the closed-form slope/r² run on the |brands|-row
+    * frame. Degenerate brands (no price variance) report NULL via
+    * the guarded division. */
+  def qeElasticity(spark: SparkSession, dir: String): DataFrame = {
+    def q(c: Column): Column = round(c, 12).cast("decimal(38,12)")
+    val x = log(col("l_extendedprice") / col("l_quantity"))
+    val y = log(col("l_quantity"))
+    val g = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), q(x).as("qx"), q(y).as("qy"),
+        q(x * x).as("qxx"), q(y * y).as("qyy"), q(x * y).as("qxy"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum("qx").cast("double").as("sx"),
+        sum("qy").cast("double").as("sy"),
+        sum("qxx").cast("double").as("sxx"),
+        sum("qyy").cast("double").as("syy"),
+        sum("qxy").cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy") - col("sx") * col("sy")
+    val vx = nd * col("sxx") - col("sx") * col("sx")
+    val vy = nd * col("syy") - col("sy") * col("sy")
+    g.select(col("p_brand"), col("n"),
+      round(when(vx > 0, cov / vx), 6).as("elasticity"),
+      round(when(vx > 0 && vy > 0, cov * cov / (vx * vy)), 6).as("r_sq"))
+      .orderBy("p_brand")
+  }
+
+  val qeElasticitySql: String =
+    """WITH t AS (
+      |  SELECT p.p_brand,
+      |    CAST(round(ln(l.l_extendedprice / l.l_quantity), 12)
+      |      AS DECIMAL(38,12)) AS qx,
+      |    CAST(round(ln(l.l_quantity), 12) AS DECIMAL(38,12)) AS qy,
+      |    CAST(round(ln(l.l_extendedprice / l.l_quantity)
+      |      * ln(l.l_extendedprice / l.l_quantity), 12)
+      |      AS DECIMAL(38,12)) AS qxx,
+      |    CAST(round(ln(l.l_quantity) * ln(l.l_quantity), 12)
+      |      AS DECIMAL(38,12)) AS qyy,
+      |    CAST(round(ln(l.l_extendedprice / l.l_quantity)
+      |      * ln(l.l_quantity), 12) AS DECIMAL(38,12)) AS qxy
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |), g AS (
+      |  SELECT p_brand, COUNT(*) AS n,
+      |    CAST(SUM(qx) AS DOUBLE) AS sx, CAST(SUM(qy) AS DOUBLE) AS sy,
+      |    CAST(SUM(qxx) AS DOUBLE) AS sxx,
+      |    CAST(SUM(qyy) AS DOUBLE) AS syy,
+      |    CAST(SUM(qxy) AS DOUBLE) AS sxy
+      |  FROM t GROUP BY p_brand
+      |), m AS (
+      |  SELECT p_brand, n,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS vy
+      |  FROM g
+      |)
+      |SELECT p_brand, n,
+      |  round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS elasticity,
+      |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END,
+      |    6) AS r_sq
+      |FROM m
+      |ORDER BY p_brand""".stripMargin
+
   /** §2.33p — heavy-hitter event types via the mergeable Misra–Gries
     * sketch ([[graft.operators.HeavyHitters]]): bounded O(capacity)
     * state per partial combine instead of groupBy-count's
@@ -4661,6 +4734,7 @@ object EventQueries {
     "qe_mix_decomposition" -> (qeMixDecomposition _),
     "qe_logrank" -> (qeLogrank _),
     "qe_anova" -> (qeAnova _),
+    "qe_elasticity" -> (qeElasticity _),
     "qe_stickiness" -> (qeStickiness _),
     "qe_retention" -> (qeRetention _),
     "qe_paths" -> (qePaths _),
@@ -4731,6 +4805,7 @@ object EventQueries {
     "qe_mix_decomposition" -> qeMixDecompositionSql,
     "qe_logrank" -> qeLogrankSql,
     "qe_anova" -> qeAnovaSql,
+    "qe_elasticity" -> qeElasticitySql,
     "qe_stickiness" -> qeStickinessSql,
     "qe_retention" -> qeRetentionSql,
     "qe_paths" -> qePathsSql,

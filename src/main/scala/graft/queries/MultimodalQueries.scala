@@ -201,6 +201,74 @@ object MultimodalQueries {
        |      bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.35g — BANDED perceptual-hash candidate pairs (the 100 TB path
+    * for 35d, which verifies an all-pairs grid within media type):
+    * the 64-bit dHash splits into four 16-bit bands; docs sharing ANY
+    * band value bucket together, and only bucket-mates pay the
+    * hamming verification — the same banding geometry as MinHash-LSH,
+    * moved to Hamming space. Pigeonhole guarantee: ≤ 3 differing bits
+    * cannot hit all four bands, so every hamming≤3 pair is RECALLED
+    * with certainty, and near misses (4–16) are caught whenever a
+    * band survives — the right trade for perceptual dedup where true
+    * dups differ in a few gradient bits. Work is Σ buckets C(size,2),
+    * never C(n,2); shuffles are band-key then pair-key. Output schema
+    * matches 35d (id_a, id_b, hamming ≤ 16), so the downstream
+    * cluster/savings operators compose unchanged. */
+  def qmPhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.dhash64(
+      Multimodal.asMedia(Tables.load(spark, dir, "documents"))).toDF()
+    val banded = h.select(col("media_type"), col("doc_id"),
+      col("dhash_lo"), col("dhash_hi"),
+      explode(array(
+        struct(lit(0).as("b"),
+          col("dhash_lo").bitwiseAND(lit(65535L)).as("v")),
+        struct(lit(1).as("b"),
+          shiftright(col("dhash_lo"), 16).bitwiseAND(lit(65535L)).as("v")),
+        struct(lit(2).as("b"),
+          col("dhash_hi").bitwiseAND(lit(65535L)).as("v")),
+        struct(lit(3).as("b"),
+          shiftright(col("dhash_hi"), 16).bitwiseAND(lit(65535L)).as("v"))))
+        .as("band"))
+      .select(col("media_type"), col("doc_id"), col("dhash_lo"),
+        col("dhash_hi"), col("band.b").as("b"), col("band.v").as("v"))
+    val a = banded.select(col("media_type"), col("b"), col("v"),
+      col("doc_id").as("id_a"), col("dhash_lo").as("__lo_a"),
+      col("dhash_hi").as("__hi_a"))
+    val bb = banded.select(col("media_type"), col("b"), col("v"),
+      col("doc_id").as("id_b"), col("dhash_lo").as("__lo_b"),
+      col("dhash_hi").as("__hi_b"))
+    a.join(bb, Seq("media_type", "b", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__lo_a").bitwiseXOR(col("__lo_b"))) +
+          bit_count(col("__hi_a").bitwiseXOR(col("__hi_b"))))
+          .cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qmPhashBandedSql: String =
+    s"""WITH $phashCtes,
+       |banded AS (
+       |  SELECT doc_id, source, dhash_lo, dhash_hi, b,
+       |    CASE b WHEN 0 THEN dhash_lo & 65535
+       |           WHEN 1 THEN (dhash_lo >> 16) & 65535
+       |           WHEN 2 THEN dhash_hi & 65535
+       |           ELSE (dhash_hi >> 16) & 65535 END AS v
+       |  FROM h, (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL SELECT 2
+       |    UNION ALL SELECT 3) bands
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash_lo, b2.dhash_lo)) +
+       |       bit_count(xor(a.dhash_hi, b2.dhash_hi)) AS INT) AS hamming
+       |FROM banded a
+       |JOIN banded b2 ON a.source = b2.source AND a.b = b2.b
+       |  AND a.v = b2.v AND a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.dhash_lo, b2.dhash_lo)) +
+       |      bit_count(xor(a.dhash_hi, b2.dhash_hi)) <= 16
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** §2.35f — perceptual-hash near-dup CLUSTERS with storage savings:
     * connected components over the hamming≤16 dHash pair graph
     * (same edge set as 35d), reported per cluster — member count,
@@ -313,6 +381,7 @@ object MultimodalQueries {
     "qm_dedup_savings" -> (qmDedupSavings _),
     "qm_phash_pairs" -> (qmPhashPairs _),
     "qm_phash_clusters" -> (qmPhashClusters _),
+    "qm_phash_banded" -> (qmPhashBanded _),
     "qm_binary_features" -> (qmBinaryFeatures _),
     "qm_frames" -> (qmFrames _),
     "qm_chunks" -> (qmChunks _),
@@ -322,6 +391,7 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "qm_phash_pairs" -> qmPhashPairsSql,
     "qm_phash_clusters" -> qmPhashClustersSql,
+    "qm_phash_banded" -> qmPhashBandedSql,
     "qm_dedup_savings" -> qmDedupSavingsSql,
     "qm_binary_features" -> qmBinaryFeaturesSql,
     "qm_frames" -> qmFramesSql,

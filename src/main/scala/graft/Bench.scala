@@ -23,7 +23,16 @@ object Bench {
     // neighbor's noise.
     val iterations = 2
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name filter (comma-separated, exact names): isolate one
+    // query's steady-state time from whole-suite JVM effects (codegen
+    // cache pressure, GC inheritance) when bisecting a bench outlier.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timedRun(): (Boolean, Double) = {
         val t0 = System.nanoTime()
         val ok =
@@ -78,7 +87,10 @@ object Bench {
         .mkString("{", ",", "}")
     val failedJson = failed.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    // A filtered run is a diagnostic, never the round's record: keep it
+    // away from the committed snapshot + history files.
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/BENCH_FILTERED.json" else "BENCH_QUERIES.json")
     val fullLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"iterations":$iterations,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), fullLine + "\n")
@@ -86,12 +98,14 @@ object Bench {
     // BENCH_QUERIES.json is overwritten every round; the history file
     // accumulates one timestamped line per run so per-round full maps
     // stay diffable after the snapshot artifact truncates to 40 entries.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-      s"""{"at":"${java.time.Instant.now()}",""" + fullLine.drop(1) + "\n",
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    catch { case e: Exception => System.err.println(s"[bench] history: $e") }
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        s"""{"at":"${java.time.Instant.now()}",""" + fullLine.drop(1) + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Exception => System.err.println(s"[bench] history: $e") }
+    }
     // Fill the stdout line with slowest-first entries up to a fixed
     // budget: the envelope (metric/failed/counts/pointer) costs ~250
     // chars, the capture window is 2000, and a safety margin absorbs

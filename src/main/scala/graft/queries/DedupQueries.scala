@@ -1674,16 +1674,26 @@ object DedupQueries {
     * chunk-store would save. */
   def qdCdcChunks(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.{md5Hash32, tokens}
+    // STAGED projections, deliberately: inlining `edges` into the
+    // per-chunk transform would copy the md5-boundary scan (O(tokens))
+    // into every chunk-index lambda — O(tokens²) per doc whenever
+    // codegen subexpression elimination doesn't rescue it (measured:
+    // the same plan swung 2.4 s ↔ 11.8 s at sf0.1 with the JIT
+    // lottery). A multi-referenced non-cheap alias blocks
+    // CollapseProject, so `__edges` is computed exactly once per row.
     val toks = tokens(col("text"))
-    val n = size(toks)
-    val bpos = filter(sequence(lit(1), n),
-      i => md5Hash32(element_at(toks, i)) % 8 === 0)
-    val edges = array_distinct(concat(array(lit(0)), bpos, array(n)))
-    val chunks = transform(sequence(lit(1), size(edges) - 1),
+    val bpos = filter(sequence(lit(1), size(col("__toks"))),
+      i => md5Hash32(element_at(col("__toks"), i)) % 8 === 0)
+    val edges = array_distinct(concat(array(lit(0)), bpos,
+      array(size(col("__toks")))))
+    val chunks = transform(sequence(lit(1), size(col("__edges")) - 1),
       j => array_join(
-        slice(toks, element_at(edges, j) + 1,
-          element_at(edges, j + 1) - element_at(edges, j)), " "))
+        slice(col("__toks"), element_at(col("__edges"), j) + 1,
+          element_at(col("__edges"), j + 1) -
+            element_at(col("__edges"), j)), " "))
     val perChunk = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), toks.as("__toks"))
+      .withColumn("__edges", edges)
       .select(col("source"), col("doc_id"), explode(chunks).as("chunk"))
       .select(col("source"), md5(col("chunk")).as("chunk_hash"),
         size(split(col("chunk"), " ")).as("tlen"))

@@ -1132,12 +1132,18 @@ object Dedup {
       n: Int, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ts = tokens(col(textCol))
+    // Token array staged as its own projection: referencing the split()
+    // tree inside the per-index lambda would re-tokenize per position —
+    // O(len²) chars per doc (the qd_cdc_chunks lesson; a multi-ref
+    // non-cheap alias blocks CollapseProject, so __ts evaluates once).
     val grams = df
       .where(size(ts) >= n)
-      .select(col(idCol).as("__id"),
-        explode(transform(sequence(lit(1), size(ts) - (n - 1)),
+      .select(col(idCol).as("__id"), ts.as("__ts"))
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), size(col("__ts")) - (n - 1)),
           i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(ts, i, lit(n)))).as("g")))).as("__pg"))
+            md5(concat_ws(" ", slice(col("__ts"), i, lit(n)))).as("g"))))
+          .as("__pg"))
       .select(col("__id"), col("__pg.pos").as("pos"), col("__pg.g").as("g"))
     // Document-frequency gate: left_semi against the 2..maxDf gram set
     // (distinct docs, not occurrences — a gram repeated within one doc

@@ -1688,9 +1688,11 @@ object PipelineQueries {
         (size(array_distinct(toks)).cast("double") / nTok).as("__dr"))
     val inst = Tables.load(spark, dir, "documents")
       .where(size(toks) >= n)
+      .select(col("doc_id"), toks.as("__ftoks"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))).as("__sh"))
+        explode(transform(sequence(lit(1), size(col("__ftoks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("__ftoks"), i, lit(n))))))
+          .as("__sh"))
     val dfreq = inst.select("__sh", "doc_id").distinct()
       .groupBy("__sh").agg(count(lit(1)).as("__df"))
     val dup = inst.join(dfreq, Seq("__sh"))

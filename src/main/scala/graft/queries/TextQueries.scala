@@ -1077,11 +1077,15 @@ object TextQueries {
     val b = buckets
     val mx = docs.agg(max(col(idCol).cast("long")).as("mx"))
     val ts = tokens(col(textCol))
+    // __ts staged so the split() tree is not copied into the per-index
+    // lambda (once-per-row, not once-per-trigram — the cdc lesson).
     val grams = docs.crossJoin(broadcast(mx))
       .where(size(ts) >= 3)
       .select(floor(col(idCol) * b / (col("mx") + 1)).cast("int").as("b"),
-        explode(transform(sequence(lit(1), size(ts) - 2),
-          i => md5(concat_ws(" ", slice(ts, i, lit(3)))))).as("g"))
+        ts.as("__ts"))
+      .select(col("b"),
+        explode(transform(sequence(lit(1), size(col("__ts")) - 2),
+          i => md5(concat_ws(" ", slice(col("__ts"), i, lit(3)))))).as("g"))
     val tb = grams.groupBy("b").agg(count(lit(1)).as("n_tok"))
     val nb = grams.groupBy("g").agg(min(col("b")).as("fb"))
       .groupBy("fb").agg(count(lit(1)).as("n_new"))
@@ -1310,11 +1314,15 @@ object TextQueries {
   def qtDupFraction(spark: SparkSession, dir: String): DataFrame = {
     val n = 5
     val toks = tokens(col("text"))
+    // __toks staged: the split() tree must not ride into the per-index
+    // lambda (once-per-row, not once-per-shingle — the cdc lesson).
     val inst = Tables.load(spark, dir, "documents")
       .where(size(toks) >= n)
+      .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))).as("__sh"))
+        explode(transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(n))))))
+          .as("__sh"))
     val dfreq = inst.select("__sh", "doc_id").distinct()
       .groupBy("__sh").agg(count(lit(1)).as("__df"))
     inst.join(dfreq, Seq("__sh"))

@@ -1001,7 +1001,11 @@ object SimilarityQueries {
         .where(col("__rn") === 1)
         .select(col("q_id"), col("id"), col("rel"), col("score"),
           lit(r).as("sel_rank"))
-      selected = selected.unionByName(pick)
+      // Truncate per round: `selected` feeds the next round THREE ways
+      // (anti-join, max-sim join, union), so without materialization
+      // the lineage re-evaluates earlier rounds ~3^r times (measured
+      // 5.9 s at sf0.1; ≤ q·k rows, so the checkpoint is pennies).
+      selected = selected.unionByName(pick).localCheckpoint()
     }
     selected
       // round to SEVEN digits: score = 0.7·rel − 0.3·ms over 6-rounded

@@ -609,6 +609,67 @@ object DedupQueries {
        |ORDER BY a8.shard8""".stripMargin
   }
 
+  /** §2.20d — shingle duplication SPECTRUM: for k = 1..10+ the number
+    * of distinct 5-gram shingles occurring in exactly k documents,
+    * with share and cumulative share — the one-page corpus-redundancy
+    * fingerprint read BEFORE choosing dedup machinery (a spectrum
+    * hugging k=1 needs none; a fat k≥2 tail prices exact dedup; mass
+    * at k=10+ is boilerplate that wants line/winnowing removal, not
+    * doc-level dedup). Complements qt_dup_fraction (per-DOC score)
+    * with the per-SHINGLE view. Inverted-index shape: staged token
+    * array → distinct (doc, shingle) → per-shingle doc frequency →
+    * ≤11-row bucket rollup; shares divide exact longs, windows run on
+    * the bucket frame only. */
+  def qdDupSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    import org.apache.spark.sql.expressions.Window
+    val n = 5
+    val toks = tokens(col("text"))
+    val dfreq = Tables.load(spark, dir, "documents")
+      .where(size(toks) >= n)
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(n)))))))
+          .as("__sh"))
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.orderBy("df_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dfreq.groupBy(least(col("__df"), lit(10L)).as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .withColumn("share", round(col("n_shingles").cast("double") /
+        sum("n_shingles").over(all).cast("double"), 6))
+      .withColumn("cum_share", round(
+        sum("n_shingles").over(cum).cast("double") /
+          sum("n_shingles").over(all).cast("double"), 6))
+      .orderBy("df_bucket")
+  }
+
+  val qdDupSpectrumSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), inst AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |      i -> md5(array_to_string(toks[i:i+4], ' '))))) AS sh
+      |  FROM d WHERE len(toks) >= 5
+      |), dfreq AS (
+      |  SELECT sh, COUNT(*) AS df FROM inst GROUP BY sh
+      |), b AS (
+      |  SELECT least(df, 10) AS df_bucket, COUNT(*) AS n_shingles
+      |  FROM dfreq GROUP BY 1
+      |)
+      |SELECT df_bucket, n_shingles,
+      |  round(CAST(n_shingles AS DOUBLE)
+      |    / CAST(SUM(n_shingles) OVER () AS DOUBLE), 6) AS share,
+      |  round(CAST(SUM(n_shingles) OVER (ORDER BY df_bucket) AS DOUBLE)
+      |    / CAST(SUM(n_shingles) OVER () AS DOUBLE), 6) AS cum_share
+      |FROM b
+      |ORDER BY df_bucket""".stripMargin
+
   /** §2.24g — blocked sorted-neighborhood near-dup pass
     * ([[Dedup.sortedNeighborPairs]]): records sort inside their 6-char
     * text-prefix block, every pair within rank distance ≤ 5 is a
@@ -1908,6 +1969,7 @@ object DedupQueries {
     "qd_cluster_labels" -> (qdClusterLabels _),
     "qd_lsh_design" -> (qdLshDesign _),
     "qd_consistent_hash" -> (qdConsistentHash _),
+    "qd_dup_spectrum" -> (qdDupSpectrum _),
     "qd_minhash" -> (qdMinhash _),
     "qd_minhash_pairs" -> (qdMinhashPairs _),
     "qd_simhash" -> (qdSimhash _),
@@ -1946,6 +2008,7 @@ object DedupQueries {
     "qd_cluster_labels" -> qdClusterLabelsSql,
     "qd_lsh_design" -> qdLshDesignSql,
     "qd_consistent_hash" -> qdConsistentHashSql,
+    "qd_dup_spectrum" -> qdDupSpectrumSql,
     "qd_minhash" -> qdMinhashSql,
     "qd_minhash_pairs" -> qdMinhashPairsSql,
     "qd_simhash" -> qdSimhashSql,

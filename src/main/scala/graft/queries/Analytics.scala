@@ -716,7 +716,81 @@ object Analytics {
       |WHERE pm IS NULL OR n_orders > pm
       |ORDER BY c_mktsegment, total_spend DESC, c_custkey""".stripMargin
 
+  /** §2.19s — Laspeyres / Paasche / Fisher price indices per ship
+    * month (base = first month, matched-part basket): the standard
+    * bilateral index-number suite over (part, month) unit values.
+    * Unit price is SUM(extendedprice)/SUM(quantity) per part-month —
+    * both sums exact decimals whose doubles are exact, so the IEEE
+    * quotient is engine-identical. Each index term (base-or-current
+    * quantity × price) quantizes to DECIMAL(18,6) before summing —
+    * order-independent, and the per-month sum's unscaled value stays
+    * < 2^53 so the final decimal→double cast is one correctly-rounded
+    * division in both engines (the moneySum rule, scale 6 because
+    * scale-9 unscaled sums would overflow 2^53 here). Scale shape:
+    * one (month, part) aggregate off the scan, the base month is a
+    * 1-row broadcast scalar, the basket match is a part-keyed join of
+    * the slim (month, part, qty, price) frame against the base slice
+    * — never a month×month cross product; months collapse in one
+    * final aggregate. Fisher = √(L·P) on the unrounded ratios. */
+  def qPriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.load(spark, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"))
+      .agg(sum("l_extendedprice").as("__ep"), sum("l_quantity").as("__q"))
+      .select(col("month"), col("l_partkey"),
+        col("__q").cast("double").as("qty"),
+        (col("__ep").cast("double") / col("__q").cast("double"))
+          .as("price"))
+    val baseMonth = pm.agg(min("month").as("__base"))
+    val base = pm.join(broadcast(baseMonth), col("month") === col("__base"))
+      .select(col("l_partkey"), col("qty").as("__q0"),
+        col("price").as("__p0"))
+    def term(x: Column): Column = round(x, 6).cast("decimal(18,6)")
+    val lNum = col("__ln").cast("double") / col("__ld").cast("double")
+    val pNum = col("__pn").cast("double") / col("__pd").cast("double")
+    pm.join(base, "l_partkey")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(term(col("__q0") * col("price"))).as("__ln"),
+        sum(term(col("__q0") * col("__p0"))).as("__ld"),
+        sum(term(col("qty") * col("price"))).as("__pn"),
+        sum(term(col("qty") * col("__p0"))).as("__pd"))
+      .select(col("month"), col("n_parts"),
+        round(lNum, 6).as("laspeyres"),
+        round(pNum, 6).as("paasche"),
+        round(sqrt(lNum * pNum), 6).as("fisher"))
+      .orderBy("month")
+  }
+
+  val qPriceIndexSql: String =
+    """WITH pm AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+      |    CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+      |    CAST(SUM(l_extendedprice) AS DOUBLE)
+      |      / CAST(SUM(l_quantity) AS DOUBLE) AS price
+      |  FROM lineitem GROUP BY 1, 2
+      |), base AS (
+      |  SELECT l_partkey, qty AS q0, price AS p0 FROM pm
+      |  WHERE month = (SELECT MIN(month) FROM pm)
+      |), terms AS (
+      |  SELECT m.month,
+      |    CAST(round(b.q0 * m.price, 6) AS DECIMAL(18,6)) AS ln_t,
+      |    CAST(round(b.q0 * b.p0, 6) AS DECIMAL(18,6)) AS ld_t,
+      |    CAST(round(m.qty * m.price, 6) AS DECIMAL(18,6)) AS pn_t,
+      |    CAST(round(m.qty * b.p0, 6) AS DECIMAL(18,6)) AS pd_t
+      |  FROM pm m JOIN base b ON m.l_partkey = b.l_partkey
+      |), agg AS (
+      |  SELECT month, COUNT(*) AS n_parts,
+      |    CAST(SUM(ln_t) AS DOUBLE) / CAST(SUM(ld_t) AS DOUBLE) AS l,
+      |    CAST(SUM(pn_t) AS DOUBLE) / CAST(SUM(pd_t) AS DOUBLE) AS p
+      |  FROM terms GROUP BY month
+      |)
+      |SELECT month, n_parts, round(l, 6) AS laspeyres,
+      |  round(p, 6) AS paasche, round(sqrt(l * p), 6) AS fisher
+      |FROM agg ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_index" -> (qPriceIndex _),
     "q_skyline" -> (qSkyline _),
     "q_basket_lift" -> (qBasketLift _),
     "q_lateral" -> (qLateral _),
@@ -740,6 +814,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_price_index" -> qPriceIndexSql,
     "q_skyline" -> qSkylineSql,
     "q_basket_lift" -> qBasketLiftSql,
     "q_lateral" -> qLateralSql,

@@ -1198,6 +1198,82 @@ object PipelineQueries {
       |FROM capped
       |ORDER BY source""".stripMargin
 
+  /** §2.31ak — data-constrained epoch schedule (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models"): given a token
+    * budget of 2× the corpus and temperature-0.5 mixing weights
+    * (wₛ ∝ √pₛ — 31r's formula), how many EPOCHS each source must
+    * repeat to fill its share, and what those repeated tokens are
+    * worth — effective tokens D' = U + U·R*·(1 − e^(−R_D/R*)) with
+    * R* = 15.39 (repetitions decay in value; ~4 epochs ≈ fresh data,
+    * 40 epochs ≈ worthless), U = min(avail, need), R_D = excess
+    * epochs. The governance sheet for "can this mix be trained
+    * without data exhaustion". One combinable token aggregate per
+    * source; every window after runs on the ≤|sources| frame. The
+    * √p weight normalizer sums DECIMAL(18,9)-quantized terms so the
+    * denominator is order-independent; epochs/effective are IEEE
+    * arithmetic on engine-identical doubles, rounded at 6. */
+  def qpEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    val per = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+      .withColumn("__total", sum(col("avail_tokens")).over(all))
+      .withColumn("__sq",
+        sqrt(col("avail_tokens").cast("double") / col("__total")))
+      .withColumn("__z",
+        sum(round(col("__sq"), 9).cast("decimal(18,9)")).over(all)
+          .cast("double"))
+    val w = col("__sq") / col("__z")
+    val need = w * lit(2.0) * col("__total").cast("double")
+    val epochs = need / col("avail_tokens").cast("double")
+    val u = least(col("avail_tokens").cast("double"), need)
+    val rd = greatest(lit(0.0), epochs - lit(1.0))
+    val rstar = lit(15.39)
+    val eff = u + u * rstar * (lit(1.0) - exp(-rd / rstar))
+    per.select(col("source"), col("avail_tokens"),
+        round(w, 6).as("weight"),
+        round(need, 2).as("need_tokens"),
+        round(epochs, 6).as("epochs"),
+        round(eff, 2).as("effective_tokens"),
+        round(eff / need, 6).as("efficiency"))
+      .orderBy(desc("avail_tokens"), col("source"))
+  }
+
+  val qpEpochsSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY source
+      |), wts AS (
+      |  SELECT source, avail_tokens,
+      |    SUM(avail_tokens) OVER () AS total,
+      |    sqrt(CAST(avail_tokens AS DOUBLE) / SUM(avail_tokens) OVER ())
+      |      AS sq
+      |  FROM per
+      |), nrm AS (
+      |  SELECT *, CAST(SUM(CAST(round(sq, 9) AS DECIMAL(18,9))) OVER ()
+      |    AS DOUBLE) AS z
+      |  FROM wts
+      |), calc AS (
+      |  SELECT source, avail_tokens, sq / z AS w,
+      |    (sq / z) * 2e0 * CAST(total AS DOUBLE) AS need,
+      |    ((sq / z) * 2e0 * CAST(total AS DOUBLE))
+      |      / CAST(avail_tokens AS DOUBLE) AS epochs,
+      |    least(CAST(avail_tokens AS DOUBLE),
+      |      (sq / z) * 2e0 * CAST(total AS DOUBLE)) AS u
+      |  FROM nrm
+      |), eff AS (
+      |  SELECT *, u + u * 15.39e0 *
+      |    (1e0 - exp(-greatest(0e0, epochs - 1e0) / 15.39e0)) AS d_eff
+      |  FROM calc
+      |)
+      |SELECT source, avail_tokens, round(w, 6) AS weight,
+      |  round(need, 2) AS need_tokens, round(epochs, 6) AS epochs,
+      |  round(d_eff, 2) AS effective_tokens,
+      |  round(d_eff / need, 6) AS efficiency
+      |FROM eff
+      |ORDER BY avail_tokens DESC, source""".stripMargin
+
   /** §2.31x — SCD2 (slowly-changing-dimension type 2) build: the
     * versioned dimension table a warehouse derives from a mutable
     * attribute's change history. Each customer's order-priority stream
@@ -1787,6 +1863,7 @@ object PipelineQueries {
     "qp_scd2_asof" -> (qpScd2Asof _),
     "qp_weights" -> (qpWeights _),
     "qp_waterfill" -> (qpWaterfill _),
+    "qp_epochs" -> (qpEpochs _),
     "qp_reservoir" -> (qpReservoir _),
     "qp_quality_sample" -> (qpQualitySample _),
     "qp_release_diff" -> (qpReleaseDiff _),
@@ -1819,6 +1896,7 @@ object PipelineQueries {
     "qp_scd2_asof" -> qpScd2AsofSql,
     "qp_weights" -> qpWeightsSql,
     "qp_waterfill" -> qpWaterfillSql,
+    "qp_epochs" -> qpEpochsSql,
     "qp_reservoir" -> qpReservoirSql,
     "qp_quality_sample" -> qpQualitySampleSql,
     "qp_release_diff" -> qpReleaseDiffSql,

@@ -3361,6 +3361,131 @@ object EventQueries {
       |FROM s
       |ORDER BY lag""".stripMargin
 
+  /** §2.33bs — Hurst exponent of the hourly volume series by
+    * rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis
+    * 1969): long-range dependence the autocorrelogram ([[qeAutocorr]])
+    * can only hint at — H ≈ 0.5 is memoryless, H > 0.5 persistent
+    * (bursts cluster), H < 0.5 mean-reverting. The gap-filled hourly
+    * series splits into full blocks of 16/32/64 hours; per block,
+    * R = range of the mean-adjusted cumulative sum and S = population
+    * std, both derived from EXACT integer sums (running count C_k,
+    * block S1/S2) so every double is one IEEE expression over
+    * engine-identical operands — no float accumulation anywhere.
+    * Mean R/S per size sums DECIMAL(18,9)-quantized block ratios;
+    * because the three sizes are log-equispaced, the least-squares
+    * log-log slope collapses to (ln RS₆₄ − ln RS₁₆)/(2·ln 2) — no
+    * regression machinery. Scale shape: the fact table collapses to
+    * its hourly histogram FIRST (map-side combinable); the spine,
+    * size fan-out (map-side explode, ×3), and block windows all run
+    * on the ≤|hours|×3 frame, block windows partition by (size,
+    * block) — bounded rows per partition, no global sort beyond the
+    * collapsed frame's row_number (same discipline as [[qeAutocorr]]).
+    * Zero-variance blocks drop out of the mean on both engines. */
+  def qeHurst(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .groupBy("hi").agg(count(lit(1)).as("__c"))
+    val spine = counts.agg(min("hi").as("__lo"), max("hi").as("__hi2"))
+      .select(explode(sequence(col("__lo"), col("__hi2"))).as("hi"))
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hourly = spine.join(counts, Seq("hi"), "left_outer")
+      .select(col("hi"), coalesce(col("__c"), lit(0L)).as("c"))
+      .withColumn("__t", row_number().over(Window.orderBy("hi")) - 1)
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("bs", explode(array(lit(16), lit(32), lit(64))))
+      .withColumn("block", floor(col("__t") / col("bs")))
+      .where((col("block") + 1) * col("bs") <= col("__n"))
+    val wb = Window.partitionBy("bs", "block").orderBy("__t")
+    val cum = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blk = Window.partitionBy("bs", "block")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s1d = col("__s1").cast("double")
+    val z = col("__ck").cast("double") -
+      col("__k") * (s1d / col("bs"))
+    val varPop = col("__s2").cast("double") / col("bs") -
+      (s1d / col("bs")) * (s1d / col("bs"))
+    val perBlock = hourly
+      .withColumn("__k", row_number().over(wb))
+      .withColumn("__ck", sum("c").over(cum))
+      .withColumn("__s1", sum("c").over(blk))
+      .withColumn("__s2", sum(col("c") * col("c")).over(blk))
+      .select(col("bs"), col("block"), z.as("__z"), varPop.as("__v"))
+      .groupBy("bs", "block")
+      .agg((max(col("__z")) - min(col("__z"))).as("__r"),
+        max(col("__v")).as("__v"))
+      .select(col("bs"),
+        when(col("__v") > 0.0, col("__r") / sqrt(col("__v"))).as("__rs"))
+    val perSize = perBlock.groupBy("bs")
+      .agg(count(col("__rs")).as("n_blocks"),
+        (sum(round(col("__rs"), 9).cast("decimal(18,9)")).cast("double") /
+          count(col("__rs"))).as("__mean_rs"))
+    val allW = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSize
+      .withColumn("__y16",
+        max(when(col("bs") === 16, log(col("__mean_rs")))).over(allW))
+      .withColumn("__y64",
+        max(when(col("bs") === 64, log(col("__mean_rs")))).over(allW))
+      .select(col("bs").as("block_size"), col("n_blocks"),
+        round(col("__mean_rs"), 6).as("mean_rs"),
+        round((col("__y64") - col("__y16")) /
+          (lit(2.0) * log(lit(2.0))), 6).as("hurst"))
+      .orderBy("block_size")
+  }
+
+  val qeHurstSql: String =
+    """WITH counts AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1
+      |), spine AS (
+      |  SELECT unnest(range((SELECT MIN(hi) FROM counts),
+      |    (SELECT MAX(hi) FROM counts) + 1)) AS hi
+      |), hourly AS (
+      |  SELECT s.hi, COALESCE(c.c, 0) AS c,
+      |    ROW_NUMBER() OVER (ORDER BY s.hi) - 1 AS t,
+      |    COUNT(*) OVER () AS n
+      |  FROM spine s LEFT JOIN counts c USING (hi)
+      |), fanned AS (
+      |  SELECT hi, c, t, n, bs, t // bs AS block
+      |  FROM hourly, (SELECT UNNEST([16, 32, 64]) AS bs) sizes
+      |  WHERE (t // bs + 1) * bs <= n
+      |), stats AS (
+      |  SELECT bs, block,
+      |    ROW_NUMBER() OVER (PARTITION BY bs, block ORDER BY t) AS k,
+      |    SUM(c) OVER (PARTITION BY bs, block ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS ck,
+      |    SUM(c) OVER (PARTITION BY bs, block) AS s1,
+      |    SUM(c * c) OVER (PARTITION BY bs, block) AS s2
+      |  FROM fanned
+      |), zed AS (
+      |  SELECT bs, block,
+      |    CAST(ck AS DOUBLE) - k * (CAST(s1 AS DOUBLE) / bs) AS z,
+      |    CAST(s2 AS DOUBLE) / bs
+      |      - (CAST(s1 AS DOUBLE) / bs) * (CAST(s1 AS DOUBLE) / bs) AS v
+      |  FROM stats
+      |), per_block AS (
+      |  SELECT bs, CASE WHEN MAX(v) > 0e0
+      |    THEN (MAX(z) - MIN(z)) / sqrt(MAX(v)) END AS rs
+      |  FROM zed GROUP BY bs, block
+      |), per_size AS (
+      |  SELECT bs, COUNT(rs) AS n_blocks,
+      |    CAST(SUM(CAST(round(rs, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / COUNT(rs) AS mean_rs
+      |  FROM per_block GROUP BY bs
+      |), sloped AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN bs = 16 THEN ln(mean_rs) END) OVER () AS y16,
+      |    MAX(CASE WHEN bs = 64 THEN ln(mean_rs) END) OVER () AS y64
+      |  FROM per_size
+      |)
+      |SELECT bs AS block_size, n_blocks, round(mean_rs, 6) AS mean_rs,
+      |  round((y64 - y16) / (2e0 * ln(2e0)), 6) AS hurst
+      |FROM sloped
+      |ORDER BY block_size""".stripMargin
+
   /** §2.33ar — peak concurrency by distributed sweep-line: each event
     * opens a 5-minute presence interval, and the day's peak concurrent
     * count per event type is the max of the running (+1 start / −1 end)
@@ -4692,6 +4817,7 @@ object EventQueries {
     "qe_concurrency" -> (qeConcurrency _),
     "qe_gini" -> (qeGini _),
     "qe_autocorr" -> (qeAutocorr _),
+    "qe_hurst" -> (qeHurst _),
     "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
@@ -4759,6 +4885,7 @@ object EventQueries {
     "qe_concurrency" -> qeConcurrencySql,
     "qe_gini" -> qeGiniSql,
     "qe_autocorr" -> qeAutocorrSql,
+    "qe_hurst" -> qeHurstSql,
     "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,

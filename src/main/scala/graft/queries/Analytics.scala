@@ -736,7 +736,8 @@ object Analytics {
     val pm = Tables.load(spark, dir, "lineitem")
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
         col("l_partkey"))
-      .agg(sum("l_extendedprice").as("__ep"), sum("l_quantity").as("__q"))
+      .agg(sum(dec(col("l_extendedprice"))).as("__ep"),
+        sum(dec(col("l_quantity"))).as("__q"))
       .select(col("month"), col("l_partkey"),
         col("__q").cast("double").as("qty"),
         (col("__ep").cast("double") / col("__q").cast("double"))
@@ -765,9 +766,10 @@ object Analytics {
   val qPriceIndexSql: String =
     """WITH pm AS (
       |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
-      |    CAST(SUM(l_quantity) AS DOUBLE) AS qty,
-      |    CAST(SUM(l_extendedprice) AS DOUBLE)
-      |      / CAST(SUM(l_quantity) AS DOUBLE) AS price
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS price
       |  FROM lineitem GROUP BY 1, 2
       |), base AS (
       |  SELECT l_partkey, qty AS q0, price AS p0 FROM pm

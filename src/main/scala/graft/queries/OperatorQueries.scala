@@ -313,7 +313,87 @@ object OperatorQueries {
        |FROM ex, est""".stripMargin
   }
 
+  /** §2.41 — sampling-based approximate-query-processing error report:
+    * estimate SUM(l_extendedprice) per return flag from a 1%
+    * Bernoulli sample (portable md5 coin on the line's natural key,
+    * so the "sample" is a deterministic, reproducible column — the
+    * same rows sample on any engine and any run), against the exact
+    * sum, with the Horvitz–Thompson variance's 95% CI:
+    * V̂ = (1−p)/p² · Σ_sample x² for Bernoulli(p) sampling. The report
+    * answers the 100 TB question "how wrong would the 1% sample have
+    * been" — at scale the sample path reads 1% of the data (the coin
+    * pushes into the scan); here both paths run in ONE combinable
+    * aggregate over one scan (exact sum, sampled sum, sampled
+    * sum-of-squares as conditional decimal aggregates — no second
+    * pass, no join). Decimal discipline: x quantizes to
+    * DECIMAL(18,4); x² is exact at scale 4 (2-decimal inputs), its
+    * sum downcasts to DECIMAL(28,0) so every decimal→double is one
+    * correctly-rounded conversion; estimator/CI/coverage are then
+    * single IEEE expressions. */
+  def qoAqpError(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val p = 0.01
+    val x = col("l_extendedprice").cast("decimal(18,4)")
+    val sampled = md5Bucket("aqp",
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")), 100) < 1
+    val estimate = col("__ss").cast("double") / lit(p)
+    val exact = col("__ex").cast("double")
+    // (1−p)/p² as the literal 9900.0, NOT computed — 0.99/0.0001 in
+    // doubles is 9899.999…, and the oracle writes 9900e0.
+    val ciHalf = lit(1.96) * sqrt(lit(9900.0) * col("__sq").cast("double"))
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
+        sum(x).as("__ex"),
+        coalesce(sum(when(sampled, x)), lit(0).cast("decimal(18,4)"))
+          .as("__ss"),
+        coalesce(sum(when(sampled, (x * x).cast("decimal(28,4)")))
+          .cast("decimal(28,0)"), lit(0).cast("decimal(28,0)"))
+          .as("__sq"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_sampled"),
+        round(exact, 2).as("exact_sum"),
+        round(estimate, 2).as("estimate"),
+        round(abs(estimate - exact) / exact, 6).as("rel_error"),
+        round(ciHalf, 2).as("ci95_half"),
+        (abs(estimate - exact) <= ciHalf).as("ci_covers"))
+      .orderBy("l_returnflag")
+  }
+
+  val qoAqpErrorSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('aqp:' || l_orderkey || ':'
+      |        || l_linenumber), 1, 8))::BIGINT % 100 < 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ex,
+      |    COALESCE(SUM(CASE WHEN ('0x' || substr(md5('aqp:' || l_orderkey
+      |        || ':' || l_linenumber), 1, 8))::BIGINT % 100 < 1
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) END),
+      |      CAST(0 AS DECIMAL(18,4))) AS ss,
+      |    COALESCE(CAST(SUM(CASE WHEN ('0x' || substr(md5('aqp:'
+      |        || l_orderkey || ':' || l_linenumber), 1, 8))::BIGINT
+      |        % 100 < 1
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+      |        * CAST(l_extendedprice AS DECIMAL(19,4))
+      |        AS DECIMAL(28,4)) END) AS DECIMAL(28,0)),
+      |      CAST(0 AS DECIMAL(28,0))) AS sq
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n_rows, n_sampled,
+      |  round(CAST(ex AS DOUBLE), 2) AS exact_sum,
+      |  round(CAST(ss AS DOUBLE) / 0.01e0, 2) AS estimate,
+      |  round(abs(CAST(ss AS DOUBLE) / 0.01e0 - CAST(ex AS DOUBLE))
+      |    / CAST(ex AS DOUBLE), 6) AS rel_error,
+      |  round(1.96e0 * sqrt(9900e0 * CAST(sq AS DOUBLE)), 2)
+      |    AS ci95_half,
+      |  abs(CAST(ss AS DOUBLE) / 0.01e0 - CAST(ex AS DOUBLE))
+      |    <= 1.96e0 * sqrt(9900e0 * CAST(sq AS DOUBLE)) AS ci_covers
+      |FROM agg
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qo_aqp_error" -> (qoAqpError _),
     "qo_join_cardinality_sketch" -> (qoJoinCardinalitySketch _),
     "qo_skew_join" -> (qoSkewJoin _),
     "qo_skew_distinct" -> (qoSkewDistinct _),
@@ -322,6 +402,7 @@ object OperatorQueries {
     "qo_join_cardinality" -> (qoJoinCardinality _))
 
   val oracles: Map[String, String] = Map(
+    "qo_aqp_error" -> qoAqpErrorSql,
     "qo_join_cardinality_sketch" -> qoJoinCardinalitySketchSql,
     "qo_bloom_anti" -> qoBloomAntiSql,
     "qo_skew_join" -> qoSkewJoinSql,

@@ -182,7 +182,11 @@ object PlanAudit {
       "qs_probe_sweep",
       // qp_scd2_asof: the history frame crosses a broadcast ONE-ROW
       // as-of timestamp (scalar-subquery pattern, same as qe_decay).
-      "qp_scd2_asof")
+      "qp_scd2_asof",
+      // qo_zone_skipping: the fact table crosses a broadcast ONE-ROW
+      // min/max-bounds aggregate to derive bucket ids (scalar-subquery
+      // pattern, same as qe_decay/qe_rfm).
+      "qo_zone_skipping")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -392,8 +393,151 @@ object OperatorQueries {
       |FROM agg
       |ORDER BY l_returnflag""".stripMargin
 
+  /** §2.39e — zone-map file-skipping effectiveness by layout: the
+    * measured WHY behind [[graft.sources.Layout]] — for the same
+    * orders data partitioned by ship month and chunked into 64-row
+    * "files", how many files a 5%-selective predicate can prune from
+    * each clustering: `natural` (arrival order — zone maps useless),
+    * `linear` (sorted by custkey — prunes custkey predicates only),
+    * `zorder` (4+4-bit interleave of custkey × price-cents buckets —
+    * prunes BOTH dimensions at reduced per-dimension tightness). Two
+    * probe predicates (a custkey band, a price band) × three layouts
+    * → six rows of (files, skipped, fraction). All arithmetic is
+    * exact integers: price buckets come from round-to-cents BIGINTs,
+    * bucket ids from integer division against the 1-row min/max
+    * scalars (broadcast), the z-value from shift/mask interleave, and
+    * each layout's sort key packs (cluster value, orderkey) into one
+    * BIGINT so a single window per (layout, month) assigns files —
+    * partitions stay month-bounded, no global sort (the layout sort
+    * being measured is exactly the cost a real relayout would pay,
+    * here simulated per partition the way a partitioned table lays
+    * out files). Zone maps and skip decisions are min/max + interval
+    * comparisons — engine-exact. */
+  def qoZoneSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val bounds = broadcast(rows.agg(
+      min("ck").as("__ckmin"), max("ck").as("__ckmax"),
+      min("cents").as("__cmin"), max("cents").as("__cmax")))
+    // Integer division throughout (`div`, mirrored by DuckDB `//`) —
+    // Column./ is DOUBLE division and would diverge at quotient
+    // boundaries.
+    def bucket(v: String, lo: String, hi: String): Column =
+      expr(s"least(15L, (($v - $lo) * 16) div ($hi - $lo + 1))")
+    def interleave(bx: Column, by: Column): Column =
+      (0 until 4).map { i =>
+        shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+    val big = lit(1099511627776L) // 2^40: packs (cluster value, okey)
+    val keyed = rows.crossJoin(bounds)
+      .withColumn("__bx", bucket("ck", "__ckmin", "__ckmax"))
+      .withColumn("__by", bucket("cents", "__cmin", "__cmax"))
+      .withColumn("layout",
+        explode(array(lit("natural"), lit("linear"), lit("zorder"))))
+      .withColumn("__key",
+        when(col("layout") === "natural", col("okey"))
+          .when(col("layout") === "linear", col("ck") * big + col("okey"))
+          .otherwise(interleave(col("__bx"), col("__by")) * big +
+            col("okey")))
+    val fileW = Window.partitionBy("layout", "month").orderBy("__key")
+    val files = keyed
+      .withColumn("__file",
+        floor((row_number().over(fileW) - 1) / lit(64)))
+      .groupBy("layout", "month", "__file")
+      .agg(min("ck").as("__fckmin"), max("ck").as("__fckmax"),
+        min("cents").as("__fcmin"), max("cents").as("__fcmax"),
+        min("__ckmin").as("__ckmin"), max("__ckmax").as("__ckmax"),
+        min("__cmin").as("__cmin"), max("__cmax").as("__cmax"))
+    def band(lo: String, hi: String, pct: Int): (Column, Column) =
+      (expr(s"$lo + (($hi - $lo + 1) * $pct) div 100"),
+        expr(s"$lo + (($hi - $lo + 1) * ${pct + 5}) div 100"))
+    val (ckLo, ckHi) = band("__ckmin", "__ckmax", 35)
+    val (cLo, cHi) = band("__cmin", "__cmax", 35)
+    files
+      .withColumn("predicate",
+        explode(array(lit("custkey_band"), lit("price_band"))))
+      .withColumn("__skip",
+        when(col("predicate") === "custkey_band",
+          col("__fckmax") < ckLo || col("__fckmin") >= ckHi)
+          .otherwise(col("__fcmax") < cLo || col("__fcmin") >= cHi))
+      .groupBy("layout", "predicate")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("__skip"), 1L).otherwise(0L)).as("n_skipped"))
+      .withColumn("skip_fraction",
+        round(col("n_skipped").cast("double") /
+          col("n_files").cast("double"), 6))
+      .orderBy("layout", "predicate")
+  }
+
+  val qoZoneSkippingSql: String =
+    """WITH rows_t AS (
+      |  SELECT o_orderkey AS okey, o_custkey AS ck,
+      |    strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders
+      |), bounds AS (
+      |  SELECT MIN(ck) AS ckmin, MAX(ck) AS ckmax,
+      |    MIN(cents) AS cmin, MAX(cents) AS cmax
+      |  FROM rows_t
+      |), keyed AS (
+      |  SELECT r.*, b.ckmin, b.ckmax, b.cmin, b.cmax,
+      |    LEAST(15, (r.ck - b.ckmin) * 16 // (b.ckmax - b.ckmin + 1))
+      |      AS bx,
+      |    LEAST(15, (r.cents - b.cmin) * 16 // (b.cmax - b.cmin + 1))
+      |      AS by,
+      |    l.layout
+      |  FROM rows_t r CROSS JOIN bounds b
+      |  CROSS JOIN (SELECT UNNEST(['natural', 'linear', 'zorder'])
+      |    AS layout) l
+      |), sortkeyed AS (
+      |  SELECT *, CASE layout
+      |    WHEN 'natural' THEN okey
+      |    WHEN 'linear' THEN ck * 1099511627776 + okey
+      |    ELSE ((((bx >> 0) & 1) << 0) | (((by >> 0) & 1) << 1)
+      |        | (((bx >> 1) & 1) << 2) | (((by >> 1) & 1) << 3)
+      |        | (((bx >> 2) & 1) << 4) | (((by >> 2) & 1) << 5)
+      |        | (((bx >> 3) & 1) << 6) | (((by >> 3) & 1) << 7))
+      |      * 1099511627776 + okey END AS skey
+      |  FROM keyed
+      |), filed AS (
+      |  SELECT *, (ROW_NUMBER() OVER (PARTITION BY layout, month
+      |    ORDER BY skey) - 1) // 64 AS f
+      |  FROM sortkeyed
+      |), zones AS (
+      |  SELECT layout, month, f,
+      |    MIN(ck) AS fckmin, MAX(ck) AS fckmax,
+      |    MIN(cents) AS fcmin, MAX(cents) AS fcmax,
+      |    MIN(ckmin) AS ckmin, MAX(ckmax) AS ckmax,
+      |    MIN(cmin) AS cmin, MAX(cmax) AS cmax
+      |  FROM filed GROUP BY 1, 2, 3
+      |), probed AS (
+      |  SELECT layout, p.predicate,
+      |    CASE WHEN p.predicate = 'custkey_band'
+      |      THEN fckmax < ckmin + (ckmax - ckmin + 1) * 35 // 100
+      |        OR fckmin >= ckmin + (ckmax - ckmin + 1) * 40 // 100
+      |      ELSE fcmax < cmin + (cmax - cmin + 1) * 35 // 100
+      |        OR fcmin >= cmin + (cmax - cmin + 1) * 40 // 100
+      |    END AS skip
+      |  FROM zones
+      |  CROSS JOIN (SELECT UNNEST(['custkey_band', 'price_band'])
+      |    AS predicate) p
+      |)
+      |SELECT layout, predicate, COUNT(*) AS n_files,
+      |  CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_skipped,
+      |  round(CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS skip_fraction
+      |FROM probed
+      |GROUP BY 1, 2
+      |ORDER BY layout, predicate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qo_aqp_error" -> (qoAqpError _),
+    "qo_zone_skipping" -> (qoZoneSkipping _),
     "qo_join_cardinality_sketch" -> (qoJoinCardinalitySketch _),
     "qo_skew_join" -> (qoSkewJoin _),
     "qo_skew_distinct" -> (qoSkewDistinct _),
@@ -403,6 +547,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "qo_aqp_error" -> qoAqpErrorSql,
+    "qo_zone_skipping" -> qoZoneSkippingSql,
     "qo_join_cardinality_sketch" -> qoJoinCardinalitySketchSql,
     "qo_bloom_anti" -> qoBloomAntiSql,
     "qo_skew_join" -> qoSkewJoinSql,

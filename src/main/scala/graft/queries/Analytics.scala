@@ -603,28 +603,40 @@ object Analytics {
     * explosion is per-basket C(k,2) with k ≤ |brands| (25), so work
     * is LINEAR in orders at any corpus size, never |parts|² (pair
     * mining at raw part granularity degenerates to support-1 noise
-    * AND an unbounded pair space). One distinct (order, brand)
-    * projection feeds the within-order self-join (co-partitioned on
-    * the order key — one shuffle), the per-brand marginals, and the
-    * 1-row basket total (broadcast scalar, PlanAudit-documented).
-    * Lift/support divide exact longs; ordering is fully
-    * deterministic (lift desc, then brand pair). */
+    * AND an unbounded pair space). One shuffle collapses lineitem to
+    * per-order brand sets; the ordered pairs expand IN-ROW from each
+    * sorted set (map-side, bounded by C(25,2) per order — no basket
+    * self-join), and the same collapsed frame feeds the per-brand
+    * marginals and the 1-row basket total (broadcast scalar,
+    * PlanAudit-documented). Lift/support divide exact longs; ordering
+    * is fully deterministic (lift desc, then brand pair). */
   def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
-    val ob = Tables.load(spark, dir, "lineitem")
+    // One shuffle builds the per-order brand SET (collect_set dedups —
+    // no separate distinct pass); ordered pairs then expand IN-ROW
+    // from the sorted array (C(k,2), k ≤ |brands| = 25) instead of the
+    // okey self-join a naive pair count shuffles the basket frame
+    // through twice. Marginals and the basket total are cheap rollups
+    // of the same collapsed frame (subtree reuse shares its exchange).
+    val baskets = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey"))
       .join(Tables.load(spark, dir, "part")
         .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("okey"), col("p_brand").as("brand"))
-      .distinct()
-    val pairs = ob.as("a")
-      .join(ob.as("b"),
-        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .groupBy("okey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("__bs"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(__bs, (x, i) -> " +
+          "transform(slice(__bs, i + 2, size(__bs)), " +
+          "y -> named_struct('brand_a', x, 'brand_b', y))))")).as("__p"))
+      .select(col("__p.brand_a").as("brand_a"),
+        col("__p.brand_b").as("brand_b"))
+      .groupBy("brand_a", "brand_b")
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 5)
-    val marg = ob.groupBy("brand").agg(count(lit(1)).as("n_m"))
-    val tot = ob.agg(countDistinct("okey").as("__n"))
+    val marg = baskets.select(explode(col("__bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_m"))
+    val tot = baskets.agg(count(lit(1)).as("__n"))
     pairs
       .join(marg.select(col("brand").as("brand_a"), col("n_m").as("n_a")),
         Seq("brand_a"))

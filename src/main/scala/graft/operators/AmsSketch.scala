@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 /** AMS "tug-of-war" frequency sketch (Alon-Matias-Szegedy STOC'96) as a
   * typed mergeable `Aggregator`: d independent rows of w signed counter
   * cells, cell (r, h_r(k)) += s_r(k) per input key occurrence, with both
-  * the bucket h and the ±1 sign s derived from the portable md5 hash
-  * ([[graft.functions.Portable.md5Hash32]] formula) — so a sketch built
+  * the bucket h and the ±1 sign s read from disjoint bytes of one
+  * portable md5 digest per key occurrence — so a sketch built
   * here is bit-identical to one built by ANY engine, and the
   * qo_join_cardinality_sketch DuckDB oracle replays it value-exactly.
   *
@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    domains**: estimate(A⋈B) = median_r Σ_j a_r[j]·b_r[j] is UNBIASED
   *    with variance F2(A)·F2(B)/w — collisions cancel under random
   *    signs where a count-min inner product accumulates them
-  *    (F1·F1/w overestimate; measured 58× vs −7% on the test join);
+  *    (F1·F1/w overestimate; measured 58× vs +11% on the test join);
   *  - **second-moment (self-join size) estimation**: the same median of
   *    Σ_j a_r[j]² estimates F2(A) — the skew statistic that decides
   *    salting;
@@ -31,42 +31,40 @@ import org.apache.spark.sql.functions._
   * Input is the key's RAW long value (reduce any key type to one long
   * column first; the aggregator derives its own md5 buckets and signs
   * from the rendered value, exactly like the SQL oracle's
-  * `md5(r || '_' || key)`). NULL keys must be filtered by the caller —
+  * `md5('ams_' || key)` byte layout). NULL keys must be filtered by the caller —
   * they can never join, so they must not contribute sketch mass.
   */
 class AmsSketch(d: Int, w: Int)
     extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(d >= 1 && w >= 2, "need at least 1 row and 2 cells")
+  require(d <= 8, "one 16-byte digest seeds at most 8 rows (2 bytes each)")
 
   override def zero: Array[Long] = new Array[Long](d * w)
 
   /** The same per-row bucket/sign derivation as the portable SQL form:
-    * bucket_r(k) = md5_32("r_k") mod w, sign_r(k) = md5_32("s_r_k")
-    * mod 2 → ±1. Computed from the key hash via a second md5 round so
-    * rows are independent. One thread-local digest instance (reduce
-    * runs 2d times per input row — per-call getInstance allocation and
-    * a hex-string round-trip would dominate the hot loop; the first 4
-    * digest bytes read as an unsigned 32-bit int are exactly the
-    * parsed first-8-hex-chars value). */
+    * ONE digest h = md5("ams_<key>") seeds every row — row r's bucket
+    * is digest byte 2r (hex chars 4r+1..4r+2) mod w, its sign the low
+    * bit of byte 2r+1's high nibble (hex char 4r+3) → ±1. Disjoint
+    * digest bits per row keep rows independent without per-(row, key)
+    * re-hashing: the digest, not the d-way cell update, is the hot
+    * loop's cost, so one digest per input row instead of 2d is the
+    * difference that shows on a scan. One thread-local digest
+    * instance (per-call getInstance allocation would dominate). */
   @transient private lazy val digest =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private def md5_32(s: String): Long = {
+  override def reduce(b: Array[Long], keyHash: Long): Array[Long] = {
     val md = digest.get()
     md.reset()
-    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
-      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
-  }
-
-  override def reduce(b: Array[Long], keyHash: Long): Array[Long] = {
+    val h = md.digest(
+      s"ams_$keyHash".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var r = 0
     while (r < d) {
-      val j = (md5_32(s"${r}_$keyHash") % w).toInt
-      val s = (md5_32(s"s_${r}_$keyHash") % 2) * 2 - 1
+      val j = (h(2 * r) & 0xff) % w
+      val s = ((h(2 * r + 1) >> 4) & 1) * 2 - 1
       b(r * w + j) += s
       r += 1
     }
@@ -111,15 +109,15 @@ object AmsSketch {
   }
 
   /** Column form of the per-key bucket for row r (mirrors the SQL
-    * oracle): md5-derived, engine-portable. */
-  def bucketCol(r: Int, keyHash: Column, w: Int): Column = {
-    import graft.functions.Portable.md5Hash32
-    md5Hash32(concat_ws("_", lit(r), keyHash)) % w
-  }
+    * oracle and the aggregator's digest layout): hex byte 4r+1..4r+2
+    * of md5("ams_<key>") mod w, engine-portable. */
+  def bucketCol(r: Int, keyHash: Column, w: Int): Column =
+    conv(substring(md5(concat_ws("_", lit("ams"), keyHash)),
+      4 * r + 1, 2), 16, 10).cast("long") % w
 
-  /** Column form of the ±1 sign for row r. */
-  def signCol(r: Int, keyHash: Column): Column = {
-    import graft.functions.Portable.md5Hash32
-    md5Hash32(concat_ws("_", lit("s"), lit(r), keyHash)) % 2 * 2 - 1
-  }
+  /** Column form of the ±1 sign for row r: the low bit of hex nibble
+    * 4r+3 of the same digest. */
+  def signCol(r: Int, keyHash: Column): Column =
+    conv(substring(md5(concat_ws("_", lit("ams"), keyHash)),
+      4 * r + 3, 1), 16, 10).cast("long") % 2 * 2 - 1
 }

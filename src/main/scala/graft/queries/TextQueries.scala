@@ -33,6 +33,50 @@ object TextQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.28r — tokenizer fertility by language: per `lang`, the ratio
+    * of subword tokens to whitespace words (the "fertility" number
+    * tokenizer reports quote — how many tokens a word costs in each
+    * language) plus chars-per-token. The subword count is a 4-char
+    * fixed-stride proxy Σ_w ⌈len(w)/4⌉ — a deterministic stand-in for
+    * a BPE vocab (which is a model artifact, not a corpus property)
+    * that still moves with each language's word-length distribution,
+    * where a punctuation-split regex degenerates to fertility ≡ 1 on
+    * clean space-separated text. One combinable aggregate of exact
+    * integer counts per language (the per-word ceil-divisions fold
+    * in-row through an integer `aggregate` HOF); ratios divide exact
+    * longs once at the end. */
+  def qtFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("ws_tokens"),
+        sum(expr(
+          "aggregate(split(text, ' '), 0L, " +
+            "(a, w) -> a + (length(w) + 3) div 4)")).as("sub_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("sub_tokens"),
+        round(col("sub_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("sub_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+
+  val qtFertilitySql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+      |    w -> (length(w) + 3) // 4))) AS BIGINT) AS sub_tokens,
+      |  round(CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+      |      w -> (length(w) + 3) // 4))) AS DOUBLE)
+      |    / SUM(len(string_split(text, ' '))), 6) AS fertility,
+      |  round(CAST(SUM(length(text)) AS DOUBLE)
+      |    / SUM(list_sum(list_transform(string_split(text, ' '),
+      |      w -> (length(w) + 3) // 4))), 6) AS chars_per_token
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** §2.29 — quality score from length / distinctness / stopword ratios.
@@ -1382,6 +1426,7 @@ object TextQueries {
     "qt_tokens" -> (qtTokens _),
     "qt_quality" -> (qtQuality _),
     "qt_langid" -> (qtLangid _),
+    "qt_fertility" -> (qtFertility _),
     "qt_langid_ngram" -> (qtLangidNgram _),
     "qt_fingerprint" -> (qtFingerprint _))
 
@@ -1412,6 +1457,7 @@ object TextQueries {
     "qt_tokens" -> qtTokensSql,
     "qt_quality" -> qtQualitySql,
     "qt_langid" -> qtLangidSql,
+    "qt_fertility" -> qtFertilitySql,
     "qt_langid_ngram" -> qtLangidNgramSql,
     "qt_fingerprint" -> qtFingerprintSql)
 }

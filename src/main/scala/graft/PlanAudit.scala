@@ -186,7 +186,10 @@ object PlanAudit {
       // qo_zone_skipping: the fact table crosses a broadcast ONE-ROW
       // min/max-bounds aggregate to derive bucket ids (scalar-subquery
       // pattern, same as qe_decay/qe_rfm).
-      "qo_zone_skipping")
+      "qo_zone_skipping",
+      // qe_mwu: same 1-row broadcast min/max bounds cross as
+      // qo_zone_skipping, feeding the fixed-grid bin ids.
+      "qe_mwu")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -3486,6 +3486,112 @@ object EventQueries {
       |FROM sloped
       |ORDER BY block_size""".stripMargin
 
+  /** §2.33bt — Mann-Whitney U test (weekday vs weekend event values,
+    * per event type): the rank-based two-sample test that
+    * [[qeAbTtest]]'s t-statistic cannot replace when values are
+    * heavy-tailed — no normality assumption, reported with the
+    * common-language effect size AUC = U/(n_a·n_b) (the probability a
+    * random weekday value exceeds a random weekend one). Computed on
+    * a FIXED 1024-bin value grid (mid-rank ties at bin granularity —
+    * a binned MWU, documented, not the raw-rank test): ranks never
+    * materialize — U folds from the bin histogram as
+    * 2U_A = Σ_bins n_a·(2·cumB_before + n_b), an ALL-INTEGER
+    * identity, and the tie-corrected normal approximation
+    * σ² = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))) consumes the same
+    * integer tie sizes. Scale shape: cents from round-to-integer,
+    * bin ids by integer division against a 1-row broadcast min/max
+    * (the [[qoZoneSkipping]] discipline), one combinable
+    * (type, bin) aggregate off the scan, and every window partitions
+    * by type over the ≤1024-row-per-type histogram — no global rank,
+    * no per-row window, z and AUC are single IEEE expressions over
+    * engine-identical longs. */
+  def qeMwu(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        dayofweek(col("ts")).isin(1, 7).as("__wknd"),
+        expr("cast(round(value * 100, 0) as bigint)").as("__c"))
+    val bounds = broadcast(ev.agg(min("__c").as("__cmin"),
+      max("__c").as("__cmax")))
+    val binned = ev.crossJoin(bounds)
+      .withColumn("bin", expr(
+        "least(1023L, ((__c - __cmin) * 1024) div (__cmax - __cmin + 1))"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("__wknd"), 0L).otherwise(1L)).as("__na"),
+        sum(when(col("__wknd"), 1L).otherwise(0L)).as("__nb"))
+    val before = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val uA = col("__u2a").cast("double") / lit(2.0)
+    val variance = nA * nB / lit(12.0) *
+      (n + lit(1.0) - col("__t3").cast("double") / (n * (n - lit(1.0))))
+    val z = (uA - nA * nB / lit(2.0)) / sqrt(variance)
+    binned
+      .withColumn("__cumb", coalesce(sum("__nb").over(before), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("__na").as("n_a"), sum("__nb").as("n_b"),
+        sum(col("__na") * (lit(2L) * col("__cumb") + col("__nb")))
+          .as("__u2a"),
+        sum((col("__na") + col("__nb")) * (col("__na") + col("__nb")) *
+          (col("__na") + col("__nb")) - (col("__na") + col("__nb")))
+          .as("__t3"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(uA, 1).as("u_weekday"),
+        round(nA * nB - uA, 1).as("u_weekend"),
+        round(uA / (nA * nB), 6).as("auc_weekday"),
+        when(variance > 0.0, round(z, 6)).as("z"))
+      .orderBy("event_type")
+  }
+
+  val qeMwuSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, dayofweek(ts) IN (0, 6) AS wknd,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS c
+      |  FROM events
+      |), bounds AS (
+      |  SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM ev
+      |), binned AS (
+      |  SELECT event_type,
+      |    LEAST(1023, ((c - cmin) * 1024) // (cmax - cmin + 1)) AS bin,
+      |    CAST(SUM(CASE WHEN wknd THEN 0 ELSE 1 END) AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN wknd THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM ev CROSS JOIN bounds
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT *, COALESCE(SUM(nb) OVER (PARTITION BY event_type
+      |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS cumb
+      |  FROM binned
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+      |    CAST(SUM(na * (2 * cumb + nb)) AS BIGINT) AS u2a,
+      |    CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb))
+      |      AS BIGINT) AS t3
+      |  FROM cum GROUP BY event_type
+      |), calc AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+      |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+      |    CAST(u2a AS DOUBLE) / 2e0 AS ua,
+      |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0 *
+      |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1e0
+      |        - CAST(t3 AS DOUBLE)
+      |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1e0)))
+      |      AS v
+      |  FROM agg
+      |)
+      |SELECT event_type, n_a, n_b,
+      |  round(ua, 1) AS u_weekday,
+      |  round(nad * nbd - ua, 1) AS u_weekend,
+      |  round(ua / (nad * nbd), 6) AS auc_weekday,
+      |  CASE WHEN v > 0e0
+      |    THEN round((ua - nad * nbd / 2e0) / sqrt(v), 6) END AS z
+      |FROM calc
+      |ORDER BY event_type""".stripMargin
+
   /** §2.33ar — peak concurrency by distributed sweep-line: each event
     * opens a 5-minute presence interval, and the day's peak concurrent
     * count per event type is the max of the running (+1 start / −1 end)
@@ -4818,6 +4924,7 @@ object EventQueries {
     "qe_gini" -> (qeGini _),
     "qe_autocorr" -> (qeAutocorr _),
     "qe_hurst" -> (qeHurst _),
+    "qe_mwu" -> (qeMwu _),
     "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
@@ -4886,6 +4993,7 @@ object EventQueries {
     "qe_gini" -> qeGiniSql,
     "qe_autocorr" -> qeAutocorrSql,
     "qe_hurst" -> qeHurstSql,
+    "qe_mwu" -> qeMwuSql,
     "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,

@@ -1115,6 +1115,83 @@ object DedupQueries {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.25s — the DROP MANIFEST: the single actionable artifact a
+    * dedup pipeline actually ships — per document, `keep` /
+    * `drop_exact` / `drop_near` and the ultimate canonical to point
+    * retained references at. Two-phase, the production order: exact
+    * content-hash election first (cheap, one shuffle), then the
+    * near-dup graph built among EXACT SURVIVORS ONLY (the near pass
+    * never pays for rows the hash pass already killed), components
+    * elect the final canonical, and an exact-dropped doc resolves
+    * TRANSITIVELY to its canonical's component (never to a doc that
+    * is itself dropped — the invariant consumers rely on). Scale
+    * shape: hash election is one content-hash shuffle; the survivor
+    * restriction is a left-semi join; edges come from the bounded
+    * jaccard inverted index (25b's generator); the manifest join is
+    * key-keyed throughout. */
+  def qdManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactC = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+    val exMin = exactC.groupBy("__h").agg(min("doc_id").as("__exc"))
+    val withEx = exactC.join(exMin, "__h").select("doc_id", "__exc")
+    val survivors = docs.join(
+      withEx.where(col("doc_id") === col("__exc")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val edges = Dedup
+      .jaccardNeighbors(survivors, "text", "doc_id", 3, "source", 0.5)
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(survivors.select("doc_id"), edges)
+    withEx
+      .join(comp.select(col("doc_id").as("__exc"), col("component_id")),
+        Seq("__exc"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("__exc"), lit("drop_exact"))
+          .when(col("doc_id") =!= col("component_id"), lit("drop_near"))
+          .otherwise(lit("keep")).as("action"),
+        col("component_id").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val qdManifestSql: String =
+    """WITH RECURSIVE ex AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exc
+      |  FROM documents
+      |), surv AS (
+      |  SELECT d.source, d.doc_id, d.text
+      |  FROM documents d JOIN ex ON d.doc_id = ex.doc_id
+      |  WHERE ex.doc_id = ex.exc
+      |), sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM surv
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS m FROM surv
+      |  UNION
+      |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+      |), comp AS (
+      |  SELECT id AS doc_id, MIN(m) AS component_id FROM reach GROUP BY id
+      |)
+      |SELECT ex.doc_id,
+      |  CASE WHEN ex.doc_id <> ex.exc THEN 'drop_exact'
+      |       WHEN ex.doc_id <> c.component_id THEN 'drop_near'
+      |       ELSE 'keep' END AS action,
+      |  c.component_id AS canonical_id
+      |FROM ex JOIN comp c ON c.doc_id = ex.exc
+      |ORDER BY ex.doc_id""".stripMargin
+
   /** §2.25r — near-dup cluster LABELS: per cluster (size ≥ 2) the
     * top-3 distinctive tokens by frequency LIFT (in-cluster token
     * share / corpus token share, support ≥ 3 occurrences in the
@@ -1964,6 +2041,7 @@ object DedupQueries {
     "qd_minhash_est" -> (qdMinhashEst _),
     "qd_report" -> (qdReport _),
     "qd_components" -> (qdComponents _),
+    "qd_manifest" -> (qdManifest _),
     "qd_exact" -> (qdExact _),
     "qd_norm_levels" -> (qdNormLevels _),
     "qd_cluster_labels" -> (qdClusterLabels _),
@@ -2003,6 +2081,7 @@ object DedupQueries {
     "qd_minhash_est" -> qdMinhashEstSql,
     "qd_report" -> qdReportSql,
     "qd_components" -> qdComponentsSql,
+    "qd_manifest" -> qdManifestSql,
     "qd_exact" -> qdExactSql,
     "qd_norm_levels" -> qdNormLevelsSql,
     "qd_cluster_labels" -> qdClusterLabelsSql,

@@ -454,7 +454,78 @@ object QualityQueries {
       |SELECT 'o_orderdate', 'not_null', NULL, NULL, 0, 0.0
       |ORDER BY column_name""".stripMargin
 
+  /** §2.5g — referential CARDINALITY audit: per FK relation, the
+    * fan-out profile (parents, children, childless parents, max and
+    * mean fan-out) — the structural complement of [[qcRefIntegrity]]
+    * (which checks orphans, i.e. children without parents; this
+    * checks parents' child distributions — a max fan-out that jumps
+    * 100× is the skewed-key early warning §37's salted join exists
+    * for, and childless-parent drift flags upstream loss). Each
+    * relation is one child-side key aggregate left-joined to the
+    * parent key set — collapsed frames, one shuffle per relation,
+    * exact integer stats; the four ≤1-row results union driver-free. */
+  def qcFanout(spark: SparkSession, dir: String): DataFrame = {
+    def rel(label: String, parents: DataFrame, pk: String,
+        children: DataFrame, fk: String): DataFrame = {
+      val cnt = children.groupBy(col(fk).as("__k"))
+        .agg(count(lit(1)).as("__c"))
+      parents.select(col(pk).as("__p"))
+        .join(cnt, col("__p") === col("__k"), "left_outer")
+        .select(coalesce(col("__c"), lit(0L)).as("__c"))
+        .agg(count(lit(1)).as("n_parents"),
+          sum(col("__c")).as("n_children"),
+          sum(when(col("__c") === 0L, 1L).otherwise(0L))
+            .as("childless_parents"),
+          max(col("__c")).as("max_fanout"))
+        .select(lit(label).as("relation"), col("n_parents"),
+          col("n_children"), col("childless_parents"), col("max_fanout"),
+          round(col("n_children").cast("double") /
+            col("n_parents").cast("double"), 6).as("avg_fanout"))
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    rel("customer->orders", Tables.load(spark, dir, "customer"),
+      "c_custkey", Tables.load(spark, dir, "orders"), "o_custkey")
+      .unionByName(rel("orders->lineitem",
+        Tables.load(spark, dir, "orders"), "o_orderkey", li, "l_orderkey"))
+      .unionByName(rel("part->lineitem",
+        Tables.load(spark, dir, "part"), "p_partkey", li, "l_partkey"))
+      .unionByName(rel("supplier->lineitem",
+        Tables.load(spark, dir, "supplier"), "s_suppkey", li, "l_suppkey"))
+      .orderBy("relation")
+  }
+
+  val qcFanoutSql: String = {
+    def rel(label: String, ptab: String, pk: String, ctab: String,
+        fk: String) =
+      s"""SELECT '$label' AS relation,
+         |  COUNT(*) AS n_parents,
+         |  CAST(SUM(c) AS BIGINT) AS n_children,
+         |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS childless_parents,
+         |  CAST(MAX(c) AS BIGINT) AS max_fanout,
+         |  round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_fanout
+         |FROM (
+         |  SELECT COALESCE(cnt.c, 0) AS c
+         |  FROM $ptab p LEFT JOIN (
+         |    SELECT $fk AS k, COUNT(*) AS c FROM $ctab GROUP BY 1
+         |  ) cnt ON p.$pk = cnt.k
+         |)""".stripMargin
+    s"""${rel("customer->orders", "customer", "c_custkey",
+        "orders", "o_custkey")}
+       |UNION ALL
+       |${rel("orders->lineitem", "orders", "o_orderkey",
+        "lineitem", "l_orderkey")}
+       |UNION ALL
+       |${rel("part->lineitem", "part", "p_partkey",
+        "lineitem", "l_partkey")}
+       |UNION ALL
+       |${rel("supplier->lineitem", "supplier", "s_suppkey",
+        "lineitem", "l_suppkey")}
+       |ORDER BY relation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_fanout" -> (qcFanout _),
     "qc_suggest" -> (qcSuggest _),
     "qc_canary_decimal" -> (qcCanaryDecimal _),
     "qc_scorecard" -> (qcScorecard _),
@@ -471,6 +542,7 @@ object QualityQueries {
     "qc_assert_window" -> (qcAssertWindow _))
 
   val oracles: Map[String, String] = Map(
+    "qc_fanout" -> qcFanoutSql,
     "qc_suggest" -> qcSuggestSql,
     "qc_canary_decimal" -> qcCanaryDecimalSql,
     "qc_scorecard" -> qcScorecardSql,

@@ -3592,6 +3592,97 @@ object EventQueries {
       |FROM calc
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33bu — Poisson-bootstrap confidence interval for the mean
+    * event value per type (the Google-style distributed bootstrap:
+    * resampling-with-replacement is impossible on a sharded corpus,
+    * but giving each row an independent Poisson(1) weight per replica
+    * is equivalent in distribution and needs NO shuffle of raw data).
+    * B = 64 replicas; each row's 64 weights come from FOUR md5
+    * digests (16 uniform bytes each — the one-digest-many-draws
+    * discipline of [[graft.operators.AmsSketch]]), mapped through the
+    * byte-granular Poisson(1) inverse CDF as INTEGER threshold
+    * compares (94/188/235/251/255 out of 256 — mean weight 257/256,
+    * bias < 0.4%, zero float arithmetic in the weights). Per
+    * (type, replica) the weighted mean folds from two exact integer
+    * sums (Σw, Σw·cents); the 2.5%/97.5% percentile over the 64
+    * replica means is the CI. Scale shape: digests ride the scan
+    * (4 md5/row), the 64-way explode partial-aggregates map-side into
+    * |types|·64 rows, every percentile runs on a 64-row group —
+    * no global sort, no driver collect, no second scan of raw data
+    * (the full-sample mean folds in the same pass via replica −1
+    * carrying weight 1). */
+  def qeBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("__c"))
+      .withColumn("__hs", array((0 until 4).map(g =>
+        md5(concat_ws(":", lit(s"bs$g"), col("event_id")))): _*))
+    val reps = ev
+      .withColumn("b", explode(sequence(lit(-1), lit(63))))
+      .withColumn("__u", expr(
+        "cast(conv(substring(element_at(__hs, " +
+          "cast(b div 16 + 1 as int)), " +
+          "(b % 16) * 2 + 1, 2), 16, 10) as int)"))
+      .withColumn("__w",
+        when(col("b") === -1, 1L)
+          .when(col("__u") < 94, 0L).when(col("__u") < 188, 1L)
+          .when(col("__u") < 235, 2L).when(col("__u") < 251, 3L)
+          .when(col("__u") < 255, 4L).otherwise(5L))
+      .groupBy("event_type", "b")
+      .agg(sum(col("__w")).as("__n"),
+        sum(col("__w") * col("__c")).as("__wc"))
+      .where(col("__n") > 0L)
+      .select(col("event_type"), col("b"),
+        ((col("__wc").cast("double") / col("__n").cast("double")) /
+          lit(100.0)).as("__m"))
+    reps.groupBy("event_type")
+      .agg(count(when(col("b") >= 0, 1)).as("n_replicas"),
+        round(max(when(col("b") === -1, col("__m"))), 6).as("mean_value"),
+        round(expr("percentile(if(b >= 0, __m, null), 0.025)"), 6)
+          .as("boot_lo"),
+        round(expr("percentile(if(b >= 0, __m, null), 0.975)"), 6)
+          .as("boot_hi"))
+      .orderBy("event_type")
+  }
+
+  val qeBootstrapSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |    [md5('bs0:' || event_id), md5('bs1:' || event_id),
+      |     md5('bs2:' || event_id), md5('bs3:' || event_id)] AS hs
+      |  FROM events
+      |), reps AS (
+      |  SELECT event_type, c, b,
+      |    CASE WHEN b = -1 THEN 1
+      |      ELSE CASE
+      |        WHEN u < 94 THEN 0 WHEN u < 188 THEN 1 WHEN u < 235 THEN 2
+      |        WHEN u < 251 THEN 3 WHEN u < 255 THEN 4 ELSE 5 END
+      |    END AS w
+      |  FROM (
+      |    SELECT ev.*, r.b,
+      |      ('0x' || substr(hs[b // 16 + 1], (b % 16) * 2 + 1, 2))::INT
+      |        AS u
+      |    FROM ev, range(-1, 64) r(b)
+      |  )
+      |), means AS (
+      |  SELECT event_type, b,
+      |    (CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) / 100e0
+      |      AS m
+      |  FROM reps GROUP BY 1, 2
+      |  HAVING SUM(w) > 0
+      |)
+      |SELECT event_type,
+      |  CAST(COUNT(CASE WHEN b >= 0 THEN 1 END) AS BIGINT) AS n_replicas,
+      |  round(MAX(CASE WHEN b = -1 THEN m END), 6) AS mean_value,
+      |  round(quantile_cont(CASE WHEN b >= 0 THEN m END, 0.025), 6)
+      |    AS boot_lo,
+      |  round(quantile_cont(CASE WHEN b >= 0 THEN m END, 0.975), 6)
+      |    AS boot_hi
+      |FROM means
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** §2.33ar — peak concurrency by distributed sweep-line: each event
     * opens a 5-minute presence interval, and the day's peak concurrent
     * count per event type is the max of the running (+1 start / −1 end)
@@ -4925,6 +5016,7 @@ object EventQueries {
     "qe_autocorr" -> (qeAutocorr _),
     "qe_hurst" -> (qeHurst _),
     "qe_mwu" -> (qeMwu _),
+    "qe_bootstrap" -> (qeBootstrap _),
     "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
@@ -4994,6 +5086,7 @@ object EventQueries {
     "qe_autocorr" -> qeAutocorrSql,
     "qe_hurst" -> qeHurstSql,
     "qe_mwu" -> qeMwuSql,
+    "qe_bootstrap" -> qeBootstrapSql,
     "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,

@@ -189,7 +189,12 @@ object PlanAudit {
       "qo_zone_skipping",
       // qe_mwu: same 1-row broadcast min/max bounds cross as
       // qo_zone_skipping, feeding the fixed-grid bin ids.
-      "qe_mwu")
+      "qe_mwu",
+      // qd_lsh_audit: the exact-jaccard ground truth runs over a
+      // deterministic 10% md5-coin DOC sample's pairs (the audit's
+      // documented fixed-budget knob — same eval-scale exception as
+      // qd_lsh_recall); the candidate check joins by key.
+      "qd_lsh_audit")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

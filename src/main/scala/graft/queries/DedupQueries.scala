@@ -1115,6 +1115,115 @@ object DedupQueries {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** §2.25t — sampled LSH false-negative AUDIT: the production-scale
+    * answer to "is the band index still catching what it should" —
+    * where [[qdLshRecall]] materializes the full exact ground truth
+    * (eval-scale by design), this audits with a deterministic 10%
+    * md5-coin DOC sample: exact token-set jaccard over the C(n/10, 2)
+    * sampled pairs, each checked for membership in the SAME banded
+    * candidate generator the production pass runs, reported per
+    * jaccard band with the closed-form S-curve prediction
+    * 1 − (1 − s⁸)² at the band's mean jaccard alongside the measured
+    * recall (measured far off predicted = the index drifted from its
+    * design, e.g. a signature bug or a shifted corpus). The sample
+    * rate is the audit budget knob — pairs grow with (rate·corpus)²,
+    * so production picks the rate to fit a fixed pair budget; the
+    * sampled all-pairs join is the documented eval-scale exception
+    * (PlanAudit), everything downstream is key-keyed. Powers expand
+    * to explicit multiplication chains (engine-identical, no libm
+    * pow), mean jaccard sums DECIMAL(18,9)-quantized terms. */
+  def qdLshAudit(spark: SparkSession, dir: String): DataFrame = {
+    require(NumPerms / BandSize == 2 && BandSize == 8,
+      "S-curve expansion below is specialized to b=2, r=8")
+    import graft.functions.Portable.{intersectionSize, md5Bucket, tokens}
+    val sample = Tables.load(spark, dir, "documents")
+      .where(md5Bucket("audit", col("doc_id"), 10) < 1)
+    val toks = sample
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("g"))
+      .where(size(col("g")) > 0)
+    val inter = intersectionSize(col("__ga"), col("__gb"))
+    val pairs = toks.toDF("id_a", "__ga")
+      .join(toks.toDF("id_b", "__gb"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (size(col("__ga")) + size(col("__gb")) - inter).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.2)
+    val cand = Dedup
+      .minhashCandidatePairs(sample, "text", "doc_id", NumPerms, BandSize)
+      .select(col("id_a"), col("id_b"), lit(true).as("__caught"))
+    val nCaught = sum(when(col("__caught"), 1L).otherwise(0L))
+    pairs.join(cand, Seq("id_a", "id_b"), "left_outer")
+      .groupBy(least(floor(col("jaccard") * 5), lit(4.0)).cast("int")
+        .as("jaccard_band"))
+      .agg(count(lit(1)).as("n_pairs"), nCaught.as("n_caught"),
+        round(nCaught.cast("double") / count(lit(1)), 6).as("recall"),
+        (sum(round(col("jaccard"), 9).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1))).as("__s"))
+      .withColumn("__s2", col("__s") * col("__s"))
+      .withColumn("__s4", col("__s2") * col("__s2"))
+      .withColumn("__s8", col("__s4") * col("__s4"))
+      .withColumn("__m", lit(1.0) - col("__s8"))
+      .select(col("jaccard_band"), col("n_pairs"), col("n_caught"),
+        col("recall"), round(col("__s"), 6).as("mean_jaccard"),
+        round(lit(1.0) - col("__m") * col("__m"), 6).as("p_predicted"))
+      .orderBy("jaccard_band")
+  }
+
+  val qdLshAuditSql: String = {
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => sigSqlExpr(b * BandSize + j))
+      s"md5(concat_ws('_', ${parts.mkString(", ")})) AS band_$b"
+    }
+    val s8 = "((s*s)*(s*s))*((s*s)*(s*s))"
+    s"""WITH samp AS (
+       |  SELECT * FROM documents
+       |  WHERE ('0x' || substr(md5('audit:' || doc_id), 1, 8))::BIGINT
+       |    % 10 < 1
+       |), sigs AS (
+       |  SELECT doc_id, ${bands.mkString(",\n    ")}
+       |  FROM samp
+       |), banded AS (
+       |${bandedUnionSql()}
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), tk AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS g
+       |  FROM samp
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+       |      AS jaccard
+       |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+       |  WHERE len(a.g) > 0 AND len(b.g) > 0
+       |), hits AS (
+       |  SELECT p.jaccard, c.id_a IS NOT NULL AS caught
+       |  FROM pairs p LEFT JOIN cand c
+       |    ON p.id_a = c.id_a AND p.id_b = c.id_b
+       |  WHERE p.jaccard >= 0.2e0
+       |), agg AS (
+       |  SELECT CAST(LEAST(floor(jaccard * 5), 4.0) AS INT)
+       |      AS jaccard_band,
+       |    COUNT(*) AS n_pairs,
+       |    CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_caught,
+       |    round(CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*), 6) AS recall,
+       |    CAST(SUM(CAST(round(jaccard, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |      / COUNT(*) AS s
+       |  FROM hits GROUP BY 1
+       |)
+       |SELECT jaccard_band, n_pairs, n_caught, recall,
+       |  round(s, 6) AS mean_jaccard,
+       |  round(1e0 - (1e0 - $s8) * (1e0 - $s8), 6) AS p_predicted
+       |FROM agg ORDER BY jaccard_band""".stripMargin
+  }
+
   /** §2.25s — the DROP MANIFEST: the single actionable artifact a
     * dedup pipeline actually ships — per document, `keep` /
     * `drop_exact` / `drop_near` and the ultimate canonical to point
@@ -2042,6 +2151,7 @@ object DedupQueries {
     "qd_report" -> (qdReport _),
     "qd_components" -> (qdComponents _),
     "qd_manifest" -> (qdManifest _),
+    "qd_lsh_audit" -> (qdLshAudit _),
     "qd_exact" -> (qdExact _),
     "qd_norm_levels" -> (qdNormLevels _),
     "qd_cluster_labels" -> (qdClusterLabels _),
@@ -2082,6 +2192,7 @@ object DedupQueries {
     "qd_report" -> qdReportSql,
     "qd_components" -> qdComponentsSql,
     "qd_manifest" -> qdManifestSql,
+    "qd_lsh_audit" -> qdLshAuditSql,
     "qd_exact" -> qdExactSql,
     "qd_norm_levels" -> qdNormLevelsSql,
     "qd_cluster_labels" -> qdClusterLabelsSql,

@@ -194,7 +194,10 @@ object PlanAudit {
       // deterministic 10% md5-coin DOC sample's pairs (the audit's
       // documented fixed-budget knob — same eval-scale exception as
       // qd_lsh_recall); the candidate check joins by key.
-      "qd_lsh_audit")
+      "qd_lsh_audit",
+      // qe_event_study: the fact table crosses a broadcast ONE-ROW
+      // midpoint-cut date (scalar-subquery pattern, same as qe_did).
+      "qe_event_study")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

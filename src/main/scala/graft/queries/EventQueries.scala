@@ -3592,6 +3592,106 @@ object EventQueries {
       |FROM calc
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33bv — event-study (dynamic difference-in-differences): where
+    * [[qeDid]] reports ONE pooled post-vs-pre effect, this resolves it
+    * into per-relative-week effects around the same midpoint cut with
+    * the same md5 treatment split — the pre-cut weeks are the built-in
+    * placebo readout (effects ≈ 0 before treatment validate the
+    * parallel-trends assumption; a drifting pre-trend invalidates the
+    * pooled number). effect_w = (ȳ_treat,w − ȳ_ctrl,w) −
+    * (ȳ_treat,pre − ȳ_ctrl,pre), baseline pooled over all pre-cut
+    * events. Means derive from exact cent sums and counts (one
+    * combinable (type, week) aggregate with conditional cells); the
+    * per-type pre-baseline re-aggregates the SAME collapsed frame and
+    * joins back on the tiny type key. Cell guards follow the ANSI
+    * division discipline — an empty cell propagates NULL, never a
+    * divide-by-zero error. */
+  def qeEventStudy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val ev = Tables.load(spark, dir, "events")
+      .where(col("user_id").isNotNull)
+    val cut = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("cutday"))
+    val weekly = ev.crossJoin(broadcast(cut))
+      .withColumn("rel_week",
+        floor(datediff(to_date(col("ts")), col("cutday"))
+          .cast("double") / 7.0).cast("int"))
+      .withColumn("__t", md5Bucket("did", col("user_id"), 2) === 1)
+      .withColumn("__c", expr("cast(round(value * 100, 0) as bigint)"))
+      .groupBy("event_type", "rel_week")
+      .agg(sum(when(col("__t"), col("__c"))).as("__st"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("__t"), col("__c"))).as("__sc"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"))
+    val pre = weekly.where(col("rel_week") < 0)
+      .groupBy("event_type")
+      .agg(sum("__st").as("__pst"), sum("n_treat").as("__pnt"),
+        sum("__sc").as("__psc"), sum("n_ctrl").as("__pnc"))
+    def mean(s: String, n: String) = when(col(n) > 0,
+      (col(s).cast("double") / col(n).cast("double")) / lit(100.0))
+    val diff = mean("__st", "n_treat") - mean("__sc", "n_ctrl")
+    val preDiff = mean("__pst", "__pnt") - mean("__psc", "__pnc")
+    weekly.join(pre, Seq("event_type"))
+      .select(col("event_type"), col("rel_week"), col("n_treat"),
+        col("n_ctrl"), round(diff, 6).as("diff"),
+        round(diff - preDiff, 6).as("effect"))
+      .orderBy("event_type", "rel_week")
+  }
+
+  val qeEventStudySql: String =
+    """WITH cut AS (
+      |  SELECT MIN(CAST(ts AS DATE))
+      |      + CAST((date_diff('day', MIN(CAST(ts AS DATE)),
+      |        MAX(CAST(ts AS DATE))) // 2) AS INT) AS cutday
+      |  FROM events WHERE user_id IS NOT NULL
+      |), weekly AS (
+      |  SELECT event_type,
+      |    CAST(floor(date_diff('day', cutday, CAST(ts AS DATE)) / 7.0)
+      |      AS INT) AS rel_week,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('did:' || user_id),
+      |        1, 8))::BIGINT % 2 = 1
+      |      THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT)
+      |      AS st,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('did:' || user_id),
+      |        1, 8))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treat,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('did:' || user_id),
+      |        1, 8))::BIGINT % 2 = 0
+      |      THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT)
+      |      AS sc,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5('did:' || user_id),
+      |        1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ctrl
+      |  FROM events, cut
+      |  WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2
+      |), pre AS (
+      |  SELECT event_type, SUM(st) AS pst, SUM(n_treat) AS pnt,
+      |    SUM(sc) AS psc, SUM(n_ctrl) AS pnc
+      |  FROM weekly WHERE rel_week < 0 GROUP BY 1
+      |), calc AS (
+      |  SELECT w.event_type, w.rel_week, w.n_treat, w.n_ctrl,
+      |    (CASE WHEN w.n_treat > 0 THEN
+      |        (CAST(w.st AS DOUBLE) / CAST(w.n_treat AS DOUBLE)) / 100e0
+      |      END)
+      |    - (CASE WHEN w.n_ctrl > 0 THEN
+      |        (CAST(w.sc AS DOUBLE) / CAST(w.n_ctrl AS DOUBLE)) / 100e0
+      |      END) AS d,
+      |    (CASE WHEN p.pnt > 0 THEN
+      |        (CAST(p.pst AS DOUBLE) / CAST(p.pnt AS DOUBLE)) / 100e0
+      |      END)
+      |    - (CASE WHEN p.pnc > 0 THEN
+      |        (CAST(p.psc AS DOUBLE) / CAST(p.pnc AS DOUBLE)) / 100e0
+      |      END) AS pd
+      |  FROM weekly w JOIN pre p ON w.event_type = p.event_type
+      |)
+      |SELECT event_type, rel_week, n_treat, n_ctrl,
+      |  round(d, 6) AS diff, round(d - pd, 6) AS effect
+      |FROM calc
+      |ORDER BY event_type, rel_week""".stripMargin
+
   /** §2.33bu — Poisson-bootstrap confidence interval for the mean
     * event value per type (the Google-style distributed bootstrap:
     * resampling-with-replacement is impossible on a sharded corpus,
@@ -5017,6 +5117,7 @@ object EventQueries {
     "qe_hurst" -> (qeHurst _),
     "qe_mwu" -> (qeMwu _),
     "qe_bootstrap" -> (qeBootstrap _),
+    "qe_event_study" -> (qeEventStudy _),
     "qe_xcorr" -> (qeXcorr _),
     "qe_skew_report" -> (qeSkewReport _),
     "qe_topk_sketch" -> (qeTopkSketch _),
@@ -5087,6 +5188,7 @@ object EventQueries {
     "qe_hurst" -> qeHurstSql,
     "qe_mwu" -> qeMwuSql,
     "qe_bootstrap" -> qeBootstrapSql,
+    "qe_event_study" -> qeEventStudySql,
     "qe_xcorr" -> qeXcorrSql,
     "qe_skew_report" -> qeSkewReportSql,
     "qe_topk_sketch" -> qeTopkSketchSql,

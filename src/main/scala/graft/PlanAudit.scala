@@ -197,7 +197,10 @@ object PlanAudit {
       "qd_lsh_audit",
       // qe_event_study: the fact table crosses a broadcast ONE-ROW
       // midpoint-cut date (scalar-subquery pattern, same as qe_did).
-      "qe_event_study")
+      "qe_event_study",
+      // qp_split: the |splits|×|sources| rollup crosses a broadcast
+      // ONE-ROW straddle-audit count (scalar-subquery pattern).
+      "qp_split")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -1274,6 +1274,102 @@ object PipelineQueries {
       |FROM eff
       |ORDER BY avail_tokens DESC, source""".stripMargin
 
+  /** §2.31al — LEAKAGE-SAFE train/valid/test split: assignment is
+    * keyed on the document's dedup CANONICAL (the [[DedupQueries
+    * .qdManifest]] component — exact dups and near-dups resolve to
+    * one cluster id), so a near-duplicate pair can NEVER straddle
+    * train and test — the contamination path a naive per-doc split
+    * ([[TextQueries.qtSplit]], the deliberate foil) leaves wide open
+    * and that benchmark-leakage postmortems repeatedly trace to
+    * "train doc was a near-dup of an eval doc". 80/10/10 by md5 coin
+    * on the canonical id; reported per (split, source) with doc /
+    * cluster / exact token counts, plus the straddle audit column —
+    * clusters spanning >1 split — which is ZERO BY CONSTRUCTION and
+    * recomputed from the output rather than assumed (a nonzero value
+    * means the canonical derivation itself broke). Scale shape: the
+    * manifest's key-keyed joins, one md5 per cluster, one combinable
+    * rollup; the audit is a per-cluster distinct-count re-aggregate
+    * of the collapsed frame and a 1-row broadcast. */
+  def qpSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val b = md5Bucket("csplit", col("canonical_id"), 100)
+    val assigned = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("__t"))
+      .join(DedupQueries.qdManifest(spark, dir)
+        .select("doc_id", "canonical_id"), Seq("doc_id"))
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+    val straddle = assigned.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("__ns"))
+      .agg(sum(when(col("__ns") > 1, 1L).otherwise(0L))
+        .as("straddle_clusters"))
+    assigned.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        sum(col("__t")).as("n_tokens"))
+      .crossJoin(broadcast(straddle))
+      .orderBy("split", "source")
+  }
+
+  val qpSplitSql: String =
+    """WITH RECURSIVE ex AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exc
+      |  FROM documents
+      |), surv AS (
+      |  SELECT d.source, d.doc_id, d.text
+      |  FROM documents d JOIN ex ON d.doc_id = ex.doc_id
+      |  WHERE ex.doc_id = ex.exc
+      |), sh AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' ')) - 1),
+      |        i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |    ELSE [] END AS g
+      |  FROM surv
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS m FROM surv
+      |  UNION
+      |  SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id
+      |), comp AS (
+      |  SELECT id AS doc_id, MIN(m) AS component_id FROM reach GROUP BY id
+      |), man AS (
+      |  SELECT ex.doc_id, c.component_id AS canonical_id
+      |  FROM ex JOIN comp c ON c.doc_id = ex.exc
+      |), assigned AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t,
+      |    m.canonical_id,
+      |    CASE WHEN ('0x' || substr(md5('csplit:' || m.canonical_id),
+      |        1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |      WHEN ('0x' || substr(md5('csplit:' || m.canonical_id),
+      |        1, 8))::BIGINT % 100 < 90 THEN 'valid'
+      |      ELSE 'test' END AS split
+      |  FROM documents d JOIN man m ON d.doc_id = m.doc_id
+      |), straddle AS (
+      |  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS straddle_clusters
+      |  FROM (SELECT canonical_id, COUNT(DISTINCT split) AS ns
+      |        FROM assigned GROUP BY 1)
+      |)
+      |SELECT split, source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |  (SELECT straddle_clusters FROM straddle) AS straddle_clusters
+      |FROM assigned
+      |GROUP BY split, source
+      |ORDER BY split, source""".stripMargin
+
   /** §2.31x — SCD2 (slowly-changing-dimension type 2) build: the
     * versioned dimension table a warehouse derives from a mutable
     * attribute's change history. Each customer's order-priority stream
@@ -1864,6 +1960,7 @@ object PipelineQueries {
     "qp_weights" -> (qpWeights _),
     "qp_waterfill" -> (qpWaterfill _),
     "qp_epochs" -> (qpEpochs _),
+    "qp_split" -> (qpSplit _),
     "qp_reservoir" -> (qpReservoir _),
     "qp_quality_sample" -> (qpQualitySample _),
     "qp_release_diff" -> (qpReleaseDiff _),
@@ -1897,6 +1994,7 @@ object PipelineQueries {
     "qp_weights" -> qpWeightsSql,
     "qp_waterfill" -> qpWaterfillSql,
     "qp_epochs" -> qpEpochsSql,
+    "qp_split" -> qpSplitSql,
     "qp_reservoir" -> qpReservoirSql,
     "qp_quality_sample" -> qpQualitySampleSql,
     "qp_release_diff" -> qpReleaseDiffSql,

@@ -481,6 +481,136 @@ object OperatorQueries {
       .orderBy("layout", "predicate")
   }
 
+  /** §2.39f — small-file compaction planner (the OPTIMIZE planning
+    * pass a partitioned 100 TB table runs nightly): from a per-partition
+    * file inventory, classify every file against a per-partition target
+    * size and emit the rewrite plan — `keep` (right-sized, untouched),
+    * `compact` (undersized, bin-packed into target-size groups),
+    * `split` (oversized, divided into ceil(bytes/target) outputs) —
+    * plus the accounting a maintenance scheduler budgets with: files
+    * before/after and bytes rewritten (write amplification). The
+    * inventory here is derived deterministically from data (a "file" =
+    * one (ship-month, priority, custkey mod 4) orders group at 64
+    * bytes/row) so the oracle can recompute it; a real deployment feeds
+    * the same planner from the metastore file listing. Everything is
+    * scale-invariant and exact-integer: the target is ~2× the
+    * partition's exact median file size (lower+upper-median SUM, no
+    * doubles, rounded up to a 64-byte multiple), classification is
+    * integer compares, and packing is next-fit-decreasing via a
+    * per-partition cumulative-sum window — `bin = (cumsum − bytes) div
+    * target` over (bytes DESC, file_id) order, which guarantees every
+    * bin except a partition's last reaches the target. Scale shape:
+    * one partition-keyed shuffle builds the inventory, every window is
+    * partition-local (no global sort), and the planner's input at
+    * 100 TB is file *metadata* — millions of rows, not data rows. */
+  def qoCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+        concat(col("o_orderpriority"), lit("-"),
+          (col("o_custkey") % 4).cast("string")).as("file_id"))
+      .agg((count(lit(1)) * 64).as("bytes"))
+    val rankW = Window.partitionBy("part").orderBy("bytes", "file_id")
+    val ranked = inv
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("part")))
+    val med = ranked.groupBy("part").agg(
+      (sum(when(col("__rn") === expr("(__n + 1) div 2"), col("bytes"))
+          .otherwise(0L)) +
+        sum(when(col("__rn") === expr("(__n + 2) div 2"), col("bytes"))
+          .otherwise(0L))).as("__med2"))
+    val classed = ranked.join(med, "part")
+      .withColumn("__target",
+        expr("((__med2 + 63) div 64) * 64"))
+      .withColumn("action",
+        when(col("bytes") > lit(2) * col("__target"), lit("split"))
+          .when(col("bytes") * 2 < col("__target"), lit("compact"))
+          .otherwise(lit("keep")))
+    val packW = Window.partitionBy("part", "action")
+      .orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classed
+      .withColumn("__cum", sum("bytes").over(packW))
+      .withColumn("__bin",
+        when(col("action") === "compact",
+          expr("(__cum - bytes) div __target")))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("action") === "compact", 1L).otherwise(0L))
+          .as("n_compact"),
+        sum(when(col("action") === "split", 1L).otherwise(0L)).as("n_split"),
+        countDistinct(col("__bin")).as("n_bins"),
+        (sum(when(col("action") === "keep", 1L).otherwise(0L)) +
+          countDistinct(col("__bin")) +
+          sum(when(col("action") === "split",
+            expr("(bytes + __target - 1) div __target")).otherwise(0L)))
+          .as("n_files_after"),
+        sum("bytes").as("bytes_total"),
+        sum(when(col("action") === "keep", 0L).otherwise(col("bytes")))
+          .as("bytes_rewritten"))
+      .withColumn("write_amplification",
+        round(col("bytes_rewritten").cast("double") /
+          col("bytes_total").cast("double"), 6))
+      .orderBy("part")
+  }
+
+  val qoCompactionSql: String =
+    """WITH inv AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+      |    o_orderpriority || '-' || CAST(o_custkey % 4 AS VARCHAR)
+      |      AS file_id,
+      |    COUNT(*) * 64 AS bytes
+      |  FROM orders GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY part ORDER BY bytes, file_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY part) AS n
+      |  FROM inv
+      |), med AS (
+      |  SELECT part,
+      |    SUM(CASE WHEN rn = (n + 1) // 2 THEN bytes ELSE 0 END)
+      |      + SUM(CASE WHEN rn = (n + 2) // 2 THEN bytes ELSE 0 END)
+      |      AS med2
+      |  FROM ranked GROUP BY 1
+      |), classed AS (
+      |  SELECT r.part, r.file_id, r.bytes,
+      |    ((m.med2 + 63) // 64) * 64 AS target,
+      |    CASE WHEN r.bytes > 2 * (((m.med2 + 63) // 64) * 64)
+      |        THEN 'split'
+      |      WHEN r.bytes * 2 < (((m.med2 + 63) // 64) * 64)
+      |        THEN 'compact'
+      |      ELSE 'keep' END AS action
+      |  FROM ranked r JOIN med m ON r.part = m.part
+      |), binned AS (
+      |  SELECT *, CASE WHEN action = 'compact' THEN
+      |      (SUM(bytes) OVER (PARTITION BY part, action
+      |         ORDER BY bytes DESC, file_id
+      |         ROWS UNBOUNDED PRECEDING) - bytes) // target
+      |    ELSE NULL END AS bin
+      |  FROM classed
+      |)
+      |SELECT part, COUNT(*) AS n_files,
+      |  CAST(SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keep,
+      |  CAST(SUM(CASE WHEN action = 'compact' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_compact,
+      |  CAST(SUM(CASE WHEN action = 'split' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_split,
+      |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+      |  CAST(SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END)
+      |    + COUNT(DISTINCT bin)
+      |    + SUM(CASE WHEN action = 'split'
+      |        THEN (bytes + target - 1) // target ELSE 0 END) AS BIGINT)
+      |    AS n_files_after,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(CASE WHEN action = 'keep' THEN 0 ELSE bytes END)
+      |    AS BIGINT) AS bytes_rewritten,
+      |  round(CAST(SUM(CASE WHEN action = 'keep' THEN 0 ELSE bytes END)
+      |      AS DOUBLE)
+      |    / CAST(SUM(bytes) AS DOUBLE), 6) AS write_amplification
+      |FROM binned GROUP BY 1 ORDER BY part""".stripMargin
+
   val qoZoneSkippingSql: String =
     """WITH rows_t AS (
       |  SELECT o_orderkey AS okey, o_custkey AS ck,
@@ -545,6 +675,7 @@ object OperatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qo_aqp_error" -> (qoAqpError _),
+    "qo_compaction" -> (qoCompaction _),
     "qo_zone_skipping" -> (qoZoneSkipping _),
     "qo_join_cardinality_sketch" -> (qoJoinCardinalitySketch _),
     "qo_skew_join" -> (qoSkewJoin _),
@@ -555,6 +686,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "qo_aqp_error" -> qoAqpErrorSql,
+    "qo_compaction" -> qoCompactionSql,
     "qo_zone_skipping" -> qoZoneSkippingSql,
     "qo_join_cardinality_sketch" -> qoJoinCardinalitySketchSql,
     "qo_bloom_anti" -> qoBloomAntiSql,

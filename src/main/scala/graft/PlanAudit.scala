@@ -88,6 +88,10 @@ object PlanAudit {
       // per-doc hash frame under the non-equi successor predicate —
       // every non-doc side bounded by shards×32 at any data scale.
       "qd_consistent_hash",
+      // qt_bm25: crosses the query-term-matched tf frame with a
+      // broadcast ONE-ROW (N, avgdl) corpus-stats aggregate (scalar-
+      // subquery pattern, same as qt_keywords/qe_decay).
+      "qt_bm25",
       // qe_mix_decomposition: crosses the fact table with a broadcast
       // ONE-ROW calendar-midpoint aggregate (scalar-subquery pattern,
       // same as qe_did/qe_decay).

@@ -393,6 +393,108 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** §2.28j — Okapi BM25 ranking (k1=1.2, b=0.75): the doc-length-
+    * normalized relevance score [[qtTfidf]] lacks — tf saturates at k1+1
+    * and long documents stop winning on raw term repetition. The query
+    * is data-derived and deterministic: the 6 vocabulary terms at global
+    * document-frequency ranks 10–15 (df DESC, token tie-break) — mid-
+    * frequency terms, where BM25's idf actually discriminates. Scoring
+    * shape at scale: the tf frame is one (doc, token) shuffle (shared
+    * shape with qt_tfidf), per-doc length rides the same doc-keyed
+    * exchange as a window, the 6-term query and the 1-row corpus stats
+    * (N, avgdl) are broadcast (scalar-subquery pattern, PlanAudit-
+    * documented), and the final top-20 is a TakeOrdered — no global
+    * sort. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) ≥ 0 (Lucene form);
+    * scores are rounded once to 6 before the rank tie-break on doc_id,
+    * the suite's cross-engine double discipline. */
+  def qtBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val withDl = tf.withColumn("__dl",
+      sum("cnt").over(Window.partitionBy("doc_id")))
+    val dfFrame = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    // TakeOrdered (orderBy+limit) over the collapsed vocab frame, THEN
+    // a 15-row rank window — never a global row_number over the vocab.
+    val qterms = dfFrame
+      .orderBy(col("__df").desc, col("token")).limit(15)
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__df").desc, col("token"))))
+      .where(col("__r").between(10, 15))
+      .select("token", "__df")
+    val stats = broadcast(withDl
+      .agg(sum("cnt").as("__tot"),
+        countDistinct(col("doc_id")).as("__nd")))
+    withDl
+      .join(broadcast(qterms), "token")
+      .crossJoin(stats)
+      .withColumn("__idf",
+        log(lit(1.0) +
+          (col("__nd").cast("double") - col("__df").cast("double") +
+            lit(0.5)) / (col("__df").cast("double") + lit(0.5))))
+      .withColumn("__norm",
+        lit(1.0) - lit(0.75) + lit(0.75) *
+          (col("__dl").cast("double") * col("__nd").cast("double") /
+            col("__tot").cast("double")))
+      .withColumn("__s",
+        col("__idf") * (col("cnt").cast("double") * lit(2.2)) /
+          (col("cnt").cast("double") + lit(1.2) * col("__norm")))
+      .groupBy("doc_id")
+      .agg(round(sum("__s"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      // TakeOrdered top-20, then rank the 20 survivors — the global
+      // row_number window never sees the full scored corpus.
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select("rank", "doc_id", "bm25", "n_terms_hit")
+      .orderBy("rank")
+  }
+
+  val qtBm25Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token
+      |), dl AS (
+      |  SELECT *, SUM(cnt) OVER (PARTITION BY doc_id) AS dlen FROM tf
+      |), dfreq AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), qterms AS (
+      |  SELECT token, df FROM (
+      |    SELECT token, df,
+      |      ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+      |    FROM dfreq) t
+      |  WHERE r BETWEEN 10 AND 15
+      |), stats AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS tot,
+      |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd
+      |  FROM tf
+      |), scored AS (
+      |  SELECT d.doc_id,
+      |    round(SUM(
+      |      ln(1.0 + (s.nd - CAST(q.df AS DOUBLE) + 0.5)
+      |               / (CAST(q.df AS DOUBLE) + 0.5))
+      |      * (CAST(d.cnt AS DOUBLE) * 2.2)
+      |      / (CAST(d.cnt AS DOUBLE)
+      |         + 1.2 * (1.0 - 0.75 + 0.75 *
+      |             (CAST(d.dlen AS DOUBLE) * s.nd / s.tot)))), 6)
+      |      AS bm25,
+      |    COUNT(*) AS n_terms_hit
+      |  FROM dl d JOIN qterms q ON d.token = q.token
+      |  CROSS JOIN stats s
+      |  GROUP BY d.doc_id
+      |)
+      |SELECT rank, doc_id, bm25, n_terms_hit FROM (
+      |  SELECT doc_id, bm25, n_terms_hit,
+      |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val qtTfidfSql: String =
     """WITH tf AS (
       |  SELECT doc_id, token, COUNT(*) AS cnt
@@ -1416,6 +1518,7 @@ object TextQueries {
     "qt_repetition" -> (qtRepetition _),
     "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
+    "qt_bm25" -> (qtBm25 _),
     "qt_hapax" -> (qtHapax _),
     "qt_vocab" -> (qtVocab _),
     "qt_pmi" -> (qtPmi _),
@@ -1447,6 +1550,7 @@ object TextQueries {
     "qt_repetition" -> qtRepetitionSql,
     "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
+    "qt_bm25" -> qtBm25Sql,
     "qt_hapax" -> qtHapaxSql,
     "qt_vocab" -> qtVocabSql,
     "qt_pmi" -> qtPmiSql,

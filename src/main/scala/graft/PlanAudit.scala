@@ -92,6 +92,9 @@ object PlanAudit {
       // broadcast ONE-ROW (N, avgdl) corpus-stats aggregate (scalar-
       // subquery pattern, same as qt_keywords/qe_decay).
       "qt_bm25",
+      // qt_rrf_fusion: inherits qt_bm25's 1-row corpus-stats broadcast
+      // (scalar-subquery pattern) in both candidate rankers.
+      "qt_rrf_fusion",
       // qe_mix_decomposition: crosses the fact table with a broadcast
       // ONE-ROW calendar-midpoint aggregate (scalar-subquery pattern,
       // same as qe_did/qe_decay).

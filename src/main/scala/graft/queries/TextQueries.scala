@@ -407,7 +407,12 @@ object TextQueries {
     * sort. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) ≥ 0 (Lucene form);
     * scores are rounded once to 6 before the rank tie-break on doc_id,
     * the suite's cross-engine double discipline. */
-  def qtBm25(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared retrieval base for [[qtBm25]] / [[qtRrfFusion]]: the
+    * (doc, query-term) matched tf frame carrying per-doc length, term
+    * document frequency, and the broadcast 1-row corpus stats
+    * (total tokens `__tot`, doc count `__nd`). Query = vocabulary
+    * terms at global df ranks 10–15, selected by TakeOrdered. */
+  private def queryTermFrame(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
@@ -431,6 +436,10 @@ object TextQueries {
     withDl
       .join(broadcast(qterms), "token")
       .crossJoin(stats)
+  }
+
+  def qtBm25(spark: SparkSession, dir: String): DataFrame = {
+    queryTermFrame(spark, dir)
       .withColumn("__idf",
         log(lit(1.0) +
           (col("__nd").cast("double") - col("__df").cast("double") +
@@ -494,6 +503,124 @@ object TextQueries {
       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
       |  FROM scored) t
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** §2.28t — reciprocal-rank fusion (k=60) of two lexical rankers
+    * over the same data-derived query: the retrieve-then-fuse shape a
+    * hybrid search stack runs, demonstrated on rankers that genuinely
+    * disagree — [[qtBm25]] (tf saturation + doc-length normalization)
+    * vs a plain smoothed-tf-idf sum (linear tf, no length prior). Each
+    * ranker contributes its TakeOrdered top-50 candidate list (ranked
+    * by round-6 score, doc_id tie-break); fusion full-outer-joins the
+    * two ≤50-row lists on doc_id and scores 1/(60+rank) summed over
+    * the lists the doc appears in — a doc missing from one list
+    * simply earns no contribution from it (standard RRF). Scale
+    * shape: both candidate lists are TakeOrdered off the shared
+    * (doc, query-term) frame — the fusion join touches ≤100 rows at
+    * ANY corpus scale; rank integers make the fused score an exact
+    * rational rendered once at round-6. */
+  def qtRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val base = queryTermFrame(spark, dir)
+    val bm25 = base
+      .withColumn("__idf",
+        log(lit(1.0) +
+          (col("__nd").cast("double") - col("__df").cast("double") +
+            lit(0.5)) / (col("__df").cast("double") + lit(0.5))))
+      .withColumn("__norm",
+        lit(1.0) - lit(0.75) + lit(0.75) *
+          (col("__dl").cast("double") * col("__nd").cast("double") /
+            col("__tot").cast("double")))
+      .withColumn("__s",
+        col("__idf") * (col("cnt").cast("double") * lit(2.2)) /
+          (col("cnt").cast("double") + lit(1.2) * col("__norm")))
+      .groupBy("doc_id").agg(round(sum("__s"), 6).as("__score"))
+      .orderBy(col("__score").desc, col("doc_id")).limit(50)
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("__score").desc, col("doc_id"))))
+      .select("doc_id", "rank_bm25")
+    val tfidf = base
+      .withColumn("__s",
+        (col("cnt").cast("double") / col("__dl").cast("double")) *
+          (log((col("__nd").cast("double") + lit(1.0)) /
+            (col("__df").cast("double") + lit(1.0))) + lit(1.0)))
+      .groupBy("doc_id").agg(round(sum("__s"), 6).as("__score"))
+      .orderBy(col("__score").desc, col("doc_id")).limit(50)
+      .withColumn("rank_tfidf", row_number().over(
+        Window.orderBy(col("__score").desc, col("doc_id"))))
+      .select("doc_id", "rank_tfidf")
+    bm25.join(tfidf, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) /
+          (lit(60.0) + col("rank_bm25").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) /
+          (lit(60.0) + col("rank_tfidf").cast("double")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(15)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select("rank", "doc_id", "rank_bm25", "rank_tfidf", "rrf")
+      .orderBy("rank")
+  }
+
+  val qtRrfFusionSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token
+      |), dl AS (
+      |  SELECT *, SUM(cnt) OVER (PARTITION BY doc_id) AS dlen FROM tf
+      |), dfreq AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), qterms AS (
+      |  SELECT token, df FROM (
+      |    SELECT token, df,
+      |      ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+      |    FROM dfreq) t
+      |  WHERE r BETWEEN 10 AND 15
+      |), stats AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS tot,
+      |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd
+      |  FROM tf
+      |), base AS (
+      |  SELECT d.doc_id, d.cnt, d.dlen, q.df, s.tot, s.nd
+      |  FROM dl d JOIN qterms q ON d.token = q.token CROSS JOIN stats s
+      |), bm AS (
+      |  SELECT doc_id, rank_bm25 FROM (
+      |    SELECT doc_id,
+      |      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+      |    FROM (
+      |      SELECT doc_id, round(SUM(
+      |        ln(1.0 + (nd - CAST(df AS DOUBLE) + 0.5)
+      |                 / (CAST(df AS DOUBLE) + 0.5))
+      |        * (CAST(cnt AS DOUBLE) * 2.2)
+      |        / (CAST(cnt AS DOUBLE)
+      |           + 1.2 * (1.0 - 0.75 + 0.75 *
+      |               (CAST(dlen AS DOUBLE) * nd / tot)))), 6) AS score
+      |      FROM base GROUP BY doc_id) s) r
+      |  WHERE rank_bm25 <= 50
+      |), ti AS (
+      |  SELECT doc_id, rank_tfidf FROM (
+      |    SELECT doc_id,
+      |      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_tfidf
+      |    FROM (
+      |      SELECT doc_id, round(SUM(
+      |        (CAST(cnt AS DOUBLE) / CAST(dlen AS DOUBLE))
+      |        * (ln((nd + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0)), 6)
+      |        AS score
+      |      FROM base GROUP BY doc_id) s) r
+      |  WHERE rank_tfidf <= 50
+      |), fused AS (
+      |  SELECT COALESCE(bm.doc_id, ti.doc_id) AS doc_id,
+      |    bm.rank_bm25, ti.rank_tfidf,
+      |    round(COALESCE(1.0 / (60.0 + CAST(bm.rank_bm25 AS DOUBLE)), 0.0)
+      |      + COALESCE(1.0 / (60.0 + CAST(ti.rank_tfidf AS DOUBLE)), 0.0),
+      |      6) AS rrf
+      |  FROM bm FULL OUTER JOIN ti ON bm.doc_id = ti.doc_id
+      |)
+      |SELECT rank, doc_id, rank_bm25, rank_tfidf, rrf FROM (
+      |  SELECT doc_id, rank_bm25, rank_tfidf, rrf,
+      |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused) t
+      |WHERE rank <= 15 ORDER BY rank""".stripMargin
 
   val qtTfidfSql: String =
     """WITH tf AS (
@@ -1519,6 +1646,7 @@ object TextQueries {
     "qt_passages" -> (qtPassages _),
     "qt_tfidf" -> (qtTfidf _),
     "qt_bm25" -> (qtBm25 _),
+    "qt_rrf_fusion" -> (qtRrfFusion _),
     "qt_hapax" -> (qtHapax _),
     "qt_vocab" -> (qtVocab _),
     "qt_pmi" -> (qtPmi _),
@@ -1551,6 +1679,7 @@ object TextQueries {
     "qt_passages" -> qtPassagesSql,
     "qt_tfidf" -> qtTfidfSql,
     "qt_bm25" -> qtBm25Sql,
+    "qt_rrf_fusion" -> qtRrfFusionSql,
     "qt_hapax" -> qtHapaxSql,
     "qt_vocab" -> qtVocabSql,
     "qt_pmi" -> qtPmiSql,

@@ -92,6 +92,10 @@ object PlanAudit {
       // broadcast ONE-ROW (N, avgdl) corpus-stats aggregate (scalar-
       // subquery pattern, same as qt_keywords/qe_decay).
       "qt_bm25",
+      // q_eb_shrinkage: crosses the supplier-collapsed rate frame with
+      // a broadcast ONE-ROW moment-matched prior (scalar-subquery
+      // pattern, same as qt_keywords/qe_decay).
+      "q_eb_shrinkage",
       // qt_rrf_fusion: inherits qt_bm25's 1-row corpus-stats broadcast
       // (scalar-subquery pattern) in both candidate rankers.
       "qt_rrf_fusion",

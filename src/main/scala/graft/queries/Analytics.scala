@@ -803,7 +803,107 @@ object Analytics {
       |  round(p, 6) AS paasche, round(sqrt(l * p), 6) AS fisher
       |FROM agg ORDER BY month""".stripMargin
 
+  /** §2.19t — empirical-Bayes rate shrinkage (moment-matched
+    * Beta-Binomial): per-supplier return rates stabilized toward the
+    * cross-supplier prior — the standard fix for small-denominator
+    * rate leaderboards, where a 3-of-7 segment outranks a 300-of-900
+    * one on raw rate alone. Prior (α, β) is method-of-moments from
+    * the per-supplier rate distribution: c = m(1−m)/v − 1 (floored at
+    * 1 when variance is zero/degenerate), α = mc, β = (1−m)c; each
+    * posterior mean is (x + α)/(n + c). Exactness discipline: per-key
+    * rates are frozen at round-9 DECIMAL(18,9), and the moment sums
+    * Σp, Σp² run as exact decimal sums (p² at DECIMAL(38,18)) so the
+    * prior cannot move with shuffle order; final rates round once to
+    * 6 before the doc-ordered ranks. Scale shape: one key-keyed
+    * aggregate over the fact table, a 1-row broadcast prior
+    * (scalar-subquery pattern), and ranks only over the collapsed
+    * per-key frame (bounded by the supplier dimension). */
+  def qEbShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("supplier"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .withColumn("p",
+        round(col("x").cast("double") / col("n").cast("double"), 9)
+          .cast("decimal(18,9)"))
+    val prior = broadcast(per
+      .agg(count(lit(1)).cast("double").as("__k"),
+        sum("p").cast("double").as("__sp"),
+        sum((col("p") * col("p")).cast("decimal(38,18)"))
+          .cast("double").as("__sp2"))
+      .select(
+        (col("__sp") / col("__k")).as("__m"),
+        ((col("__sp2") - col("__sp") * col("__sp") / col("__k")) /
+          (col("__k") - lit(1.0))).as("__v"))
+      .select(col("__m"),
+        when(col("__v") > 0 &&
+            col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0 > 0,
+          col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+          .otherwise(lit(1.0)).as("__c")))
+    val scored = per.crossJoin(prior)
+      .select(col("supplier"), col("n"), col("x"),
+        round(col("p").cast("double"), 6).as("raw_rate"),
+        round((col("x").cast("double") + col("__m") * col("__c")) /
+          (col("n").cast("double") + col("__c")), 6).as("shrunk_rate"),
+        round(col("__m") * col("__c"), 6).as("alpha"),
+        round((lit(1.0) - col("__m")) * col("__c"), 6).as("beta"))
+    scored
+      .withColumn("rank_raw", row_number().over(
+        Window.orderBy(col("raw_rate").desc, col("supplier"))))
+      .withColumn("rank_shrunk", row_number().over(
+        Window.orderBy(col("shrunk_rate").desc, col("supplier"))))
+      .where(col("rank_shrunk") <= 15)
+      .select("rank_shrunk", "supplier", "n", "x", "raw_rate",
+        "shrunk_rate", "rank_raw", "alpha", "beta")
+      .orderBy("rank_shrunk")
+  }
+
+  val qEbShrinkageSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey AS supplier, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1
+      |), rates AS (
+      |  SELECT *, CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9)
+      |    AS DECIMAL(18,9)) AS p
+      |  FROM per
+      |), mom AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+      |    CAST(SUM(p) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(p * p AS DECIMAL(38,18))) AS DOUBLE) AS sp2
+      |  FROM rates
+      |), prior AS (
+      |  SELECT sp / k AS m,
+      |    CASE WHEN (sp2 - sp * sp / k) / (k - 1.0) > 0
+      |        AND (sp / k) * (1.0 - sp / k)
+      |            / ((sp2 - sp * sp / k) / (k - 1.0)) - 1.0 > 0
+      |      THEN (sp / k) * (1.0 - sp / k)
+      |           / ((sp2 - sp * sp / k) / (k - 1.0)) - 1.0
+      |      ELSE 1.0 END AS c
+      |  FROM mom
+      |), scored AS (
+      |  SELECT r.supplier, r.n, r.x,
+      |    round(CAST(r.p AS DOUBLE), 6) AS raw_rate,
+      |    round((CAST(r.x AS DOUBLE) + pr.m * pr.c)
+      |      / (CAST(r.n AS DOUBLE) + pr.c), 6) AS shrunk_rate,
+      |    round(pr.m * pr.c, 6) AS alpha,
+      |    round((1.0 - pr.m) * pr.c, 6) AS beta
+      |  FROM rates r CROSS JOIN prior pr
+      |), ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY raw_rate DESC, supplier)
+      |      AS rank_raw,
+      |    ROW_NUMBER() OVER (ORDER BY shrunk_rate DESC, supplier)
+      |      AS rank_shrunk
+      |  FROM scored
+      |)
+      |SELECT rank_shrunk, supplier, n, x, raw_rate, shrunk_rate,
+      |  rank_raw, alpha, beta
+      |FROM ranked WHERE rank_shrunk <= 15 ORDER BY rank_shrunk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_price_index" -> (qPriceIndex _),
     "q_skyline" -> (qSkyline _),
     "q_basket_lift" -> (qBasketLift _),
@@ -828,6 +928,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_eb_shrinkage" -> qEbShrinkageSql,
     "q_price_index" -> qPriceIndexSql,
     "q_skyline" -> qSkylineSql,
     "q_basket_lift" -> qBasketLiftSql,

@@ -99,6 +99,10 @@ object PlanAudit {
       // qt_rrf_fusion: inherits qt_bm25's 1-row corpus-stats broadcast
       // (scalar-subquery pattern) in both candidate rankers.
       "qt_rrf_fusion",
+      // qt_nb_quality: crosses the ≤64-row NB model and the scored test
+      // frame with a ONE-ROW class-priors/totals broadcast (scalar-
+      // subquery pattern, same as qt_keywords/qe_decay).
+      "qt_nb_quality",
       // qe_mix_decomposition: crosses the fact table with a broadcast
       // ONE-ROW calendar-midpoint aggregate (scalar-subquery pattern,
       // same as qe_did/qe_decay).

@@ -1628,7 +1628,159 @@ object TextQueries {
       |FROM inst i JOIN dfreq f USING (sh)
       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
+  /** §2.28u — Naive-Bayes quality classifier (the fastText-style
+    * quality-filter shape): train multinomial NB on the train split
+    * against the §2.28f heuristic quality label (score ≥ 0.73 → "hi"),
+    * restrict features to the top-64 train vocabulary by document
+    * frequency (the feature-selection step that keeps the model
+    * broadcastable at any corpus size), add-1 smoothing, then score
+    * the held-out test split in the log domain. Determinism: per-doc
+    * log-prob sums fold in-row over the token-sorted struct array
+    * (never a row-order float SUM); class priors/totals ride ONE-ROW
+    * broadcast frames (scalar-subquery pattern); the model join is a
+    * ≤64-row broadcast; margins round once at 6dp before the sign
+    * test. Scale: two scans of documents (train counts, test scoring),
+    * one (tok,class) aggregate, one per-doc rollup — all linear in the
+    * corpus; no all-pairs, no driver collect. Split seed "split"
+    * matches qt_split/qp_split so the classifier trains on exactly the
+    * released train partition. */
+  def qtNbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val quality = lit(0.3) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.4) * (size(array_distinct(toks)).cast("double") / nTok) +
+      lit(0.3) * (lit(1.0) - countIn(toks, stopwords).cast("double") / nTok)
+    val labeled = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"),
+        when(quality >= 0.73, "hi").otherwise("lo").as("label"),
+        md5Bucket("split", col("doc_id"), 100).as("__b"))
+    val train = labeled.where(col("__b") < 80)
+    val test = labeled.where(col("__b") >= 90)
+    val trainTok = train.select(col("doc_id"), col("label"),
+      explode(col("__toks")).as("tok"))
+    val vocab = trainTok.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .orderBy(col("__df").desc, col("tok")).limit(64)
+      .select(col("tok"))
+    val cnt = trainTok.join(broadcast(vocab), "tok")
+      .groupBy("tok")
+      .agg(sum(when(col("label") === "hi", 1L).otherwise(0L)).as("c_hi"),
+        sum(when(col("label") === "lo", 1L).otherwise(0L)).as("c_lo"))
+    val docCounts = train.groupBy().agg(
+      sum(when(col("label") === "hi", 1L).otherwise(0L)).as("nd_hi"),
+      sum(when(col("label") === "lo", 1L).otherwise(0L)).as("nd_lo"))
+    val tokTotals = cnt.groupBy().agg(
+      sum("c_hi").as("t_hi"), sum("c_lo").as("t_lo"),
+      count(lit(1)).as("v"))
+    val params = broadcast(docCounts.crossJoin(tokTotals))
+    val model = broadcast(cnt.crossJoin(params).select(col("tok"),
+      log((col("c_hi") + 1).cast("double") /
+        (col("t_hi") + col("v")).cast("double")).as("lp_hi"),
+      log((col("c_lo") + 1).cast("double") /
+        (col("t_lo") + col("v")).cast("double")).as("lp_lo")))
+    val perDoc = test
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .join(model, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("c"),
+        col("lp_hi"), col("lp_lo")))).as("__m"))
+      .select(col("doc_id"),
+        aggregate(transform(col("__m"),
+          x => x.getField("c").cast("double") * x.getField("lp_hi")),
+          lit(0.0), (a, t) => a + t).as("__s_hi"),
+        aggregate(transform(col("__m"),
+          x => x.getField("c").cast("double") * x.getField("lp_lo")),
+          lit(0.0), (a, t) => a + t).as("__s_lo"))
+    test.select(col("doc_id"), col("label"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .crossJoin(params)
+      .select(col("doc_id"), col("label"),
+        round(log(col("nd_hi").cast("double") /
+            (col("nd_hi") + col("nd_lo")).cast("double")) -
+          log(col("nd_lo").cast("double") /
+            (col("nd_hi") + col("nd_lo")).cast("double")) +
+          coalesce(col("__s_hi"), lit(0.0)) -
+          coalesce(col("__s_lo"), lit(0.0)), 6).as("margin"))
+      .select(col("doc_id"), col("label"),
+        when(col("margin") > 0, "hi").otherwise("lo").as("predicted"),
+        col("margin"),
+        (when(col("margin") > 0, "hi").otherwise("lo") === col("label"))
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val qtNbQualitySql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CASE WHEN 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+      |        + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |                 / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |        + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+      |                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.73
+      |      THEN 'hi' ELSE 'lo' END AS label,
+      |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS b
+      |  FROM documents
+      |), train AS (SELECT * FROM base WHERE b < 80
+      |), test AS (SELECT * FROM base WHERE b >= 90
+      |), ttok AS (
+      |  SELECT doc_id, label, unnest(toks) AS tok FROM train
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ttok GROUP BY tok
+      |    ORDER BY df DESC, tok LIMIT 64)
+      |), cnt AS (
+      |  SELECT t.tok,
+      |    CAST(SUM(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS c_hi,
+      |    CAST(SUM(CASE WHEN label = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS c_lo
+      |  FROM ttok t JOIN vocab v ON t.tok = v.tok GROUP BY t.tok
+      |), params AS (
+      |  SELECT
+      |    (SELECT CAST(SUM(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+      |       FROM train) AS nd_hi,
+      |    (SELECT CAST(SUM(CASE WHEN label = 'lo' THEN 1 ELSE 0 END) AS BIGINT)
+      |       FROM train) AS nd_lo,
+      |    CAST(SUM(c_hi) AS BIGINT) AS t_hi,
+      |    CAST(SUM(c_lo) AS BIGINT) AS t_lo,
+      |    COUNT(*) AS v
+      |  FROM cnt
+      |), model AS (
+      |  SELECT tok,
+      |    ln(CAST(c_hi + 1 AS DOUBLE) / CAST(t_hi + v AS DOUBLE)) AS lp_hi,
+      |    ln(CAST(c_lo + 1 AS DOUBLE) / CAST(t_lo + v AS DOUBLE)) AS lp_lo
+      |  FROM cnt, params
+      |), dt AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM test)
+      |  GROUP BY doc_id, tok
+      |), scored AS (
+      |  SELECT dt.doc_id,
+      |    list(struct_pack(tok := dt.tok, c := dt.c, lp_hi := m.lp_hi,
+      |      lp_lo := m.lp_lo) ORDER BY dt.tok) AS ml
+      |  FROM dt JOIN model m ON dt.tok = m.tok GROUP BY dt.doc_id
+      |), folded AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(ml, x -> CAST(x.c AS DOUBLE) * x.lp_hi),
+      |      (a, b) -> a + b) AS s_hi,
+      |    list_reduce(list_transform(ml, x -> CAST(x.c AS DOUBLE) * x.lp_lo),
+      |      (a, b) -> a + b) AS s_lo
+      |  FROM scored
+      |), scoredtest AS (
+      |  SELECT t.doc_id, t.label,
+      |    round(ln(CAST(p.nd_hi AS DOUBLE) / CAST(p.nd_hi + p.nd_lo AS DOUBLE))
+      |      - ln(CAST(p.nd_lo AS DOUBLE) / CAST(p.nd_hi + p.nd_lo AS DOUBLE))
+      |      + COALESCE(f.s_hi, 0.0) - COALESCE(f.s_lo, 0.0), 6) AS margin
+      |  FROM test t LEFT JOIN folded f ON t.doc_id = f.doc_id, params p
+      |)
+      |SELECT doc_id, label,
+      |  CASE WHEN margin > 0 THEN 'hi' ELSE 'lo' END AS predicted,
+      |  margin,
+      |  (CASE WHEN margin > 0 THEN 'hi' ELSE 'lo' END) = label AS correct
+      |FROM scoredtest ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_nb_quality" -> (qtNbQuality _),
     "qt_dup_fraction" -> (qtDupFraction _),
     "qt_js_sources" -> (qtJsSources _),
     "qt_burstiness" -> (qtBurstiness _),
@@ -1662,6 +1814,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_nb_quality" -> qtNbQualitySql,
     "qt_dup_fraction" -> qtDupFractionSql,
     "qt_js_sources" -> qtJsSourcesSql,
     "qt_burstiness" -> qtBurstinessSql,

@@ -1016,6 +1016,65 @@ object Dedup {
     pr.select(col("__src").as("vertex"), round(col("__pr"), 9).as("pagerank"))
   }
 
+  /** Adamic–Adar link prediction over the undirected pair graph: every
+    * NON-adjacent vertex pair (u, v) sharing at least one neighbor is
+    * scored Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common neighbors weighted
+    * by how informative they are (a rare shared neighbor says more
+    * than a hub). On a near-dup graph this ranks the edges the LSH
+    * bucketing most likely MISSED: two documents tied to the same
+    * small duplicate neighborhood but never landing in a shared
+    * bucket. Top-N candidates feed a targeted exact-cosine recheck —
+    * the cheap recall-repair loop.
+    *
+    * Shape: wedge enumeration (center-keyed self-join of the neighbor
+    * list — the same O(Σ deg²) frontier as the triangle counter), an
+    * anti-join against the existing edge set, one grouped sum.
+    * Centers above `maxCenterDegree` are excluded: a hub costs deg²
+    * wedges and carries the least information (1/ln(deg) → 0) — the
+    * standard truncation in link prediction at scale. Cross-engine
+    * exactness: per-wedge contributions are row-local IEEE doubles
+    * summed through DECIMAL(38,18) (accumulation-order-exact, the
+    * [[pageRank]] discipline), rounded once to 6; the top-N cut is
+    * TakeOrdered with a full (score, id_a, id_b) tie-break so the
+    * selected SET is deterministic.
+    * Returns (rank, id_a, id_b, n_common, aa_score). */
+  def adamicAdar(edges: DataFrame, maxCenterDegree: Int = 64,
+      topN: Int = 50): DataFrame = {
+    val Seq(ea, eb) = edges.columns.take(2).toSeq
+    val e = edges.select(least(col(ea), col(eb)).as("__a"),
+        greatest(col(ea), col(eb)).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+      .localCheckpoint()
+    val nbr = e.select(col("__a").as("__w"), col("__b").as("__u"))
+      .union(e.select(col("__b").as("__w"), col("__a").as("__u")))
+    val deg = nbr.groupBy("__w").agg(count(lit(1)).as("__d"))
+    // 1/ln(deg) is defined only for deg ≥ 2 — and a degree-1 center
+    // spans no wedge anyway, so the bound drops nothing.
+    val centers = nbr.join(
+        deg.where(col("__d") >= 2 && col("__d") <= maxCenterDegree), "__w")
+      .select(col("__w"), col("__u"),
+        (lit(1.0) / log(col("__d").cast("double"))).as("__c"))
+    val wedges = centers.toDF("__w", "__u1", "__c")
+      .join(centers.select("__w", "__u").toDF("__w", "__u2"), "__w")
+      .where(col("__u1") < col("__u2"))
+    val cand = wedges.join(e.toDF("__p1", "__p2"),
+      col("__u1") === col("__p1") && col("__u2") === col("__p2"),
+      "left_anti")
+    cand.groupBy(col("__u1").as("id_a"), col("__u2").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("__c").cast("decimal(38,18)")).cast("double").as("__s"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("__s"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+      // Rank AFTER the TakeOrdered cut: the window sees ≤ topN rows,
+      // never the unbounded candidate frame.
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("aa_score").desc, col("id_a"), col("id_b"))).cast("bigint"))
+      .select("rank", "id_a", "id_b", "n_common", "aa_score")
+  }
+
   /** Local clustering coefficient per vertex: 2T/(d(d−1)) over the
     * undirected pair graph — triangles from [[trianglesPerVertex]],
     * degrees from one grouped count, a left join filling T = 0. Rows

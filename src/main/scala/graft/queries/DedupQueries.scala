@@ -949,6 +949,55 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin
   }
 
+  /** §2.25u — Adamic–Adar link prediction over the same LSH-bucketed
+    * embedding near-dup graph as §2.25j–25m ([[Dedup.adamicAdar]]):
+    * non-adjacent pairs sharing neighbors, scored
+    * Σ 1/ln(deg(common neighbor)) — the ranked list of edges the
+    * bucketing most likely MISSED (two docs tied to the same small
+    * duplicate neighborhood that never shared a bucket), feeding a
+    * targeted exact-cosine recheck: the cheap recall-repair loop that
+    * complements qd_lsh_recall's aggregate measurement. Wedge-join
+    * frontier with hub centers capped at degree 64, DECIMAL(38,18)
+    * contribution sums, TakeOrdered top-50 with full tie-break. */
+  def qdLinkPred(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphPlanes, GraphDims, GraphMinCosine)
+      .select("id_a", "id_b")
+    Dedup.adamicAdar(edges, maxCenterDegree = 64, topN = 50)
+  }
+
+  val qdLinkPredSql: String =
+    embeddingEdgeCte +
+    """
+      |, nbr AS (
+      |  SELECT a AS w, b AS u FROM e0
+      |  UNION ALL SELECT b AS w, a AS u FROM e0
+      |), degc AS (
+      |  SELECT w, COUNT(*) AS d FROM nbr GROUP BY w
+      |), centers AS (
+      |  SELECT n.w, n.u, CAST(1.0 AS DOUBLE) / ln(CAST(d.d AS DOUBLE)) AS c
+      |  FROM nbr n JOIN degc d ON d.w = n.w
+      |  WHERE d.d >= 2 AND d.d <= 64
+      |), wedge AS (
+      |  SELECT c1.u AS u1, c2.u AS u2, c1.c
+      |  FROM centers c1 JOIN centers c2 ON c1.w = c2.w AND c1.u < c2.u
+      |), cand AS (
+      |  SELECT w.u1, w.u2, w.c FROM wedge w
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e0 e WHERE e.a = w.u1 AND e.b = w.u2)
+      |), scored AS (
+      |  SELECT u1 AS id_a, u2 AS id_b, COUNT(*) AS n_common,
+      |    round(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6)
+      |      AS aa_score
+      |  FROM cand GROUP BY u1, u2
+      |), top AS (
+      |  SELECT * FROM scored ORDER BY aa_score DESC, id_a, id_b LIMIT 50
+      |)
+      |SELECT ROW_NUMBER() OVER (ORDER BY aa_score DESC, id_a, id_b)
+      |    AS rank,
+      |  id_a, id_b, n_common, aa_score
+      |FROM top ORDER BY rank""".stripMargin
+
   /** §2.25o — recall instrumentation of the LSH edge generator: the
     * ground truth is the UNBLOCKED exact threshold graph (every pair
     * with cosine ≥ 0.2 — an all-pairs join, affordable only at eval
@@ -2137,6 +2186,7 @@ object DedupQueries {
     "qd_modularity" -> (qdModularity _),
     "qd_cdc_chunks" -> (qdCdcChunks _),
     "qd_lsh_recall" -> (qdLshRecall _),
+    "qd_link_pred" -> (qdLinkPred _),
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
     "qd_kcore" -> (qdKcore _),
@@ -2178,6 +2228,7 @@ object DedupQueries {
     "qd_cdc_chunks" -> qdCdcChunksSql,
     "qd_modularity" -> qdModularitySql,
     "qd_lsh_recall" -> qdLshRecallSql,
+    "qd_link_pred" -> qdLinkPredSql,
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
     "qd_kcore" -> qdKcoreSql,

@@ -5097,7 +5097,86 @@ object EventQueries {
       |FROM folded
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33bw — count-min sketch audit over per-user event counts: the
+    * fixed-footprint frequency sketch (depth 4 × width 256 md5-hashed
+    * counter grid — 1024 combinable cells REGARDLESS of key
+    * cardinality, the memory-bounded alternative to a groupBy-count
+    * whose state grows with distinct users) probed at the exact top-20
+    * heavy hitters. Reports each key's exact count, CMS point estimate
+    * (min over the 4 row counters — never an underestimate, by
+    * construction), the realized overestimate, and the e/w·N
+    * analytical bound it must stay within (with probability
+    * 1 − e^−depth; here audited exactly). All-integer sketch and
+    * estimates, so the audit is bit-exact cross-engine; the only
+    * doubles are the bound itself. Scale: one 4×-exploded combinable
+    * aggregate (sketch), one exact key rollup for the probe panel
+    * (TakeOrdered 20), a ≤1024-row broadcast-joinable sketch, and a
+    * ONE-ROW total frame — the sketch side never shuffles more than
+    * its 1024 cells. */
+  def qeCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Bucket
+    val depth = 4
+    val width = 256
+    val ev = Tables.load(spark, dir, "events")
+    def coordCols(id: org.apache.spark.sql.Column) =
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          md5Bucket(s"cms$r", id, width).as("b"))): _*))
+    val sketch = ev.select(coordCols(col("user_id")).as("__x"))
+      .select(col("__x.r").as("r"), col("__x.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+    val total = broadcast(ev.agg(count(lit(1)).as("n_total")))
+    exact
+      .select(col("user_id"), col("n_exact"), coordCols(col("user_id")).as("__x"))
+      .select(col("user_id"), col("n_exact"),
+        col("__x.r").as("r"), col("__x.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("user_id", "n_exact").agg(min(col("cnt")).as("n_est"))
+      .crossJoin(total)
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"),
+        round(lit(2.718281828459045) / width * col("n_total"), 6)
+          .as("err_bound"),
+        ((col("n_est") - col("n_exact")).cast("double") <=
+          lit(2.718281828459045) / width * col("n_total"))
+          .as("within_bound"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val qeCmsSql: String =
+    """WITH coords AS (
+      |  SELECT t.r,
+      |    ('0x' || substr(md5('cms' || t.r || ':' || user_id), 1, 8))::BIGINT
+      |      % 256 AS b
+      |  FROM events, range(4) t(r)
+      |), sketch AS (
+      |  SELECT r, b, COUNT(*) AS cnt FROM coords GROUP BY r, b
+      |), exact AS (
+      |  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+      |  ORDER BY n_exact DESC, user_id LIMIT 20
+      |), tot AS (
+      |  SELECT COUNT(*) AS n_total FROM events
+      |), probes AS (
+      |  SELECT e.user_id, e.n_exact, t.r,
+      |    ('0x' || substr(md5('cms' || t.r || ':' || e.user_id), 1, 8))::BIGINT
+      |      % 256 AS b
+      |  FROM exact e, range(4) t(r)
+      |), est AS (
+      |  SELECT p.user_id, p.n_exact, MIN(s.cnt) AS n_est
+      |  FROM probes p JOIN sketch s ON s.r = p.r AND s.b = p.b
+      |  GROUP BY p.user_id, p.n_exact
+      |)
+      |SELECT user_id, n_exact, n_est, n_est - n_exact AS overestimate,
+      |  round(2.718281828459045 / 256 * n_total, 6) AS err_bound,
+      |  (CAST(n_est - n_exact AS DOUBLE)
+      |    <= 2.718281828459045 / 256 * n_total) AS within_bound
+      |FROM est, tot
+      |ORDER BY n_exact DESC, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_cms" -> (qeCms _),
     "qe_ewma_chart" -> (qeEwmaChart _),
     "qe_holt_winters" -> (qeHoltWinters _),
     "qe_mde" -> (qeMde _),
@@ -5179,6 +5258,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_cms" -> qeCmsSql,
     "qe_trend_robust" -> qeTrendRobustSql,
     "qe_step_latency" -> qeStepLatencySql,
     "qe_ab_ttest" -> qeAbTtestSql,

@@ -1284,6 +1284,105 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** §2.28v — interpolated Kneser–Ney bigram perplexity (Kneser & Ney
+    * 1995), the standard n-gram smoothing KenLM-style corpus filters
+    * use — distinct from §2.28m's count-interpolated LM in both terms
+    * that matter: ABSOLUTE DISCOUNTING (D = 0.75 subtracted from every
+    * observed bigram count, mass recycled through the backoff weight
+    * λ(w1) = D·|{w2 : c(w1,w2)>0}|/c(w1)) and the CONTINUATION
+    * distribution (P_cont(w2) = bigram types ending in w2 / total
+    * bigram types — "how many contexts has w2 followed", which is what
+    * demotes 'Francisco'-style words frequent only after one context):
+    * P_KN(w2|w1) = (c(w1,w2) − D)/c(w1) + λ(w1)·P_cont(w2). Per-doc
+    * NLL folds in-row over the bigram-sorted struct array; every model
+    * statistic is an exact integer count, doubles appear only inside
+    * the per-bigram probability; one round at 6dp. Scale shape
+    * identical to qt_bigram_lm: the bigram frame shuffles (never
+    * broadcast — it grows with the corpus); the continuation and
+    * unigram-context frames are vocabulary-bounded broadcasts; total
+    * bigram types ride a window over the collapsed continuation frame,
+    * never a scalar cross join of the big frame. */
+  def qtKnBigram(spark: SparkSession, dir: String): DataFrame = {
+    val bgs = org.apache.spark.sql.graft.WordShingles
+      .positional(tokens(col("text")), 2, hashed = false)
+    val dtb = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode_outer(bgs).as("bg"))
+      .where(col("bg").isNotNull)
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+    val cb = dtb.groupBy("bg").agg(sum(col("c")).as("cbg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val cw = cb.groupBy("w1")
+      .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("n1p_w1"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("cont_w2"))
+      .withColumn("B", sum(col("cont_w2")).over(all))
+    dtb
+      .join(cb.select("bg", "w1", "w2", "cbg"), "bg")
+      .join(cw, "w1")
+      .join(broadcast(cont), "w2")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bg"), col("c"), col("cbg"),
+        col("cw1"), col("n1p_w1"), col("cont_w2"), col("B")))).as("__t"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(
+          transform(col("__t"), x =>
+            x.getField("c") * log(
+              (x.getField("cbg") - lit(0.75)) / x.getField("cw1") +
+                lit(0.75) * (x.getField("n1p_w1") / x.getField("cw1")) *
+                  (x.getField("cont_w2") / x.getField("B")))),
+          lit(0.0), (acc, t) => acc + t) / col("n_bigrams"), 6)
+          .as("kn_nll"))
+      .orderBy("doc_id")
+  }
+
+  val qtKnBigramSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+      |         string_split(text, ' ')[CAST(i AS INT) + 1])) AS bg
+      |  FROM documents
+      |), dtb AS (
+      |  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bg GROUP BY doc_id, bg
+      |), cb AS (
+      |  SELECT bg, CAST(SUM(c) AS BIGINT) AS cbg,
+      |    split_part(bg, ' ', 1) AS w1,
+      |    split_part(bg, ' ', 2) AS w2
+      |  FROM dtb GROUP BY bg
+      |), cw AS (
+      |  SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1,
+      |    COUNT(*) AS n1p_w1
+      |  FROM cb GROUP BY w1
+      |), cont AS (
+      |  SELECT w2, COUNT(*) AS cont_w2 FROM cb GROUP BY w2
+      |), btot AS (
+      |  SELECT CAST(SUM(cont_w2) AS BIGINT) AS B FROM cont
+      |), g AS (
+      |  SELECT dtb.doc_id,
+      |    list(struct_pack(c := dtb.c, cbg := cb.cbg, cw1 := cw.cw1,
+      |      n1p := cw.n1p_w1, cont := cont.cont_w2, b := btot.B)
+      |      ORDER BY dtb.bg) AS t,
+      |    CAST(SUM(dtb.c) AS BIGINT) AS n_bigrams
+      |  FROM dtb
+      |  JOIN cb ON dtb.bg = cb.bg
+      |  JOIN cw ON cb.w1 = cw.w1
+      |  JOIN cont ON cb.w2 = cont.w2
+      |  CROSS JOIN btot
+      |  GROUP BY dtb.doc_id
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  round(-list_reduce(
+      |    list_transform(t, x -> x.c * ln(
+      |      (x.cbg - 0.75) / x.cw1
+      |        + 0.75 * (x.n1p / x.cw1) * (x.cont / x.b))),
+      |    (a, b) -> a + b) / n_bigrams, 6) AS kn_nll
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val qtBigramLmSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1786,6 +1885,7 @@ object TextQueries {
     "qt_burstiness" -> (qtBurstiness _),
     "qt_heaps" -> (qtHeaps _),
     "qt_bigram_lm" -> (qtBigramLm _),
+    "qt_kn_bigram" -> (qtKnBigram _),
     "qt_langid_eval" -> (qtLangidEval _),
     "qt_chunks" -> (qtChunks _),
     "qt_novelty" -> (qtNovelty _),
@@ -1820,6 +1920,7 @@ object TextQueries {
     "qt_burstiness" -> qtBurstinessSql,
     "qt_heaps" -> qtHeapsSql,
     "qt_bigram_lm" -> qtBigramLmSql,
+    "qt_kn_bigram" -> qtKnBigramSql,
     "qt_langid_eval" -> qtLangidEvalSql,
     "qt_chunks" -> qtChunksSql,
     "qt_novelty" -> qtNoveltySql,

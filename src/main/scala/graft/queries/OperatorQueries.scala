@@ -673,7 +673,89 @@ object OperatorQueries {
       |GROUP BY 1, 2
       |ORDER BY layout, predicate""".stripMargin
 
+  /** §2.42 — shuffle/broadcast sizing advisor: the pre-flight that
+    * turns table statistics into the three knobs every Spark job tunes
+    * blind — shuffle partition count, scan split count, and which join
+    * sides are broadcastable. Per table: exact row count, an estimated
+    * in-memory row width derived FROM THE SCHEMA (fixed widths for
+    * numeric/temporal types, `length+4` for strings — the same
+    * type-directed estimate Catalyst's SizeInBytes statistics use, so
+    * the advice tracks what the planner will actually see), total
+    * bytes, the 128 MiB-target partition count for a full-table
+    * shuffle (min 1), and the ≤10 MiB autoBroadcastJoinThreshold
+    * verdict. The width expression is built generically from
+    * `df.schema` — new columns change the advice without code changes;
+    * the oracle hardcodes each table's schema arithmetic, pinning the
+    * generic builder against an independent spelling. One combinable
+    * integer aggregate per table (7 scans of 1-row outputs); at scale
+    * each scan is column-pruned to the string columns only, since
+    * fixed widths fold into a constant. */
+  def qoPartitionAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem")
+    val frames = tables.map { t =>
+      val df = Tables.load(spark, dir, t)
+      val fixed = df.schema.collect {
+        case f if f.dataType != StringType => f.dataType match {
+          case IntegerType | DateType | FloatType => 4L
+          case _: DecimalType => 16L
+          case _ => 8L // LongType, DoubleType, TimestampType(+NTZ)
+        }
+      }.sum
+      val strings = df.schema.collect {
+        case f if f.dataType == StringType =>
+          coalesce(length(col(f.name)), lit(0)) + lit(4)
+      }
+      val rowBytes = strings.foldLeft(lit(fixed): org.apache.spark.sql.Column)(
+        (a, s) => a + s)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(rowBytes.cast("long")).as("est_bytes"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("est_bytes"))
+    }
+    frames.reduce(_ unionAll _)
+      .select(col("table_name"), col("n_rows"), col("est_bytes"),
+        round(col("est_bytes").cast("double") / col("n_rows"), 2)
+          .as("avg_row_bytes"),
+        round(col("est_bytes").cast("double") / 1048576.0, 3).as("est_mb"),
+        greatest(ceil(col("est_bytes").cast("double") / 134217728.0), lit(1L))
+          .cast("bigint").as("shuffle_partitions"),
+        (col("est_bytes") <= 10485760L).as("broadcastable"))
+      .orderBy("table_name")
+  }
+
+  val qoPartitionAdvisorSql: String = {
+    // Single source of truth check: these hardcoded widths pin the
+    // generic schema-driven builder on the Spark side.
+    val per = Seq(
+      ("region", 4, Seq("r_name")),
+      ("nation", 8, Seq("n_name")),
+      ("customer", 20, Seq("c_name", "c_mktsegment")),
+      ("supplier", 20, Seq("s_name")),
+      ("part", 20, Seq("p_name", "p_brand", "p_type")),
+      ("orders", 32, Seq("o_orderstatus", "o_orderpriority")),
+      ("lineitem", 68, Seq("l_returnflag", "l_linestatus")))
+    val unions = per.map { case (t, fixed, strs) =>
+      val strSql = strs.map(s => s"COALESCE(length($s), 0) + 4")
+        .mkString(" + ")
+      s"""  SELECT '$t' AS table_name, COUNT(*) AS n_rows,
+         |    CAST(SUM($fixed + $strSql) AS BIGINT) AS est_bytes
+         |  FROM $t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH stats AS (
+       |$unions
+       |)
+       |SELECT table_name, n_rows, est_bytes,
+       |  round(CAST(est_bytes AS DOUBLE) / n_rows, 2) AS avg_row_bytes,
+       |  round(CAST(est_bytes AS DOUBLE) / 1048576.0, 3) AS est_mb,
+       |  CAST(greatest(ceil(CAST(est_bytes AS DOUBLE) / 134217728.0), 1)
+       |    AS BIGINT) AS shuffle_partitions,
+       |  (est_bytes <= 10485760) AS broadcastable
+       |FROM stats ORDER BY table_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qo_partition_advisor" -> (qoPartitionAdvisor _),
     "qo_aqp_error" -> (qoAqpError _),
     "qo_compaction" -> (qoCompaction _),
     "qo_zone_skipping" -> (qoZoneSkipping _),
@@ -685,6 +767,7 @@ object OperatorQueries {
     "qo_join_cardinality" -> (qoJoinCardinality _))
 
   val oracles: Map[String, String] = Map(
+    "qo_partition_advisor" -> qoPartitionAdvisorSql,
     "qo_aqp_error" -> qoAqpErrorSql,
     "qo_compaction" -> qoCompactionSql,
     "qo_zone_skipping" -> qoZoneSkippingSql,

@@ -5175,7 +5175,103 @@ object EventQueries {
       |FROM est, tot
       |ORDER BY n_exact DESC, user_id""".stripMargin
 
+  /** §2.33bx — ABC (Pareto) user-value classification: rank users by
+    * exact lifetime value, walk the descending cumulative share, and
+    * cut classes at the 80%/95% marks (A = the head that carries 80%
+    * of value, B = the next 15%, C = the tail) — the
+    * inventory-management classic applied to user concentration, and
+    * the actionable sibling of qe_gini's single-number inequality
+    * read. A user's class is decided by the share accumulated BEFORE
+    * it (so the user straddling a boundary lands in the head class),
+    * making every comparison exact: (cum − x)·100 < 80·total in
+    * DECIMAL(38,0) cents. Scale: the global descending rank uses the
+    * qe_gini two-level shape — order-preserving value buckets from a
+    * 1-row broadcast min/max, within-bucket cumulative decimal sums,
+    * and a broadcast per-bucket carry — never a single-partition
+    * global window over the user frame. */
+  def qeAbc(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 1024
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,4)")) * lit(10000))
+        .cast("decimal(38,0)").as("x"))
+    val bounds = broadcast(perUser.agg(
+      min(col("x").cast("double")).as("xmin"),
+      max(col("x").cast("double")).as("xmax"),
+      sum(col("x")).as("tx"), count(lit(1)).as("tn")))
+    // Monotone-decreasing bucket map: highest value -> bucket 0, so
+    // the bucket order IS the descending value order (ties stay inside
+    // one bucket where the window resolves them).
+    val bucketed = perUser.crossJoin(bounds)
+      .withColumn("bucket",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("xmax") - col("x").cast("double"))
+            / (greatest(col("xmax") - col("xmin"), lit(1.0)) / nBuckets))
+            .cast("int"))))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("x").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy("bucket")
+      .agg(sum(col("x")).as("bx"))
+      .withColumn("carry",
+        coalesce(sum("bx").over(wCarry), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")))
+      .select("bucket", "carry")
+    bucketed
+      .withColumn("cum",
+        (sum(col("x")).over(wIn) + lit(0)).cast("decimal(38,0)"))
+      .join(broadcast(carries), Seq("bucket"))
+      .withColumn("prev",
+        (col("carry") + col("cum") - col("x")).cast("decimal(38,0)"))
+      .withColumn("abc_class",
+        when(col("prev") * 100 < col("tx") * 80, "A")
+          .when(col("prev") * 100 < col("tx") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("__v"),
+        first(col("tx")).as("__tx"), first(col("tn")).as("__tn"))
+      .select(col("abc_class"), col("n_users"),
+        round(col("n_users").cast("double") / col("__tn"), 6).as("n_share"),
+        round(col("__v").cast("double") / 10000.0, 4).as("value_total"),
+        round(col("__v").cast("double") / col("__tx").cast("double"), 6)
+          .as("value_share"))
+      .orderBy("abc_class")
+  }
+
+  val qeAbcSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS DECIMAL(38,0))
+      |      AS x
+      |  FROM events GROUP BY user_id
+      |), tot AS (
+      |  SELECT CAST(SUM(x) AS DECIMAL(38,0)) AS tx, COUNT(*) AS tn FROM pu
+      |), ranked AS (
+      |  SELECT user_id, x,
+      |    SUM(x) OVER (ORDER BY x DESC, user_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM pu
+      |), classed AS (
+      |  SELECT r.user_id, r.x,
+      |    CASE WHEN (r.cum - r.x) * 100 < t.tx * 80 THEN 'A'
+      |      WHEN (r.cum - r.x) * 100 < t.tx * 95 THEN 'B'
+      |      ELSE 'C' END AS abc_class,
+      |    t.tx, t.tn
+      |  FROM ranked r, tot t
+      |)
+      |SELECT abc_class, COUNT(*) AS n_users,
+      |  round(CAST(COUNT(*) AS DOUBLE) / tn, 6) AS n_share,
+      |  round(CAST(SUM(x) AS DOUBLE) / 10000.0, 4) AS value_total,
+      |  round(CAST(SUM(x) AS DOUBLE) / CAST(tx AS DOUBLE), 6) AS value_share
+      |FROM classed
+      |GROUP BY abc_class, tn, tx
+      |ORDER BY abc_class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe_abc" -> (qeAbc _),
     "qe_cms" -> (qeCms _),
     "qe_ewma_chart" -> (qeEwmaChart _),
     "qe_holt_winters" -> (qeHoltWinters _),
@@ -5258,6 +5354,7 @@ object EventQueries {
     "qe_asof" -> (qeAsof _))
 
   val oracles: Map[String, String] = Map(
+    "qe_abc" -> qeAbcSql,
     "qe_cms" -> qeCmsSql,
     "qe_trend_robust" -> qeTrendRobustSql,
     "qe_step_latency" -> qeStepLatencySql,

@@ -1727,6 +1727,123 @@ object TextQueries {
       |FROM inst i JOIN dfreq f USING (sh)
       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
+  /** §2.28w — RAKE keyword extraction (Rose et al. 2010): candidate
+    * phrases are the maximal stopword-free token runs, each scored by
+    * Σ_w degree(w)/freq(w) over corpus-level word statistics, where
+    * degree(w) = Σ |phrase| over phrase instances containing w — the
+    * co-occurrence-aware score that prefers multi-word technical terms
+    * where tf-idf (qt_keywords) and BM25 (qt_bm25) rank single tokens.
+    * Phrase segmentation is a per-document running stopword count
+    * (window partitioned BY DOCUMENT — never global); phrase text
+    * rebuilds through the sorted-struct discipline (collect_list order
+    * is not contractual); the per-phrase score folds in POSITION order
+    * on both engines, scores round once at 6dp before the
+    * (score, phrase) tie-broken TakeOrdered top-15. Scale: token
+    * stream is one explode; word stats one combinable aggregate;
+    * distinct-phrase scoring touches only the collapsed phrase
+    * vocabulary; nothing global but the final ≤15-row cut. */
+  def qtRake(spark: SparkSession, dir: String): DataFrame = {
+    val stopSet = stopwords
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        col("tok").isin(stopSet.map(s => s: Any): _*))
+    val wSeg = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nonstop = tok
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wSeg))
+      .where(!col("is_stop"))
+    val winst = nonstop
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy("doc_id", "phrase_id")))
+    val wstats = winst.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("wscore",
+        col("degree").cast("double") / col("freq").cast("double"))
+    val phrases = nonstop.groupBy("doc_id", "phrase_id")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("n_instances"))
+    val scored = phrases
+      .select(col("phrase"), col("n_instances"),
+        posexplode(split(col("phrase"), " ")).as(Seq("pos", "tok")))
+      .join(wstats.select("tok", "wscore"), "tok")
+      .groupBy("phrase", "n_instances")
+      .agg(sort_array(collect_list(struct(col("pos"), col("wscore"))))
+        .as("__ws"))
+      .select(col("phrase"), col("n_instances"),
+        size(col("__ws")).as("n_words"),
+        round(aggregate(transform(col("__ws"), x => x.getField("wscore")),
+          lit(0.0), (a, t) => a + t), 6).as("rake_score"))
+    scored.orderBy(col("rake_score").desc, col("phrase")).limit(15)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("rake_score").desc, col("phrase"))).cast("bigint"))
+      .select("rank", "phrase", "n_words", "n_instances", "rake_score")
+  }
+
+  val qtRakeSql: String = {
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.pos, u.tok,
+       |    u.tok IN ($stop) AS is_stop
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(string_split(text, ' ')) + 1),
+       |      i -> struct_pack(pos := i,
+       |        tok := string_split(text, ' ')[CAST(i AS INT)]))) AS u
+       |    FROM documents)
+       |), seg AS (
+       |  SELECT doc_id, pos, tok, is_stop,
+       |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS phrase_id
+       |  FROM tok
+       |), nonstop AS (
+       |  SELECT doc_id, pos, tok, phrase_id FROM seg WHERE NOT is_stop
+       |), winst AS (
+       |  SELECT doc_id, phrase_id, tok,
+       |    COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+       |  FROM nonstop
+       |), wstats AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(plen) AS BIGINT) AS degree
+       |  FROM winst GROUP BY tok
+       |), phr AS (
+       |  SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase
+       |  FROM nonstop GROUP BY doc_id, phrase_id
+       |), pf AS (
+       |  SELECT phrase, COUNT(*) AS n_instances FROM phr GROUP BY phrase
+       |), pw AS (
+       |  SELECT pf.phrase, pf.n_instances, u.pos, u.tok
+       |  FROM (
+       |    SELECT phrase, n_instances, unnest(list_transform(
+       |      range(1, len(string_split(phrase, ' ')) + 1),
+       |      i -> struct_pack(pos := i,
+       |        tok := string_split(phrase, ' ')[CAST(i AS INT)]))) AS u
+       |    FROM pf) pf
+       |), scored AS (
+       |  SELECT pw.phrase, pw.n_instances,
+       |    COUNT(*) AS n_words,
+       |    round(list_reduce(
+       |      list_transform(
+       |        list(struct_pack(pos := pw.pos, s :=
+       |          CAST(w.degree AS DOUBLE) / w.freq) ORDER BY pw.pos),
+       |        x -> x.s),
+       |      (a, b) -> a + b), 6) AS rake_score
+       |  FROM pw JOIN wstats w ON pw.tok = w.tok
+       |  GROUP BY pw.phrase, pw.n_instances
+       |), top AS (
+       |  SELECT * FROM scored ORDER BY rake_score DESC, phrase LIMIT 15
+       |)
+       |SELECT ROW_NUMBER() OVER (ORDER BY rake_score DESC, phrase) AS rank,
+       |  phrase, CAST(n_words AS INT) AS n_words, n_instances, rake_score
+       |FROM top ORDER BY rank""".stripMargin
+  }
+
   /** §2.28u — Naive-Bayes quality classifier (the fastText-style
     * quality-filter shape): train multinomial NB on the train split
     * against the §2.28f heuristic quality label (score ≥ 0.73 → "hi"),
@@ -1879,6 +1996,7 @@ object TextQueries {
       |FROM scoredtest ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt_rake" -> (qtRake _),
     "qt_nb_quality" -> (qtNbQuality _),
     "qt_dup_fraction" -> (qtDupFraction _),
     "qt_js_sources" -> (qtJsSources _),
@@ -1914,6 +2032,7 @@ object TextQueries {
     "qt_fingerprint" -> (qtFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "qt_rake" -> qtRakeSql,
     "qt_nb_quality" -> qtNbQualitySql,
     "qt_dup_fraction" -> qtDupFractionSql,
     "qt_js_sources" -> qtJsSourcesSql,

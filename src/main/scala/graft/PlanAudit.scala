@@ -96,6 +96,17 @@ object PlanAudit {
       // a broadcast ONE-ROW moment-matched prior (scalar-subquery
       // pattern, same as qt_keywords/qe_decay).
       "q_eb_shrinkage",
+      // q_theil: crosses the row and group frames with a broadcast
+      // ONE-ROW totals aggregate (scalar-subquery pattern) — the group
+      // side itself is a ≤|nations|-row broadcast hash join.
+      "q_theil",
+      // qe_abc: crosses the per-user frame with a broadcast ONE-ROW
+      // min/max/total bounds aggregate (scalar-subquery pattern, the
+      // qe_gini bucket-bounds shape).
+      "qe_abc",
+      // qe_cms: crosses the ≤20-row probe panel with a broadcast
+      // ONE-ROW corpus-total aggregate (scalar-subquery pattern).
+      "qe_cms",
       // qt_rrf_fusion: inherits qt_bm25's 1-row corpus-stats broadcast
       // (scalar-subquery pattern) in both candidate rankers.
       "qt_rrf_fusion",

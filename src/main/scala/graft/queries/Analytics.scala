@@ -902,7 +902,109 @@ object Analytics {
       |  rank_raw, alpha, beta
       |FROM ranked WHERE rank_shrunk <= 15 ORDER BY rank_shrunk""".stripMargin
 
+  /** §2.19u — Theil-T inequality index with exact within/between-group
+    * decomposition over positive customer balances by nation:
+    * T = (1/N)Σ(xᵢ/μ)ln(xᵢ/μ), and the additive split
+    * T = Σ_g (S_g/S)·T_g + Σ_g (S_g/S)·ln(μ_g/μ) — the property Gini
+    * famously lacks, and the reason Theil is the decomposition tool
+    * for "how much inequality lives INSIDE nations vs BETWEEN them".
+    * Exactness discipline: balances become exact DECIMAL(38,0) cents;
+    * group and global means are single double divisions of exact
+    * sums; every per-row ln term and per-group contribution passes
+    * through DECIMAL(38,18) before summation (accumulation-order-
+    * exact, the pageRank discipline), each output rounds once at 6.
+    * Scale: one key-keyed aggregate (group stats), a ≤|nations|-row
+    * broadcast join back, a ONE-ROW totals broadcast; the final fold
+    * runs over the collapsed group frame. */
+  def qTheil(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .where(col("c_acctbal") > 0)
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,4)") * 10000)
+          .cast("decimal(38,0)").as("x"))
+    val g = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sxg"))
+    val tot = broadcast(g.agg(sum(col("ng")).as("n"),
+      sum(col("sxg")).as("sx"), count(lit(1)).as("n_groups")))
+    val rows = cust.join(broadcast(g), "c_nationkey").crossJoin(tot)
+      .withColumn("mu", col("sx").cast("double") / col("n"))
+      .withColumn("mug", col("sxg").cast("double") / col("ng"))
+      .withColumn("t_tot",
+        ((col("x").cast("double") / col("mu")) *
+          log(col("x").cast("double") / col("mu"))).cast("decimal(38,18)"))
+      .withColumn("t_in",
+        ((col("x").cast("double") / col("mug")) *
+          log(col("x").cast("double") / col("mug"))).cast("decimal(38,18)"))
+    val pg = rows.groupBy("c_nationkey")
+      .agg(first(col("ng")).as("ng"), first(col("sxg")).as("sxg"),
+        sum(col("t_tot")).as("stot"), sum(col("t_in")).as("s_in"))
+      .crossJoin(tot)
+      .select(col("stot"),
+        ((col("sxg").cast("double") / col("sx").cast("double")) *
+          (col("s_in").cast("double") / col("ng")))
+          .cast("decimal(38,18)").as("w_g"),
+        ((col("sxg").cast("double") / col("sx").cast("double")) *
+          log((col("sxg").cast("double") / col("ng")) /
+            (col("sx").cast("double") / col("n"))))
+          .cast("decimal(38,18)").as("b_g"))
+    pg.crossJoin(tot)
+      .groupBy("n", "n_groups")
+      .agg(sum(col("stot")).as("__st"), sum(col("w_g")).as("__w"),
+        sum(col("b_g")).as("__b"))
+      .select(col("n").as("n_customers"), col("n_groups"),
+        round(col("__st").cast("double") / col("n"), 6).as("theil_total"),
+        round(col("__w").cast("double"), 6).as("theil_within"),
+        round(col("__b").cast("double"), 6).as("theil_between"))
+  }
+
+  val qTheilSql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0))
+      |      AS x
+      |  FROM customer WHERE c_acctbal > 0
+      |), g AS (
+      |  SELECT c_nationkey, COUNT(*) AS ng,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sxg
+      |  FROM cust GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |    CAST(SUM(sxg) AS DECIMAL(38,0)) AS sx,
+      |    COUNT(*) AS n_groups
+      |  FROM g
+      |), terms AS (
+      |  SELECT c.c_nationkey,
+      |    CAST((CAST(c.x AS DOUBLE) / (CAST(t.sx AS DOUBLE) / t.n))
+      |      * ln(CAST(c.x AS DOUBLE) / (CAST(t.sx AS DOUBLE) / t.n))
+      |      AS DECIMAL(38,18)) AS t_tot,
+      |    CAST((CAST(c.x AS DOUBLE) / (CAST(g.sxg AS DOUBLE) / g.ng))
+      |      * ln(CAST(c.x AS DOUBLE) / (CAST(g.sxg AS DOUBLE) / g.ng))
+      |      AS DECIMAL(38,18)) AS t_in
+      |  FROM cust c JOIN g ON c.c_nationkey = g.c_nationkey, tot t
+      |), pg AS (
+      |  SELECT t.c_nationkey, g.ng, g.sxg,
+      |    CAST(SUM(t.t_tot) AS DECIMAL(38,18)) AS stot,
+      |    CAST(SUM(t.t_in) AS DECIMAL(38,18)) AS s_in
+      |  FROM terms t JOIN g ON t.c_nationkey = g.c_nationkey
+      |  GROUP BY 1, g.ng, g.sxg
+      |), contrib AS (
+      |  SELECT stot,
+      |    CAST((CAST(sxg AS DOUBLE) / CAST(tt.sx AS DOUBLE))
+      |      * (CAST(s_in AS DOUBLE) / ng) AS DECIMAL(38,18)) AS w_g,
+      |    CAST((CAST(sxg AS DOUBLE) / CAST(tt.sx AS DOUBLE))
+      |      * ln((CAST(sxg AS DOUBLE) / ng)
+      |        / (CAST(tt.sx AS DOUBLE) / tt.n)) AS DECIMAL(38,18)) AS b_g
+      |  FROM pg, tot tt
+      |)
+      |SELECT tt.n AS n_customers, tt.n_groups,
+      |  round(CAST(SUM(stot) AS DOUBLE) / tt.n, 6) AS theil_total,
+      |  round(CAST(SUM(w_g) AS DOUBLE), 6) AS theil_within,
+      |  round(CAST(SUM(b_g) AS DOUBLE), 6) AS theil_between
+      |FROM contrib, tot tt
+      |GROUP BY tt.n, tt.n_groups""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil" -> (qTheil _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_price_index" -> (qPriceIndex _),
     "q_skyline" -> (qSkyline _),
@@ -928,6 +1030,7 @@ object Analytics {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_theil" -> qTheilSql,
     "q_eb_shrinkage" -> qEbShrinkageSql,
     "q_price_index" -> qPriceIndexSql,
     "q_skyline" -> qSkylineSql,

@@ -746,6 +746,45 @@ object DedupQueries {
       |  AND levenshtein(a.pre, b.pre) <= 16
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** §2.24i — Jaro–Winkler typo rerank over the MinHash-LSH candidate
+    * pairs: the transposition-tolerant cousin of 24b's Levenshtein
+    * rerank, scored by the native codegen expression
+    * [[org.apache.spark.sql.graft.JaroWinkler]] on 32-char document
+    * prefixes (JW's prefix weighting makes head-of-document the right
+    * probe). Levenshtein counts every edit equally; JW normalizes by
+    * length and half-weights adjacent swaps — the dominant human typo
+    * class — so near-identical openings survive that edit counts
+    * reject. Same 100 TB shape as 24b: the quadratic scorer touches
+    * only O(band-collision) candidate rows, never block grids. The
+    * threshold compares the ROUNDED score in both engines, so a
+    * last-bit double divergence cannot flip row membership. */
+  def qdJaro(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.JaroWinkler
+    val docs = Tables.load(spark, dir, "documents")
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, 32).as("__pre"))
+    Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
+      .join(pre.select(col("doc_id").as("id_a"), col("__pre").as("__pa")), "id_a")
+      .join(pre.select(col("doc_id").as("id_b"), col("__pre").as("__pb")), "id_b")
+      .withColumn("jw", round(JaroWinkler.ofColumns(col("__pa"), col("__pb")), 6))
+      .where(col("jw") >= 0.85)
+      .select(col("id_a"), col("id_b"), col("jw"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qdJaroSql: String =
+    s"""WITH cand AS ($qdMinhashPairsSql),
+      |p AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS pre FROM documents
+      |)
+      |SELECT c.id_a, c.id_b,
+      |  round(jaro_winkler_similarity(a.pre, b.pre), 6) AS jw
+      |FROM cand c
+      |JOIN p a ON c.id_a = a.doc_id
+      |JOIN p b ON c.id_b = b.doc_id
+      |WHERE round(jaro_winkler_similarity(a.pre, b.pre), 6) >= 0.85
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- Graph-analytics edge geometry (items 25j-25m) -------------------
   // The four graph operators below (triangles, clustering coefficient,
   // 2-core, PageRank) consume [[Dedup.lshCosinePairs]] — hyperplane-LSH
@@ -2221,6 +2260,7 @@ object DedupQueries {
     "qd_cross_source" -> (qdCrossSource _),
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
+    "qd_jaro" -> (qdJaro _),
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -2263,5 +2303,6 @@ object DedupQueries {
     "qd_cross_source" -> qdCrossSourceSql,
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,
+    "qd_jaro" -> qdJaroSql,
     "qd_embedding" -> qdEmbeddingSql)
 }

@@ -18,6 +18,12 @@ object GraftFunctions {
         require(exprs.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(exprs.head, exprs(1))
       }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(exprs.head, exprs(1))
+      }),
     (new FunctionIdentifier("intersection_size"),
       new ExpressionInfo(classOf[IntersectionSize].getName, "intersection_size"),
       (exprs: Seq[Expression]) => {

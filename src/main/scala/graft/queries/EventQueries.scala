@@ -775,6 +775,169 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** §2.33by — activation latency (time-to-Nth-event): per user, the
+    * days between the FIRST event and the 10th, cohorted by the first
+    * event's type — the "how long until a user is activated" funnel
+    * metric, where retention (33c) asks IF users return and this asks
+    * HOW FAST they compound. One window pass per user (row_number +
+    * first_value over the same (user_id | ts, event_id) order — one
+    * shuffle, no self-join), then a per-cohort rollup with exact
+    * interpolated p50/p90 (`percentile` ≡ DuckDB `quantile_cont`; the
+    * 100 TB swap-in is approx_percentile, same discipline as 19h).
+    * Users with < 10 events never produce an rn=10 row and drop out by
+    * construction — no sentinel handling. */
+  def qeTimeToNth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__first_ts", first(col("ts")).over(w))
+      .withColumn("cohort", first(col("event_type")).over(w))
+      .where(col("__rn") === 10)
+      .withColumn("__days",
+        (unix_micros(col("ts")) - unix_micros(col("__first_ts")))
+          .cast("double") / lit(86400000000.0))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("__days")), 6).as("avg_days"),
+        expr("percentile(__days, array(0.5D, 0.9D))").as("__p"))
+      .select(col("cohort"), col("n_users"), col("avg_days"),
+        round(element_at(col("__p"), 1), 6).as("p50_days"),
+        round(element_at(col("__p"), 2), 6).as("p90_days"))
+      .orderBy("cohort")
+  }
+
+  val qeTimeToNthSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    first_value(CAST(ts AS TIMESTAMP)) OVER w AS first_ts,
+      |    first_value(event_type) OVER w AS cohort
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), t AS (
+      |  SELECT cohort,
+      |    CAST(epoch_us(ts) - epoch_us(first_ts) AS DOUBLE)
+      |      / 86400000000.0 AS days
+      |  FROM r WHERE rn = 10
+      |)
+      |SELECT cohort, COUNT(*) AS n_users,
+      |  round(AVG(days), 6) AS avg_days,
+      |  round(quantile_cont(days, 0.5), 6) AS p50_days,
+      |  round(quantile_cont(days, 0.9), 6) AS p90_days
+      |FROM t GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  /** §2.33bz — split-conformal prediction band for the seasonal-naive
+    * daily-volume forecast: 33i scores POINT error (MAE/WAPE); this
+    * attaches a distribution-free INTERVAL with a finite-sample
+    * guarantee. Per event type on the zero-filled day grid: the first
+    * 14 scoreable days (day index 8–21) are the calibration split, the
+    * band half-width is the ⌈(n+1)·0.9⌉-th smallest absolute residual
+    * (an exact order statistic — rank 14 of 14 here, no interpolation,
+    * so both engines pick the identical value), and every later day is
+    * the test split where empirical coverage of forecast ± q̂ is
+    * measured — split conformal's ≥ 90% marginal-coverage guarantee
+    * holds for ANY forecaster, which is the point: the band is model-
+    * agnostic infrastructure. A type whose calibration split has fewer
+    * than ⌈(n+1)·0.9⌉ residuals would need an infinite band and drops
+    * via the inner join (cannot happen on the shared spine, where every
+    * type scores all 14 days). Scale: windows partition by type, the
+    * rank select and rollups are per-type aggregates over the collapsed
+    * ≤ types×days grid. */
+  def qeConformal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .withColumn("__k", lit(1))
+    val types = ev.select("event_type").distinct().withColumn("__k", lit(1))
+    val counts = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    val scored = spine.join(broadcast(types), "__k")
+      .join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+      .withColumn("forecast", lag(col("actual"), 7).over(wl))
+      .withColumn("__idx", row_number().over(wl))
+      .where(col("forecast").isNotNull)
+    val wr = Window.partitionBy("event_type")
+      .orderBy(abs(col("actual") - col("forecast")), col("day"))
+    val qhat = scored.where(col("__idx").between(8, 21))
+      .withColumn("__rk", row_number().over(wr))
+      .withColumn("__n_cal",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("__rk") ===
+        ceil((col("__n_cal") + lit(1)).cast("double") * lit(0.9)).cast("int"))
+      .select(col("event_type"), col("__n_cal").as("n_cal"),
+        abs(col("actual") - col("forecast")).cast("double").as("qhat"))
+    scored.where(col("__idx") >= 22)
+      .join(qhat, "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("actual").cast("double")
+            .between(col("forecast").cast("double") - col("qhat"),
+              col("forecast").cast("double") + col("qhat")), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage", round(
+        col("n_covered").cast("double") / col("n_test").cast("double"), 6))
+      .select(col("event_type"), col("n_cal"), col("qhat"), col("n_test"),
+        col("n_covered"), col("coverage"))
+      .orderBy("event_type")
+  }
+
+  val qeConformalSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+      |         CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.day, t.event_type, COALESCE(c.n, 0) AS actual
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type),
+      |scored AS (
+      |  SELECT event_type, day, actual,
+      |    LAG(actual, 7) OVER w AS forecast,
+      |    ROW_NUMBER() OVER w AS idx
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |cal AS (
+      |  SELECT event_type, day, abs(actual - forecast) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(actual - forecast), day) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+      |  FROM scored WHERE forecast IS NOT NULL AND idx BETWEEN 8 AND 21),
+      |qhat AS (
+      |  SELECT event_type, n_cal, CAST(r AS DOUBLE) AS qhat
+      |  FROM cal
+      |  WHERE rk = CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9) AS INT))
+      |SELECT s.event_type, MAX(q.n_cal) AS n_cal, MAX(q.qhat) AS qhat,
+      |  COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN CAST(s.actual AS DOUBLE)
+      |    BETWEEN CAST(s.forecast AS DOUBLE) - q.qhat
+      |        AND CAST(s.forecast AS DOUBLE) + q.qhat
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  round(CAST(SUM(CASE WHEN CAST(s.actual AS DOUBLE)
+      |    BETWEEN CAST(s.forecast AS DOUBLE) - q.qhat
+      |        AND CAST(s.forecast AS DOUBLE) + q.qhat
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS coverage
+      |FROM scored s JOIN qhat q ON s.event_type = q.event_type
+      |WHERE s.forecast IS NOT NULL AND s.idx >= 22
+      |GROUP BY s.event_type
+      |ORDER BY s.event_type""".stripMargin
+
   /** §2.33j — hourly volume anomaly detection: z-score outliers on the
     * GAP-FILLED (hour, event_type) grid — zero-filled hours are exactly
     * why the spine matters (an outage hour scores as an outlier instead
@@ -5342,6 +5505,8 @@ object EventQueries {
     "qe_histogram" -> (qeHistogram _),
     "qe_props" -> (qeProps _),
     "qe_forecast_eval" -> (qeForecastEval _),
+    "qe_time_to_nth" -> (qeTimeToNth _),
+    "qe_conformal" -> (qeConformal _),
     "qe_trigrams" -> (qeTrigrams _),
     "qe_audience_overlap" -> (qeAudienceOverlap _),
     "qe_windows" -> (qeWindows _),
@@ -5419,6 +5584,8 @@ object EventQueries {
     "qe_histogram" -> qeHistogramSql,
     "qe_props" -> qePropsSql,
     "qe_forecast_eval" -> qeForecastEvalSql,
+    "qe_time_to_nth" -> qeTimeToNthSql,
+    "qe_conformal" -> qeConformalSql,
     "qe_holt" -> qeHoltSql,
     "qe_did" -> qeDidSql,
     "qe_cuped" -> qeCupedSql,

@@ -1073,7 +1073,82 @@ object SimilarityQueries {
        |ORDER BY q_id, sel_rank""".stripMargin
   }
 
+  /** §2.27p — hard-negative / hard-positive triplet mining for the
+    * contrastive-training data pipeline: per anchor (the standard
+    * vec_id < 10 panel), the HARDEST NEGATIVE (highest-cosine vector
+    * with a different label — the pair a contrastive loss learns most
+    * from) and the HARDEST POSITIVE (lowest-cosine same-label vector —
+    * the in-class outlier), plus the triplet margin and a violation
+    * flag (negative closer than positive = the anchor's neighborhood
+    * is mislabeled or the embedding is undertrained; the batch-level
+    * violation rate is the curriculum signal). Ranking compares the
+    * ROUNDED cosine in both engines so rank order cannot flip on a
+    * last-bit double. Scale: anchors broadcast against the corpus scan
+    * exactly like 26's brute panel; at fleet scale the candidate set
+    * comes from the IVF/LSH index (27b/27f) instead of the full scan —
+    * the mining logic downstream of candidates is unchanged. */
+  def qsHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{asDoubles, dot}
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        asDoubles(col("embedding")).as("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val anchors = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
+    val scored = base.join(broadcast(anchors), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(dot(col("__qv"), col("__v")) / (col("__qn") * col("__n")), 6)
+          .as("cosine"))
+    val neg = scored.where(col("label") =!= col("q_label"))
+      .withColumn("__r", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("__r") === 1)
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("hard_neg_id"), col("cosine").as("neg_cosine"))
+    val pos = scored.where(col("label") === col("q_label"))
+      .withColumn("__r", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cosine").asc, col("vec_id"))))
+      .where(col("__r") === 1)
+      .select(col("q_id"), col("vec_id").as("hard_pos_id"),
+        col("cosine").as("pos_cosine"))
+    neg.join(pos, "q_id")
+      .select(col("q_id"), col("q_label"),
+        col("hard_pos_id"), col("pos_cosine"),
+        col("hard_neg_id"), col("neg_cosine"),
+        round(col("pos_cosine") - col("neg_cosine"), 6).as("margin"),
+        when(col("neg_cosine") > col("pos_cosine"), 1).otherwise(0)
+          .as("violated"))
+      .orderBy("q_id")
+  }
+
+  val qsHardNegativesSql: String =
+    s"""WITH s AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+       |    round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10
+       |), neg AS (
+       |  SELECT q_id, q_label, vec_id AS hard_neg_id, cosine AS neg_cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS r
+       |  FROM s WHERE label <> q_label
+       |), pos AS (
+       |  SELECT q_id, vec_id AS hard_pos_id, cosine AS pos_cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine ASC, vec_id) AS r
+       |  FROM s WHERE label = q_label
+       |)
+       |SELECT n.q_id, n.q_label, p.hard_pos_id, p.pos_cosine,
+       |  n.hard_neg_id, n.neg_cosine,
+       |  round(p.pos_cosine - n.neg_cosine, 6) AS margin,
+       |  CASE WHEN n.neg_cosine > p.pos_cosine THEN 1 ELSE 0 END AS violated
+       |FROM neg n JOIN pos p ON n.q_id = p.q_id
+       |WHERE n.r = 1 AND p.r = 1
+       |ORDER BY n.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs_hard_negatives" -> (qsHardNegatives _),
     "qs_mmr" -> (qsMmr _),
     "qs_incremental" -> (qsIncremental _),
     "qs_embed_qc" -> (qsEmbedQc _),
@@ -1095,6 +1170,7 @@ object SimilarityQueries {
     "qs_recall" -> (qsRecall _))
 
   val oracles: Map[String, String] = Map(
+    "qs_hard_negatives" -> qsHardNegativesSql,
     "qs_mmr" -> qsMmrSql,
     "qs_incremental" -> qsIncrementalSql,
     "qs_embed_qc" -> qsEmbedQcSql,

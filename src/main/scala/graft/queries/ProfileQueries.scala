@@ -1568,7 +1568,119 @@ object ProfileQueries {
       |FROM terms GROUP BY colname
       |ORDER BY colname""".stripMargin
 
+  /** §2.13aa — Jarque–Bera normality audit: per numeric column, sample
+    * skewness, kurtosis, and the JB statistic n/6·(S² + (K−3)²/4)
+    * against the χ²₂ 5% critical value — the "is a Gaussian model even
+    * admissible" gate read before any z-score/σ-based rule (13d's
+    * outliers or 13q's clips silently assume it). One pass computes all
+    * twelve raw power sums Σkᵖ (p ≤ 4) as DECIMAL(38,0) over
+    * INTEGERIZED values (quantity is integral; discount/tax ×100 via a
+    * DECIMAL(9,2) cast — exact, and standardized moments are invariant
+    * under the linear rescale), so the sums are bit-exact in any
+    * engine and overflow-proof at any row count; the single 1-row
+    * frame stacks to 3 rows and the double-precision moment identities
+    * are written with the SAME operation order in both engines. The
+    * 100 TB shape: one combinable aggregate over the scan, nothing
+    * else. */
+  def qcJarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val li = Tables.load(spark, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("kq"),
+      (col("l_discount").cast("decimal(9,2)") * 100).cast("long").as("kd"),
+      (col("l_tax").cast("decimal(9,2)") * 100).cast("long").as("kt"))
+    def pows(k: Column, p: String) = Seq(
+      dsum(k).as(s"${p}1"), dsum(k * k).as(s"${p}2"),
+      dsum(k * k * k).as(s"${p}3"), dsum(k * k * k * k).as(s"${p}4"))
+    val sums = pows(col("kq"), "q") ++ pows(col("kd"), "d") ++
+      pows(col("kt"), "t")
+    val a = li.agg(count(lit(1)).cast("double").as("n"), sums: _*)
+    val stacked = a.select(col("n"), expr(
+      """stack(3,
+        |  'l_quantity',      q1, q2, q3, q4,
+        |  'l_discount_x100', d1, d2, d3, d4,
+        |  'l_tax_x100',      t1, t2, t3, t4)
+        |AS (column_name, s1, s2, s3, s4)""".stripMargin))
+    val mu = col("s1") / col("n")
+    val withM = stacked.withColumn("mu", mu)
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mu") * col("s2") / col("n")
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mu") * col("s3") / col("n")
+        + lit(6.0) * col("mu") * col("mu") * col("s2") / col("n")
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      .withColumn("jb", col("n") / lit(6.0) * (col("skew") * col("skew")
+        + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0)))
+    withM.select(col("column_name"), col("n").cast("long").as("n"),
+      round(col("skew"), 6).as("skewness"),
+      round(col("kurt"), 6).as("kurtosis"),
+      round(col("jb"), 6).as("jb_stat"),
+      when(round(col("jb"), 6) < 5.991464547107979, 1).otherwise(0)
+        .as("normal_5pct"))
+      .orderBy("column_name")
+  }
+
+  val qcJarqueBeraSql: String =
+    """WITH k AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS kq,
+      |    CAST(CAST(l_discount AS DECIMAL(9,2)) * 100 AS BIGINT) AS kd,
+      |    CAST(CAST(l_tax AS DECIMAL(9,2)) * 100 AS BIGINT) AS kt
+      |  FROM lineitem
+      |), a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(kq AS DECIMAL(38,0))) AS DOUBLE) AS q1,
+      |    CAST(SUM(CAST(kq*kq AS DECIMAL(38,0))) AS DOUBLE) AS q2,
+      |    CAST(SUM(CAST(kq*kq*kq AS DECIMAL(38,0))) AS DOUBLE) AS q3,
+      |    CAST(SUM(CAST(kq*kq*kq*kq AS DECIMAL(38,0))) AS DOUBLE) AS q4,
+      |    CAST(SUM(CAST(kd AS DECIMAL(38,0))) AS DOUBLE) AS d1,
+      |    CAST(SUM(CAST(kd*kd AS DECIMAL(38,0))) AS DOUBLE) AS d2,
+      |    CAST(SUM(CAST(kd*kd*kd AS DECIMAL(38,0))) AS DOUBLE) AS d3,
+      |    CAST(SUM(CAST(kd*kd*kd*kd AS DECIMAL(38,0))) AS DOUBLE) AS d4,
+      |    CAST(SUM(CAST(kt AS DECIMAL(38,0))) AS DOUBLE) AS t1,
+      |    CAST(SUM(CAST(kt*kt AS DECIMAL(38,0))) AS DOUBLE) AS t2,
+      |    CAST(SUM(CAST(kt*kt*kt AS DECIMAL(38,0))) AS DOUBLE) AS t3,
+      |    CAST(SUM(CAST(kt*kt*kt*kt AS DECIMAL(38,0))) AS DOUBLE) AS t4
+      |  FROM k
+      |), s AS (
+      |  SELECT 'l_quantity' AS column_name, n, q1 AS s1, q2 AS s2,
+      |    q3 AS s3, q4 AS s4 FROM a
+      |  UNION ALL
+      |  SELECT 'l_discount_x100', n, d1, d2, d3, d4 FROM a
+      |  UNION ALL
+      |  SELECT 'l_tax_x100', n, t1, t2, t3, t4 FROM a
+      |), m AS (
+      |  SELECT column_name, n, s1 / n AS mu, s2, s3, s4 FROM s
+      |), c AS (
+      |  SELECT column_name, n, mu,
+      |    s2 / n - mu * mu AS m2,
+      |    s3 / n - 3.0 * mu * s2 / n + 2.0 * mu * mu * mu AS m3,
+      |    s4 / n - 4.0 * mu * s3 / n + 6.0 * mu * mu * s2 / n
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM m
+      |), f AS (
+      |  SELECT column_name, n,
+      |    m3 / (m2 * sqrt(m2)) AS skew,
+      |    m4 / (m2 * m2) AS kurt
+      |  FROM c
+      |), j AS (
+      |  SELECT column_name, n, skew, kurt,
+      |    n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+      |  FROM f
+      |)
+      |SELECT column_name, CAST(n AS BIGINT) AS n,
+      |  round(skew, 6) AS skewness,
+      |  round(kurt, 6) AS kurtosis,
+      |  round(jb, 6) AS jb_stat,
+      |  CASE WHEN round(jb, 6) < 5.991464547107979 THEN 1 ELSE 0 END
+      |    AS normal_5pct
+      |FROM j
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_jarque_bera" -> (qcJarqueBera _),
     "qc_sprt" -> (qcSprt _),
     "qc_drift_sweep" -> (qcDriftSweep _),
     "qc_wasserstein" -> (qcWasserstein _),
@@ -1600,6 +1712,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_jarque_bera" -> qcJarqueBeraSql,
     "qc_sprt" -> qcSprtSql,
     "qc_drift_sweep" -> qcDriftSweepSql,
     "qc_wasserstein" -> qcWassersteinSql,

@@ -1568,7 +1568,7 @@ object ProfileQueries {
       |FROM terms GROUP BY colname
       |ORDER BY colname""".stripMargin
 
-  /** §2.13aa — Jarque–Bera normality audit: per numeric column, sample
+  /** §2.13af — Jarque–Bera normality audit: per numeric column, sample
     * skewness, kurtosis, and the JB statistic n/6·(S² + (K−3)²/4)
     * against the χ²₂ 5% critical value — the "is a Gaussian model even
     * admissible" gate read before any z-score/σ-based rule (13d's

@@ -56,6 +56,69 @@ object MultimodalQueries {
       |WHERE f.range < 1 + byte_sum % 7
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** §2.35h — scene-change (shot-boundary) detection over the sampled
+    * frame stream: consecutive frames compare by the hamming distance
+    * of their 32-bit signature (derived from the frame hash — the
+    * decoder is the documented stub; with a real codec the signature
+    * column becomes the frame's dHash and NOTHING downstream changes),
+    * a cut is declared at distance ≥ 18/32, and each video reports
+    * frame count, scene count, mean scene length, and the sharpest
+    * cut. This is the video-pipeline segmentation primitive (sample →
+    * per-shot representative frame → embed per shot, not per frame).
+    * Scale: one window pass partitioned by doc — the lag/bit_count
+    * chain is pure codegen — and one rollup; nothing global. */
+  def qmSceneChange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(Tables.load(spark, dir, "documents"))).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("__sig",
+        conv(substring(col("frame_hash"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__prev", lag(col("__sig"), 1).over(w))
+      .withColumn("__ham", when(col("__prev").isNotNull,
+        bit_count(col("__sig").bitwiseXOR(col("__prev")))).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(when(col("__ham") >= 18, 1L).otherwise(0L)) + lit(1L))
+          .as("n_scenes"),
+        max(col("__ham")).as("max_cut_hamming"))
+      .withColumn("avg_scene_frames", round(
+        col("n_frames").cast("double") / col("n_scenes").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  val qmSceneChangeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(string_split(text, ''),
+      |      c -> unicode(c))) AS BIGINT) AS byte_sum
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, f.range AS frame_idx,
+      |    ('0x' || substr(md5(doc_id || ':' || f.range), 1, 8))::BIGINT AS sig
+      |  FROM b CROSS JOIN range(0, 7) f
+      |  WHERE f.range < 1 + byte_sum % 7
+      |), d AS (
+      |  SELECT doc_id, sig,
+      |    lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      |  FROM fr
+      |), h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN prev IS NOT NULL
+      |      THEN CAST(bit_count(xor(sig, prev)) AS INT) END AS ham
+      |  FROM d
+      |)
+      |SELECT doc_id, COUNT(*) AS n_frames,
+      |  CAST(SUM(CASE WHEN ham >= 18 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+      |    AS n_scenes,
+      |  MAX(ham) AS max_cut_hamming,
+      |  round(CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN ham >= 18 THEN 1 ELSE 0 END) + 1 AS DOUBLE), 6)
+      |    AS avg_scene_frames
+      |FROM h GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** §2 item 35 (fixed-window segmentation) — every doc expands to its
     * ⌈len/256⌉ fixed-size chunks, last one ragged (the audio/waveform
     * batch shape). */
@@ -384,6 +447,7 @@ object MultimodalQueries {
     "qm_phash_banded" -> (qmPhashBanded _),
     "qm_binary_features" -> (qmBinaryFeatures _),
     "qm_frames" -> (qmFrames _),
+    "qm_scene_change" -> (qmSceneChange _),
     "qm_chunks" -> (qmChunks _),
     "qm_modality_mix" -> (qmModalityMix _),
     "qm_shared_chunks" -> (qmSharedChunks _))
@@ -395,6 +459,7 @@ object MultimodalQueries {
     "qm_dedup_savings" -> qmDedupSavingsSql,
     "qm_binary_features" -> qmBinaryFeaturesSql,
     "qm_frames" -> qmFramesSql,
+    "qm_scene_change" -> qmSceneChangeSql,
     "qm_chunks" -> qmChunksSql,
     "qm_modality_mix" -> qmModalityMixSql,
     "qm_shared_chunks" -> qmSharedChunksSql)

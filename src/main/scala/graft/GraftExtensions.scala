@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.graft.RewriteBoundedLevenshtein)
     extensions.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.RewriteIntersectionSize)
+    // Whole-operator extension: logical TopKPerKeyPlan plans as
+    // partial -> exchange -> final with map-side per-key pruning.
+    extensions.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
   }
 }

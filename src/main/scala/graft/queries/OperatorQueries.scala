@@ -754,7 +754,44 @@ object OperatorQueries {
        |FROM stats ORDER BY table_name""".stripMargin
   }
 
+  /** §2.38b — the custom whole-operator extension driven on real data:
+    * [[org.apache.spark.sql.graft.TopK.perKey]] retains per order
+    * priority the 3 highest-value orders (orderkey tie-break) through
+    * the custom logical node → planner strategy → partial/final
+    * physical pair, where the partial stage prunes every input
+    * partition to ≤ k rows per key BEFORE the exchange — the shuffle
+    * that a `row_number` window pays in full (all 1.5 M rows at sf1,
+    * all of a 100 TB fact at fleet scale) carries at most
+    * partitions×keys×k rows here. Ranks are re-derived by a window
+    * over the ≤ keys×k survivors (trivially cheap, same partition
+    * key); the oracle is the plain window formulation, proving the
+    * operator semantically invisible. TopKPerKeySpec pins the plan
+    * shape and the pruning bound; this query pins the data. */
+  def qoTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopK
+    val pruned = TopK.perKey(Tables.load(spark, dir, "orders"),
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    pruned.withColumn("rank", row_number().over(
+      Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  val qoTopKSql: String =
+    """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+      |  FROM orders
+      |) t
+      |WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qo_topk" -> (qoTopK _),
     "qo_partition_advisor" -> (qoPartitionAdvisor _),
     "qo_aqp_error" -> (qoAqpError _),
     "qo_compaction" -> (qoCompaction _),
@@ -767,6 +804,7 @@ object OperatorQueries {
     "qo_join_cardinality" -> (qoJoinCardinality _))
 
   val oracles: Map[String, String] = Map(
+    "qo_topk" -> qoTopKSql,
     "qo_partition_advisor" -> qoPartitionAdvisorSql,
     "qo_aqp_error" -> qoAqpErrorSql,
     "qo_compaction" -> qoCompactionSql,

@@ -1,0 +1,149 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: per-key top-k retention with
+  * MAP-SIDE PRUNING — SURVEY.md §2 item 38b.
+  *
+  * The declarative route (`row_number() OVER (PARTITION BY key ORDER BY
+  * ord) <= k`) is correct but shuffles EVERY row: Spark's window
+  * operator needs all of a key's rows on one partition before it can
+  * rank them. For the top-k-per-key shape (k tiny, rows per key huge —
+  * "3 sample docs per near-dup cluster", "top 5 orders per customer
+  * segment" at 100 TB) that shuffle dominates the job and is almost
+  * entirely waste: all but k rows per key per input partition can be
+  * dropped before the exchange.
+  *
+  * This operator plans as two physical stages, the same partial/final
+  * split as hash aggregation: a partial [[TopKPerKeyExec]] with no
+  * distribution requirement bounds every input partition to ≤ k rows
+  * per key it sees, then a final exec requiring
+  * `ClusteredDistribution(keys)` merges the survivors — so the exchange
+  * in between carries at most partitions×keys×k rows instead of the
+  * whole table (with P input partitions the reduction factor is
+  * rows/(P·keys·k)). Per-partition state is keys-in-partition × k rows;
+  * like partial aggregation, that bound is the operator's contract (k
+  * is small by definition of the shape).
+  *
+  * Result rows are EXACTLY the rows `row_number() ... <= k` keeps when
+  * the ordering is total (callers append a unique tie-break column, as
+  * they must for a deterministic window too) — TopKPerKeySpec pins the
+  * equivalence against the window plan on multi-partition data.
+  * NULL-key rows group together (groupBy semantics); null ordering
+  * follows each [[SortOrder]]'s null placement.
+  */
+case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+/** Planner strategy: logical [[TopKPerKeyPlan]] → final(partial(child)). */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical per-key top-k: a bounded selection buffer per key, one pass
+  * over the partition. `partial = true` runs before the exchange (pure
+  * pruning, any input distribution), `partial = false` after it
+  * (authoritative per-key result under clustered distribution). */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  // Pruning preserves whatever partitioning the child has.
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    // LazilyGeneratedOrdering is serializable and regenerates its code
+    // on the executor; UnsafeProjection.create runs inside the task.
+    val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // Max-heap under the sort order: head = the kept row that sorts
+      // LAST, i.e. the first to evict — so the buffer holds the k rows
+      // that sort first, exactly row_number()'s survivors.
+      val byKey = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        // Copy the (reused) key buffer only on first sight of the key.
+        val heap = byKey.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            byKey.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kk) {
+          heap.enqueue(row.copy())
+        } else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      byKey.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopK {
+  /** Retain per key the k rows that sort first under `orderBy` (append
+    * a unique tie-break column for a deterministic result, exactly as a
+    * `row_number` window needs). Installs [[TopKStrategy]] into the
+    * session's experimental strategies on first use, so no session
+    * rebuild or `spark.sql.extensions` config is required. */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    val resolver = spark.sessionState.analyzer.resolver
+    val keys: Seq[Expression] = keyCols.map { n =>
+      analyzed.output.find(a => resolver(a.name, n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column '$n' not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    }
+    // Columns carry node-based sort orders in Spark 4; convert eagerly
+    // to Catalyst expressions (the lazy ColumnNodeExpression wrapper
+    // only resolves inside classic Dataset operators, not custom nodes).
+    val order = orderBy.map(c =>
+      org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node) match {
+        case s: SortOrder => s
+        case e => SortOrder(e, Ascending)
+      })
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerKeyPlan(keys, order, k, analyzed))
+  }
+}

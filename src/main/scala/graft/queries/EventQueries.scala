@@ -986,6 +986,107 @@ object EventQueries {
        |    / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6)) >= 2.0
        |ORDER BY event_type, hour""".stripMargin
 
+  /** §2.33ca — alert episodes with hysteresis (debounce): turns 33j's
+    * per-hour anomaly FLAGS into the alert EPISODES an on-call rotation
+    * actually pages on. Raw flags flap; the operational rule here:
+    * an episode opens only on ≥ 2 consecutive anomalous hours (single-
+    * hour blips are absorbed silently — neither page nor close), and
+    * closes only after a quiet run of ≥ 3 hours (shorter quiet gaps
+    * keep the episode open, merging adjacent bursts). Two
+    * gaps-and-islands layers: hour-level runs via the rn − rn-by-flag
+    * difference, then run-level episode ids as a running count of
+    * closing-quiet barriers. Everything happens on the collapsed
+    * types×hours grid (windows partitioned per type) — the raw event
+    * table is touched once by the 33j composition. */
+  def qeAlertEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    val grid = qeGapfill(spark, dir).drop("__k")
+    val out = graft.rules.Profiler
+      .zOutliers(grid, "n_events", Seq("event_type"), 2.0)
+      .select(col("hour"), col("event_type"),
+        abs(round(col("z_score"), 6)).as("__az"))
+    val flagged = grid.join(out, Seq("hour", "event_type"), "left_outer")
+      .withColumn("__flag", col("__az").isNotNull.cast("int"))
+    val wAll = Window.partitionBy("event_type").orderBy("hour")
+    val wFlag = Window.partitionBy("event_type", "__flag").orderBy("hour")
+    val runs = flagged
+      .withColumn("__run",
+        row_number().over(wAll) - row_number().over(wFlag))
+      .groupBy("event_type", "__flag", "__run")
+      .agg(min("hour").as("run_start"), max("hour").as("run_end"),
+        count(lit(1)).as("run_len"), max("__az").as("run_peak"))
+    val wRun = Window.partitionBy("event_type").orderBy("run_start")
+    runs
+      .withColumn("__ep", sum(when(col("__flag") === 0 &&
+        col("run_len") >= 3, 1L).otherwise(0L)).over(wRun))
+      .where(col("__flag") === 1 && col("run_len") >= 2)
+      .groupBy("event_type", "__ep")
+      .agg(min("run_start").as("start_hour"), max("run_end").as("end_hour"),
+        sum("run_len").as("flagged_hours"),
+        count(lit(1)).cast("long").as("n_bursts"),
+        max("run_peak").as("peak_abs_z"))
+      .withColumn("episode", row_number().over(
+        Window.partitionBy("event_type").orderBy("start_hour")))
+      .withColumn("span_hours",
+        ((unix_micros(col("end_hour")) - unix_micros(col("start_hour")))
+          / lit(3600000000L)).cast("long") + 1)
+      .select(col("event_type"), col("episode"), col("start_hour"),
+        col("end_hour"), col("span_hours"), col("flagged_hours"),
+        col("n_bursts"), col("peak_abs_z"))
+      .orderBy("event_type", "episode")
+  }
+
+  val qeAlertEpisodesSql: String =
+    s"""WITH $gapfillGridSql,
+       |m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(CAST(SUM(CAST(n_events AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS q2
+       |  FROM (SELECT event_type, n_events,
+       |          CAST(CAST(n_events AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |        FROM grid)
+       |  GROUP BY event_type),
+       |oz AS (
+       |  SELECT g.hour, g.event_type,
+       |    abs(round((g.n_events - m.s / m.n)
+       |      / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6)) AS az
+       |  FROM grid g JOIN m USING (event_type)
+       |  WHERE abs(round((g.n_events - m.s / m.n)
+       |      / sqrt(m.q2 / 1.0e4 / m.n - (m.s / m.n) * (m.s / m.n)), 6)) >= 2.0),
+       |f AS (
+       |  SELECT g.hour, g.event_type,
+       |    CASE WHEN oz.hour IS NOT NULL THEN 1 ELSE 0 END AS flag, oz.az
+       |  FROM grid g LEFT JOIN oz USING (hour, event_type)),
+       |r AS (
+       |  SELECT event_type, flag, az, hour,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+       |      - ROW_NUMBER() OVER (PARTITION BY event_type, flag
+       |          ORDER BY hour) AS run
+       |  FROM f),
+       |runs AS (
+       |  SELECT event_type, flag, run, MIN(hour) AS run_start,
+       |    MAX(hour) AS run_end, COUNT(*) AS run_len, MAX(az) AS run_peak
+       |  FROM r GROUP BY 1, 2, 3),
+       |e AS (
+       |  SELECT *, SUM(CASE WHEN flag = 0 AND run_len >= 3 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY event_type ORDER BY run_start) AS ep
+       |  FROM runs),
+       |g2 AS (
+       |  SELECT event_type, ep, MIN(run_start) AS start_hour,
+       |    MAX(run_end) AS end_hour,
+       |    CAST(SUM(run_len) AS BIGINT) AS flagged_hours,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bursts,
+       |    MAX(run_peak) AS peak_abs_z
+       |  FROM e WHERE flag = 1 AND run_len >= 2 GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY start_hour) AS INT) AS episode,
+       |  start_hour, end_hour,
+       |  CAST((epoch_us(end_hour) - epoch_us(start_hour)) / 3600000000
+       |    AS BIGINT) + 1 AS span_hours,
+       |  flagged_hours, n_bursts, peak_abs_z
+       |FROM g2
+       |ORDER BY event_type, episode""".stripMargin
+
   /** §2.33k — inter-arrival gap statistics: time between consecutive
     * events of the same (user, event_type), rolled up per type as
     * count / mean / exact p50 / p90 seconds (the cadence profile that
@@ -2050,16 +2151,19 @@ object EventQueries {
     * without a self-join back (max(ts) + join would pay a second
     * shuffle and break on ts ties; the unique event_id tie-break makes
     * the winner deterministic). */
-  def qeLatest(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.load(spark, dir, "events")
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
+  def qeLatest(spark: SparkSession, dir: String): DataFrame =
+    // Top-1-per-key on the raw fact is exactly the shape the custom
+    // TopKPerKey operator exists for (§2.38b): one heap pass per
+    // partition instead of the full per-partition sorts the window
+    // path pays in both its WindowGroupLimit stages, and no rank
+    // materialization. Same rows under the (ts, event_id) total
+    // order — the window formulation remains the oracle.
+    org.apache.spark.sql.graft.TopK.perKey(
+      Tables.load(spark, dir, "events"), Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc), 1)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("ts").as("last_ts"), col("event_type").as("last_type"))
       .orderBy("user_id")
-  }
 
   val qeLatestSql: String =
     """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
@@ -5506,6 +5610,7 @@ object EventQueries {
     "qe_props" -> (qeProps _),
     "qe_forecast_eval" -> (qeForecastEval _),
     "qe_time_to_nth" -> (qeTimeToNth _),
+    "qe_alert_episodes" -> (qeAlertEpisodes _),
     "qe_conformal" -> (qeConformal _),
     "qe_trigrams" -> (qeTrigrams _),
     "qe_audience_overlap" -> (qeAudienceOverlap _),
@@ -5585,6 +5690,7 @@ object EventQueries {
     "qe_props" -> qePropsSql,
     "qe_forecast_eval" -> qeForecastEvalSql,
     "qe_time_to_nth" -> qeTimeToNthSql,
+    "qe_alert_episodes" -> qeAlertEpisodesSql,
     "qe_conformal" -> qeConformalSql,
     "qe_holt" -> qeHoltSql,
     "qe_did" -> qeDidSql,

@@ -758,15 +758,17 @@ object OperatorQueries {
     * [[org.apache.spark.sql.graft.TopK.perKey]] retains per order
     * priority the 3 highest-value orders (orderkey tie-break) through
     * the custom logical node → planner strategy → partial/final
-    * physical pair, where the partial stage prunes every input
-    * partition to ≤ k rows per key BEFORE the exchange — the shuffle
-    * that a `row_number` window pays in full (all 1.5 M rows at sf1,
-    * all of a 100 TB fact at fleet scale) carries at most
-    * partitions×keys×k rows here. Ranks are re-derived by a window
-    * over the ≤ keys×k survivors (trivially cheap, same partition
-    * key); the oracle is the plain window formulation, proving the
-    * operator semantically invisible. TopKPerKeySpec pins the plan
-    * shape and the pruning bound; this query pins the data. */
+    * physical pair: a heap pass that never sorts an input partition —
+    * unlike the window formulation, where even Spark 4's
+    * InferWindowGroupLimit rewrite (which does bound the shuffle to
+    * survivors) still full-sorts every partition in both stages and
+    * materializes the rank through the Window operator (see the
+    * TopKPerKey scaladoc for the honest comparison). Ranks are
+    * re-derived by a window over the ≤ keys×k survivors (trivially
+    * cheap, same partition key); the oracle is the plain window
+    * formulation, proving the operator semantically invisible.
+    * TopKPerKeySpec pins the plan shape and the pruning bound; this
+    * query pins the data. */
   def qoTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.TopK
     val pruned = TopK.perKey(Tables.load(spark, dir, "orders"),

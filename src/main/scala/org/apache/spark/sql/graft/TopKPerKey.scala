@@ -12,28 +12,40 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
-/** Whole-operator Catalyst extension: per-key top-k retention with
-  * MAP-SIDE PRUNING — SURVEY.md §2 item 38b.
+/** Whole-operator Catalyst extension: per-key top-k retention as a
+  * SORT-FREE heap pass — SURVEY.md §2 item 38b.
   *
-  * The declarative route (`row_number() OVER (PARTITION BY key ORDER BY
-  * ord) <= k`) is correct but shuffles EVERY row: Spark's window
-  * operator needs all of a key's rows on one partition before it can
-  * rank them. For the top-k-per-key shape (k tiny, rows per key huge —
-  * "3 sample docs per near-dup cluster", "top 5 orders per customer
-  * segment" at 100 TB) that shuffle dominates the job and is almost
-  * entirely waste: all but k rows per key per input partition can be
-  * dropped before the exchange.
+  * Honest positioning vs what Spark 4 already does: the declarative
+  * route (`row_number() OVER (PARTITION BY key ORDER BY ord) <= k`)
+  * is NOT naive anymore — `InferWindowGroupLimit` (Spark 3.5+) plans
+  * it with partial/final `WindowGroupLimitExec` stages, so its shuffle
+  * is already bounded to survivors, same as here. What the built-in
+  * path still pays and this operator does not:
   *
-  * This operator plans as two physical stages, the same partial/final
-  * split as hash aggregation: a partial [[TopKPerKeyExec]] with no
-  * distribution requirement bounds every input partition to ≤ k rows
-  * per key it sees, then a final exec requiring
-  * `ClusteredDistribution(keys)` merges the survivors — so the exchange
-  * in between carries at most partitions×keys×k rows instead of the
-  * whole table (with P input partitions the reduction factor is
-  * rows/(P·keys·k)). Per-partition state is keys-in-partition × k rows;
-  * like partial aggregation, that bound is the operator's contract (k
-  * is small by definition of the shape).
+  *  - `WindowGroupLimitExec` declares `requiredChildOrdering`, so BOTH
+  *    stages sort every input partition on (keys, order) in full —
+  *    O(n log n) per partition, spillable — before the group-limit
+  *    walk. The heap pass here is O(n log k) with k-bounded state and
+  *    no sort, partial or final.
+  *  - The built-in pipeline still runs the Window operator on the
+  *    survivors to materialize the rank column the filter consumes,
+  *    then filters, then drops it. When the caller wants the ROWS (the
+  *    dominant shape: "latest row per user", "k examples per cluster"),
+  *    rank materialization is pure overhead; downstream code that does
+  *    want ranks re-derives them on the ≤ keys×k survivors for free.
+  *
+  * It also exists as a first-class API rather than an optimizer
+  * inference: the rewrite only fires when the plan happens to match the
+  * window+filter idiom, while `TopK.perKey` is the operator stated
+  * directly.
+  *
+  * Plan shape: the same partial/final split as hash aggregation — a
+  * partial [[TopKPerKeyExec]] with no distribution requirement bounds
+  * every input partition to ≤ k rows per key, a final exec requiring
+  * `ClusteredDistribution(keys)` merges survivors, so the exchange
+  * carries at most partitions×keys×k rows. Per-partition state is
+  * keys-in-partition × k rows; like partial aggregation, that bound is
+  * the operator's contract (k is small by definition of the shape).
   *
   * Result rows are EXACTLY the rows `row_number() ... <= k` keeps when
   * the ordering is total (callers append a unique tie-break column, as

@@ -938,6 +938,75 @@ object EventQueries {
       |GROUP BY s.event_type
       |ORDER BY s.event_type""".stripMargin
 
+  /** §2.33cb — rolling inter-metric correlation: the trailing-14-day
+    * Pearson correlation between the click and error daily volumes on
+    * the observed day series — the ops "coupling monitor" (errors that
+    * track traffic are load-shaped; decoupling marks an incident or a
+    * release). 33s (xcorr) scores ONE global correlation per lag; this
+    * tracks WHEN the relationship holds, day by day. All five window
+    * sums are integer-exact (counts and their products summed as
+    * BIGINT), cast to double only inside the final closed form; the
+    * zero-variance guard follows the house ANSI rule (`when(var > 0)`
+    * ↔ `CASE WHEN`). Windows run over the collapsed day-level frame
+    * (≤ days rows at any corpus scale; every day in this corpus has
+    * click traffic — compose with 33h's gapfill spine first for
+    * sparse series, where a missing day should count as zero). */
+  def qeRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val pair = ev
+      .where(col("event_type").isin("click", "error"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
+    val win = Window.orderBy("day").rowsBetween(-13, 0)
+    val n = lit(14.0)
+    val scored = pair
+      .withColumn("__rn", row_number().over(Window.orderBy("day")))
+      .withColumn("sx", sum(col("x")).over(win).cast("double"))
+      .withColumn("sy", sum(col("y")).over(win).cast("double"))
+      .withColumn("sxy", sum(col("x") * col("y")).over(win).cast("double"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(win).cast("double"))
+      .withColumn("syy", sum(col("y") * col("y")).over(win).cast("double"))
+      .where(col("__rn") >= 14)
+      .withColumn("__v", (n * col("sxx") - col("sx") * col("sx"))
+        * (n * col("syy") - col("sy") * col("sy")))
+    scored.select(col("day"),
+      when(col("__v") > 0,
+        round((n * col("sxy") - col("sx") * col("sy")) / sqrt(col("__v")), 6))
+        .as("corr_14d"))
+      .orderBy("day")
+  }
+
+  val qeRollingCorrSql: String =
+    """WITH pair AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'error')
+      |  GROUP BY 1
+      |), w AS (
+      |  SELECT day,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+      |    CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+      |    CAST(SUM(y) OVER win AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) OVER win AS DOUBLE) AS sxy,
+      |    CAST(SUM(x * x) OVER win AS DOUBLE) AS sxx,
+      |    CAST(SUM(y * y) OVER win AS DOUBLE) AS syy
+      |  FROM pair
+      |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT day,
+      |  CASE WHEN (14.0 * sxx - sx * sx) * (14.0 * syy - sy * sy) > 0
+      |    THEN round((14.0 * sxy - sx * sy)
+      |      / sqrt((14.0 * sxx - sx * sx) * (14.0 * syy - sy * sy)), 6)
+      |  END AS corr_14d
+      |FROM w
+      |WHERE rn >= 14
+      |ORDER BY day""".stripMargin
+
   /** §2.33j — hourly volume anomaly detection: z-score outliers on the
     * GAP-FILLED (hour, event_type) grid — zero-filled hours are exactly
     * why the spine matters (an outage hour scores as an outlier instead
@@ -5611,6 +5680,7 @@ object EventQueries {
     "qe_forecast_eval" -> (qeForecastEval _),
     "qe_time_to_nth" -> (qeTimeToNth _),
     "qe_alert_episodes" -> (qeAlertEpisodes _),
+    "qe_rolling_corr" -> (qeRollingCorr _),
     "qe_conformal" -> (qeConformal _),
     "qe_trigrams" -> (qeTrigrams _),
     "qe_audience_overlap" -> (qeAudienceOverlap _),
@@ -5691,6 +5761,7 @@ object EventQueries {
     "qe_forecast_eval" -> qeForecastEvalSql,
     "qe_time_to_nth" -> qeTimeToNthSql,
     "qe_alert_episodes" -> qeAlertEpisodesSql,
+    "qe_rolling_corr" -> qeRollingCorrSql,
     "qe_conformal" -> qeConformalSql,
     "qe_holt" -> qeHoltSql,
     "qe_did" -> qeDidSql,

@@ -110,6 +110,16 @@ object PlanAudit {
       // qt_rrf_fusion: inherits qt_bm25's 1-row corpus-stats broadcast
       // (scalar-subquery pattern) in both candidate rankers.
       "qt_rrf_fusion",
+      // qe_alert_episodes / qe_conformal: inherit the gapfill-grid
+      // spine×types cross (constant-folded join key → BNLJ; both sides
+      // derived frames bounded by hours-or-days × types at any scale —
+      // same exception as qe_gapfill/qe_anomaly_hours).
+      "qe_alert_episodes", "qe_conformal",
+      // qs_hard_negatives: broadcasts the 10-anchor panel against the
+      // corpus scan under the non-equi self-exclusion predicate — the
+      // exhaustive-scoring plan, same exception as qs_knn_brute (the
+      // fleet-scale candidate source is the IVF/LSH bucket join).
+      "qs_hard_negatives",
       // qt_nb_quality: crosses the ≤64-row NB model and the scored test
       // frame with a ONE-ROW class-priors/totals broadcast (scalar-
       // subquery pattern, same as qt_keywords/qe_decay).

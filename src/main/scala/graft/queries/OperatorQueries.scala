@@ -792,7 +792,45 @@ object OperatorQueries {
       |WHERE rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** §2.11b — the custom DataSource V2 driven through the oracle gate:
+    * read the deterministic synthetic-event source with an id-range
+    * predicate (pushed into the scan, eliding partitions outside
+    * [10000, 30000) at planning time) and roll up per event type. The
+    * oracle REGENERATES the source's cells with `generate_series` and
+    * the same md5 arithmetic — proving the source's output, pushdown
+    * included, is engine-independent data, not reader-private state.
+    * `value` sums as DECIMAL(18,2) (exact 2-dp cells), the house rule
+    * for order-independent float totals. */
+  def qoSynth(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SynthDataSource")
+      .option("rows", 50000).option("partitions", 16).load()
+      .where(col("id") >= 10000 && col("id") < 30000)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("event_type")
+
+  val qoSynthSql: String =
+    """WITH g AS (
+      |  SELECT i AS id,
+      |    ('0x' || substr(md5('u:' || i), 1, 8))::BIGINT % 1000 AS user_id,
+      |    ['view', 'click', 'purchase', 'signup', 'error']
+      |      [(('0x' || substr(md5('t:' || i), 1, 8))::BIGINT % 5) + 1]
+      |      AS event_type,
+      |    CAST(('0x' || substr(md5('v:' || i), 1, 8))::BIGINT % 10000
+      |      AS DOUBLE) / 100.0 AS value
+      |  FROM range(10000, 30000) t(i)
+      |)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM g GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qo_synth" -> (qoSynth _),
     "qo_topk" -> (qoTopK _),
     "qo_partition_advisor" -> (qoPartitionAdvisor _),
     "qo_aqp_error" -> (qoAqpError _),
@@ -806,6 +844,7 @@ object OperatorQueries {
     "qo_join_cardinality" -> (qoJoinCardinality _))
 
   val oracles: Map[String, String] = Map(
+    "qo_synth" -> qoSynthSql,
     "qo_topk" -> qoTopKSql,
     "qo_partition_advisor" -> qoPartitionAdvisorSql,
     "qo_aqp_error" -> qoAqpErrorSql,

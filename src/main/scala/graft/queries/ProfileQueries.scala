@@ -1679,7 +1679,122 @@ object ProfileQueries {
       |FROM j
       |ORDER BY column_name""".stripMargin
 
+  /** §2.13ag — KMV sketch SET ALGEBRA: audience union / intersection /
+    * Jaccard estimates between every event-type pair from the same
+    * 64-min-hash sketches 13w builds — the mergeable-sketch answer to
+    * "how many users do A and B share" when the per-pair exact
+    * distinct join (computed here as the audit) stops fitting. The
+    * estimator is the standard KMV combination: L = the k smallest of
+    * the UNION of both sketches (a valid KMV sketch of A∪B by the
+    * k-mins closure property), ρ = |L ∩ A ∩ B| / |L| estimates
+    * Jaccard, intersection ≈ ρ · union-estimate. Every step is exact
+    * integer array arithmetic on identical md5 hashes, so both
+    * engines derive bit-identical estimates; only 5 sketches ever
+    * cross — the pair stage is constant-size however many users
+    * exist. */
+  def qcKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.md5Hash32
+    import graft.operators.KmvSketch
+    val k = 64
+    val ev = Tables.load(spark, dir, "events")
+    val sk = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        KmvSketch.kmins(k)(md5Hash32(col("user_id").cast("string")))
+          .as("__km"))
+    val ut = ev.select("event_type", "user_id").distinct()
+    val inter = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n_exact").as("__na"), col("b.n_exact").as("__nb"),
+        col("a.__km").as("__ka"), col("b.__km").as("__kb"))
+      .withColumn("__l",
+        slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .withColumn("__nl", size(col("__l")))
+      .withColumn("__m", size(array_intersect(col("__l"),
+        array_intersect(col("__ka"), col("__kb")))))
+      // All three estimates derive from the RAW (unrounded) terms —
+      // rounding a product of already-rounded values can land on an
+      // exact half boundary where the engines' round modes split (the
+      // qs_mmr lesson); raw integer-derived doubles are bit-identical
+      // across engines, so each final round sees the same value.
+      .withColumn("__u",
+        when(col("__nl") < k, col("__nl").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("__l"), -1).cast("double")))
+      .withColumn("union_est", round(col("__u"), 6))
+      .withColumn("jaccard_est", round(
+        col("__m").cast("double") / col("__nl").cast("double"), 6))
+      .withColumn("inter_est", round(
+        col("__m").cast("double") / col("__nl").cast("double") * col("__u"), 6))
+    pairs.join(inter, Seq("type_a", "type_b"), "left_outer")
+      .select(col("type_a"), col("type_b"),
+        (col("__na") + col("__nb") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("union_est"), col("inter_est"), col("jaccard_est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qcKmvSetopsSql: String =
+    """WITH hashed AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM events
+      |), ranked AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM hashed
+      |), sk AS (
+      |  SELECT event_type, list_sort(list(h ORDER BY h)) AS km
+      |  FROM ranked WHERE rn <= 64 GROUP BY event_type
+      |), ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |  FROM events GROUP BY event_type
+      |), ut AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS exact_inter
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    ea.n_exact AS na, eb.n_exact AS nb,
+      |    a.km AS ka, b.km AS kb,
+      |    list_sort(list_distinct(list_concat(a.km, b.km)))[1:64] AS l
+      |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+      |  JOIN ex ea ON ea.event_type = a.event_type
+      |  JOIN ex eb ON eb.event_type = b.event_type
+      |), est AS (
+      |  SELECT type_a, type_b, na, nb, len(l) AS nl,
+      |    CAST(len(list_intersect(l, list_intersect(ka, kb)))
+      |      AS BIGINT) AS m,
+      |    CASE WHEN len(l) < 64 THEN CAST(len(l) AS DOUBLE)
+      |      ELSE 63.0 * 4294967296.0 / CAST(l[-1] AS DOUBLE) END AS u
+      |  FROM pairs
+      |)
+      |SELECT e.type_a, e.type_b,
+      |  CAST(e.na + e.nb - COALESCE(i.exact_inter, 0) AS BIGINT)
+      |    AS exact_union,
+      |  CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+      |  round(e.u, 6) AS union_est,
+      |  round(CAST(e.m AS DOUBLE) / CAST(e.nl AS DOUBLE) * e.u, 6)
+      |    AS inter_est,
+      |  round(CAST(e.m AS DOUBLE) / CAST(e.nl AS DOUBLE), 6) AS jaccard_est
+      |FROM est e LEFT JOIN inter i
+      |  ON e.type_a = i.type_a AND e.type_b = i.type_b
+      |ORDER BY e.type_a, e.type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_kmv_setops" -> (qcKmvSetops _),
     "qc_jarque_bera" -> (qcJarqueBera _),
     "qc_sprt" -> (qcSprt _),
     "qc_drift_sweep" -> (qcDriftSweep _),
@@ -1712,6 +1827,7 @@ object ProfileQueries {
     "qc_gaps" -> (qcGaps _))
 
   val oracles: Map[String, String] = Map(
+    "qc_kmv_setops" -> qcKmvSetopsSql,
     "qc_jarque_bera" -> qcJarqueBeraSql,
     "qc_sprt" -> qcSprtSql,
     "qc_drift_sweep" -> qcDriftSweepSql,

@@ -192,6 +192,23 @@ case class SprtCommand(
     outputPath: Option[String] = None,
     tableName: Option[String] = None) extends Command
 
+/** Per-key top-N retention step: keep the `k` rows per `keyCols` group
+  * that sort first by `orderCol` (descending by default), id-tiebroken
+  * — runs on the custom sort-free [[org.apache.spark.sql.graft.TopK]]
+  * physical operator (§2.38b), so a plan's "N examples per segment /
+  * latest row per key" step never full-sorts input partitions. */
+case class TopNCommand(
+    input: InputRef,
+    keyCols: Seq[String],
+    orderCol: String,
+    tiebreakCol: String,
+    k: Int,
+    descending: Boolean = true,
+    outputKey: String,
+    cache: Boolean = false,
+    outputPath: Option[String] = None,
+    tableName: Option[String] = None) extends Command
+
 /** Nested plan (reference: USER_GUIDE "Nested Plan"). */
 case class PlanCommand(plan: Plan) extends Command {
   val outputKey = ""

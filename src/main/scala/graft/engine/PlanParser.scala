@@ -356,11 +356,25 @@ object PlanParser {
           cache = node.path("cache").asBoolean(false),
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
+      case "topn" =>
+        require(params.path("k").asInt() > 0, "topn k must be positive")
+        require(params.path("keyCols").size() > 0, "topn needs keyCols")
+        TopNCommand(
+          input = inputRef(node.get("input")),
+          keyCols = strings(params.path("keyCols")),
+          orderCol = params.path("orderCol").asText(),
+          tiebreakCol = params.path("tiebreakCol").asText(),
+          k = params.path("k").asInt(),
+          descending = params.path("descending").asBoolean(true),
+          outputKey = node.path("outputKey").asText(),
+          cache = node.path("cache").asBoolean(false),
+          outputPath = optText(node, "outputPath"),
+          tableName = optText(node, "tableName"))
       case "plan" =>
         PlanCommand(planFromNode(params, baseDir))
       case other =>
         throw new IllegalArgumentException(
-          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, checksum, sprt, or plan; got '$other'")
+          s"command must be assertion, diff, view, schema, dedup, profile, sample, drift, checksum, sprt, topn, or plan; got '$other'")
     }
   }
 

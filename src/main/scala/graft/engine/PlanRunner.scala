@@ -141,6 +141,15 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         store(graft.operators.Sampling.stratifiedTopK(
           resolve(c.input), c.stratumCols, c.idCol, c.k, c.seed), c)
         0
+      case c: TopNCommand =>
+        val ord = if (c.descending)
+          org.apache.spark.sql.functions.col(c.orderCol).desc
+        else org.apache.spark.sql.functions.col(c.orderCol).asc
+        store(org.apache.spark.sql.graft.TopK.perKey(resolve(c.input),
+          c.keyCols,
+          Seq(ord, org.apache.spark.sql.functions.col(c.tiebreakCol).asc),
+          c.k), c)
+        0
       case c: ChecksumCommand =>
         val fp = graft.rules.Fingerprint.of(resolve(c.input), c.columns)
         store(fp, c)

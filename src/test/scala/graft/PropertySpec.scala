@@ -444,4 +444,26 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"trial=$trial")
     }
   }
+
+  test("TopK.perKey equals a driver-side sort-take on random data") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(13)
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(400)
+      val nKeys = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(4)
+      // Heavy value ties (mod 5) make the unique-id tie-break load-bearing.
+      val rows = Seq.tabulate(n)(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(5).toLong, i.toLong))
+      val df = rows.toDF("key", "v", "id").repartition(7)
+      val got = org.apache.spark.sql.graft.TopK
+        .perKey(df, Seq("key"), Seq(col("v").desc, col("id").asc), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = rows.groupBy(_._1).valuesIterator.flatMap(g =>
+        g.sortBy { case (_, v, id) => (-v, id) }.take(k)).toSet
+      assert(got == expected, s"trial=$trial n=$n keys=$nKeys k=$k")
+    }
+  }
 }

@@ -79,6 +79,41 @@ class PlanRunnerSpec extends SparkSpec {
       .where("n_docs = 2 AND canonical_id = 1").count() === 1)
   }
 
+  test("topn command keeps k rows per key via the custom operator") {
+    val src = Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0),
+      (4L, "b", 5.0), (5L, "b", 50.0))
+      .toDF("id", "seg", "score")
+    val plan = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "topn",
+        |     "input": {"ref": "src", "onDisk": false},
+        |     "params": {"keyCols": ["seg"], "orderCol": "score",
+        |                "tiebreakCol": "id", "k": 2},
+        |     "outputKey": "out"}
+        |  ]
+        |}""".stripMargin)
+    val res = new PlanRunner(spark).register("src", src).run(plan)
+    assert(res.exitCode === 0)
+    assert(res.outputs("out").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L, 4L, 5L)) // top-2 by score desc per segment
+    // Ascending variant flips the election.
+    val asc = PlanParser.parse(
+      """{
+        |  "commands": [
+        |    {"command": "topn",
+        |     "input": {"ref": "src", "onDisk": false},
+        |     "params": {"keyCols": ["seg"], "orderCol": "score",
+        |                "tiebreakCol": "id", "k": 1,
+        |                "descending": false},
+        |     "outputKey": "out"}
+        |  ]
+        |}""".stripMargin)
+    assert(new PlanRunner(spark).register("src", src).run(asc)
+      .outputs("out").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 4L))
+  }
+
   test("profile command reports per-column rows/nulls/distincts") {
     val src = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
       .toDF("id", "name")

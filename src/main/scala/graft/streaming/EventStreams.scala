@@ -217,6 +217,40 @@ object EventStreams {
       }
   }
 
+  case class RankEvent(key: String, value: Double, id: Long)
+  case class TopKState(top: Seq[(Double, Long)])
+  case class TopKOut(key: String, rank: Int, id: Long, value: Double)
+
+  /** Running per-key top-k leaderboard — the streaming face of the
+    * batch [[org.apache.spark.sql.graft.TopK]] operator (§2.38b), with
+    * the identical election rule (value desc, id-asc tie-break).
+    * State per key is the current top-k ONLY (k pairs, constant size —
+    * the same k-bounded contract as the batch partial stage); each
+    * trigger merges the arriving rows into the bounded list and emits
+    * the key's refreshed leaderboard in Update mode, so the sink's
+    * latest emission per key always equals the batch operator run over
+    * every event seen so far (pinned by TopKStreamSpec across
+    * triggers). No timeout: a leaderboard is a full-history property,
+    * like the sessionizer's counter, so state lives as long as the
+    * key. */
+  def runningTopK(events: Dataset[RankEvent], k: Int): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopKState, TopKOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[RankEvent], state: GroupState[TopKState]) =>
+          val merged = (state.getOption.map(_.top).getOrElse(Seq.empty) ++
+            it.map(e => (e.value, e.id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(TopKState(merged))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            TopKOut(key, i + 1, id, v)
+          }
+      }
+  }
+
   /** Adapt the raw events frame to the sessionizer's typed input. */
   def toSessionEvents(events: DataFrame): Dataset[SessionEvent] = {
     import events.sparkSession.implicits._

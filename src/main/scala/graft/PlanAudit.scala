@@ -115,6 +115,10 @@ object PlanAudit {
       // derived frames bounded by hours-or-days × types at any scale —
       // same exception as qe_gapfill/qe_anomaly_hours).
       "qe_alert_episodes", "qe_conformal",
+      // qe_window_funnel: crosses the 3-row step rollup with a
+      // broadcast ONE-ROW entrant-total aggregate (scalar-subquery
+      // pattern, same as qe_decay/qt_keywords).
+      "qe_window_funnel",
       // qs_hard_negatives: broadcasts the 10-anchor panel against the
       // corpus scan under the non-equi self-exclusion predicate — the
       // exhaustive-scoring plan, same exception as qs_knn_brute (the

@@ -232,6 +232,93 @@ object EventQueries {
         count(col("t2")).as("n_purchase_after_click"))
   }
 
+  /** §2.33cc — time-boxed ordered funnel (the windowFunnel shape):
+    * 33f counts step completion EVER; this requires the whole
+    * signup → click → purchase sequence inside 24 h of the user's
+    * first signup — the activation-deadline form growth teams
+    * actually track (a purchase next month is retention, not funnel
+    * conversion). Per step: users reaching it in order and in window,
+    * share of entrants, and the exact median hours from t0 (the
+    * latency distribution is the actionable half — where in the
+    * window users stall). Same first-occurrence chain as 33f (three
+    * keyed min-aggregates, each a map-side-combinable groupBy), with
+    * the window bound composed into each step's eligibility; the
+    * union-of-steps frame is ≤ 3 rows per user. */
+  def qeWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val s = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+      .withColumn("__dl", col("t0") + expr("INTERVAL 24 HOURS"))
+    val c = ev.where(col("event_type") === "click")
+      .join(s, Seq("user_id"))
+      .where(col("ts") >= col("t0") && col("ts") <= col("__dl"))
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c.join(s, Seq("user_id")), Seq("user_id"))
+      .where(col("ts") >= col("t1") && col("ts") <= col("__dl"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val wide = s.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+    val steps = wide.select(col("user_id"), lit(1).as("step"),
+        lit(0.0).as("__h"))
+      .unionAll(wide.where(col("t1").isNotNull)
+        .select(col("user_id"), lit(2).as("step"),
+          ((unix_micros(col("t1")) - unix_micros(col("t0"))).cast("double")
+            / lit(3600000000.0)).as("__h")))
+      .unionAll(wide.where(col("t2").isNotNull)
+        .select(col("user_id"), lit(3).as("step"),
+          ((unix_micros(col("t2")) - unix_micros(col("t0"))).cast("double")
+            / lit(3600000000.0)).as("__h")))
+    val entered = s.agg(count(lit(1)).cast("double").as("__tot"))
+    steps.groupBy("step")
+      .agg(count(lit(1)).as("n_users"),
+        expr("percentile(__h, 0.5D)").as("__p50"))
+      .crossJoin(broadcast(entered))
+      .select(col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("__tot"), 6)
+          .as("share_of_entered"),
+        round(col("__p50"), 6).as("p50_hours_from_start"))
+      .orderBy("step")
+  }
+
+  val qeWindowFunnelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0,
+      |    MIN(CAST(ts AS TIMESTAMP)) + INTERVAL 24 HOUR AS dl
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t1
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |    AND CAST(e.ts AS TIMESTAMP) >= s.t0
+      |    AND CAST(e.ts AS TIMESTAMP) <= s.dl
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(e.ts AS TIMESTAMP) >= c.t1
+      |    AND CAST(e.ts AS TIMESTAMP) <= s.dl
+      |  GROUP BY e.user_id
+      |), steps AS (
+      |  SELECT s.user_id, 1 AS step, 0.0e0 AS h FROM s
+      |  UNION ALL
+      |  SELECT c.user_id, 2 AS step,
+      |    CAST(epoch_us(c.t1) - epoch_us(s.t0) AS DOUBLE) / 3600000000.0 AS h
+      |  FROM c JOIN s ON c.user_id = s.user_id
+      |  UNION ALL
+      |  SELECT p.user_id, 3 AS step,
+      |    CAST(epoch_us(p.t2) - epoch_us(s.t0) AS DOUBLE) / 3600000000.0 AS h
+      |  FROM p JOIN s ON p.user_id = s.user_id
+      |)
+      |SELECT step, COUNT(*) AS n_users,
+      |  round(CAST(COUNT(*) AS DOUBLE)
+      |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM s), 6) AS share_of_entered,
+      |  round(quantile_cont(h, 0.5), 6) AS p50_hours_from_start
+      |FROM steps GROUP BY step
+      |ORDER BY step""".stripMargin
+
   val qeFunnelSql: String =
     """WITH s AS (
       |  SELECT user_id, MIN(ts) AS t0 FROM events
@@ -5681,6 +5768,7 @@ object EventQueries {
     "qe_time_to_nth" -> (qeTimeToNth _),
     "qe_alert_episodes" -> (qeAlertEpisodes _),
     "qe_rolling_corr" -> (qeRollingCorr _),
+    "qe_window_funnel" -> (qeWindowFunnel _),
     "qe_conformal" -> (qeConformal _),
     "qe_trigrams" -> (qeTrigrams _),
     "qe_audience_overlap" -> (qeAudienceOverlap _),
@@ -5762,6 +5850,7 @@ object EventQueries {
     "qe_time_to_nth" -> qeTimeToNthSql,
     "qe_alert_episodes" -> qeAlertEpisodesSql,
     "qe_rolling_corr" -> qeRollingCorrSql,
+    "qe_window_funnel" -> qeWindowFunnelSql,
     "qe_conformal" -> qeConformalSql,
     "qe_holt" -> qeHoltSql,
     "qe_did" -> qeDidSql,

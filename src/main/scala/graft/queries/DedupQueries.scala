@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -783,6 +784,105 @@ object DedupQueries {
       |JOIN p a ON c.id_a = a.doc_id
       |JOIN p b ON c.id_b = b.doc_id
       |WHERE round(jaro_winkler_similarity(a.pre, b.pre), 6) >= 0.85
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.24j — tf-idf-weighted cosine RERANK over the MinHash-LSH
+    * candidates: the lexical-retrieval verifier the shingle family
+    * lacks — Jaccard (24) treats boilerplate and a rare proper noun as
+    * equal voters, while idf weighting makes agreement on DISTINCTIVE
+    * word bigrams decide the pair (band-collision false positives
+    * score near 0, true near-dups near 1 — the observed distribution
+    * is sharply bimodal around the 0.5 cut). Same composition as 24b's
+    * Levenshtein and 24i's Jaro–Winkler reranks: candidates come from
+    * 21's bands (never a doc grid, never a posting join — at this
+    * corpus's 31-token vocabulary every unigram/bigram posting is a
+    * hot bucket, so scoring only O(band-collision) pairs is the sound
+    * geometry), and the scorer joins each candidate to its two bigram
+    * vectors. Weights are qt_tfidf's exact formula over BIGRAMS (a
+    * 31-token vocab makes unigram idf nearly constant; bigrams
+    * restore a spectrum); dot products and norms sum as round-9
+    * DECIMAL(18,9) terms — order-independent, engine-exact (the house
+    * float-reduction rule). */
+  def qdTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.count() // column-pruned count scan, once per build
+    val tf = docs.select(col("doc_id"), tokens(col("text")).as("__t"))
+      .select(col("doc_id"), explode_outer(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1))))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val v = tf
+      .withColumn("w", round(
+        (col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("doc_id")).cast("double")) *
+          (log((lit(nDocs).cast("double") + lit(1.0)) /
+            (count(lit(1)).over(Window.partitionBy("token")).cast("double")
+              + lit(1.0))) + lit(1.0)), 6))
+      .select("doc_id", "token", "w")
+    val norms = v.groupBy("doc_id")
+      .agg(sum(round(col("w") * col("w"), 9).cast("decimal(18,9)"))
+        .cast("double").as("__n2"))
+    val cand = Dedup
+      .minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
+      .select("id_a", "id_b")
+    cand
+      .join(v.select(col("doc_id").as("id_a"), col("token"),
+        col("w").as("__wa")), "id_a")
+      .join(v.select(col("doc_id").as("id_b"), col("token"),
+        col("w").as("__wb")), Seq("id_b", "token"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(round(col("__wa") * col("__wb"), 9).cast("decimal(18,9)"))
+        .cast("double").as("__dot"))
+      .join(norms.select(col("doc_id").as("id_a"), col("__n2").as("__na")),
+        "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("__n2").as("__nb")),
+        "id_b")
+      .withColumn("cosine",
+        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6))
+      .where(col("cosine") >= 0.5)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  val qdTfidfPairsSql: String =
+    s"""WITH cand AS ($qdMinhashPairsSql),
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), tf AS (
+      |  SELECT doc_id, g AS token, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |          i -> t[i] || ' ' || t[i+1])) AS g FROM d)
+      |  GROUP BY 1, 2
+      |), v AS (
+      |  SELECT doc_id, token,
+      |    round((CAST(cnt AS DOUBLE)
+      |        / CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE)) *
+      |      (ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) /
+      |          (CAST(COUNT(*) OVER (PARTITION BY token) AS DOUBLE) + 1.0))
+      |        + 1.0), 6) AS w
+      |  FROM tf
+      |), norms AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(18,9))) AS DOUBLE) AS n2
+      |  FROM v GROUP BY doc_id
+      |), dots AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      AS dot
+      |  FROM cand c
+      |  JOIN v a ON a.doc_id = c.id_a
+      |  JOIN v b ON b.doc_id = c.id_b AND b.token = a.token
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.id_a, d.id_b,
+      |  round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+      |FROM dots d
+      |JOIN norms na ON d.id_a = na.doc_id
+      |JOIN norms nb ON d.id_b = nb.doc_id
+      |WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- Graph-analytics edge geometry (items 25j-25m) -------------------
@@ -2265,6 +2365,7 @@ object DedupQueries {
     "qd_incremental" -> (qdIncremental _),
     "qd_edit_distance" -> (qdEditDistance _),
     "qd_jaro" -> (qdJaro _),
+    "qd_tfidf_pairs" -> (qdTfidfPairs _),
     "qd_embedding" -> (qdEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -2308,5 +2409,6 @@ object DedupQueries {
     "qd_incremental" -> qdIncrementalSql,
     "qd_edit_distance" -> qdEditDistanceSql,
     "qd_jaro" -> qdJaroSql,
+    "qd_tfidf_pairs" -> qdTfidfPairsSql,
     "qd_embedding" -> qdEmbeddingSql)
 }

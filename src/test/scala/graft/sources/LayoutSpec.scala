@@ -48,6 +48,33 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_part_dpp/fact"
+    // Fact partitioned by a surrogate key; the filter arrives only
+    // through the DIM side, so planning-time pruning can't fire — DPP
+    // must inject the dim's build-side values as a runtime partition
+    // filter on the fact scan (the join shape every star schema runs
+    // at 100 TB: partition-on-date fact × filtered date dim).
+    spark.range(10000)
+      .select(col("id"), (col("id") % 10).cast("int").as("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(path)
+    // The dim must be a file-backed relation: the PartitionPruning rule
+    // skips in-memory LocalRelations (no scan to reuse / no benefit
+    // estimate), which matches production — dims live in storage.
+    val dimPath = "/tmp/graft_part_dpp/dim"
+    Seq.tabulate(10)(i => (i, s"name_$i")).toDF("pk", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    val joined = spark.read.parquet(path)
+      .join(spark.read.parquet(dimPath).where(col("name") === "name_3"), "pk")
+    assert(joined.count() == 1000)
+    val scan = joined.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("fact")).getOrElse("")
+    assert(scan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime dynamicpruning filter:\n$scan")
+  }
+
   test("partition filters prune partitioned reads at planning time") {
     Layout.writePartitioned(
       Tables.load(spark, dir, "documents"), "/tmp/graft_part/documents", "source")

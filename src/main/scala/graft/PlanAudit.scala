@@ -115,6 +115,11 @@ object PlanAudit {
       // derived frames bounded by hours-or-days × types at any scale —
       // same exception as qe_gapfill/qe_anomaly_hours).
       "qe_alert_episodes", "qe_conformal",
+      // qc_kmv_setops: the |types|×|types| sketch-pair self-join has no
+      // equi-key by construction (every pair compares) — 5 sketch rows
+      // of 64 longs each cross 5, constant size at any user count; the
+      // per-pair exact audit join IS equi-keyed (user_id).
+      "qc_kmv_setops",
       // qe_window_funnel: crosses the 3-row step rollup with a
       // broadcast ONE-ROW entrant-total aggregate (scalar-subquery
       // pattern, same as qe_decay/qt_keywords).

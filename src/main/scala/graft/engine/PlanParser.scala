@@ -359,6 +359,10 @@ object PlanParser {
       case "topn" =>
         require(params.path("k").asInt() > 0, "topn k must be positive")
         require(params.path("keyCols").size() > 0, "topn needs keyCols")
+        require(params.path("orderCol").asText().nonEmpty,
+          "topn needs orderCol")
+        require(params.path("tiebreakCol").asText().nonEmpty,
+          "topn needs tiebreakCol")
         TopNCommand(
           input = inputRef(node.get("input")),
           keyCols = strings(params.path("keyCols")),

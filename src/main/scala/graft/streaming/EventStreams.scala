@@ -313,7 +313,14 @@ object EventStreams {
         val spark = batch.sparkSession
         val p = new org.apache.hadoop.fs.Path(targetPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) {
+        // Bootstrap on "no READABLE data", not bare path existence: a
+        // pre-created empty directory (or a first write that died after
+        // mkdir but before any parquet footer committed) must take the
+        // bootstrap branch, or every replay re-fails on schema
+        // inference and the idempotent-recovery contract never runs.
+        val hasData = fs.exists(p) &&
+          scala.util.Try(spark.read.parquet(targetPath).schema).isSuccess
+        if (hasData) {
           graft.operators.Merge.upsertPartitioned(spark, targetPath, batch,
             keys, orderCol, partCol, deleteCol)
         } else {

@@ -136,9 +136,16 @@ object TopK {
     * rebuild or `spark.sql.extensions` config is required. */
   def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // extraStrategies is a plain var on the session: serialize the
+    // check-then-append so two first-callers can't drop each other's
+    // (or a third party's) strategy. Sessions built with
+    // GraftExtensions already carry the strategy via
+    // injectPlannerStrategy and never enter the append.
+    TopKStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val analyzed = df.queryExecution.analyzed
     val resolver = spark.sessionState.analyzer.resolver

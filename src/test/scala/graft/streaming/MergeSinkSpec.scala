@@ -27,6 +27,25 @@ class MergeSinkSpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect().toSet
   }
 
+  test("bootstrap takes over a pre-created EMPTY target directory") {
+    val s = spark
+    import s.implicits._
+    // The path exists but holds no readable parquet (pre-created dir,
+    // or a first write that died after mkdir): the sink must take the
+    // bootstrap branch, not fail schema inference forever.
+    val dir = Files.createTempDirectory("graft_merge_sink_empty").toFile
+    val target = dir.getAbsolutePath
+    val stream = MemoryStream[Cdc]
+    val query = EventStreams.mergeSink(stream.toDF(), target,
+      keys = Seq("id"), orderCol = "ver", partCol = "part",
+      deleteCol = Some("deleted")).start()
+    try {
+      stream.addData(Cdc(1, 1, "p1", "x", deleted = false))
+      query.processAllAvailable()
+      assert(table(target) == Set((1L, 1L, "x", "p1")))
+    } finally query.stop()
+  }
+
   test("bootstrap, upsert, tombstone, and replayed-batch idempotence") {
     val s = spark
     import s.implicits._

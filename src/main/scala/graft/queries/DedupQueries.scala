@@ -800,9 +800,11 @@ object DedupQueries {
     * geometry), and the scorer joins each candidate to its two bigram
     * vectors. Weights are qt_tfidf's exact formula over BIGRAMS (a
     * 31-token vocab makes unigram idf nearly constant; bigrams
-    * restore a spectrum); dot products and norms sum as round-9
-    * DECIMAL(18,9) terms — order-independent, engine-exact (the house
-    * float-reduction rule). */
+    * restore a spectrum); weights integerize to exact micros so dot
+    * products and norms are pure integer arithmetic — order-
+    * independent and engine-exact with no decimal objects in the hot
+    * loop, scored per pair by the native codegen merge-walk
+    * [[org.apache.spark.sql.graft.SparseDotLong]]. */
   def qdTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.tokens
     val docs = Tables.load(spark, dir, "documents")
@@ -822,26 +824,42 @@ object DedupQueries {
             (count(lit(1)).over(Window.partitionBy("token")).cast("double")
               + lit(1.0))) + lit(1.0)), 6))
       .select("doc_id", "token", "w")
-    val norms = v.groupBy("doc_id")
-      .agg(sum(round(col("w") * col("w"), 9).cast("decimal(18,9)"))
-        .cast("double").as("__n2"))
+    // Weights integerize to exact MICROS (round-6 doubles × 1e6 round
+    // to integers losslessly), so every dot product and norm below is
+    // exact, overflow-safe, order-free integer arithmetic — no decimal
+    // objects, no per-term rounding, nothing engine-specific. Cosine is
+    // scale-invariant, so the 1e6 factor cancels and only the final
+    // double division happens in floating point.
+    val vl = v.select(col("doc_id"), col("token"),
+      round(col("w") * lit(1000000.0), 0).cast("long").as("wl"))
+    // One row per doc carrying its whole sorted sparse vector: the
+    // scorer joins CANDIDATE PAIRS to two doc rows and runs the native
+    // codegen merge-walk [[org.apache.spark.sql.graft.SparseDotLong]]
+    // per pair. Both rejected alternatives are documented there: the
+    // per-token join shuffled pairs×vocab rows (26 s at sf0.1), and an
+    // aggregate(zip_with(...)) decimal fold evaluated its lambdas
+    // interpreted per element (minutes).
+    val vec = vl.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("wl"))))
+          .as("__l"),
+        sum(col("wl") * col("wl")).as("__n2"))
+      .select(col("doc_id"),
+        transform(col("__l"), s => s.getField("token")).as("__toks"),
+        transform(col("__l"), s => s.getField("wl")).as("__ws"),
+        col("__n2"))
     val cand = Dedup
       .minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
       .select("id_a", "id_b")
     cand
-      .join(v.select(col("doc_id").as("id_a"), col("token"),
-        col("w").as("__wa")), "id_a")
-      .join(v.select(col("doc_id").as("id_b"), col("token"),
-        col("w").as("__wb")), Seq("id_b", "token"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(round(col("__wa") * col("__wb"), 9).cast("decimal(18,9)"))
-        .cast("double").as("__dot"))
-      .join(norms.select(col("doc_id").as("id_a"), col("__n2").as("__na")),
-        "id_a")
-      .join(norms.select(col("doc_id").as("id_b"), col("__n2").as("__nb")),
-        "id_b")
-      .withColumn("cosine",
-        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 6))
+      .join(vec.select(col("doc_id").as("id_a"), col("__toks").as("__ta"),
+        col("__ws").as("__wa"), col("__n2").as("__na")), "id_a")
+      .join(vec.select(col("doc_id").as("id_b"), col("__toks").as("__tb"),
+        col("__ws").as("__wb"), col("__n2").as("__nb")), "id_b")
+      .withColumn("__dot", org.apache.spark.sql.graft.SparseDotLong
+        .ofColumns(col("__ta"), col("__wa"), col("__tb"), col("__wb")))
+      .withColumn("cosine", round(col("__dot").cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))),
+        6))
       .where(col("cosine") >= 0.5)
       .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
@@ -864,25 +882,29 @@ object DedupQueries {
       |          (CAST(COUNT(*) OVER (PARTITION BY token) AS DOUBLE) + 1.0))
       |        + 1.0), 6) AS w
       |  FROM tf
+      |), vl AS (
+      |  SELECT doc_id, token, CAST(round(w * 1000000.0) AS BIGINT) AS wl
+      |  FROM v
       |), norms AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(18,9))) AS DOUBLE) AS n2
-      |  FROM v GROUP BY doc_id
+      |  SELECT doc_id, CAST(SUM(wl * wl) AS BIGINT) AS n2
+      |  FROM vl GROUP BY doc_id
       |), dots AS (
-      |  SELECT c.id_a, c.id_b,
-      |    CAST(SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(18,9))) AS DOUBLE)
-      |      AS dot
+      |  SELECT c.id_a, c.id_b, CAST(SUM(a.wl * b.wl) AS BIGINT) AS dot
       |  FROM cand c
-      |  JOIN v a ON a.doc_id = c.id_a
-      |  JOIN v b ON b.doc_id = c.id_b AND b.token = a.token
+      |  JOIN vl a ON a.doc_id = c.id_a
+      |  JOIN vl b ON b.doc_id = c.id_b AND b.token = a.token
       |  GROUP BY 1, 2
       |)
       |SELECT d.id_a, d.id_b,
-      |  round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+      |  round(CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+      |    AS cosine
       |FROM dots d
       |JOIN norms na ON d.id_a = na.doc_id
       |JOIN norms nb ON d.id_b = nb.doc_id
-      |WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.5
+      |WHERE round(CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+      |  >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- Graph-analytics edge geometry (items 25j-25m) -------------------

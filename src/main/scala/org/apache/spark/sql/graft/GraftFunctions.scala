@@ -24,6 +24,13 @@ object GraftFunctions {
         require(exprs.length == 2, "jaro_winkler takes exactly 2 arguments")
         JaroWinkler(exprs.head, exprs(1))
       }),
+    (new FunctionIdentifier("sparse_dot_long"),
+      new ExpressionInfo(classOf[SparseDotLong].getName, "sparse_dot_long"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "sparse_dot_long takes (aKeys, aVals, bKeys, bVals)")
+        SparseDotLong(exprs.head, exprs(1), exprs(2), exprs(3))
+      }),
     (new FunctionIdentifier("intersection_size"),
       new ExpressionInfo(classOf[IntersectionSize].getName, "intersection_size"),
       (exprs: Seq[Expression]) => {

@@ -18,6 +18,10 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_REBALANCE")
       .foreach(m => spark.conf.set("spark.graft.rebalance", m))
+    sys.env.get("SPARK_GRAFT_AQE_COALESCE").foreach { v =>
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", v)
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")

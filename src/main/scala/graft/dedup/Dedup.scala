@@ -778,6 +778,8 @@ object Dedup {
     var eCount = e.count()
     var iter = 0
     var converged = eCount == 0L
+    val ccVerbose = sys.env.get("GRAFT_CC_VERBOSE").contains("1")
+    if (ccVerbose) println(s"[cc] init edges=$eCount")
     while (!converged && iter < maxIter) {
       // large-star: adjacency from both directions; m(u) = min(N(u) ∪ {u});
       // larger neighbors v > u re-attach to m(u). m ≤ u < v keeps the
@@ -807,6 +809,7 @@ object Dedup {
       e = next
       eCount = nextCount
       iter += 1
+      if (ccVerbose) println(s"[cc] iter=$iter edges=$eCount converged=$converged")
     }
     if (!converged && eCount > 0) {
       throw new IllegalStateException(

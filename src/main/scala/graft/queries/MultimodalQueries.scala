@@ -277,7 +277,14 @@ object MultimodalQueries {
     * never C(n,2); shuffles are band-key then pair-key. Output schema
     * matches 35d (id_a, id_b, hamming ≤ 16), so the downstream
     * cluster/savings operators compose unchanged. */
-  def qmPhashBanded(spark: SparkSession, dir: String): DataFrame = {
+  def qmPhashBanded(spark: SparkSession, dir: String): DataFrame =
+    bandedCandidates(spark, dir).orderBy("id_a", "id_b")
+
+  /** The unsorted banded candidate edge set shared by 35g's census and
+    * 35f's cluster build — Σ buckets C(size,2) work, never C(n,2).
+    * Kept separate from [[qmPhashBanded]] so consumers don't pay the
+    * presentation sort. */
+  def bandedCandidates(spark: SparkSession, dir: String): DataFrame = {
     val h = Multimodal.dhash64(
       Multimodal.asMedia(Tables.load(spark, dir, "documents"))).toDF()
     val banded = h.select(col("media_type"), col("doc_id"),
@@ -308,28 +315,36 @@ object MultimodalQueries {
           .cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= 16)
-      .orderBy("id_a", "id_b")
   }
+
+  /** The banded candidate-pair CTEs (banded explode + bucket join),
+    * shared verbatim by the 35g census oracle and the 35f cluster
+    * oracle so the two can never drift on the candidate set. Expects
+    * `h` from [[phashCtes]] in scope. */
+  private val bandedPairCtes: String =
+    """banded AS (
+      |  SELECT doc_id, source, dhash_lo, dhash_hi, b,
+      |    CASE b WHEN 0 THEN dhash_lo & 65535
+      |           WHEN 1 THEN (dhash_lo >> 16) & 65535
+      |           WHEN 2 THEN dhash_hi & 65535
+      |           ELSE (dhash_hi >> 16) & 65535 END AS v
+      |  FROM h, (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL SELECT 2
+      |    UNION ALL SELECT 3) bands
+      |), banded_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.dhash_lo, b2.dhash_lo)) +
+      |         bit_count(xor(a.dhash_hi, b2.dhash_hi)) AS INT) AS hamming
+      |  FROM banded a
+      |  JOIN banded b2 ON a.source = b2.source AND a.b = b2.b
+      |    AND a.v = b2.v AND a.doc_id < b2.doc_id
+      |  WHERE bit_count(xor(a.dhash_lo, b2.dhash_lo)) +
+      |        bit_count(xor(a.dhash_hi, b2.dhash_hi)) <= 16
+      |)""".stripMargin
 
   val qmPhashBandedSql: String =
     s"""WITH $phashCtes,
-       |banded AS (
-       |  SELECT doc_id, source, dhash_lo, dhash_hi, b,
-       |    CASE b WHEN 0 THEN dhash_lo & 65535
-       |           WHEN 1 THEN (dhash_lo >> 16) & 65535
-       |           WHEN 2 THEN dhash_hi & 65535
-       |           ELSE (dhash_hi >> 16) & 65535 END AS v
-       |  FROM h, (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL SELECT 2
-       |    UNION ALL SELECT 3) bands
-       |)
-       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.dhash_lo, b2.dhash_lo)) +
-       |       bit_count(xor(a.dhash_hi, b2.dhash_hi)) AS INT) AS hamming
-       |FROM banded a
-       |JOIN banded b2 ON a.source = b2.source AND a.b = b2.b
-       |  AND a.v = b2.v AND a.doc_id < b2.doc_id
-       |WHERE bit_count(xor(a.dhash_lo, b2.dhash_lo)) +
-       |      bit_count(xor(a.dhash_hi, b2.dhash_hi)) <= 16
+       |$bandedPairCtes
+       |SELECT id_a, id_b, hamming FROM banded_pairs
        |ORDER BY id_a, id_b""".stripMargin
 
   /** §2.35f — perceptual-hash near-dup CLUSTERS with storage savings:
@@ -341,10 +356,18 @@ object MultimodalQueries {
     * pairs say WHAT matches, clusters say what to DELETE. Components
     * run on the O(log n) star-contraction operator; the per-cluster
     * rollup is one aggregate over the assignment, exact integer byte
-    * arithmetic throughout. */
+    * arithmetic throughout.
+    *
+    * Edge input is the BANDED candidate generator
+    * ([[bandedCandidates]], §2.35g) — Σ buckets C(size,2) work with
+    * the pigeonhole recall guarantee — never the all-pairs 35d grid;
+    * the oracle replays the identical banded candidate set, so the
+    * check stays exact (the same LSH-edge rebase the embedding graph
+    * family got in round 9, moved to Hamming space). The all-pairs
+    * [[qmPhashPairs]] survives as the small-SF recall cross-check. */
   def qmPhashClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val edges = qmPhashPairs(spark, dir).select("id_a", "id_b")
+    val edges = bandedCandidates(spark, dir).select("id_a", "id_b")
     graft.dedup.Dedup
       .connectedComponentsStar(docs.select("doc_id"), edges)
       .join(docs.select(col("doc_id"),
@@ -362,11 +385,9 @@ object MultimodalQueries {
 
   val qmPhashClustersSql: String =
     s"""WITH RECURSIVE $phashCtes,
+       |$bandedPairCtes,
        |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.dhash_lo, b.dhash_lo)) +
-       |        bit_count(xor(a.dhash_hi, b.dhash_hi)) <= 16
+       |  SELECT id_a, id_b FROM banded_pairs
        |), edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL

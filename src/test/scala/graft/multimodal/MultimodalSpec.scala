@@ -88,4 +88,27 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 2)
     assert(feats.forall(_.content_md5.length == 32))
   }
+
+  test("banded phash candidates: pigeonhole recall + subset of all-pairs") {
+    import graft.queries.MultimodalQueries
+    val all = MultimodalQueries.qmPhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val banded = MultimodalQueries.bandedCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val allSet = all.map(t => (t._1, t._2)).toSet
+    // Precision: every banded candidate is a true hamming<=16 pair from
+    // the same media-type block — banding only PRUNES, never invents.
+    assert(banded.forall(t => t._3 <= 16 && allSet((t._1, t._2))))
+    // Pigeonhole recall: <=3 differing bits cannot touch all four
+    // 16-bit bands, so every hamming<=3 pair MUST be recalled.
+    val close = all.filter(_._3 <= 3).map(t => (t._1, t._2)).toSet
+    val bandedSet = banded.map(t => (t._1, t._2)).toSet
+    assert(close.subsetOf(bandedSet))
+    // Cluster build consumes the banded edges: every cluster with >1
+    // member must be connected by banded candidates only.
+    val clusters = MultimodalQueries.qmPhashClusters(spark, dir).collect()
+    val multi = clusters.filter(_.getLong(1) > 1L)
+    val touched = bandedSet.flatMap(t => Seq(t._1, t._2))
+    assert(multi.forall(r => touched(r.getLong(0))))
+  }
 }

@@ -15,6 +15,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static audit: with AQE on, executedPlan is an opaque
+      // AdaptiveSparkPlanExec leaf (children = Nil) and tree-walks
+      // like the global-window sweep silently see NOTHING.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -94,7 +98,10 @@ object PlanAudit {
       "qt_bm25",
       // q_eb_shrinkage: crosses the supplier-collapsed rate frame with
       // a broadcast ONE-ROW moment-matched prior (scalar-subquery
-      // pattern, same as qt_keywords/qe_decay).
+      // pattern, same as qt_keywords/qe_decay), and computes both
+      // leaderboard ranks as predecessor counts against the broadcast
+      // 15-row top panel (non-equi → BNLJ with a constant-15 build
+      // side; the stream side is the collapsed per-supplier frame).
       "q_eb_shrinkage",
       // q_theil: crosses the row and group frames with a broadcast
       // ONE-ROW totals aggregate (scalar-subquery pattern) — the group
@@ -245,12 +252,105 @@ object PlanAudit {
       "qe_event_study",
       // qp_split: the |splits|×|sources| rollup crosses a broadcast
       // ONE-ROW straddle-audit count (scalar-subquery pattern).
-      "qp_split")
+      "qp_split",
+      // qt_zipf / qe_heavytail / qe_ltv_deciles: DistributedRank's
+      // 1-row broadcast min/max bounds cross (scalar-subquery pattern,
+      // same as qo_zone_skipping); qe_ltv_deciles adds the 1-row
+      // population-count cross for the ntile arithmetic. (qe_rfm's
+      // identical crosses ride its existing entry above.)
+      "qt_zipf", "qe_heavytail", "qe_ltv_deciles")
+    // Global (empty-partition) windows allowed ONLY over frames bounded
+    // by a constant, the calendar, or an attribute domain — never by
+    // the row count. Limit-bounded windows (rank-after-TakeOrdered,
+    // rank-predicate WindowGroupLimit pushdown) are auto-exempted by
+    // the detector; everything here carries its boundedness argument.
+    val intendedGlobalWindow: Set[String] = Set(
+      // ── constant-bin histogram / bucket frames ──
+      // qc_drift / qc_ks_drift / qc_chi2_drift / qc_wasserstein /
+      // qc_drift_timeline: cumulative windows over fixed histogram-bin
+      // frames (constant bins; timeline adds calendar months).
+      "qc_drift", "qc_ks_drift", "qc_chi2_drift", "qc_wasserstein",
+      "qc_drift_timeline",
+      // qc_psi_quantile: rank-select windows over the ≤4096-row coarse
+      // bucket frame (constant).
+      "qc_psi_quantile",
+      // qc_benford: the 9-digit frame.
+      "qc_benford",
+      // qd_dup_spectrum: the fixed duplicate-multiplicity bucket frame.
+      "qd_dup_spectrum",
+      // qd_lsh_design: the 5-design × 201-point generated grid.
+      "qd_lsh_design",
+      // qe_abc + the DistributedRank consumers qe_heavytail /
+      // qe_ltv_deciles / qe_rfm / qt_zipf: the two-level bucketed rank's
+      // CARRY window — a cumulative count over the constant-nBuckets
+      // (≤1024) bucket frame; the data-scale rank itself runs
+      // partitioned by bucket.
+      "qe_abc", "qe_heavytail", "qe_ltv_deciles", "qe_rfm", "qt_zipf",
+      // qt_heaps: cumulative vocab-growth over the constant doc-order
+      // bucket frame.
+      "qt_heaps",
+      // ── calendar-bounded frames ──
+      // qc_freshness / qc_gaps / qc_sprt: per-day / per-period frames.
+      "qc_freshness", "qc_gaps", "qc_sprt",
+      // qe_changepoint / qe_hurst / qe_rolling_corr / qe_stl /
+      // qe_mix_decomposition: day- or hour-spine windows (the spine is
+      // generated from the calendar range, not the row count).
+      "qe_changepoint", "qe_hurst", "qe_rolling_corr", "qe_stl",
+      "qe_mix_decomposition",
+      // qe_survival / qe_hazard / qe_logrank: cumulative risk-set
+      // windows over the per-day event-time frame.
+      "qe_survival", "qe_hazard", "qe_logrank",
+      // ── attribute-domain-bounded frames ──
+      // qc_cramers_v / qc_mutual_info: contingency-cell frames bounded
+      // by the profiled columns' category domains (flags, priorities).
+      "qc_cramers_v", "qc_mutual_info",
+      // qe_anova / qe_markov_entropy / qe_markov_stationary: |event
+      // types|- or |types|²-bounded group frames.
+      "qe_anova", "qe_markov_entropy", "qe_markov_stationary",
+      // qp_attrition / qp_epochs / qp_neyman / qp_temperature /
+      // qp_token_budget / qp_waterfill: per-source / per-stratum
+      // allocation frames bounded by the source/stratum domain.
+      "qp_attrition", "qp_epochs", "qp_neyman", "qp_temperature",
+      "qp_token_budget", "qp_waterfill",
+      // ── broadcast-scale frames (window ≤ what the query already
+      //    broadcasts, so the single-task window is never the binding
+      //    constraint) ──
+      // qt_bigram_lm / qt_kn_bigram / qt_cross_entropy: the total-mass
+      // window rides the collapsed unigram/continuation frame that the
+      // SAME query broadcasts into its join.
+      "qt_bigram_lm", "qt_kn_bigram", "qt_cross_entropy")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val executed = fn(spark, dir).queryExecution.executedPlan
+        val plan = executed.toString
+        // A WindowExec with an EMPTY partition spec funnels its whole
+        // input through one task — fatal on any frame that grows with
+        // the data. Two shapes are provably bounded from the plan
+        // itself and auto-exempt: a limit below the window
+        // (rank-the-top-k-after-TakeOrdered), and a WindowGroupLimit
+        // below it (Spark's rank-predicate pushdown prunes each
+        // partition to k rows before the single-task final window).
+        // Everything else needs an allowlist entry stating WHY its
+        // frame is bounded by a constant (or the calendar), not the
+        // data. NOTE: foldable partition keys (partitionBy(lit(1)))
+        // are optimized away, so they correctly show as empty here.
+        def limitBounded(p: org.apache.spark.sql.execution.SparkPlan)
+            : Boolean = p.find {
+          case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+            => true
+          case _ => false
+        }.isDefined
+        val globalWindow = executed.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+        }.nonEmpty
         val flags = Seq(
+          "GlobalWindow" -> (globalWindow &&
+            !intendedGlobalWindow.contains(name)),
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin")
             && !intendedBnlj.contains(name)),

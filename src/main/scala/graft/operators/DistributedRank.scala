@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global row_number WITHOUT a global single-task window — the
+  * two-level bucketed rank (the qe_gini/qc_psi_quantile shape, made
+  * reusable): range-bucket every row on a monotone double image of the
+  * sort key (bounds from a 1-row broadcast aggregate), row_number
+  * WITHIN each bucket (a partitioned window — distributed), and add
+  * the carry of all lower buckets (a cumulative window over the
+  * constant-`nBuckets` count frame, broadcast back). Exactness: the
+  * double image only PLACES rows in buckets; the in-bucket sort runs
+  * on the original (sort, tie) columns, so monotonicity of the
+  * image — not its precision — is all correctness needs, and the
+  * composed rank equals row_number() over (sort, tie) exactly.
+  *
+  * Scale shape: one broadcast bounds pass, one shuffle on the bucket
+  * key, one constant-size carry frame. Skew bound: a bucket holds
+  * only rows whose sort images collide in one of `nBuckets` equal
+  * ranges; heavy ties on ONE value do concentrate (same as any
+  * rank's tie group), which is why `tie` must make the order total.
+  */
+object DistributedRank {
+
+  /** Appends `out` = 1-based global row_number under the total order
+    * (sort ASC, tie ASC). For descending rank, pass a negated sort
+    * column (and keep `tie` ascending). `sort` must be numeric
+    * (castable to double, cast is monotone); `tie` any orderable. */
+  def withRowNumber(df: DataFrame, sort: Column, tie: Column,
+      out: String, nBuckets: Int = 1024): DataFrame = {
+    val in = df.withColumn("__drk_s", sort.cast("double"))
+    val bounds = broadcast(in.agg(
+      min(col("__drk_s")).as("__drk_min"),
+      max(col("__drk_s")).as("__drk_max")))
+    val bucketed = in.crossJoin(bounds)
+      .withColumn("__drk_b",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("__drk_s") - col("__drk_min")) /
+            (greatest(col("__drk_max") - col("__drk_min"), lit(1.0))
+              / nBuckets)).cast("int"))))
+      .drop("__drk_min", "__drk_max")
+    val wIn = Window.partitionBy("__drk_b").orderBy(sort.asc, tie.asc)
+    // Carry window: empty partition spec over a frame bounded by the
+    // CONSTANT nBuckets — the one global window this operator is
+    // allowed (PlanAudit-allowlisted at every call site).
+    val wCarry = Window.orderBy("__drk_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy("__drk_b")
+      .agg(count(lit(1)).as("__drk_n"))
+      .withColumn("__drk_c", coalesce(sum("__drk_n").over(wCarry), lit(0L)))
+      .select("__drk_b", "__drk_c")
+    bucketed.join(broadcast(carries), Seq("__drk_b"))
+      .withColumn(out, col("__drk_c") + row_number().over(wIn))
+      .drop("__drk_s", "__drk_b", "__drk_c")
+  }
+
+  /** SQL-standard NTILE(k) from the distributed rank: with n rows,
+    * the first n mod k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+    * bit-identical to Spark's and DuckDB's ntile over the same total
+    * order. `n` and the rank are exchanged as columns, so the whole
+    * expression is row-local integer arithmetic. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // Column `/` is true (double) division — floor() restores the
+    // integral quotient (exact for any realistic population: doubles
+    // hold integers to 2^53 and the quotient sits ≥ 1/k away from the
+    // next integer when not exact).
+    val m = n % k                          // buckets of size small + 1
+    val small = floor(n / k).cast("long")
+    val big = small + 1
+    when(rank <= m * big, floor((rank - 1) / big).cast("long") + 1)
+      .otherwise(m + floor((rank - m * big - 1) / small).cast("long") + 1)
+  }
+}

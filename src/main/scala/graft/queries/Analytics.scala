@@ -816,8 +816,17 @@ object Analytics {
     * prior cannot move with shuffle order; final rates round once to
     * 6 before the doc-ordered ranks. Scale shape: one key-keyed
     * aggregate over the fact table, a 1-row broadcast prior
-    * (scalar-subquery pattern), and ranks only over the collapsed
-    * per-key frame (bounded by the supplier dimension). */
+    * (scalar-subquery pattern); the supplier dimension GROWS with the
+    * data (TPC-H: 10k × SF), so no global window ever touches the
+    * collapsed frame — the top 15 by shrunk rate come from
+    * TakeOrderedAndProject (per-partition 15-row heaps + driver
+    * merge), and both ranks are predecessor COUNTS against the
+    * broadcast 15-row panel: rank_shrunk within the panel itself,
+    * rank_raw as one combinable aggregate over the per-supplier frame
+    * (each row compares against 15 broadcast anchors — map-side, no
+    * shuffle beyond the 15-group count). The strict (rate, supplier)
+    * total order makes predecessor-count + 1 identical to
+    * row_number(). */
   def qEbShrinkage(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_suppkey").as("supplier"))
@@ -840,6 +849,9 @@ object Analytics {
             col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0 > 0,
           col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
           .otherwise(lit(1.0)).as("__c")))
+    // Materialized once (bounded by the supplier dimension): consumed
+    // by the top-k select AND the global-rank count, so lineitem is
+    // scanned exactly once.
     val scored = per.crossJoin(prior)
       .select(col("supplier"), col("n"), col("x"),
         round(col("p").cast("double"), 6).as("raw_rate"),
@@ -847,14 +859,34 @@ object Analytics {
           (col("n").cast("double") + col("__c")), 6).as("shrunk_rate"),
         round(col("__m") * col("__c"), 6).as("alpha"),
         round((lit(1.0) - col("__m")) * col("__c"), 6).as("beta"))
-    scored
-      .withColumn("rank_raw", row_number().over(
-        Window.orderBy(col("raw_rate").desc, col("supplier"))))
-      .withColumn("rank_shrunk", row_number().over(
-        Window.orderBy(col("shrunk_rate").desc, col("supplier"))))
-      .where(col("rank_shrunk") <= 15)
-      .select("rank_shrunk", "supplier", "n", "x", "raw_rate",
-        "shrunk_rate", "rank_raw", "alpha", "beta")
+      .localCheckpoint()
+    val top = scored
+      .orderBy(col("shrunk_rate").desc, col("supplier")).limit(15)
+    val tgt = broadcast(top.select(col("supplier").as("__s0"),
+      col("raw_rate").as("__rr0"), col("shrunk_rate").as("__sr0")))
+    // Predecessor counts: r strictly before anchor under the total
+    // order (rate desc, supplier asc) — row_number() == count + 1.
+    val shrunkCnt = top
+      .select(col("supplier").as("__rs"), col("shrunk_rate").as("__rv"))
+      .join(tgt, col("__rv") > col("__sr0") ||
+        (col("__rv") === col("__sr0") && col("__rs") < col("__s0")))
+      .groupBy("__s0").agg(count(lit(1)).as("__cs"))
+    val rawCnt = scored
+      .select(col("supplier").as("__rs"), col("raw_rate").as("__rv"))
+      .join(tgt, col("__rv") > col("__rr0") ||
+        (col("__rv") === col("__rr0") && col("__rs") < col("__s0")))
+      .groupBy("__s0").agg(count(lit(1)).as("__cr"))
+    top
+      .join(shrunkCnt, col("supplier") === shrunkCnt("__s0"), "left")
+      .drop("__s0")
+      .join(rawCnt, col("supplier") === rawCnt("__s0"), "left")
+      .drop("__s0")
+      .select((coalesce(col("__cs"), lit(0L)) + 1L).cast("int")
+          .as("rank_shrunk"),
+        col("supplier"), col("n"), col("x"), col("raw_rate"),
+        col("shrunk_rate"),
+        (coalesce(col("__cr"), lit(0L)) + 1L).cast("int").as("rank_raw"),
+        col("alpha"), col("beta"))
       .orderBy("rank_shrunk")
   }
 

@@ -1713,15 +1713,22 @@ object EventQueries {
           .cast("bigint").as("recency_days"),
         count(lit(1)).as("frequency"),
         valueSum(col("value")).as("monetary"))
-    val n = Window.partitionBy()
-    def score(orderBy: Column): Column =
-      (lit(1) + floor(lit(4) * (row_number().over(
-        Window.orderBy(orderBy, col("user_id"))) - lit(1)) /
-        count(lit(1)).over(n))).cast("bigint")
-    peruser
-      .withColumn("r_score", score(col("recency_days").desc))
-      .withColumn("f_score", score(col("frequency")))
-      .withColumn("m_score", score(col("monetary")))
+    // The per-user frame grows with the data: each quartile rank runs
+    // on the two-level bucketed operator (never a global single-task
+    // window), and the population count is a 1-row broadcast.
+    import graft.operators.DistributedRank.withRowNumber
+    val nTotal = broadcast(peruser.agg(count(lit(1)).as("__nu")))
+    def score(r: Column): Column =
+      (lit(1) + floor(lit(4) * (r - lit(1)) / col("__nu"))).cast("bigint")
+    val ranked3 = withRowNumber(withRowNumber(withRowNumber(
+        peruser.crossJoin(nTotal),
+        -col("recency_days"), col("user_id"), "__rr"),
+        col("frequency"), col("user_id"), "__rf"),
+        col("monetary"), col("user_id"), "__rm")
+    ranked3
+      .withColumn("r_score", score(col("__rr")))
+      .withColumn("f_score", score(col("__rf")))
+      .withColumn("m_score", score(col("__rm")))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         round(col("monetary"), 4).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -1885,10 +1892,12 @@ object EventQueries {
     * (qc_corr pattern), assembled in doubles on the 1-row result. */
   def qeHeavytail(spark: SparkSession, dir: String): DataFrame = {
     def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
-    val ranked = Tables.load(spark, dir, "events")
-      .groupBy("user_id").agg(count(lit(1)).as("__c"))
-      .withColumn("__r",
-        row_number().over(Window.orderBy(col("__c").desc, col("user_id"))))
+    // The user frame grows with the data — the rank runs on the
+    // two-level bucketed operator, never a global single-task window.
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+        Tables.load(spark, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("__c")),
+        -col("__c"), col("user_id"), "__r")
       .select(log(col("__r").cast("double")).as("__x"),
         log(col("__c").cast("double")).as("__y"))
     ranked
@@ -2218,8 +2227,15 @@ object EventQueries {
       .where(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(col("value").cast("decimal(18,4)")).as("__spend"))
-    val w = Window.orderBy(col("__spend").desc, col("user_id"))
-    perUser.withColumn("decile", ntile(10).over(w))
+    // The user frame grows with the data: the decile assignment is
+    // SQL-standard ntile arithmetic over the two-level bucketed rank
+    // (never a global single-task window).
+    val nTotal = broadcast(perUser.agg(count(lit(1)).as("__nu")))
+    graft.operators.DistributedRank.withRowNumber(
+        perUser.crossJoin(nTotal),
+        -col("__spend"), col("user_id"), "__r")
+      .withColumn("decile", graft.operators.DistributedRank
+        .ntileFromRank(col("__r"), col("__nu"), 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
         sum(col("__spend")).cast("decimal(38,4)").cast("double")

@@ -743,11 +743,14 @@ object TextQueries {
     * both engines. */
   def qtZipf(spark: SparkSession, dir: String): DataFrame = {
     def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
-    val ranked = Tables.load(spark, dir, "documents")
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("__f"))
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("__f").desc, col("token"))))
+    // Vocabulary GROWS with the corpus (Heaps' law), so the frequency
+    // rank runs on the two-level bucketed operator, never a global
+    // single-task window over the vocab frame.
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+        Tables.load(spark, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("__f")),
+        -col("__f"), col("token"), "__r")
       .select(log(col("__r").cast("double")).as("__x"),
         log(col("__f").cast("double")).as("__y"))
     ranked

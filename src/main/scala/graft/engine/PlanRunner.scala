@@ -50,10 +50,16 @@ class PlanRunner(spark: SparkSession, reportWriter: Option[ReportWriter] = None)
         // tableExists throws ParseException for refs that are not valid
         // SQL identifiers (e.g. a typo'd output key with a space) —
         // treat unparseable as not-a-table so the plan author gets the
-        // descriptive missing-input error, not an identifier-parser one.
+        // descriptive missing-input error, not an identifier-parser
+        // one. Anything ELSE (e.g. metastore connectivity failure)
+        // propagates: reporting it as "input not found" would mask the
+        // real error.
         val inCatalog =
           try spark.catalog.tableExists(input.ref)
-          catch { case _: Exception => false }
+          catch {
+            case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+              false
+          }
         if (inCatalog) spark.table(input.ref)
         else throw new IllegalArgumentException(
           s"Input ${input.ref} not in lookup table or session catalog.")

@@ -49,9 +49,19 @@ class SynthDataSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
-    val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4)
-    new SynthTable(rows, parts)
+    // DSv2 reader options are case-insensitive everywhere else —
+    // honor .option("Rows", N) too, and fail with the offending
+    // key/value instead of a bare NumberFormatException.
+    val opts = new CaseInsensitiveStringMap(properties)
+    def num(key: String, default: Long): Long =
+      Option(opts.get(key)).fold(default) { raw =>
+        try raw.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"synth option '$key' must be a number, got '$raw'")
+        }
+      }
+    new SynthTable(num("rows", 1000L), num("partitions", 4L).toInt)
   }
 }
 

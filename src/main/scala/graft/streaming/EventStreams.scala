@@ -318,8 +318,18 @@ object EventStreams {
         // mkdir but before any parquet footer committed) must take the
         // bootstrap branch, or every replay re-fails on schema
         // inference and the idempotent-recovery contract never runs.
-        val hasData = fs.exists(p) &&
-          scala.util.Try(spark.read.parquet(targetPath).schema).isSuccess
+        // Only AnalysisException (path missing / unable to infer
+        // schema) means "no data" — any OTHER failure (transient FS or
+        // IO error against a POPULATED table) must fail the
+        // micro-batch and be retried, because treating it as empty
+        // would dynamic-overwrite the batch's partitions with
+        // batch-only content, silently dropping merged history.
+        val hasData = fs.exists(p) && (try {
+          spark.read.parquet(targetPath).schema
+          true
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => false
+        })
         if (hasData) {
           graft.operators.Merge.upsertPartitioned(spark, targetPath, batch,
             keys, orderCol, partCol, deleteCol)

@@ -46,6 +46,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * carries at most partitions×keys×k rows. Per-partition state is
   * keys-in-partition × k rows; like partial aggregation, that bound is
   * the operator's contract (k is small by definition of the shape).
+  * Against pathological key cardinality the partial stage caps its
+  * tracked keys at `spark.graft.topk.maxTrackedKeys` (default 10⁶) and
+  * passes rows for keys beyond the cap through unpruned — exactness is
+  * unaffected (the final stage is authoritative), only the exchange
+  * grows for the saturated tail.
   *
   * Result rows are EXACTLY the rows `row_number() ... <= k` keeps when
   * the ordering is total (callers append a unique tie-break column, as
@@ -94,6 +99,19 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    // Partial-stage safety valve: the heap map holds keys-in-partition
+    // × k rows, which on a pathological key cardinality could exceed
+    // task memory (the sort-based WindowGroupLimit plan would spill
+    // instead). Once the PARTIAL map reaches this many keys, rows for
+    // new keys PASS THROUGH unpruned — partial is pure pruning, so
+    // the clustered final stage still produces the exact answer, just
+    // with a fatter exchange for the saturated tail. The final stage
+    // never caps: its state is proportional to its own output
+    // (≤ k rows per owned key), the same bound any hash aggregation
+    // carries.
+    val maxKeys = if (partial)
+      conf.getConfString("spark.graft.topk.maxTrackedKeys", "1000000").toInt
+    else Int.MaxValue
     // LazilyGeneratedOrdering is serializable and regenerates its code
     // on the executor; UnsafeProjection.create runs inside the task.
     val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -103,24 +121,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // LAST, i.e. the first to evict — so the buffer holds the k rows
       // that sort first, exactly row_number()'s survivors.
       val byKey = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val pruned = iter.flatMap { row =>
         val key = keyProj(row)
-        // Copy the (reused) key buffer only on first sight of the key.
-        val heap = byKey.get(key) match {
-          case Some(h) => h
-          case None =>
+        byKey.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) {
+              heap.enqueue(row.copy())
+            } else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+            None
+          case None if byKey.size < maxKeys =>
+            // Copy the (reused) key buffer only on first sight.
             val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            h.enqueue(row.copy())
             byKey.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kk) {
-          heap.enqueue(row.copy())
-        } else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+            None
+          case None =>
+            Some(row) // saturated: emit unpruned, final stage decides
         }
       }
-      byKey.valuesIterator.flatMap(_.iterator)
+      // `++`'s right side is by-name: the heaps drain only after the
+      // input (and so the map) is complete.
+      pruned ++ byKey.valuesIterator.flatMap(_.iterator)
     }
   }
 

@@ -81,6 +81,25 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top1 == Set(1L, 3L))
   }
 
+  test("partial-stage key cap: saturated keys pass through, result exact") {
+    val df = sample
+    spark.conf.set("spark.graft.topk.maxTrackedKeys", "2")
+    try {
+      // With only 2 of 10 keys tracked per partial task, 8 keys' rows
+      // flow to the exchange unpruned — the final stage must still
+      // produce exactly the window plan's survivors.
+      val got = TopK.perKey(df, Seq("key"),
+          Seq(col("v").desc, col("id").asc), 3)
+        .select("key", "v", "id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("key", "v", "id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.topk.maxTrackedKeys")
+  }
+
   test("rejects non-positive k and unknown key columns") {
     intercept[IllegalArgumentException] {
       TopK.perKey(sample, Seq("key"), Seq(col("v").asc), 0)

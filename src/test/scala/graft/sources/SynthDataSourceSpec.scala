@@ -20,6 +20,18 @@ class SynthDataSourceSpec extends SparkSpec {
     assert(read(0, 4).count() == 0)
   }
 
+  test("options are case-insensitive; non-numeric values fail loudly") {
+    val mixed = spark.read.format("graft.sources.SynthDataSource")
+      .option("Rows", 123).option("PARTITIONS", 3).load()
+    assert(mixed.count() == 123)
+    assert(mixed.rdd.getNumPartitions == 3)
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.SynthDataSource")
+        .option("rows", "lots").load().count()
+    }
+    assert(bad.getMessage.contains("rows") && bad.getMessage.contains("lots"))
+  }
+
   test("id-range pushdown elides whole input partitions") {
     val b = new SynthScanBuilder(100000, 16)
     val residual = b.pushFilters(Array(

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   * stream through it, and Spark distributes partitions across executors.
   * No driver involvement, no shuffle — scale is linear in input splits.
   *
-  * The decoder itself is a clearly-marked deterministic STUB (this
-  * container ships no image/audio codecs): it derives pseudo
-  * width/height/frame geometry from the bytes. Everything AROUND it —
-  * the binary schema, the typed Dataset boundary, per-partition init,
-  * the feature schema — is the real production shape; swapping the stub
-  * for e.g. a JNI JPEG decoder changes no plan topology.
+  * Decoding is factored behind the [[MediaDecoder]] trait (default:
+  * the clearly-marked deterministic [[StubDecoder]] — this container
+  * ships no image/audio codecs). Everything AROUND the decoder — the
+  * binary schema, the typed Dataset boundary, per-partition init, the
+  * feature schema — is the real production shape; swapping in e.g. a
+  * JNI JPEG decoder is one new class passed at the call site, and
+  * changes no plan topology.
   */
 object Multimodal {
 
@@ -74,19 +75,16 @@ object Multimodal {
     * count (video decode shape — flatMap inside mapPartitions, decoder
     * initialised once per partition, output cardinality data-dependent).
     */
-  def sampleFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+  def sampleFrames(media: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
-        // ---- STUB DECODER: frame count from the byte sum ----
-        var byteSum = 0L
-        var i = 0
-        while (i < r.content.length) { byteSum += r.content(i) & 0xff; i += 1 }
-        val nFrames = 1L + byteSum % 7
+        val nFrames = decoder.geometry(r.content, r.n_bytes)._3
         (0L until nFrames).map { f =>
           md5.reset()
-          val hex = md5.digest(s"${r.doc_id}:$f".getBytes("UTF-8"))
+          val hex = md5.digest(decoder.frameBytes(r.doc_id, f, r.content))
             .map("%02x".format(_)).mkString
           MediaFrame(r.doc_id, f, hex)
         }
@@ -117,21 +115,20 @@ object Multimodal {
   }
 
   /** Per-partition decode + feature extraction. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // Per-partition init: a real pipeline opens its native decoder
       // context here, once, not per row.
       val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        // ---- STUB DECODER (deterministic; replaces absent codecs) ----
+        // byte_sum and content_md5 are exact CONTENT stats (decoder-
+        // independent); geometry comes from the decode seam.
         var byteSum = 0L
         var i = 0
         while (i < r.content.length) { byteSum += r.content(i) & 0xff; i += 1 }
-        val width = 1L + byteSum % 64
-        val height = 1L + r.n_bytes % 48
-        val nFrames = 1L + byteSum % 7
-        // --------------------------------------------------------------
+        val (width, height, nFrames) = decoder.geometry(r.content, r.n_bytes)
         md5.reset()
         val hex = md5.digest(r.content).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.media_type, r.n_bytes, byteSum,
@@ -156,21 +153,12 @@ object Multimodal {
     * candidates are LOW-HAMMING pairs — the media-side counterpart of
     * SimHash for text. Per-partition streaming map; O(bytes) per row,
     * 16 bytes of hash out. */
-  def dhash64(media: Dataset[MediaRecord]): Dataset[MediaDhash] = {
+  def dhash64(media: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaDhash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val len = r.content.length.toLong
-        val sums = new Array[Long](65)
-        var j = 0
-        while (j < 65) {
-          var i = j * len / 65
-          val end = (j + 1) * len / 65
-          var s = 0L
-          while (i < end) { s += r.content(i.toInt) & 0xff; i += 1 }
-          sums(j) = s
-          j += 1
-        }
+        val sums = decoder.dhashSignal(r.content, 65)
         var lo = 0L
         var hi = 0L
         var b = 0

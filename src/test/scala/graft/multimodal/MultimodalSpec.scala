@@ -89,6 +89,35 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.content_md5.length == 32))
   }
 
+  test("decoder seam: a custom MediaDecoder drops in at the call site") {
+    // A "codec" that reports fixed geometry and a constant signal —
+    // swapping it in is one object, zero edits to Multimodal.
+    object FixedDecoder extends MediaDecoder {
+      def geometry(content: Array[Byte], nBytes: Long) = (640L, 480L, 2L)
+      def dhashSignal(content: Array[Byte], n: Int): Array[Long] =
+        Array.fill(n)(7L)
+      def frameBytes(docId: Long, idx: Long, content: Array[Byte]) =
+        Array[Byte](idx.toByte)
+    }
+    val media = Multimodal.asMedia(Tables.load(spark, dir, "documents"))
+    val feats = Multimodal.extractFeatures(media, FixedDecoder).head()
+    assert(feats.width == 640L && feats.height == 480L
+      && feats.n_frames == 2L && feats.resized_w == 32L)
+    // Flat signal → no gradient bit ever set.
+    val h = Multimodal.dhash64(media, FixedDecoder).head()
+    assert(h.dhash_lo == 0L && h.dhash_hi == 0L)
+    // Every asset yields exactly the decoder's frame count, and frame
+    // hashes come from the decoder's frame bytes (same for all docs).
+    val frames = Multimodal.sampleFrames(media, FixedDecoder).toDF()
+    val perDoc = frames.groupBy("doc_id").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(perDoc == Seq(2L))
+    assert(frames.select("frame_hash").distinct().count() == 2)
+    // The default path is unchanged: stub geometry still rules.
+    val stub = Multimodal.extractFeatures(media).head()
+    assert(stub.width == 1L + stub.byte_sum % 64)
+  }
+
   test("banded phash candidates: pigeonhole recall + subset of all-pairs") {
     import graft.queries.MultimodalQueries
     val all = MultimodalQueries.qmPhashPairs(spark, dir)

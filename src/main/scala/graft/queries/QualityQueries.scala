@@ -361,6 +361,26 @@ object QualityQueries {
       |  CAST(1234.5678 AS DECIMAL(18,4)) AS v_dec18_4
       |FROM region""".stripMargin
 
+  /** The green TWIN of [[qcCanaryDecimal]]: the SAME decimal values
+    * string-rendered in both engines. Decimal→string prints identical
+    * plain digits everywhere, so this row hash-matches while
+    * qc_canary_decimal stays red — together they prove the red is the
+    * driver comparator's DECIMAL canonicalization, not a value drift
+    * (value-identical + red raw + green rendered = harness defect). */
+  def qcCanaryDecimalStr(spark: SparkSession, dir: String): DataFrame =
+    canaryBase(spark, dir).select(col("n_rows"),
+      lit("322677750168629").cast("decimal(38,0)").cast("string")
+        .as("v_dec38_str"),
+      lit("1234.5678").cast("decimal(18,4)").cast("string")
+        .as("v_dec18_4_str"))
+  val qcCanaryDecimalStrSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(CAST(322677750168629 AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS v_dec38_str,
+      |  CAST(CAST(1234.5678 AS DECIMAL(18,4)) AS VARCHAR)
+      |    AS v_dec18_4_str
+      |FROM region""".stripMargin
+
   def qcCanaryTimestamp(spark: SparkSession, dir: String): DataFrame =
     canaryBase(spark, dir).select(col("n_rows"),
       to_timestamp(lit("2024-03-01 12:34:56.789123")).as("v_ts"),
@@ -528,6 +548,7 @@ object QualityQueries {
     "qc_fanout" -> (qcFanout _),
     "qc_suggest" -> (qcSuggest _),
     "qc_canary_decimal" -> (qcCanaryDecimal _),
+    "qc_canary_decimal_str" -> (qcCanaryDecimalStr _),
     "qc_scorecard" -> (qcScorecard _),
     "qc_canary_timestamp" -> (qcCanaryTimestamp _),
     "qc_canary_double" -> (qcCanaryDouble _),
@@ -545,6 +566,7 @@ object QualityQueries {
     "qc_fanout" -> qcFanoutSql,
     "qc_suggest" -> qcSuggestSql,
     "qc_canary_decimal" -> qcCanaryDecimalSql,
+    "qc_canary_decimal_str" -> qcCanaryDecimalStrSql,
     "qc_scorecard" -> qcScorecardSql,
     "qc_canary_timestamp" -> qcCanaryTimestampSql,
     "qc_canary_double" -> qcCanaryDoubleSql,

@@ -30,7 +30,17 @@ object DistributedRank {
     * (castable to double, cast is monotone); `tie` any orderable. */
   def withRowNumber(df: DataFrame, sort: Column, tie: Column,
       out: String, nBuckets: Int = 1024): DataFrame = {
-    val in = df.withColumn("__drk_s", sort.cast("double"))
+    // Materialize the input ONCE: three consumers read it (the bounds
+    // aggregate, the per-bucket carry counts, and the ranked output),
+    // and without the checkpoint each re-evaluates the upstream plan —
+    // ruinous when the input is itself an aggregation or a previous
+    // rank stage (a 3-deep nesting re-computed its base ~27×,
+    // measured 0.26 s → 13 s on qe_rfm before this line). The frame is
+    // the collapsed rank input, which the rank must shuffle anyway, so
+    // distributed materialization adds no new scale constraint; the
+    // checkpoint also truncates lineage so stacked rank stages keep
+    // constant-size plans.
+    val in = df.withColumn("__drk_s", sort.cast("double")).localCheckpoint()
     val bounds = broadcast(in.agg(
       min(col("__drk_s")).as("__drk_min"),
       max(col("__drk_s")).as("__drk_max")))

@@ -121,7 +121,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // LAST, i.e. the first to evict — so the buffer holds the k rows
       // that sort first, exactly row_number()'s survivors.
       val byKey = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      val pruned = iter.flatMap { row =>
+      // filter, not flatMap(Option): no per-row wrapper allocation on
+      // the hot path — a row survives the filter ONLY when the key map
+      // is saturated (emit unpruned, the final stage decides).
+      val pruned = iter.filter { row =>
         val key = keyProj(row)
         byKey.get(key) match {
           case Some(heap) =>
@@ -131,15 +134,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
               heap.dequeue()
               heap.enqueue(row.copy())
             }
-            None
+            false
           case None if byKey.size < maxKeys =>
             // Copy the (reused) key buffer only on first sight.
             val h = mutable.PriorityQueue.empty[InternalRow](ordering)
             h.enqueue(row.copy())
             byKey.put(key.copy(), h)
-            None
-          case None =>
-            Some(row) // saturated: emit unpruned, final stage decides
+            false
+          case None => true
         }
       }
       // `++`'s right side is by-name: the heaps drain only after the

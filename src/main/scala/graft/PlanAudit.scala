@@ -19,6 +19,10 @@ object PlanAudit {
       // AdaptiveSparkPlanExec leaf (children = Nil) and tree-walks
       // like the global-window sweep silently see NOTHING.
       .config("spark.sql.adaptive.enabled", "false")
+      // Expose full lineage: DistributedRank's input checkpoint would
+      // truncate the visible plan at a LogicalRDD, hiding everything
+      // upstream of the rank from every flag below.
+      .config("spark.graft.rank.materialize", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -331,19 +335,25 @@ object PlanAudit {
         // (rank-the-top-k-after-TakeOrdered), and a WindowGroupLimit
         // below it (Spark's rank-predicate pushdown prunes each
         // partition to k rows before the single-task final window).
-        // Everything else needs an allowlist entry stating WHY its
-        // frame is bounded by a constant (or the calendar), not the
-        // data. NOTE: foldable partition keys (partitionBy(lit(1)))
-        // are optimized away, so they correctly show as empty here.
+        // The walk follows ONLY the unary input spine: a limit inside
+        // a JOIN BRANCH bounds that branch, not the window's input
+        // cardinality, so stopping at any multi-child node prevents a
+        // broadcast top-k panel from masking a data-scale window above
+        // the join. Everything else needs an allowlist entry stating
+        // WHY its frame is bounded by a constant (or the calendar),
+        // not the data. NOTE: foldable partition keys
+        // (partitionBy(lit(1))) are optimized away, so they correctly
+        // show as empty here.
         def limitBounded(p: org.apache.spark.sql.execution.SparkPlan)
-            : Boolean = p.find {
+            : Boolean = p match {
           case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec
             => true
           case _: org.apache.spark.sql.execution.GlobalLimitExec => true
           case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
             => true
+          case u if u.children.size == 1 => limitBounded(u.children.head)
           case _ => false
-        }.isDefined
+        }
         val globalWindow = executed.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty && !limitBounded(w.child) => w

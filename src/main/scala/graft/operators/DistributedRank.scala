@@ -39,8 +39,15 @@ object DistributedRank {
     // the collapsed rank input, which the rank must shuffle anyway, so
     // distributed materialization adds no new scale constraint; the
     // checkpoint also truncates lineage so stacked rank stages keep
-    // constant-size plans.
-    val in = df.withColumn("__drk_s", sort.cast("double")).localCheckpoint()
+    // constant-size plans. eager = false: no job fires at PLAN
+    // CONSTRUCTION time (the first consuming job materializes it), so
+    // explain/audit tooling can build the plan without executing.
+    // Trade-off, and the escape hatch: the checkpoint truncates the
+    // visible plan at a LogicalRDD, hiding everything upstream from
+    // plan audits — `spark.graft.rank.materialize=false` (set by
+    // PlanAudit) skips it to expose the FULL lineage for inspection;
+    // never unset it for real execution.
+    val in = materialize(df.withColumn("__drk_s", sort.cast("double")))
     val bounds = broadcast(in.agg(
       min(col("__drk_s")).as("__drk_min"),
       max(col("__drk_s")).as("__drk_max")))
@@ -65,6 +72,17 @@ object DistributedRank {
       .withColumn(out, col("__drk_c") + row_number().over(wIn))
       .drop("__drk_s", "__drk_b", "__drk_c")
   }
+
+  /** Lazy distributed materialization honoring the audit knob: rank
+    * callers also use this to share an expensive rollup between the
+    * population count and the rank input. `spark.graft.rank
+    * .materialize=false` (set only by PlanAudit) skips the checkpoint
+    * so the full lineage stays visible to plan inspection. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.rank.materialize", "true").toBoolean)
+      df.localCheckpoint(eager = false)
+    else df
 
   /** SQL-standard NTILE(k) from the distributed rank: with n rows,
     * the first n mod k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ —

@@ -1716,12 +1716,15 @@ object EventQueries {
     // The per-user frame grows with the data: each quartile rank runs
     // on the two-level bucketed operator (never a global single-task
     // window), and the population count is a 1-row broadcast.
+    // Materialized once so the count and the rank chain don't each
+    // re-aggregate the events scan.
     import graft.operators.DistributedRank.withRowNumber
-    val nTotal = broadcast(peruser.agg(count(lit(1)).as("__nu")))
+    val pu = graft.operators.DistributedRank.materialize(peruser)
+    val nTotal = broadcast(pu.agg(count(lit(1)).as("__nu")))
     def score(r: Column): Column =
       (lit(1) + floor(lit(4) * (r - lit(1)) / col("__nu"))).cast("bigint")
     val ranked3 = withRowNumber(withRowNumber(withRowNumber(
-        peruser.crossJoin(nTotal),
+        pu.crossJoin(nTotal),
         -col("recency_days"), col("user_id"), "__rr"),
         col("frequency"), col("user_id"), "__rf"),
         col("monetary"), col("user_id"), "__rm")
@@ -2229,10 +2232,12 @@ object EventQueries {
       .agg(sum(col("value").cast("decimal(18,4)")).as("__spend"))
     // The user frame grows with the data: the decile assignment is
     // SQL-standard ntile arithmetic over the two-level bucketed rank
-    // (never a global single-task window).
-    val nTotal = broadcast(perUser.agg(count(lit(1)).as("__nu")))
+    // (never a global single-task window). Materialized once so the
+    // population count and the rank don't each re-run the rollup.
+    val pu = graft.operators.DistributedRank.materialize(perUser)
+    val nTotal = broadcast(pu.agg(count(lit(1)).as("__nu")))
     graft.operators.DistributedRank.withRowNumber(
-        perUser.crossJoin(nTotal),
+        pu.crossJoin(nTotal),
         -col("__spend"), col("user_id"), "__r")
       .withColumn("decile", graft.operators.DistributedRank
         .ntileFromRank(col("__r"), col("__nu"), 10))

@@ -53,15 +53,20 @@ class SynthDataSource extends TableProvider {
     // honor .option("Rows", N) too, and fail with the offending
     // key/value instead of a bare NumberFormatException.
     val opts = new CaseInsensitiveStringMap(properties)
-    def num(key: String, default: Long): Long =
+    def num(key: String, default: Long, max: Long = Long.MaxValue): Long =
       Option(opts.get(key)).fold(default) { raw =>
-        try raw.toLong catch {
+        val v = try raw.toLong catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(
               s"synth option '$key' must be a number, got '$raw'")
         }
+        if (v < 0 || v > max) throw new IllegalArgumentException(
+          s"synth option '$key' must be in [0, $max], got '$raw'")
+        v
       }
-    new SynthTable(num("rows", 1000L), num("partitions", 4L).toInt)
+    // partitions is bounds-checked, never silently truncated to Int.
+    new SynthTable(num("rows", 1000L),
+      num("partitions", 4L, max = Int.MaxValue.toLong).toInt)
   }
 }
 

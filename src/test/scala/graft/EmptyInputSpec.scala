@@ -81,4 +81,12 @@ class EmptyInputSpec extends SparkSpec {
       leftName = "a", rightName = "b")
     assert(DatasetDiff.diff(emptyDocs, emptyDocs, cfg).count() === 0)
   }
+
+  test("distributed rank of an empty frame emits nothing") {
+    import graft.operators.DistributedRank
+    val ranked = DistributedRank.withRowNumber(
+      emptyDocs.select(col("doc_id")), col("doc_id"), col("doc_id"), "r")
+    assert(ranked.count() === 0)
+    assert(ranked.columns.toSeq == Seq("doc_id", "r"))
+  }
 }

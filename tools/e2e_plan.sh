@@ -27,19 +27,23 @@ JAVA_ARGS="$OPENS -Xmx8g -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC -Dspark.master=local[8] \
   -Dspark.sql.shuffle.partitions=8"
 
+mkdir -p "$DEST/logs" "$DEST/reports"
+
 run_plan() { # plan expected_exit report_key
   local plan="$1" want="$2" key="$3"
+  # Logs live OUTSIDE --report-dest: a log file matching the key must
+  # never satisfy the report-presence check below.
   java $JAVA_ARGS -cp "$CP" graft.RunPlan "examples/$plan" \
-    --var "sfdir=$SFDIR" --report-key "$key" --report-dest "$DEST" \
-    >"$DEST/$key.log" 2>&1
+    --var "sfdir=$SFDIR" --report-key "$key" \
+    --report-dest "$DEST/reports" >"$DEST/logs/$key.log" 2>&1
   local got=$?
   if [ "$got" -ne "$want" ]; then
-    echo "FAIL $plan: exit $got, expected $want (log: $DEST/$key.log)"
-    tail -5 "$DEST/$key.log"
+    echo "FAIL $plan: exit $got, expected $want (log: $DEST/logs/$key.log)"
+    tail -5 "$DEST/logs/$key.log"
     return 1
   fi
-  if ! ls "$DEST"/*"$key"* >/dev/null 2>&1; then
-    echo "FAIL $plan: no report written under $DEST for key $key"
+  if ! ls "$DEST/reports"/*"$key"* >/dev/null 2>&1; then
+    echo "FAIL $plan: no report written under $DEST/reports for key $key"
     return 1
   fi
   echo "OK   $plan: exit $got, report present"

@@ -13,11 +13,14 @@ outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_kernels"
 con = duckdb.connect()
 fails = 0
 
+# NULL-safe: `jw IS NULL` must count as a mismatch (inputs are never
+# null here), or a kernel regression to NULL output would vanish from
+# the WHERE filter and pass silently.
 jw = con.execute(f"""
     SELECT id, a, b, jw,
       jaro_winkler_similarity(a, b) AS want
     FROM '{outdir}/jw/*.parquet'
-    WHERE abs(jw - jaro_winkler_similarity(a, b)) > 1e-12
+    WHERE jw IS NULL OR abs(jw - jaro_winkler_similarity(a, b)) > 1e-12
     ORDER BY id LIMIT 10
 """).fetchall()
 n_jw = con.execute(
@@ -38,7 +41,8 @@ dot = con.execute(f"""
             bv[list_position(bk, ak[CAST(i AS INT)])], 0))), 0) AS want
       FROM '{outdir}/dot/*.parquet'
     )
-    SELECT id, dot, want FROM r WHERE dot <> want ORDER BY id LIMIT 10
+    SELECT id, dot, want FROM r
+    WHERE dot IS DISTINCT FROM want ORDER BY id LIMIT 10
 """).fetchall()
 n_dot = con.execute(
     f"SELECT COUNT(*) FROM '{outdir}/dot/*.parquet'").fetchone()[0]

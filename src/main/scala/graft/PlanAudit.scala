@@ -19,10 +19,11 @@ object PlanAudit {
       // AdaptiveSparkPlanExec leaf (children = Nil) and tree-walks
       // like the global-window sweep silently see NOTHING.
       .config("spark.sql.adaptive.enabled", "false")
-      // Expose full lineage: DistributedRank's input checkpoint would
-      // truncate the visible plan at a LogicalRDD, hiding everything
-      // upstream of the rank from every flag below.
-      .config("spark.graft.rank.materialize", "false")
+      // Expose full lineage: Materialize.once checkpoints (rank
+      // inputs, shared rollups, the dedup manifest) would truncate
+      // the visible plan at a LogicalRDD, hiding everything upstream
+      // from every flag below.
+      .config("spark.graft.materialize", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -39,14 +39,7 @@ object DistributedRank {
     // the collapsed rank input, which the rank must shuffle anyway, so
     // distributed materialization adds no new scale constraint; the
     // checkpoint also truncates lineage so stacked rank stages keep
-    // constant-size plans. eager = false: no job fires at PLAN
-    // CONSTRUCTION time (the first consuming job materializes it), so
-    // explain/audit tooling can build the plan without executing.
-    // Trade-off, and the escape hatch: the checkpoint truncates the
-    // visible plan at a LogicalRDD, hiding everything upstream from
-    // plan audits — `spark.graft.rank.materialize=false` (set by
-    // PlanAudit) skips it to expose the FULL lineage for inspection;
-    // never unset it for real execution.
+    // constant-size plans (lazy + audit escape hatch: Materialize).
     val in = materialize(df.withColumn("__drk_s", sort.cast("double")))
     val bounds = broadcast(in.agg(
       min(col("__drk_s")).as("__drk_min"),
@@ -73,16 +66,11 @@ object DistributedRank {
       .drop("__drk_s", "__drk_b", "__drk_c")
   }
 
-  /** Lazy distributed materialization honoring the audit knob: rank
-    * callers also use this to share an expensive rollup between the
-    * population count and the rank input. `spark.graft.rank
-    * .materialize=false` (set only by PlanAudit) skips the checkpoint
-    * so the full lineage stays visible to plan inspection. */
-  def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf
-        .get("spark.graft.rank.materialize", "true").toBoolean)
-      df.localCheckpoint(eager = false)
-    else df
+  /** Lazy distributed materialization honoring the audit knob (see
+    * [[Materialize.once]]): rank callers also use this to share an
+    * expensive rollup between the population count and the rank
+    * input. */
+  def materialize(df: DataFrame): DataFrame = Materialize.once(df)
 
   /** SQL-standard NTILE(k) from the distributed rank: with n rows,
     * the first n mod k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ —

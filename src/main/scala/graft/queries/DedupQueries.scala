@@ -1452,7 +1452,11 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
     val exactC = docs.select(col("doc_id"), md5(col("text")).as("__h"))
     val exMin = exactC.groupBy("__h").agg(min("doc_id").as("__exc"))
-    val withEx = exactC.join(exMin, "__h").select("doc_id", "__exc")
+    // Materialized: consumed by the survivor semi-join AND the final
+    // action classification — without it the md5 scan + canonical
+    // join runs twice per manifest evaluation.
+    val withEx = graft.operators.Materialize.once(
+      exactC.join(exMin, "__h").select("doc_id", "__exc"))
     val survivors = docs.join(
       withEx.where(col("doc_id") === col("__exc")).select("doc_id"),
       Seq("doc_id"), "left_semi")

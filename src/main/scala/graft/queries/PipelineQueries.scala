@@ -1293,13 +1293,18 @@ object PipelineQueries {
   def qpSplit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.md5Bucket
     val b = md5Bucket("csplit", col("canonical_id"), 100)
-    val assigned = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("__t"))
-      .join(DedupQueries.qdManifest(spark, dir)
-        .select("doc_id", "canonical_id"), Seq("doc_id"))
-      .withColumn("split",
-        when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+    // Materialized: the straddle audit AND the per-split rollup both
+    // consume this frame, and it embeds the whole dedup-manifest
+    // pipeline — without the checkpoint the manifest (minus its
+    // internally checkpointed LSH edges) evaluates twice.
+    val assigned = graft.operators.Materialize.once(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("__t"))
+        .join(DedupQueries.qdManifest(spark, dir)
+          .select("doc_id", "canonical_id"), Seq("doc_id"))
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
     val straddle = assigned.groupBy("canonical_id")
       .agg(countDistinct(col("split")).as("__ns"))
       .agg(sum(when(col("__ns") > 1, 1L).otherwise(0L))

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MaterializeSpec extends SparkSpec {
+
+  test("once() checkpoints lazily; audit knob preserves full lineage") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 100L).toDF("id").groupBy(col("id") % 10)
+      .agg(count(lit(1)).as("c"))
+    // Default: the returned frame is checkpoint-backed (plan truncates
+    // to an RDD scan) and values are unchanged.
+    val m = Materialize.once(base)
+    assert(m.queryExecution.analyzed.toString.contains("LogicalRDD")
+      || m.queryExecution.analyzed.toString.contains("ExistingRDD"))
+    assert(m.collect().map(_.getLong(1)).sum == 100L)
+    // Audit mode: no checkpoint — the aggregation stays visible in the
+    // plan (this is what lets PlanAudit flag anything upstream).
+    spark.conf.set("spark.graft.materialize", "false")
+    try {
+      val open = Materialize.once(base)
+      assert(open.queryExecution.analyzed.toString.contains("Aggregate"))
+      assert(open.collect().map(_.getLong(1)).sum == 100L)
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
+}

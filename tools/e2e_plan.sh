@@ -52,6 +52,7 @@ run_plan() { # plan expected_exit report_key
 fails=0
 run_plan corpus_qc_plan.json 0 corpus_qc || fails=$((fails+1))
 run_plan orders_qc_plan.json 3 orders_qc || fails=$((fails+1))
+run_plan corpus_refresh_plan.json 0 corpus_refresh || fails=$((fails+1))
 
 if [ "$fails" -eq 0 ]; then
   echo "e2e plan CLI: all green ($SFDIR)"

@@ -25,6 +25,7 @@ object FuzzKernels {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/fuzz_kernels")
     val n = args.lift(1).map(_.toInt).getOrElse(100000)
+    val seed = args.lift(2).map(_.toLong).getOrElse(20260815L)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -34,7 +35,7 @@ object FuzzKernels {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val rnd = new Random(20260815L)
+    val rnd = new Random(seed)
     val alphabet = "ABCDE abcde"
 
     def randStr(maxLen: Int): String =

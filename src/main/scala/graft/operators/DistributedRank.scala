@@ -41,16 +41,30 @@ object DistributedRank {
     // checkpoint also truncates lineage so stacked rank stages keep
     // constant-size plans (lazy + audit escape hatch: Materialize).
     val in = materialize(df.withColumn("__drk_s", sort.cast("double")))
+    // Robust bucket bounds: equal widths between the approximate
+    // P0.1/P99.9 — NOT raw min/max, where one extreme outlier would
+    // collapse the whole frame into bucket 0 and silently restore the
+    // single-task rank this operator exists to avoid. Rows outside
+    // the quantile span clamp into the end buckets (≤ ~0.1% of the
+    // frame each); placement only needs monotonicity, so the rank
+    // stays exact whatever the bounds are. Same lazy 1-row broadcast
+    // aggregate as before — no driver-side action at plan build.
     val bounds = broadcast(in.agg(
-      min(col("__drk_s")).as("__drk_min"),
-      max(col("__drk_s")).as("__drk_max")))
+      // accuracy 100: bucket EDGES only need to be roughly where the
+      // mass is — placement precision never affects rank exactness —
+      // and the coarse sketch keeps the bounds pass as cheap as the
+      // min/max it replaced.
+      percentile_approx(col("__drk_s"),
+        array(lit(0.001), lit(0.999)), lit(100)).as("__drk_q")))
     val bucketed = in.crossJoin(bounds)
+      .withColumn("__drk_min", element_at(col("__drk_q"), 1))
+      .withColumn("__drk_max", element_at(col("__drk_q"), 2))
       .withColumn("__drk_b",
         least(lit(nBuckets - 1), greatest(lit(0),
           floor((col("__drk_s") - col("__drk_min")) /
             (greatest(col("__drk_max") - col("__drk_min"), lit(1.0))
               / nBuckets)).cast("int"))))
-      .drop("__drk_min", "__drk_max")
+      .drop("__drk_q", "__drk_min", "__drk_max")
     val wIn = Window.partitionBy("__drk_b").orderBy(sort.asc, tie.asc)
     // Carry window: empty partition spec over a frame bounded by the
     // CONSTANT nBuckets — the one global window this operator is

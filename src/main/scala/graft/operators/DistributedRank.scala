@@ -26,8 +26,23 @@ object DistributedRank {
 
   /** Appends `out` = 1-based global row_number under the total order
     * (sort ASC, tie ASC). For descending rank, pass a negated sort
-    * column (and keep `tie` ascending). `sort` must be numeric
-    * (castable to double, cast is monotone); `tie` any orderable. */
+    * column (and keep `tie` ascending) — note negation keeps NULLS
+    * FIRST, whereas a window's `.desc` would be NULLS LAST; callers
+    * that need `.desc`-identical NULL placement must coalesce NULLs
+    * to a sentinel themselves. `sort` must be numeric (castable to
+    * double, cast is monotone); `tie` any orderable.
+    *
+    * NULL / NaN sort values rank exactly as `row_number() over
+    * (order by sort asc, tie asc)` would place them: NULLs first
+    * (routed to bucket 0, where the in-bucket `sort.asc` window —
+    * NULLS FIRST — puts them ahead of every non-null in that
+    * bucket), NaN last (routed to the final bucket, where Spark's
+    * NaN-greater-than-everything ordering puts them after every
+    * real value). Without the explicit routing a NULL bucket
+    * expression would coerce through greatest/least into bucket 0
+    * *after* the arithmetic NULLed out — fragile — and NaN
+    * arithmetic lands in bucket 0 while sorting last, composing a
+    * wrong global rank. */
   def withRowNumber(df: DataFrame, sort: Column, tie: Column,
       out: String, nBuckets: Int = 1024): DataFrame = {
     // Materialize the input ONCE: three consumers read it (the bounds
@@ -60,10 +75,14 @@ object DistributedRank {
       .withColumn("__drk_min", element_at(col("__drk_q"), 1))
       .withColumn("__drk_max", element_at(col("__drk_q"), 2))
       .withColumn("__drk_b",
-        least(lit(nBuckets - 1), greatest(lit(0),
-          floor((col("__drk_s") - col("__drk_min")) /
-            (greatest(col("__drk_max") - col("__drk_min"), lit(1.0))
-              / nBuckets)).cast("int"))))
+        // NULL → first bucket, NaN → last bucket (doc above); the
+        // arithmetic branch only ever sees finite non-null doubles.
+        when(col("__drk_s").isNull, lit(0))
+          .when(isnan(col("__drk_s")), lit(nBuckets - 1))
+          .otherwise(least(lit(nBuckets - 1), greatest(lit(0),
+            floor((col("__drk_s") - col("__drk_min")) /
+              (greatest(col("__drk_max") - col("__drk_min"), lit(1.0))
+                / nBuckets)).cast("int")))))
       .drop("__drk_q", "__drk_min", "__drk_max")
     val wIn = Window.partitionBy("__drk_b").orderBy(sort.asc, tie.asc)
     // Carry window: empty partition spec over a frame bounded by the

@@ -44,6 +44,42 @@ class DistributedRankSpec extends SparkSpec {
     assert(got == (1L to 100L).map(i => i -> i).toMap)
   }
 
+  test("withRowNumber: NULL and NaN sort values match the window form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    // Mix NULLs, NaNs, infinities and finite values: every row must
+    // survive (no silent drop at the carry join) and rank exactly as
+    // row_number() over (sort asc, tie asc) — NULLS FIRST, NaN LAST.
+    val rows: Seq[(Long, Option[Double])] = (1 to 2000).map { i =>
+      val v: Option[Double] = i % 97 match {
+        case 0 => None
+        case 1 => Some(Double.NaN)
+        case 2 => Some(Double.PositiveInfinity)
+        case 3 => Some(Double.NegativeInfinity)
+        case _ => Some(rnd.nextInt(40).toDouble - 20.0)
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v").repartition(11)
+    val expected = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v").asc, col("id").asc)))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val got = DistributedRank.withRowNumber(df, col("v"), col("id"), "r")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got.size == rows.size, "rows were dropped by the rank")
+    assert(got == expected)
+  }
+
+  test("withRowNumber: all-NULL sort frame ranks purely by tie") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 50L).map(i => (i, None: Option[Double])).toDF("id", "v")
+    val got = DistributedRank.withRowNumber(df, col("v"), col("id"), "r")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got == (1L to 50L).map(i => i -> i).toMap)
+  }
+
   test("ntileFromRank matches Spark's ntile for ragged populations") {
     val s = spark
     import s.implicits._

@@ -23,6 +23,14 @@ trait MediaDecoder extends Serializable {
   /** Decoded geometry of one asset: (width, height, nFrames). */
   def geometry(content: Array[Byte], nBytes: Long): (Long, Long, Long)
 
+  /** Geometry when the caller already holds the exact content byte
+    * sum (extractFeatures computes it as a content stat anyway);
+    * decoders whose pseudo-geometry derives from the byte signal (the
+    * stub) reuse it instead of re-walking the bytes — a real codec
+    * ignores the hint and decodes. */
+  def geometry(content: Array[Byte], nBytes: Long, contentByteSum: Long)
+      : (Long, Long, Long) = geometry(content, nBytes)
+
   /** The asset's perceptual signal resampled to `nSegments` sums —
     * what dHash's gradient bits compare. A real image decoder returns
     * brightness sums over a downsampled grid walked row-major; the
@@ -49,10 +57,12 @@ object StubDecoder extends MediaDecoder {
   }
 
   override def geometry(content: Array[Byte], nBytes: Long)
-      : (Long, Long, Long) = {
-    val bs = byteSum(content)
-    (1L + bs % 64, 1L + nBytes % 48, 1L + bs % 7)
-  }
+      : (Long, Long, Long) =
+    geometry(content, nBytes, byteSum(content))
+
+  override def geometry(content: Array[Byte], nBytes: Long,
+      contentByteSum: Long): (Long, Long, Long) =
+    (1L + contentByteSum % 64, 1L + nBytes % 48, 1L + contentByteSum % 7)
 
   override def dhashSignal(content: Array[Byte], nSegments: Int)
       : Array[Long] = {

@@ -128,7 +128,8 @@ object Multimodal {
         var byteSum = 0L
         var i = 0
         while (i < r.content.length) { byteSum += r.content(i) & 0xff; i += 1 }
-        val (width, height, nFrames) = decoder.geometry(r.content, r.n_bytes)
+        val (width, height, nFrames) =
+          decoder.geometry(r.content, r.n_bytes, byteSum)
         md5.reset()
         val hex = md5.digest(r.content).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.media_type, r.n_bytes, byteSum,

@@ -852,14 +852,13 @@ object Analytics {
     // Materialized once (bounded by the supplier dimension): consumed
     // by the top-k select AND the global-rank count, so lineitem is
     // scanned exactly once.
-    val scored = per.crossJoin(prior)
+    val scored = graft.operators.Materialize.once(per.crossJoin(prior)
       .select(col("supplier"), col("n"), col("x"),
         round(col("p").cast("double"), 6).as("raw_rate"),
         round((col("x").cast("double") + col("__m") * col("__c")) /
           (col("n").cast("double") + col("__c")), 6).as("shrunk_rate"),
         round(col("__m") * col("__c"), 6).as("alpha"),
-        round((lit(1.0) - col("__m")) * col("__c"), 6).as("beta"))
-      .localCheckpoint()
+        round((lit(1.0) - col("__m")) * col("__c"), 6).as("beta")))
     val top = scored
       .orderBy(col("shrunk_rate").desc, col("supplier")).limit(15)
     val tgt = broadcast(top.select(col("supplier").as("__s0"),

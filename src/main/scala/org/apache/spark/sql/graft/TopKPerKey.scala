@@ -109,9 +109,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     // never caps: its state is proportional to its own output
     // (≤ k rows per owned key), the same bound any hash aggregation
     // carries.
-    val maxKeys = if (partial)
-      conf.getConfString("spark.graft.topk.maxTrackedKeys", "1000000").toInt
-    else Int.MaxValue
+    val maxKeys = if (partial) {
+      val key = "spark.graft.topk.maxTrackedKeys"
+      val raw = conf.getConfString(key, "1000000")
+      val parsed = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"$key must be a positive integer, got '$raw'"))
+      require(parsed > 0,
+        s"$key must be a positive integer, got '$raw' — a non-positive " +
+          "cap would disable partial pruning entirely")
+      parsed
+    } else Int.MaxValue
     // LazilyGeneratedOrdering is serializable and regenerates its code
     // on the executor; UnsafeProjection.create runs inside the task.
     val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)

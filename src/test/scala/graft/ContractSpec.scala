@@ -6,6 +6,12 @@ import graft.queries._
   * failure modes the external gate reports confusingly or not at all. */
 class ContractSpec extends SparkSpec {
 
+  /** SURVEY.md read once with the handle closed (Using, not a bare
+    * Source.fromFile that leaked a descriptor per test run). */
+  private lazy val surveyLines: Vector[String] =
+    scala.util.Using.resource(
+      scala.io.Source.fromFile("SURVEY.md", "UTF-8"))(_.getLines().toVector)
+
   test("flagship entry returns rows (driver smoke-check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -37,8 +43,7 @@ class ContractSpec extends SparkSpec {
     // The §2 checklist is what the external audit walks line by line:
     // a registered query §2 never mentions is invisible coverage, and
     // a §2 name with no registration is a claim nothing backs.
-    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toVector
-    val sec2 = lines
+    val sec2 = surveyLines
       .dropWhile(!_.startsWith("## §2")).drop(1)
       .takeWhile(!_.startsWith("## §")).mkString("\n")
     val mentioned = "\\bq(?:[cdemopst]?_)[a-z0-9_]+\\b|\\bq\\d+[a-z_]+\\b".r
@@ -56,8 +61,7 @@ class ContractSpec extends SparkSpec {
     // caught 13p, r8 caught 31x and 33aq-33au — this pins it shut).
     // Item lines look like `31x. description`; the §7 build plan's
     // plain `1.`-style steps (after the section header) are excluded.
-    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toVector
-    val sec2 = lines
+    val sec2 = surveyLines
       .dropWhile(!_.startsWith("## §2"))
       .drop(1)
       .takeWhile(!_.startsWith("## §"))

@@ -17,11 +17,32 @@ import org.apache.spark.sql.DataFrame
   * visible to plan inspection — the checkpoint otherwise collapses
   * the visible plan to a LogicalRDD scan. Never unset it for real
   * execution.
+  *
+  * Reliability: `localCheckpoint` blocks are executor-local and
+  * NON-REPLICATED — on a real cluster, losing one executor after
+  * materialization kills the job with no recompute path (lineage is
+  * truncated). That is the right default for short interactive/bench
+  * runs, and the wrong one for multi-hour production jobs: set
+  * `spark.graft.checkpointDir` to a fault-tolerant path (HDFS/object
+  * store) and `once` switches to a reliable `checkpoint`, whose files
+  * survive any executor loss at the cost of one distributed write per
+  * materialization. The session's SparkContext checkpoint dir is
+  * adopted from the conf on first use; an explicit
+  * `sc.setCheckpointDir` made earlier wins.
   */
 object Materialize {
-  def once(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf
-        .get("spark.graft.materialize", "true").toBoolean)
-      df.localCheckpoint(eager = false)
-    else df
+  def once(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    if (!conf.get("spark.graft.materialize", "true").toBoolean) df
+    else conf.getOption("spark.graft.checkpointDir")
+        .map(_.trim).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir per call — set it
+        // once per context, and never override a user's own choice.
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
+  }
 }

@@ -25,4 +25,31 @@ class MaterializeSpec extends SparkSpec {
       assert(open.collect().map(_.getLong(1)).sum == 100L)
     } finally spark.conf.unset("spark.graft.materialize")
   }
+
+  test("spark.graft.checkpointDir switches to a reliable checkpoint") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 100L).toDF("id").groupBy(col("id") % 10)
+      .agg(count(lit(1)).as("c"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val m = Materialize.once(base)
+      // Same lazy contract: no checkpoint files exist until a job runs.
+      def ckptFiles(): Long = {
+        val d = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(d)) 0L
+        else java.nio.file.Files.walk(d)
+          .filter(java.nio.file.Files.isRegularFile(_)).count()
+      }
+      assert(ckptFiles() == 0L, "checkpoint must stay lazy")
+      assert(m.collect().map(_.getLong(1)).sum == 100L)
+      // The reliable path wrote recoverable files (what survives an
+      // executor loss, unlike localCheckpoint's executor-local blocks).
+      assert(ckptFiles() > 0L, "reliable checkpoint wrote no files")
+      // A second consumer reads the checkpoint, values unchanged.
+      assert(m.agg(sum("c")).head.getLong(0) == 100L)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

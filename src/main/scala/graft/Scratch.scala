@@ -27,6 +27,15 @@ object Scratch {
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     for (name <- names) {
       if (explain) SparkEntry.queries(name)(spark, dir).explain("formatted")
+      // Post-execution plan: AQE finalizes reuse/broadcast decisions at
+      // runtime, so ReusedExchange/ReusedSubquery only show here.
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN_EXECUTED").contains("1")) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        // collect(), not count(): count() wraps a NEW QueryExecution,
+        // leaving df's own adaptive plan unexecuted (isFinalPlan=false).
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      }
       // Construct INSIDE the timed region (as Bench does): iterative
       // operators (connectedComponents) run their jobs at construction.
       for (i <- 1 to 3) {

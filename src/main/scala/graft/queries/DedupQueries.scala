@@ -832,6 +832,22 @@ object DedupQueries {
     // double division happens in floating point.
     val vl = v.select(col("doc_id"), col("token"),
       round(col("w") * lit(1000000.0), 0).cast("long").as("wl"))
+    // Candidates FIRST: the id-set prune below and the final pair
+    // probe both consume them — the banding's exchanges dedupe under
+    // ReuseExchange (measured: a localCheckpoint here cost +4 s at
+    // sf0.1, the reuse is free).
+    val cand = Dedup
+      .minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
+      .select("id_a", "id_b")
+    // Only docs that appear in some candidate pair ever get scored, so
+    // the expensive per-doc vector assembly below is semi-join-pruned
+    // to that id set. The idf statistics above stay FULL-CORPUS (the
+    // token window ran before this prune) — values are identical, but
+    // at 100× scale candidates ≪ corpus and the sort_array/collect_list
+    // pass shrinks from O(corpus) to O(candidate docs).
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
     // One row per doc carrying its whole sorted sparse vector: the
     // scorer joins CANDIDATE PAIRS to two doc rows and runs the native
     // codegen merge-walk [[org.apache.spark.sql.graft.SparseDotLong]]
@@ -839,7 +855,8 @@ object DedupQueries {
     // per-token join shuffled pairs×vocab rows (26 s at sf0.1), and an
     // aggregate(zip_with(...)) decimal fold evaluated its lambdas
     // interpreted per element (minutes).
-    val vec = vl.groupBy("doc_id")
+    val vec = vl.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("token"), col("wl"))))
           .as("__l"),
         sum(col("wl") * col("wl")).as("__n2"))
@@ -847,9 +864,6 @@ object DedupQueries {
         transform(col("__l"), s => s.getField("token")).as("__toks"),
         transform(col("__l"), s => s.getField("wl")).as("__ws"),
         col("__n2"))
-    val cand = Dedup
-      .minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
-      .select("id_a", "id_b")
     cand
       .join(vec.select(col("doc_id").as("id_a"), col("__toks").as("__ta"),
         col("__ws").as("__wa"), col("__n2").as("__na")), "id_a")

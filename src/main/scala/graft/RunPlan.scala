@@ -90,7 +90,13 @@ object RunPlan {
           println(s"graft.RunPlan: plan ok (${plan.commands.size} commands)")
           return 0
         }
-        val writer = config.reportDest
+        // Destination precedence: CLI --report-dest > the plan's own
+        // `io.dest` > console. The plan-level dest matches the
+        // reference, whose writer choice lives in the plan document
+        // (tnengine/TnEngine.scala:268-280) — without the fallback a
+        // migrated plan carrying `io` would silently print to the
+        // console instead of writing its report.
+        val writer = config.reportDest.orElse(plan.reportDest)
           .map {
             case url if isHttp(url) => new RestReportWriter(url)
             case dir                => new FsReportWriter(spark, dir)

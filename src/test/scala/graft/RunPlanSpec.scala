@@ -75,6 +75,30 @@ class RunPlanSpec extends SparkSpec {
     assert(report.contains("r_regionkey")) // referenced-column sample
   }
 
+  test("plan-level io.dest is honored when no --report-dest is given") {
+    // The reference selects its writer from the plan document
+    // (tnengine/TnEngine.scala:268-280); a migrated plan carrying `io`
+    // must write its report without any CLI flag.
+    val dest = Files.createTempDirectory("graft_iodest").toString
+    val p = Files.createTempFile("graft_plan_io", ".json")
+    Files.write(p, planJson.replaceFirst("\\{",
+      s"""{"io": {"dest": "$dest"},""").getBytes("UTF-8"))
+    val code = RunPlan.run(spark, RunPlan.Config(p.toString,
+      Map("dir" -> "/root/testdata/sf0.001", "maxKey" -> "99"),
+      "iorun", None))
+    assert(code === 0)
+    val report = new String(
+      Files.readAllBytes(Paths.get(dest, "iorun.json")), "UTF-8")
+    assert(report.contains("key bound"))
+    // CLI flag still wins over the plan's dest.
+    val cliDest = Files.createTempDirectory("graft_iodest_cli").toString
+    assert(RunPlan.run(spark, RunPlan.Config(p.toString,
+      Map("dir" -> "/root/testdata/sf0.001", "maxKey" -> "99"),
+      "iorun2", Some(cliDest))) === 0)
+    assert(Files.exists(Paths.get(cliDest, "iorun2.json")))
+    assert(!Files.exists(Paths.get(dest, "iorun2.json")))
+  }
+
   test("end-to-end REST: plan fetched over HTTP, report PUT back over HTTP") {
     // The reference's rest-reader + rest-writer workflow
     // (TnRESTReader/TnRESTWriter) on a single local config server:

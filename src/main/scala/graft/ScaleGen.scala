@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder data generator: expands the driver's sf0.1 drop by an
+  * integer multiplier so the heavy operators can be MEASURED (not just
+  * plan-audited) beyond the 17 MB the sandbox ships. `sf1` = ×10,
+  * `sf4` = ×40 of sf0.1 — the output keeps the driver's exact schemas,
+  * so every `SparkEntry.queries` entry runs against it unchanged.
+  *
+  * Scaling semantics per table (what "10× more data" means for each):
+  *
+  *  - `region`/`nation`: TPC-H dimension tables — constant at every SF
+  *    (the spec never scales them; broadcast-side stays broadcast-side).
+  *  - `customer`/`supplier`/`part`/`orders`/`lineitem`: each copy `c`
+  *    shifts every key by `c × stride(keyDomain)` where the stride is
+  *    the domain's observed max key — FK joins stay exactly consistent
+  *    (copy-c orders reference copy-c customers), key cardinality grows
+  *    ×k, and per-key fan-in (lineitems per order) stays constant, the
+  *    way a bigger TPC-H SF behaves. Dates/values are untouched: more
+  *    rows in the SAME calendar range is what a larger corpus over the
+  *    same time window looks like, so calendar-bounded windows see ×k
+  *    rows per frame, not ×k frames.
+  *  - `events`: `event_id`/`user_id` shift per copy — ×k users with the
+  *    SAME per-user session/event profile (sessionization, RFM, LTV all
+  *    scale by user count, their per-key state constant).
+  *  - `documents`: doc_id shifts; for copy c>0 each token mutates with
+  *    probability ~0.4 under `hash(doc_id, c, tokenIdx)` — copies are
+  *    NOT near-duplicates of the originals (Jaccard ≈ 0.43 on 0.4
+  *    mutation, below every shipped threshold), so the corpus's
+  *    near-dup cluster COUNT scales ×k while cluster SIZE stays what
+  *    the driver generated — the dedup problem gets bigger, not
+  *    degenerate. n_chars is recomputed from the mutated text.
+  *  - `embeddings`: vec_id shifts; each dimension gets deterministic
+  *    hash-noise (±0.025) per copy so vectors spread instead of
+  *    stacking k-deep on identical points (which would make every kNN
+  *    list a tie-fest and LSH buckets k× hot).
+  *
+  * Everything derives from `hash(...)` over (id, copy, position): the
+  * output is bit-deterministic across runs and partitionings. Output
+  * is written with row-group-sane parallelism (32 files for fat
+  * tables), so scans parallelize like a real multi-file drop.
+  *
+  * Run: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <multiplier>"`.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ScaleGen <srcDir> <outDir> <multiplier>")
+    val Array(src, out, multS) = args
+    val mult = multS.toInt
+    require(mult >= 1, s"multiplier must be >= 1, got $mult")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, mult)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+
+    // Copy index frame: cross-joining a k-row local relation replicates
+    // without any shuffle — the scan side stays partition-parallel and
+    // the copies multiply inside the scan's own tasks.
+    val copies = spark.range(mult).toDF("__copy")
+    def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
+
+    // Key strides: observed max per key domain (one cheap agg per table).
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0)
+    val custMax = maxOf(read("customer"), "c_custkey")
+    val ordMax = maxOf(read("orders"), "o_orderkey")
+    val partMax = maxOf(read("part"), "p_partkey")
+    val suppMax = maxOf(read("supplier"), "s_suppkey")
+
+    def shifted(c: String, stride: Long) =
+      (col(c) + col("__copy") * stride).as(c)
+
+    def write(df: DataFrame, name: String, files: Int): Unit = {
+      df.drop("__copy")
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] wrote $name x$mult -> $out/$name.parquet ($files files)")
+    }
+
+    // Dimensions: constant across SFs.
+    read("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    read("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    write(replicate(read("customer")).select(
+      shifted("c_custkey", custMax), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"), col("__copy")), "customer", 8)
+
+    write(replicate(read("supplier")).select(
+      shifted("s_suppkey", suppMax), col("s_name"), col("s_nationkey"),
+      col("s_acctbal"), col("__copy")), "supplier", 4)
+
+    write(replicate(read("part")).select(
+      shifted("p_partkey", partMax), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice"), col("__copy")),
+      "part", 8)
+
+    write(replicate(read("orders")).select(
+      shifted("o_orderkey", ordMax), shifted("o_custkey", custMax),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"), col("__copy")), "orders", 16)
+
+    write(replicate(read("lineitem")).select(
+      shifted("l_orderkey", ordMax), shifted("l_partkey", partMax),
+      shifted("l_suppkey", suppMax), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+      col("__copy")), "lineitem", 32)
+
+    val ev = read("events")
+    val evMax = maxOf(ev, "event_id")
+    val userMax = maxOf(ev, "user_id")
+    write(replicate(ev).select(
+      shifted("event_id", evMax), col("ts"), shifted("user_id", userMax),
+      col("event_type"), col("value"), col("props"), col("__copy")),
+      "events", 32)
+
+    val docs = read("documents")
+    val docMax = maxOf(docs, "doc_id")
+    // Token mutation: stable under (doc_id, copy, tokenIdx); copy 0 is
+    // the verbatim original so sfX strictly contains sf0.1's corpus.
+    val mutated = expr(
+      """array_join(
+           zip_with(split(text, ' '),
+                    sequence(0, size(split(text, ' ')) - 1),
+                    (t, i) -> CASE
+                      WHEN __copy > 0 AND
+                           pmod(hash(doc_id, __copy, i), 10) < 4
+                      THEN concat(t, '~', pmod(hash(doc_id, __copy, i, 7), 97))
+                      ELSE t END),
+           ' ')""")
+    write(replicate(docs).select(
+      shifted("doc_id", docMax), mutated.as("text"), col("lang"),
+      col("source"), col("__copy"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "__copy"),
+      "documents", 32)
+
+    val embs = read("embeddings")
+    val vecMax = maxOf(embs, "vec_id")
+    val noised = expr(
+      """zip_with(embedding,
+                  sequence(0, size(embedding) - 1),
+                  (x, i) -> CAST(x + IF(__copy = 0, 0.0D,
+                    (pmod(hash(vec_id, __copy, i), 1001) / 1000.0D - 0.5D)
+                      * 0.05D) AS FLOAT))""")
+    write(replicate(embs).select(
+      shifted("vec_id", vecMax), noised.as("embedding"), col("label"),
+      col("__copy")), "embeddings", 16)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale ladder: run the heavy operators against a sequence
+  * of scale-factor directories (driver sf0.1 plus ScaleGen's sf1/sf4)
+  * and record wall time + measured shuffle/spill per (query, SF). The
+  * output is the evidence SCALING.md summarizes — time-vs-rows growth
+  * measured, not inferred from plan shape.
+  *
+  * Method notes:
+  *  - each (query, SF) runs `iterations` times, min taken — same noise
+  *    discipline as Bench (shared host, ±35%% ambient swings measured).
+  *  - one SparkSession serves the whole ladder so JVM/codegen warmup
+  *    amortizes identically across SFs; queries run in name order
+  *    within each SF, SFs smallest-first (warm → the LARGE runs, which
+  *    decide the verdict, are the best-measured ones).
+  *  - stage metrics attribute via a drained listener (CostAudit's
+  *    pattern); the recorded metrics come from the LAST iteration so
+  *    cached-relation warmup jobs from iteration 1 don't inflate them.
+  *
+  * Run: `sbt "runMain graft.ScaleLadder sf0.1=/root/testdata/sf0.1 \
+  *   sf1=target/scaledata/sf1 sf4=target/scaledata/sf4"`.
+  * Env: SPARK_GRAFT_LADDER_QUERIES (comma list) overrides the default
+  * heavy set; SPARK_GRAFT_LADDER_OUT (default SCALING_RAW.jsonl).
+  */
+object ScaleLadder {
+  /** Heaviest operators by r10 bench + one representative per family
+    * whose cost is dominated by a distinct plan shape. */
+  val DefaultQueries: Seq[String] = Seq(
+    // dedup family: tf-idf rerank, manifest (iterative components),
+    // PageRank power iteration, prefix-filter join, minhash-band pairs,
+    // k-core peel
+    "qd_tfidf_pairs", "qd_manifest", "qd_pagerank", "qd_prefix_join",
+    "qd_minhash_pairs", "qd_kcore",
+    // pipeline: leakage-safe split, DSIR eval, contamination n-grams
+    "qp_split", "qp_dsir_eval", "qp_contamination",
+    // text: DistributedRank consumer + bigram LM
+    "qt_zipf", "qt_bigram_lm",
+    // events: bootstrap resampling, RFM/heavytail/LTV (DistributedRank),
+    // sessionization
+    "qe_bootstrap", "qe_rfm", "qe_heavytail", "qe_ltv_deciles",
+    "qe_sessions",
+    // multimodal: banded dHash clustering
+    "qm_phash_clusters",
+    // similarity: MMR diversification
+    "qs_mmr",
+    // analytics: EB shrinkage (TakeOrdered path), TPC-H Q21 heavy join
+    "q_eb_shrinkage", "q21_waiting",
+    // operators: TopKPerKey whole-operator, salted skew join
+    "qo_topk", "qo_skew_join")
+
+  private case class StageCost(shuffleRead: Long, shuffleWrite: Long,
+      input: Long, memSpill: Long, diskSpill: Long, runTimeMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleLadder <label>=<dir> ...")
+    val ladder = args.toSeq.map { a =>
+      val Array(label, dir) = a.split("=", 2)
+      (label, dir)
+    }
+    val names = sys.env.get("SPARK_GRAFT_LADDER_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    val iterations =
+      sys.env.getOrElse("SPARK_GRAFT_LADDER_ITERS", "2").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT",
+      "SCALING_RAW.jsonl")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val current = new mutable.ArrayBuffer[StageCost]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) current.synchronized {
+          current += StageCost(
+            m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten,
+            m.inputMetrics.bytesRead,
+            m.memoryBytesSpilled, m.diskBytesSpilled,
+            m.executorRunTime)
+        }
+      }
+    })
+
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, true))
+    try {
+      for ((label, dir) <- ladder) {
+        for (name <- names.sorted) {
+          val fn = SparkEntry.queries(name)
+          var best = Double.MaxValue
+          var rows = 0L
+          var lastCost: Seq[StageCost] = Nil
+          var error: Option[String] = None
+          var it = 0
+          while (it < iterations && error.isEmpty) {
+            current.synchronized(current.clear())
+            val t0 = System.nanoTime()
+            try {
+              rows = fn(spark, dir).count()
+              val t = (System.nanoTime() - t0) / 1e9
+              if (t < best) best = t
+              org.apache.spark.graft.ListenerBusAccess.drain(spark.sparkContext)
+              lastCost = current.synchronized(current.toSeq)
+            } catch { case e: Throwable =>
+              error = Some(e.toString.replace("\"", "'").take(300))
+            }
+            it += 1
+          }
+          val line = error match {
+            case Some(msg) =>
+              s"""{"sf":"$label","query":"$name","error":"$msg"}"""
+            case None =>
+              val sw = lastCost.map(_.shuffleWrite).sum
+              val sr = lastCost.map(_.shuffleRead).sum
+              val in = lastCost.map(_.input).sum
+              val sp = lastCost.map(c => c.memSpill + c.diskSpill).sum
+              val rt = lastCost.map(_.runTimeMs).sum
+              s"""{"sf":"$label","query":"$name","sec":${ms(best)},"rows":$rows,"input_mb":${ms(in / 1048576.0)},"shuffle_write_mb":${ms(sw / 1048576.0)},"shuffle_read_mb":${ms(sr / 1048576.0)},"spill_mb":${ms(sp / 1048576.0)},"task_ms":$rt}"""
+          }
+          println(line)
+          out.println(line)
+          out.flush()
+        }
+      }
+    } finally out.close()
+    spark.stop()
+  }
+}

@@ -102,6 +102,52 @@ class ApproxVariantsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile substitution holds on the documented-swap-in shapes") {
+    // Several SURVEY items name "replace `percentile` with
+    // `approx_percentile`" as their 100 TB swap-in without shipping a
+    // separate callable (qe_skew_report, qe_step_latency,
+    // qe_trend_robust, qe_time_to_nth, RuleSuggest's p1/p99 fences).
+    // The price-distribution case above pins the substitution on a
+    // smooth distribution; these two pin it on the shapes those sites
+    // actually aggregate — a heavy-tailed per-key count frame and a
+    // long-tailed inter-event gap frame.
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    // qe_skew_report's frame: per-user event counts (heavy-tailed).
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+    val Seq(e50, e99, a50, a99) = counts
+      .agg(expr("percentile(c, array(0.5D, 0.99D))").as("e"),
+        expr("approx_percentile(c, array(0.5D, 0.99D), 10000)").as("a"))
+      .select(element_at(col("e"), 1), element_at(col("e"), 2),
+        element_at(col("a"), 1).cast("double"),
+        element_at(col("a"), 2).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    // approx_percentile returns an OBSERVED value (no interpolation);
+    // on an integer count frame the exact interpolated percentile sits
+    // between adjacent observed counts, so agreement within one count
+    // step (plus rank tolerance) is the contract.
+    assert(math.abs(a50 - e50) <= 1.0 + 0.01 * e50, s"p50 $a50 vs $e50")
+    assert(math.abs(a99 - e99) <= 1.0 + 0.02 * e99, s"p99 $a99 vs $e99")
+    // qe_step_latency's frame: per-user consecutive-event gaps in
+    // seconds (long-tailed, span ~6 orders of magnitude).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .select(((unix_micros(col("next_ts")) - unix_micros(col("ts")))
+        .cast("double") / lit(1000000.0)).as("gap_s"))
+    val Seq(g50, g90, h50, h90) = gaps
+      .agg(expr("percentile(gap_s, array(0.5D, 0.9D))").as("e"),
+        expr("approx_percentile(gap_s, array(0.5D, 0.9D), 10000)").as("a"))
+      .select(element_at(col("e"), 1), element_at(col("e"), 2),
+        element_at(col("a"), 1), element_at(col("a"), 2))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    // Long-tail guard: 2% relative at both probed ranks.
+    assert(math.abs(h50 - g50) <= 0.02 * g50, s"gap p50 $h50 vs $g50")
+    assert(math.abs(h90 - g90) <= 0.02 * g90, s"gap p90 $h90 vs $g90")
+  }
+
   test("approx uniqueness audit stays within HLL tolerance of exact at sf0.01") {
     def byEntity(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[String]("entity") ->

@@ -25,13 +25,20 @@ import org.apache.spark.sql.functions._
   *  - `events`: `event_id`/`user_id` shift per copy — ×k users with the
   *    SAME per-user session/event profile (sessionization, RFM, LTV all
   *    scale by user count, their per-key state constant).
-  *  - `documents`: doc_id shifts; for copy c>0 each token mutates with
-  *    probability ~0.4 under `hash(doc_id, c, tokenIdx)` — copies are
-  *    NOT near-duplicates of the originals (Jaccard ≈ 0.43 on 0.4
-  *    mutation, below every shipped threshold), so the corpus's
-  *    near-dup cluster COUNT scales ×k while cluster SIZE stays what
-  *    the driver generated — the dedup problem gets bigger, not
-  *    degenerate. n_chars is recomputed from the mutated text.
+  *  - `documents`: doc_id shifts; copy c>0 applies a PER-COPY VOCABULARY
+  *    SUBSTITUTION — token t rewrites to `t~c` iff `hash(c, t)` selects
+  *    it (~40% of the vocabulary per copy). The map is injective and
+  *    position-independent, so within a copy EVERY pairwise Jaccard —
+  *    token-set and word-shingle alike — is exactly the original
+  *    corpus's (bijective renaming preserves set intersections): the
+  *    near-dup cluster COUNT scales ×k with cluster sizes unchanged.
+  *    Across copies ~60% shared vocabulary → Jaccard ≈ 0.43, below
+  *    every shipped near-dup threshold, so copies never merge. (An
+  *    earlier per-(doc,copy,position) mutation broke within-copy
+  *    structure — near-dup docs mutated independently drop to ~0.36×
+  *    their original similarity, and the measured sf1 candidate-pair
+  *    count grew only 1.1× instead of ×10.) n_chars is recomputed
+  *    from the rewritten text.
   *  - `embeddings`: vec_id shifts; each dimension gets deterministic
   *    hash-noise (±0.025) per copy so vectors spread instead of
   *    stacking k-deep on identical points (which would make every kNN
@@ -129,17 +136,18 @@ object ScaleGen {
 
     val docs = read("documents")
     val docMax = maxOf(docs, "doc_id")
-    // Token mutation: stable under (doc_id, copy, tokenIdx); copy 0 is
-    // the verbatim original so sfX strictly contains sf0.1's corpus.
+    // Per-copy vocabulary substitution: selection depends ONLY on
+    // (copy, token), never doc or position, so the rewrite is one
+    // injective map per copy and within-copy similarity structure is
+    // bit-preserved. Copy 0 is the verbatim original, so sfX strictly
+    // contains sf0.1's corpus.
     val mutated = expr(
       """array_join(
-           zip_with(split(text, ' '),
-                    sequence(0, size(split(text, ' ')) - 1),
-                    (t, i) -> CASE
-                      WHEN __copy > 0 AND
-                           pmod(hash(doc_id, __copy, i), 10) < 4
-                      THEN concat(t, '~', pmod(hash(doc_id, __copy, i, 7), 97))
-                      ELSE t END),
+           transform(split(text, ' '),
+                     t -> CASE
+                       WHEN __copy > 0 AND pmod(hash(__copy, t), 10) < 4
+                       THEN concat(t, '~', __copy)
+                       ELSE t END),
            ' ')""")
     write(replicate(docs).select(
       shifted("doc_id", docMax), mutated.as("text"), col("lang"),

@@ -855,20 +855,54 @@ object DedupQueries {
     // per-token join shuffled pairs×vocab rows (26 s at sf0.1), and an
     // aggregate(zip_with(...)) decimal fold evaluated its lambdas
     // interpreted per element (minutes).
-    val vec = vl.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("token"), col("wl"))))
-          .as("__l"),
-        sum(col("wl") * col("wl")).as("__n2"))
-      .select(col("doc_id"),
-        transform(col("__l"), s => s.getField("token")).as("__toks"),
-        transform(col("__l"), s => s.getField("wl")).as("__ws"),
-        col("__n2"))
+    val vec = graft.operators.Materialize.once(
+      vl.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("token"), col("wl"))))
+            .as("__l"),
+          sum(col("wl") * col("wl")).as("__n2"))
+        .select(col("doc_id"),
+          transform(col("__l"), s => s.getField("token")).as("__toks"),
+          transform(col("__l"), s => s.getField("wl")).as("__ws"),
+          col("__n2")))
+    // Join strategy is decided by the MEASURED size of the candidate-doc
+    // vector frame, not the pair count: a shuffle join on id_b would
+    // sort the pairs-with-vectors intermediate — |pairs| × two array
+    // payloads — which the sf4 scale ladder measured at 300+ GB of
+    // exchange (SPILL_OUT_OF_MEMORY at 16 g heap, disk-full at 96 g)
+    // while the vector frame itself was ~0.5 GB. Broadcasting the
+    // vectors keeps every pair row thin through both probes: the fat
+    // rows exist only inside the scoring stage, never cross an
+    // exchange, and the stage streams straight into the cosine filter.
+    // Candidate-doc vectors are bounded by the banding's collision set
+    // (at a TUNED operating point, candidates ≪ corpus — qd_lsh_design
+    // is the sizing sheet); when the measured estimate still exceeds
+    // spark.graft.tfidf.maxBroadcastBytes, the sort-merge path remains
+    // (correct, exchange-heavy). The stats probe runs one job at
+    // construction; audit mode (spark.graft.materialize=false) skips it
+    // so plan inspection stays job-free.
+    val maxBcast = {
+      val key = "spark.graft.tfidf.maxBroadcastBytes"
+      val raw = spark.conf.get(key, s"${1L << 30}")
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a byte count, got '$raw'")
+      }
+    }
+    val useBroadcast =
+      spark.conf.get("spark.graft.materialize", "true").toBoolean &&
+      maxBcast > 0 && {
+        val s = vec.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("__toks"))), lit(0L)).as("t")).head()
+        // 64 B/row envelope + 24 B per (hash, weight) term pair.
+        s.getLong(0) * 64L + s.getLong(1) * 24L <= maxBcast
+      }
+    def hinted(d: DataFrame): DataFrame = if (useBroadcast) broadcast(d) else d
     cand
-      .join(vec.select(col("doc_id").as("id_a"), col("__toks").as("__ta"),
-        col("__ws").as("__wa"), col("__n2").as("__na")), "id_a")
-      .join(vec.select(col("doc_id").as("id_b"), col("__toks").as("__tb"),
-        col("__ws").as("__wb"), col("__n2").as("__nb")), "id_b")
+      .join(hinted(vec.select(col("doc_id").as("id_a"), col("__toks").as("__ta"),
+        col("__ws").as("__wa"), col("__n2").as("__na"))), "id_a")
+      .join(hinted(vec.select(col("doc_id").as("id_b"), col("__toks").as("__tb"),
+        col("__ws").as("__wb"), col("__n2").as("__nb"))), "id_b")
       .withColumn("__dot", org.apache.spark.sql.graft.SparseDotLong
         .ofColumns(col("__ta"), col("__wa"), col("__tb"), col("__wb")))
       .withColumn("cosine", round(col("__dot").cast("double") /

@@ -1,0 +1,42 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+/** The tf-idf rerank's pair scorer picks its join strategy from the
+  * MEASURED candidate-doc vector size: broadcast when the frame fits
+  * `spark.graft.tfidf.maxBroadcastBytes`, sort-merge shuffle above it
+  * (the pre-r11 path, kept as the too-big-to-broadcast fallback). The
+  * two paths must be output-identical — this pins it, plus the conf
+  * validation. */
+class TfidfPairsJoinPathSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val key = "spark.graft.tfidf.maxBroadcastBytes"
+
+  private def rows() =
+    DedupQueries.qdTfidfPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("broadcast and shuffle scoring paths produce identical pairs") {
+    val broadcastPath =
+      try { spark.conf.set(key, (1L << 30).toString); rows() }
+      finally spark.conf.unset(key)
+    // 0 disables broadcasting outright -> the sort-merge fallback.
+    val shufflePath =
+      try { spark.conf.set(key, "0"); rows() }
+      finally spark.conf.unset(key)
+    assert(broadcastPath.nonEmpty)
+    assert(broadcastPath === shufflePath)
+  }
+
+  test("a non-numeric threshold fails loudly with the key in the message") {
+    try {
+      spark.conf.set(key, "lots")
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.qdTfidfPairs(spark, dir)
+      }
+      assert(e.getMessage.contains(key) && e.getMessage.contains("lots"))
+    } finally spark.conf.unset(key)
+  }
+}

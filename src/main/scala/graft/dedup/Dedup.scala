@@ -487,8 +487,24 @@ object Dedup {
     * high-frequency head tokens (the skewed buckets that dominate a
     * full-index self-join) appear LAST in the document-frequency order
     * and mostly never enter any prefix. Candidates then pass a length
-    * filter (τ·max ≤ min, a Jaccard necessity) and ONE exact
-    * array_intersect verification per distinct pair.
+    * filter (τ·max ≤ min, a Jaccard necessity), PPJoin's POSITIONAL
+    * filter (Xiao et al. WWW'08), and ONE exact array_intersect
+    * verification per distinct pair.
+    *
+    * Positional filter, map-side-exact form: a matching row says token
+    * t sits at full-list ranks (i, j) of docs (a, b) under the global
+    * (df, token) order, so overlap ≤ common-before(i,j) + 1 +
+    * min(|a|−i, |b|−j). For the pair's FIRST common token,
+    * common-before = 1 (t itself) — and for any TRUE pair (Jaccard ≥ τ
+    * ⇒ overlap ≥ τ·max(|a|,|b|)) that first common token provably lies
+    * inside both code prefixes, so its row passes
+    * `1 + min(|a|−i, |b|−j) ≥ τ/(1+τ)·(|a|+|b|)` and the pair survives
+    * the distinct. Rows for later common tokens and most non-pair
+    * collisions fail the test and are dropped BEFORE the pair-distinct
+    * exchange — at sf4 on the scale ladder that exchange (plus its
+    * spill) is this join's dominant cost, so the filter cuts exactly
+    * the super-linear term's constant while keeping zero false
+    * negatives (PrefixJoinSpec brute-force parity).
     *
     * Shuffles: token-df count, df join (token-keyed), per-doc rank
     * window (doc-keyed, bounded rows per doc), prefix self-join
@@ -520,12 +536,20 @@ object Dedup {
     val prefix = posting.join(dfreq, "__tok")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("__sz") - ceil(col("__sz") * lit(minJaccard)) + 1)
-      .select(col("__tok"), col("__id"), col("__sz"))
-    val cand = prefix.toDF("__tok", "id_a", "sz_a")
-      .join(prefix.toDF("__tok", "id_b", "sz_b"), "__tok")
+      .select(col("__tok"), col("__id"), col("__sz"), col("__rn"))
+    // ε guards the float comparison on the conservative side (keeps a
+    // boundary row rather than dropping it): exactness must not hinge
+    // on double rounding of τ/(1+τ)·(szA+szB).
+    val requiredOverlap =
+      lit(minJaccard / (1.0 + minJaccard)) *
+        (col("sz_a") + col("sz_b")) - lit(1e-9)
+    val cand = prefix.toDF("__tok", "id_a", "sz_a", "rn_a")
+      .join(prefix.toDF("__tok", "id_b", "sz_b", "rn_b"), "__tok")
       .where(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")) >=
-          greatest(col("sz_a"), col("sz_b")) * lit(minJaccard))
+          greatest(col("sz_a"), col("sz_b")) * lit(minJaccard) &&
+        lit(1) + least(col("sz_a") - col("rn_a"),
+          col("sz_b") - col("rn_b")) >= requiredOverlap)
       .select("id_a", "id_b").distinct()
     cand
       .join(toks.select(col("__id").as("id_a"), col("__toks").as("__ta"),

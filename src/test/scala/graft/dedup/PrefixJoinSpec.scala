@@ -97,6 +97,36 @@ class PrefixJoinSpec extends SparkSpec {
     assert(expected.nonEmpty) // the planted near-dups must be found
   }
 
+  test("positional filter keeps exact-tau boundary pairs of unequal sizes") {
+    val s = spark
+    import s.implicits._
+    // |A|=9, |B|=6, inter=6 (B ⊂ A): J = 6/9 = 2/3; required overlap at
+    // tau=2/3 is (2/3)/(5/3)*15 = 6 — the filter's >= comparison sits
+    // exactly on the boundary, where a non-conservative epsilon or a
+    // wrong rank base (prefix rank instead of full-list rank) would
+    // drop the pair.
+    val df = Seq(
+      1L -> "a b c d e f g h i",
+      2L -> "a b c d e f"
+    ).toDF("doc_id", "text")
+    val got = run(df, 2.0 / 3.0)
+    assert(got == brute(df, 2.0 / 3.0) && got.contains((1L, 2L, 6)))
+  }
+
+  test("positional filter prunes candidate rows before the pair distinct") {
+    val s = spark
+    import s.implicits._
+    // Docs share one mid-rarity token but nothing else: every collision
+    // row fails 1 + min(sz−rn) >= tau/(1+tau)·(szA+szB), so ZERO pairs
+    // reach verification — without the positional filter each such pair
+    // costs a distinct-exchange row plus two verify-join probes.
+    val df = Seq.tabulate(30)(i =>
+      (i.toLong, (s"shared u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")))
+      .toDF("doc_id", "text")
+    assert(run(df, 0.6) == brute(df, 0.6))
+    assert(brute(df, 0.6).isEmpty)
+  }
+
   test("prefix index is smaller than the full posting index") {
     val s = spark
     import s.implicits._

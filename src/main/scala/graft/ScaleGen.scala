@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    (the spec never scales them; broadcast-side stays broadcast-side).
   *  - `customer`/`supplier`/`part`/`orders`/`lineitem`: each copy `c`
   *    shifts every key by `c × stride(keyDomain)` where the stride is
-  *    the domain's observed max key — FK joins stay exactly consistent
+  *    the domain's observed key span (max−min+1) — FK joins stay consistent
   *    (copy-c orders reference copy-c customers), key cardinality grows
   *    ×k, and per-key fan-in (lineitems per order) stays constant, the
   *    way a bigger TPC-H SF behaves. Dates/values are untouched: more
@@ -79,13 +79,18 @@ object ScaleGen {
     val copies = spark.range(mult).toDF("__copy")
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
 
-    // Key strides: observed max per key domain (one cheap agg per table).
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0)
-    val custMax = maxOf(read("customer"), "c_custkey")
-    val ordMax = maxOf(read("orders"), "o_orderkey")
-    val partMax = maxOf(read("part"), "p_partkey")
-    val suppMax = maxOf(read("supplier"), "s_suppkey")
+    // Key strides: observed span per key domain (one cheap agg per
+    // table). max−min+1, NOT max: the driver's keys are 0-based, and a
+    // max-stride would make copy c's minimum key collide with copy
+    // c−1's maximum — caught by ScaleGenSpec's uniqueness pin.
+    def strideOf(df: DataFrame, c: String): Long = {
+      val r = df.agg(min(col(c)), max(col(c))).head()
+      r.getLong(1) - r.getLong(0) + 1
+    }
+    val custStride = strideOf(read("customer"), "c_custkey")
+    val ordStride = strideOf(read("orders"), "o_orderkey")
+    val partStride = strideOf(read("part"), "p_partkey")
+    val suppStride = strideOf(read("supplier"), "s_suppkey")
 
     def shifted(c: String, stride: Long) =
       (col(c) + col("__copy") * stride).as(c)
@@ -102,40 +107,40 @@ object ScaleGen {
     read("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
 
     write(replicate(read("customer")).select(
-      shifted("c_custkey", custMax), col("c_name"), col("c_nationkey"),
+      shifted("c_custkey", custStride), col("c_name"), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment"), col("__copy")), "customer", 8)
 
     write(replicate(read("supplier")).select(
-      shifted("s_suppkey", suppMax), col("s_name"), col("s_nationkey"),
+      shifted("s_suppkey", suppStride), col("s_name"), col("s_nationkey"),
       col("s_acctbal"), col("__copy")), "supplier", 4)
 
     write(replicate(read("part")).select(
-      shifted("p_partkey", partMax), col("p_name"), col("p_brand"),
+      shifted("p_partkey", partStride), col("p_name"), col("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice"), col("__copy")),
       "part", 8)
 
     write(replicate(read("orders")).select(
-      shifted("o_orderkey", ordMax), shifted("o_custkey", custMax),
+      shifted("o_orderkey", ordStride), shifted("o_custkey", custStride),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"), col("__copy")), "orders", 16)
 
     write(replicate(read("lineitem")).select(
-      shifted("l_orderkey", ordMax), shifted("l_partkey", partMax),
-      shifted("l_suppkey", suppMax), col("l_linenumber"), col("l_quantity"),
+      shifted("l_orderkey", ordStride), shifted("l_partkey", partStride),
+      shifted("l_suppkey", suppStride), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
       col("__copy")), "lineitem", 32)
 
     val ev = read("events")
-    val evMax = maxOf(ev, "event_id")
-    val userMax = maxOf(ev, "user_id")
+    val evStride = strideOf(ev, "event_id")
+    val userStride = strideOf(ev, "user_id")
     write(replicate(ev).select(
-      shifted("event_id", evMax), col("ts"), shifted("user_id", userMax),
+      shifted("event_id", evStride), col("ts"), shifted("user_id", userStride),
       col("event_type"), col("value"), col("props"), col("__copy")),
       "events", 32)
 
     val docs = read("documents")
-    val docMax = maxOf(docs, "doc_id")
+    val docStride = strideOf(docs, "doc_id")
     // Per-copy vocabulary substitution: selection depends ONLY on
     // (copy, token), never doc or position, so the rewrite is one
     // injective map per copy and within-copy similarity structure is
@@ -150,14 +155,14 @@ object ScaleGen {
                        ELSE t END),
            ' ')""")
     write(replicate(docs).select(
-      shifted("doc_id", docMax), mutated.as("text"), col("lang"),
+      shifted("doc_id", docStride), mutated.as("text"), col("lang"),
       col("source"), col("__copy"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars", "__copy"),
       "documents", 32)
 
     val embs = read("embeddings")
-    val vecMax = maxOf(embs, "vec_id")
+    val vecStride = strideOf(embs, "vec_id")
     val noised = expr(
       """zip_with(embedding,
                   sequence(0, size(embedding) - 1),
@@ -165,7 +170,7 @@ object ScaleGen {
                     (pmod(hash(vec_id, __copy, i), 1001) / 1000.0D - 0.5D)
                       * 0.05D) AS FLOAT))""")
     write(replicate(embs).select(
-      shifted("vec_id", vecMax), noised.as("embedding"), col("label"),
+      shifted("vec_id", vecStride), noised.as("embedding"), col("label"),
       col("__copy")), "embeddings", 16)
   }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the ScaleGen invariants that SCALING.md's measurements rest on:
+  * exact ×k row growth, FK-consistent key shifting, copy-0 verbatim
+  * containment, the bijective per-copy vocabulary substitution that
+  * preserves every within-copy Jaccard while keeping cross-copy
+  * similarity below the shipped near-dup thresholds, bounded embedding
+  * noise, and bit-determinism across runs. If any of these drift, the
+  * scale ladder measures a different workload than it claims to.
+  */
+class ScaleGenSpec extends SparkSpec {
+  private val src = "/root/testdata/sf0.001"
+  private val mult = 3
+
+  private lazy val outDir: String = {
+    val d = Files.createTempDirectory("scalegen-spec").toString
+    ScaleGen.generate(spark, src, d, mult)
+    d
+  }
+
+  private def srcT(name: String): DataFrame =
+    spark.read.parquet(s"$src/$name.parquet")
+  private def outT(name: String): DataFrame =
+    spark.read.parquet(s"$outDir/$name.parquet")
+
+  /** (min, span) of the SOURCE key domain; copy c occupies
+    * [min + span·c, min + span·(c+1)) in the scaled output. */
+  private def keyDomain(t: String, k: String): (Long, Long) = {
+    val r = srcT(t).agg(min(col(k)), max(col(k))).head()
+    (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+  }
+  private def copySlice(df: DataFrame, k: String, t: String, c: Int): DataFrame = {
+    val (lo, st) = keyDomain(t, k)
+    df.where(col(k) >= lo + st * c && col(k) < lo + st * (c + 1))
+      .withColumn(k, col(k) - lit(st * c))
+  }
+
+  test("fact tables grow exactly xk; dimensions stay constant") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(outT(t).count() === srcT(t).count() * mult, t)
+    for (t <- Seq("region", "nation"))
+      assert(outT(t).count() === srcT(t).count(), t)
+  }
+
+  test("shifted keys stay unique and FK joins stay exactly consistent") {
+    for ((t, k) <- Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+        "documents" -> "doc_id", "embeddings" -> "vec_id",
+        "events" -> "event_id")) {
+      val df = outT(t)
+      assert(df.select(k).distinct().count() === df.count(), s"$t.$k unique")
+    }
+    // Every scaled FK resolves: orders→customer, lineitem→orders/part/supplier.
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String): Long =
+      fact.join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti").count()
+    assert(orphans(outT("orders"), "o_custkey", outT("customer"), "c_custkey") === 0L)
+    assert(orphans(outT("lineitem"), "l_orderkey", outT("orders"), "o_orderkey") === 0L)
+    assert(orphans(outT("lineitem"), "l_partkey", outT("part"), "p_partkey") === 0L)
+    assert(orphans(outT("lineitem"), "l_suppkey", outT("supplier"), "s_suppkey") === 0L)
+    // Per-key fan-in is copy-local, so it matches the source exactly:
+    // max lineitems per order never changes with SF.
+    def maxFanIn(df: DataFrame, k: String): Long =
+      df.groupBy(k).count().agg(max("count")).head().getLong(0)
+    assert(maxFanIn(outT("lineitem"), "l_orderkey") ===
+      maxFanIn(srcT("lineitem"), "l_orderkey"))
+  }
+
+  test("copy 0 is the verbatim source corpus (sfX contains sf0.1)") {
+    val copy0 = copySlice(outT("documents"), "doc_id", "documents", 0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(copy0.exceptAll(srcT("documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")).count() === 0L)
+    assert(copySlice(outT("embeddings"), "vec_id", "embeddings", 0)
+      .exceptAll(srcT("embeddings")).count() === 0L)
+  }
+
+  test("vocabulary substitution preserves every within-copy Jaccard exactly") {
+    // Bijective token renaming preserves set intersections, so each
+    // copy's full pairwise token-set Jaccard distribution must be
+    // bit-identical to the source's. Compare on a deterministic slice.
+    def pairJaccards(docs: DataFrame): DataFrame = {
+      val toks = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+      toks.select(col("doc_id").as("id_a"), col("t").as("ta"))
+        .crossJoin(toks.select(col("doc_id").as("id_b"), col("t").as("tb")))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb")))).as("j"))
+    }
+    val base = pairJaccards(srcT("documents")).withColumnRenamed("j", "j_base")
+    for (c <- 1 until mult) {
+      val copyC = copySlice(outT("documents"), "doc_id", "documents", c)
+      val joined = pairJaccards(copyC).join(base, Seq("id_a", "id_b"), "full")
+      assert(joined.where(col("j").isNull || col("j_base").isNull ||
+        abs(col("j") - col("j_base")) > 1e-12).count() === 0L, s"copy $c")
+    }
+  }
+
+  test("cross-copy twins stay below every shipped near-dup threshold") {
+    val d = outT("documents")
+    val copy0 = copySlice(d, "doc_id", "documents", 0)
+      .select(col("doc_id").as("k"), array_distinct(split(col("text"), " ")).as("ta"))
+    val copy1 = copySlice(d, "doc_id", "documents", 1)
+      .select(col("doc_id").as("k"),
+        array_distinct(split(col("text"), " ")).as("tb"))
+    val j = copy0.join(copy1, "k")
+      .select((size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        size(array_union(col("ta"), col("tb")))).as("j"))
+    val worst = j.agg(max("j")).head().getDouble(0)
+    // ~40% of the vocabulary rewrites per copy → expected twin Jaccard
+    // ≈ 0.6/1.4 ≈ 0.43; every shipped dedup threshold is ≥ 0.6.
+    assert(worst < 0.6, s"max cross-copy twin Jaccard $worst")
+  }
+
+  test("embedding noise is bounded and copies do not stack on one point") {
+    val copy1 = copySlice(outT("embeddings"), "vec_id", "embeddings", 1)
+      .select(col("vec_id").as("k"), col("embedding").as("e1"))
+    val joined = srcT("embeddings")
+      .select(col("vec_id").as("k"), col("embedding").as("e0")).join(copy1, "k")
+      .select(aggregate(zip_with(col("e0"), col("e1"), (a, b) => abs(a - b)),
+        lit(0.0f), (acc, x) => greatest(acc, x)).as("maxAbs"))
+    val Array(lo, hi) = joined.agg(min("maxAbs"), max("maxAbs")).head() match {
+      case r => Array(r.getFloat(0).toDouble, r.getFloat(1).toDouble)
+    }
+    assert(hi <= 0.0251, s"noise exceeds documented bound: $hi")
+    assert(lo > 0.0, "copy-1 vectors stack verbatim on copy-0 points")
+  }
+
+  test("generation is bit-deterministic across runs") {
+    val d2 = Files.createTempDirectory("scalegen-spec2").toString
+    ScaleGen.generate(spark, src, d2, mult)
+    for (t <- Seq("documents", "lineitem", "embeddings")) {
+      val a = outT(t)
+      val b = spark.read.parquet(s"$d2/$t.parquet")
+      assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L, t)
+    }
+  }
+}

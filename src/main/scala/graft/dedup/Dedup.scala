@@ -115,6 +115,84 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** DISTINCT LSH candidate pairs with NO pair-level dedup exchange —
+    * the composition form of [[minhashCandidatePairs]] for consumers
+    * that re-rank or score the pair SET (tf-idf cosine, edit distance,
+    * Jaro–Winkler) and never read `n_shared_bands`.
+    *
+    * [[minhashCandidatePairs]] ends in `groupBy(id_a, id_b)` — an
+    * exchange carrying EVERY collision row, which the sf4 scale ladder
+    * measured as the dominant cost of the banding family at 95 M pairs
+    * (tens of GB of graceful but real out-of-core aggregation). Here
+    * each pair emits from exactly ONE band instead: a bucket row in
+    * band k carries every member's EARLIER band values
+    * (`slice(bands, 1, k)`, empty for band 0), and a pair is emitted
+    * iff no earlier band matched — i.e. only from band min{j :
+    * band_j(a) = band_j(b)}, which exists and is unique for every
+    * colliding pair, so the output is exactly-once BY CONSTRUCTION and
+    * value-identical to `minhashCandidatePairs(...).select(id_a, id_b)`
+    * (pinned in DedupSpec). The pair stream flows map-side into the
+    * consumer with no aggregation barrier; the cost moved is one extra
+    * `numBands−1`-string array on banding rows — corpus-linear,
+    * versus the pair-linear exchange it replaces (pairs ≫ docs at any
+    * production operating point). */
+  def minhashCandidateEdges(df: DataFrame, textCol: String, idCol: String,
+      numPerms: Int, bandSize: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val numBands = numPerms / bandSize
+    val sigs = withMinhashSignature(df, textCol, numPerms)
+      .select(col(idCol) +: bandColumns(numPerms, bandSize): _*)
+      .select(col(idCol).as("__id"),
+        array((0 until numBands).map(b => col(s"band_$b")): _*).as("__bands"))
+    // Cap semantics must match minhashCandidatePairs EXACTLY: a capped
+    // bucket is dropped whole, but a pair whose first shared band was
+    // capped still emits from its first SURVIVING band. So under a cap,
+    // capped positions are nulled out of each doc's band array first —
+    // null never forms a bucket and never matches a prior — at the cost
+    // of one corpus-linear size-count + doc-keyed rebuild, paid only
+    // when the skew guard is on (no shipped query consumer passes one).
+    val eff = maxBucketSize match {
+      case None => sigs
+      case Some(m) =>
+        val exploded = sigs.select(col("__id"),
+          posexplode(col("__bands")).as(Seq("band_idx", "band_val")))
+        val sizes = exploded.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__n"))
+        exploded.join(sizes, Seq("band_idx", "band_val"))
+          .groupBy("__id")
+          .agg(transform(array_sort(collect_list(struct(
+            col("band_idx").as("i"),
+            when(col("__n") <= m, col("band_val")).as("v")))),
+            s => s.getField("v")).as("__bands"))
+    }
+    val banded = eff
+      .select(col("__id"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band_idx", "band_val")))
+      .where(col("band_val").isNotNull)
+      .select(col("band_idx"), col("band_val"), col("__id"),
+        slice(col("__bands"), lit(1), col("band_idx")).as("__prior"))
+    val buckets = banded
+      .groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(struct(col("__id").as("id"),
+        col("__prior").as("prior")))).as("docs"))
+      .where(size(col("docs")) > 1)
+    buckets
+      .select(posexplode(col("docs")).as(Seq("pos", "a")), col("docs"))
+      // Same hot-bucket barrier as minhashCandidatePairs: spread the
+      // first-level rows so a boilerplate bucket's C(m,2) second-level
+      // explode runs parallel instead of inside one task.
+      .repartition(col("a.id"))
+      .select(col("a"),
+        explode(slice(col("docs"), col("pos") + 2, size(col("docs")))).as("b"))
+      // First-collision emission: drop the row iff ANY earlier band
+      // already matched. Prior entries may be null (capped bands);
+      // null-equality coalesces to false so a capped earlier band
+      // never suppresses emission.
+      .where(!exists(zip_with(col("a.prior"), col("b.prior"),
+        (x, y) => coalesce(x === y, lit(false))), v => v))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
   /** Incoming-batch near-dup flagging against an EXISTING corpus — the
     * continuous-ingest shape of MinHash-LSH dedup. The existing side
     * reduces to its distinct (band, value) index (in production:

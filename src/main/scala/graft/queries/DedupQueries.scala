@@ -726,7 +726,7 @@ object DedupQueries {
   def qdEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     Dedup.editDistanceRerank(docs,
-      Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize),
+      Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize),
       "text", "doc_id", "n_chars", 40, 16)
       .orderBy("id_a", "id_b")
   }
@@ -764,7 +764,7 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
     val pre = docs.select(col("doc_id"),
       substring(col("text"), 1, 32).as("__pre"))
-    Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
+    Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
       .join(pre.select(col("doc_id").as("id_a"), col("__pre").as("__pa")), "id_a")
       .join(pre.select(col("doc_id").as("id_b"), col("__pre").as("__pb")), "id_b")
       .withColumn("jw", round(JaroWinkler.ofColumns(col("__pa"), col("__pb")), 6))
@@ -837,8 +837,7 @@ object DedupQueries {
     // ReuseExchange (measured: a localCheckpoint here cost +4 s at
     // sf0.1, the reuse is free).
     val cand = Dedup
-      .minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
-      .select("id_a", "id_b")
+      .minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
     // Only docs that appear in some candidate pair ever get scored, so
     // the expensive per-doc vector assembly below is semi-join-pruned
     // to that id set. The idf statistics above stay FULL-CORPUS (the
@@ -1408,7 +1407,7 @@ object DedupQueries {
           .as("jaccard"))
       .where(col("jaccard") >= 0.2)
     val cand = Dedup
-      .minhashCandidatePairs(sample, "text", "doc_id", NumPerms, BandSize)
+      .minhashCandidateEdges(sample, "text", "doc_id", NumPerms, BandSize)
       .select(col("id_a"), col("id_b"), lit(true).as("__caught"))
     val nCaught = sum(when(col("__caught"), 1L).otherwise(0L))
     pairs.join(cand, Seq("id_a", "id_b"), "left_outer")
@@ -1804,8 +1803,7 @@ object DedupQueries {
     val est = nMatch.cast("double") / NumPerms
     val truth = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
       size(array_union(col("a_toks"), col("b_toks")))
-    Dedup.minhashCandidatePairs(docs, "text", "doc_id", NumPerms, BandSize)
-      .select("id_a", "id_b")
+    Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
       .join(side("a"), col("id_a") === col("a_id"))
       .join(side("b"), col("id_b") === col("b_id"))
       .select(col("id_a"), col("id_b"),

@@ -42,6 +42,34 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("minhashCandidateEdges == distinct minhashCandidatePairs, exactly once") {
+    val s = spark
+    import s.implicits._
+    // Pseudo-random corpus with planted near-dup clusters so pairs
+    // collide in ONE band, BOTH bands, and (cross-cluster) neither —
+    // the three cases the first-collision-band emission must handle.
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val base = (1L to 80L).map { id =>
+      id -> rng.shuffle(vocab).take(6 + rng.nextInt(8)).mkString(" ") }
+    val planted = base.take(25).flatMap { case (id, t) =>
+      Seq((id + 1000L) -> t,                                  // exact dup
+        (id + 2000L) -> (t.split(" ").drop(1) :+ "wX").mkString(" ")) }
+    val d = (base ++ planted).toDF("doc_id", "text")
+    for (cap <- Seq(None, Some(3))) {
+      val expected = Dedup
+        .minhashCandidatePairs(d, "text", "doc_id", 16, 8, cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup
+        .minhashCandidateEdges(d, "text", "doc_id", 16, 8, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == expected, s"cap=$cap")
+      assert(got.length == got.toSet.size, s"duplicate emission, cap=$cap")
+      if (cap.isEmpty) assert(expected.nonEmpty)
+    }
+  }
+
   test("jaccardNeighbors equals thresholded all-pairs jaccard") {
     val s = spark
     import s.implicits._

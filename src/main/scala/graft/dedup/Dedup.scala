@@ -84,6 +84,19 @@ object Dedup {
     * documents) generates O(m²) candidates that a dedup pass doesn't
     * need — capped buckets are dropped whole. The driver-contract query
     * leaves it off so the DuckDB oracle sees identical semantics.
+    *
+    * MEASURED DESIGN NOTE (scale ladder, round 11): a first-collision
+    * variant that emits each pair from its first shared band with
+    * `n_shared_bands` counted map-side from carried band digests —
+    * eliminating this groupBy and its out-of-core state entirely — was
+    * implemented and measured at sf0.1/sf1/sf4, and LOST: the exchange
+    * of incompressible 16-byte digests (Σ|bucket|² of them) costs more
+    * than it saves at every rung but one (sf0.1 1.2→7.7 s, sf1
+    * 2.7→16.0 s, sf4 52.2→46.9 s with spill 16.7 GB→0), because this
+    * form's partial aggregation collapses duplicate pairs map-side and
+    * its sorted-id streams compress ~4× in the exchange, while the agg
+    * state that does spill at 95 M pairs degrades gracefully. Kept:
+    * the groupBy. The numbers live in SCALING.md / SCALING_RAW.jsonl.
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       numPerms: Int, bandSize: Int,
@@ -115,83 +128,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** DISTINCT LSH candidate pairs with NO pair-level dedup exchange —
-    * the composition form of [[minhashCandidatePairs]] for consumers
-    * that re-rank or score the pair SET (tf-idf cosine, edit distance,
-    * Jaro–Winkler) and never read `n_shared_bands`.
-    *
-    * [[minhashCandidatePairs]] ends in `groupBy(id_a, id_b)` — an
-    * exchange carrying EVERY collision row, which the sf4 scale ladder
-    * measured as the dominant cost of the banding family at 95 M pairs
-    * (tens of GB of graceful but real out-of-core aggregation). Here
-    * each pair emits from exactly ONE band instead: a bucket row in
-    * band k carries every member's EARLIER band values
-    * (`slice(bands, 1, k)`, empty for band 0), and a pair is emitted
-    * iff no earlier band matched — i.e. only from band min{j :
-    * band_j(a) = band_j(b)}, which exists and is unique for every
-    * colliding pair, so the output is exactly-once BY CONSTRUCTION and
-    * value-identical to `minhashCandidatePairs(...).select(id_a, id_b)`
-    * (pinned in DedupSpec). The pair stream flows map-side into the
-    * consumer with no aggregation barrier; the cost moved is one extra
-    * `numBands−1`-string array on banding rows — corpus-linear,
-    * versus the pair-linear exchange it replaces (pairs ≫ docs at any
-    * production operating point). */
+  /** DISTINCT LSH candidate pairs — [[minhashCandidatePairs]] without
+    * the `n_shared_bands` column, for consumers that re-rank or score
+    * the pair SET (tf-idf cosine, edit distance, Jaro–Winkler, recall
+    * evals) and never read the count. Value-identical to
+    * `minhashCandidatePairs(...).select(id_a, id_b)` (pinned in
+    * DedupSpec); since the counting form is itself exchange-free at
+    * pair level, this is a pure projection — Catalyst's column pruning
+    * drops the count arithmetic from the physical plan. */
   def minhashCandidateEdges(df: DataFrame, textCol: String, idCol: String,
       numPerms: Int, bandSize: Int,
-      maxBucketSize: Option[Int] = None): DataFrame = {
-    val numBands = numPerms / bandSize
-    val sigs = withMinhashSignature(df, textCol, numPerms)
-      .select(col(idCol) +: bandColumns(numPerms, bandSize): _*)
-      .select(col(idCol).as("__id"),
-        array((0 until numBands).map(b => col(s"band_$b")): _*).as("__bands"))
-    // Cap semantics must match minhashCandidatePairs EXACTLY: a capped
-    // bucket is dropped whole, but a pair whose first shared band was
-    // capped still emits from its first SURVIVING band. So under a cap,
-    // capped positions are nulled out of each doc's band array first —
-    // null never forms a bucket and never matches a prior — at the cost
-    // of one corpus-linear size-count + doc-keyed rebuild, paid only
-    // when the skew guard is on (no shipped query consumer passes one).
-    val eff = maxBucketSize match {
-      case None => sigs
-      case Some(m) =>
-        val exploded = sigs.select(col("__id"),
-          posexplode(col("__bands")).as(Seq("band_idx", "band_val")))
-        val sizes = exploded.groupBy("band_idx", "band_val")
-          .agg(count(lit(1)).as("__n"))
-        exploded.join(sizes, Seq("band_idx", "band_val"))
-          .groupBy("__id")
-          .agg(transform(array_sort(collect_list(struct(
-            col("band_idx").as("i"),
-            when(col("__n") <= m, col("band_val")).as("v")))),
-            s => s.getField("v")).as("__bands"))
-    }
-    val banded = eff
-      .select(col("__id"), col("__bands"),
-        posexplode(col("__bands")).as(Seq("band_idx", "band_val")))
-      .where(col("band_val").isNotNull)
-      .select(col("band_idx"), col("band_val"), col("__id"),
-        slice(col("__bands"), lit(1), col("band_idx")).as("__prior"))
-    val buckets = banded
-      .groupBy("band_idx", "band_val")
-      .agg(sort_array(collect_list(struct(col("__id").as("id"),
-        col("__prior").as("prior")))).as("docs"))
-      .where(size(col("docs")) > 1)
-    buckets
-      .select(posexplode(col("docs")).as(Seq("pos", "a")), col("docs"))
-      // Same hot-bucket barrier as minhashCandidatePairs: spread the
-      // first-level rows so a boilerplate bucket's C(m,2) second-level
-      // explode runs parallel instead of inside one task.
-      .repartition(col("a.id"))
-      .select(col("a"),
-        explode(slice(col("docs"), col("pos") + 2, size(col("docs")))).as("b"))
-      // First-collision emission: drop the row iff ANY earlier band
-      // already matched. Prior entries may be null (capped bands);
-      // null-equality coalesces to false so a capped earlier band
-      // never suppresses emission.
-      .where(!exists(zip_with(col("a.prior"), col("b.prior"),
-        (x, y) => coalesce(x === y, lit(false))), v => v))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-  }
+      maxBucketSize: Option[Int] = None): DataFrame =
+    minhashCandidatePairs(df, textCol, idCol, numPerms, bandSize,
+      maxBucketSize).select("id_a", "id_b")
 
   /** Incoming-batch near-dup flagging against an EXISTING corpus — the
     * continuous-ingest shape of MinHash-LSH dedup. The existing side

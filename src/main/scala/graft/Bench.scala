@@ -37,7 +37,7 @@ object Bench {
         : (Boolean, Double) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { Force.rows(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           false
@@ -138,7 +138,7 @@ object Bench {
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/tmp/BENCH_FILTERED.json" else "BENCH_QUERIES.json")
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"verified_regressions":$vrJson,"rechecked":$rechecked,"iterations":$iterations,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"verified_regressions":$vrJson,"rechecked":$rechecked,"iterations":$iterations,"force":"full","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchFile), fullLine + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $benchFile: $e") }
     // BENCH_QUERIES.json is overwritten every round; the history file
@@ -167,7 +167,7 @@ object Bench {
       used += k.length + ms(v).length + 4 // "k":v,
       used <= budget
     }.sortBy(_._1).map { case (k, v) => (k, Option(v)) }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(kept)},"failed":$failedJson,"verified_regressions":$vrJson,"rechecked":$rechecked,"iterations":$iterations,"n_queries":${results.size},"n_failed":${failed.result().distinct.size},"n_in_line":${kept.size},"all_queries_in":"$benchFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(kept)},"failed":$failedJson,"verified_regressions":$vrJson,"rechecked":$rechecked,"iterations":$iterations,"force":"full","n_queries":${results.size},"n_failed":${failed.result().distinct.size},"n_in_line":${kept.size},"all_queries_in":"$benchFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

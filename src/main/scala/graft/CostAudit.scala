@@ -52,7 +52,7 @@ object CostAudit {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       current.synchronized(current.clear())
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val n = Force.rows(fn(spark, dir))
       val wallMs = (System.nanoTime() - t0) / 1e6
       // Listener events are posted asynchronously; drain the bus so the
       // numbers attribute to the query that produced them.

@@ -33,21 +33,26 @@ object ScaleLadder {
   val DefaultQueries: Seq[String] = Seq(
     // dedup family: tf-idf rerank, manifest (iterative components),
     // PageRank power iteration, prefix-filter join, minhash-band pairs,
-    // k-core peel
+    // k-core peel, simhash Hamming banding, sorted-neighborhood blocking
     "qd_tfidf_pairs", "qd_manifest", "qd_pagerank", "qd_prefix_join",
-    "qd_minhash_pairs", "qd_kcore",
-    // pipeline: leakage-safe split, DSIR eval, contamination n-grams
-    "qp_split", "qp_dsir_eval", "qp_contamination",
-    // text: DistributedRank consumer + bigram LM
-    "qt_zipf", "qt_bigram_lm",
+    "qd_minhash_pairs", "qd_kcore", "qd_simhash_pairs",
+    "qd_sorted_neighbors",
+    // pipeline: leakage-safe split, DSIR eval, contamination n-grams,
+    // sequence packing
+    "qp_split", "qp_dsir_eval", "qp_contamination", "qp_pack",
+    // text: DistributedRank consumer, bigram LM, BM25 inverted scoring
+    "qt_zipf", "qt_bigram_lm", "qt_bm25",
     // events: bootstrap resampling, RFM/heavytail/LTV (DistributedRank),
-    // sessionization
+    // sessionization, ordered funnel
     "qe_bootstrap", "qe_rfm", "qe_heavytail", "qe_ltv_deciles",
-    "qe_sessions",
+    "qe_sessions", "qe_funnel",
     // multimodal: banded dHash clustering
     "qm_phash_clusters",
-    // similarity: MMR diversification
-    "qs_mmr",
+    // similarity: MMR diversification, exhaustive-scan kNN baseline,
+    // IVF cell-probed kNN (the scale path)
+    "qs_mmr", "qs_knn_brute", "qs_knn_ivf",
+    // profiling: full-column profile (wide single-pass aggregation)
+    "qc_profile",
     // analytics: EB shrinkage (TakeOrdered path), TPC-H Q21 heavy join
     "q_eb_shrinkage", "q21_waiting",
     // operators: TopKPerKey whole-operator, salted skew join
@@ -113,7 +118,7 @@ object ScaleLadder {
             current.synchronized(current.clear())
             val t0 = System.nanoTime()
             try {
-              rows = fn(spark, dir).count()
+              rows = Force.rows(fn(spark, dir))
               val t = (System.nanoTime() - t0) / 1e9
               if (t < best) best = t
               org.apache.spark.graft.ListenerBusAccess.drain(spark.sparkContext)
@@ -121,6 +126,13 @@ object ScaleLadder {
             } catch { case e: Throwable =>
               error = Some(e.toString.replace("\"", "'").take(300))
             }
+            // Outside the timed region: drop the previous query's dead
+            // localCheckpoint blocks. ContextCleaner frees them only
+            // after the driver GCs the owning RDD objects, so without
+            // this a spill-heavy query inherits the block-manager
+            // pressure of whatever ran before it (measured: +90% wall
+            // on qd_tfidf_pairs at sf1 purely from queue position).
+            System.gc()
             it += 1
           }
           val line = error match {
@@ -132,7 +144,7 @@ object ScaleLadder {
               val in = lastCost.map(_.input).sum
               val sp = lastCost.map(c => c.memSpill + c.diskSpill).sum
               val rt = lastCost.map(_.runTimeMs).sum
-              s"""{"sf":"$label","query":"$name","sec":${ms(best)},"rows":$rows,"input_mb":${ms(in / 1048576.0)},"shuffle_write_mb":${ms(sw / 1048576.0)},"shuffle_read_mb":${ms(sr / 1048576.0)},"spill_mb":${ms(sp / 1048576.0)},"task_ms":$rt}"""
+              s"""{"sf":"$label","query":"$name","sec":${ms(best)},"rows":$rows,"input_mb":${ms(in / 1048576.0)},"shuffle_write_mb":${ms(sw / 1048576.0)},"shuffle_read_mb":${ms(sr / 1048576.0)},"spill_mb":${ms(sp / 1048576.0)},"task_ms":$rt,"force":"full"}"""
           }
           println(line)
           out.println(line)

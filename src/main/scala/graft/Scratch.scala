@@ -40,7 +40,7 @@ object Scratch {
       // operators (connectedComponents) run their jobs at construction.
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        val n = Force.rows(SparkEntry.queries(name)(spark, dir))
         println(s"[scratch] $name run $i: " +
           f"${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
       }

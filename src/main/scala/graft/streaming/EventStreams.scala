@@ -211,7 +211,19 @@ object EventStreams {
               } else cur = cur.copy(endUs = math.max(cur.endUs, t), n = cur.n + 1)
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.endUs / 1000 + GapUs / 1000)
+            // Clamp to the watermark: events can reach the function
+            // OLDER than the current watermark (an unordered source —
+            // e.g. a file drop replayed in non-time order — advances
+            // the watermark past data still in flight; Spark does not
+            // late-filter fMGWS input). A session built from such
+            // events has end + gap < watermark, and Spark rejects a
+            // timeout in the past outright (found by StreamLadder at
+            // the sf1/sf4 rungs: 8-batch unordered replay crashed the
+            // query). The clamped session is already closeable — the
+            // timeout fires at the next trigger, same closure rule.
+            state.setTimeoutTimestamp(
+              math.max(cur.endUs / 1000 + GapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
       }

@@ -122,6 +122,51 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizer survives events older than the watermark (unordered source)") {
+    // StreamLadder regression (round 11): an unordered file replay
+    // advances the watermark past data still in flight; the user
+    // function then builds a session whose end + gap is BEFORE the
+    // watermark, and an unclamped setTimeoutTimestamp crashes the whole
+    // query ("Timeout timestamp cannot be earlier than the current
+    // watermark"). The clamp closes such sessions at the next trigger.
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-10 12:00:00")
+    def ev(id: Long, user: Long, offsetMin: Long): Ev =
+      Ev(id, new Timestamp(t0.getTime + offsetMin * 60000L), user, "e", 0.0)
+
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.sessionize(
+      EventStreams.toSessionEvents(stream.toDF())).toDF()
+      .writeStream.format("memory").queryName("sess_disorder")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 far in the future — watermark sails ahead.
+      stream.addData(ev(1, 1L, 10 * 24 * 60))
+      query.processAllAvailable()
+      // Batch 2: user 2 entirely BEHIND the watermark (10 days older).
+      stream.addData(ev(2, 2L, 0), ev(3, 2L, 5))
+      query.processAllAvailable() // unclamped: query dies here
+      // Close everything via a further watermark push.
+      stream.addData(ev(4, 3L, 20 * 24 * 60))
+      query.processAllAvailable()
+      stream.addData(ev(5, 3L, 30 * 24 * 60))
+      query.processAllAvailable()
+
+      val got = spark.table("sess_disorder")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      // The watermark contract: user 2's fully-late batch is dropped
+      // before the function (no phantom session), everything else
+      // closes normally, and — the regression — the query SURVIVES.
+      // (Pre-clamp, the 8-batch unordered ladder replay died inside
+      // setTimeoutTimestamp; StreamLadder's sf1/sf4 sessionize rows
+      // are the system-level proof of the fix.)
+      assert(!got.exists(_._1 == 2L))
+      assert(got.contains((1L, 1L)))
+      assert(got.contains((3L, 1L)))
+    } finally query.stop()
+  }
+
   test("streaming CUSUM trace matches batch qe_changepoint") {
     val s = spark
     import s.implicits._

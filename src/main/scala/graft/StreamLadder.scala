@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.dedup.Dedup
+import graft.streaming.EventStreams
+
+/** Streaming throughput ladder: run the stateful streaming operators
+  * over a FILE-STREAM of the scale-ladder directories (driver sf0.1
+  * plus ScaleGen's sf1/sf4) and record end-to-end micro-batch
+  * throughput (rows/s), batch count, and final state-store size per
+  * (operator, SF). The batch scale ladder (ScaleLadder → SCALING.md)
+  * proves the BATCH plans hold shape ×40; this tool proves the same
+  * for the streaming surface — that per-event cost is flat as input
+  * scales and that state stays bounded by the operator's contract
+  * (open windows / open sessions / dedup horizon), not by history.
+  *
+  * Method:
+  *  - source: `readStream.parquet` over the directory's own files with
+  *    `maxFilesPerTrigger` (default 4) so larger SFs process MORE
+  *    micro-batches of the same file-sized granularity — exactly how
+  *    a production file-drop ingest scales — under
+  *    `Trigger.AvailableNow` (bounded run, same watermark semantics
+  *    as a live stream).
+  *  - the measured span covers query start → terminal idle, i.e. every
+  *    micro-batch including state flush; rows/s = input rows / span.
+  *  - each (operator, SF) runs `SPARK_GRAFT_STREAM_ITERS` times (min
+  *    span taken, fresh checkpoint each time — same noise discipline
+  *    as Bench/ScaleLadder on this shared host).
+  *  - state rows come from the LAST progress event carrying state
+  *    operators (flatMapGroupsWithState/session + agg state).
+  *
+  * Operators (one per distinct state contract):
+  *  - windowed_agg: watermarked tumbling windows — state = open windows.
+  *  - topvalues_sketch: Misra–Gries Aggregator inside a windowed agg —
+  *    state = O(capacity) per window regardless of value cardinality.
+  *  - sessionize: flatMapGroupsWithState event-time sessions — state =
+  *    one open session per active user.
+  *  - dedup_watermark: dropDuplicatesWithinWatermark — state = ids
+  *    within the late-arrival horizon.
+  *  - neardup_probe: stateless MinHash band projection joined to the
+  *    corpus band index (stream-static) — state = none; measures the
+  *    per-row signature + probe cost only.
+  *
+  * Run: `sbt "runMain graft.StreamLadder sf0.1=/root/testdata/sf0.1 \
+  *   sf1=target/scaledata/sf1 sf4=target/scaledata/sf4"`.
+  * Output: STREAMING_RAW.jsonl (SPARK_GRAFT_STREAM_OUT to override).
+  */
+object StreamLadder {
+
+  /** (name, table, builder): builder takes the streaming frame (already
+    * ts-normalized), returns the stream to drain. The band index — the
+    * persisted static side a production probe would keep — is built
+    * from the batch read of the same dir, materialized OUTSIDE the
+    * measured span, and unpersisted when the SF's runs finish. */
+  private def operators(spark: SparkSession, dir: String)
+      : (Seq[(String, String, DataFrame => DataFrame)], () => Unit) = {
+    val idx = Dedup.bandIndex(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", 64, 4).cache()
+    idx.count()
+    (Seq(
+      ("windowed_agg", "events",
+        (s: DataFrame) => EventStreams.windowedAgg(s)),
+      ("topvalues_sketch", "events",
+        (s: DataFrame) => EventStreams.windowedTopValues(s)),
+      ("sessionize", "events",
+        (s: DataFrame) => EventStreams.sessionize(
+          EventStreams.toSessionEvents(s)).toDF()),
+      ("dedup_watermark", "events",
+        (s: DataFrame) => EventStreams.dedupWithinWatermark(s)),
+      ("neardup_probe", "documents",
+        (s: DataFrame) =>
+          Dedup.streamingNearDupCollisions(s, idx, "text", "doc_id", 64, 4))
+    ), () => { idx.unpersist(); () })
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StreamLadder <label>=<dir> ...")
+    val ladder = args.toSeq.map { a =>
+      val Array(label, d) = a.split("=", 2)
+      (label, d)
+    }
+    val iterations =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_ITERS", "2").toInt
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
+      "STREAMING_RAW.jsonl")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, true))
+    try {
+      for ((label, dir) <- ladder) {
+        val (ops, cleanup) = operators(spark, dir)
+        for ((name, table, build) <- ops) {
+          // Batch read pins the source schema (file streams require an
+          // explicit schema) and the true input row count.
+          val batch = Tables.load(spark, dir, table)
+          val inputRows = batch.count()
+          val rawSchema = spark.read.parquet(s"$dir/$table.parquet").schema
+          var bestSec = Double.MaxValue
+          var batches = 0L
+          var stateRows = -1L
+          var outRows = 0L
+          var error: Option[String] = None
+          var it = 0
+          while (it < iterations && error.isEmpty) {
+            val ckpt = Files.createTempDirectory(s"streamladder_$name")
+              .toString
+            try {
+              // normalizeAllTs covers NTZ columns; the events ts can
+              // also arrive as raw nanos LONG (TablesNtzSpec's third
+              // encoding), which only normalizeTs converts.
+              // The driver's tables are SINGLE parquet files (ScaleGen's
+              // are directories). FileStreamSource injects
+              // `basePath = <path>` whenever the path is NOT a glob
+              // (FileStreamSource.scala, optionsForInnerDataSource) —
+              // for a single-file table that basePath is a file and
+              // every micro-batch dies with "'basePath' must be a
+              // directory". A {}-glob path suppresses the injection, and
+              // the explicit directory basePath then serves both layouts.
+              val raw = spark.readStream.schema(rawSchema)
+                .option("maxFilesPerTrigger", filesPerTrigger)
+                .option("basePath", dir)
+                .parquet(s"$dir/{$table}.parquet")
+              val src =
+                if (rawSchema.fieldNames.contains("ts"))
+                  Tables.normalizeTs(Tables.normalizeAllTs(raw), "ts")
+                else Tables.normalizeAllTs(raw)
+              val sink = build(src)
+              val t0 = System.nanoTime()
+              val q = sink.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(Trigger.AvailableNow())
+                .start()
+              q.awaitTermination()
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (sec < bestSec) {
+                bestSec = sec
+                val ps = q.recentProgress
+                batches = ps.count(_.numInputRows > 0).toLong
+                outRows = ps.map(_.sink.numOutputRows).filter(_ > 0).sum
+                stateRows = ps.reverse
+                  .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+                  .headOption.getOrElse(-1L)
+              }
+            } catch { case e: Throwable =>
+              error = Some(e.toString.replace("\"", "'").take(300))
+            } finally {
+              // fresh checkpoint per iteration => full reprocess
+              org.apache.commons.io.FileUtils
+                .deleteQuietly(new java.io.File(ckpt))
+            }
+            it += 1
+          }
+          val line = error match {
+            case Some(msg) =>
+              s"""{"sf":"$label","stream":"$name","error":"$msg"}"""
+            case None =>
+              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows}"""
+          }
+          println(line)
+          out.println(line)
+          out.flush()
+        }
+        cleanup()
+      }
+    } finally out.close()
+    spark.stop()
+  }
+}

@@ -1801,8 +1801,17 @@ object DedupQueries {
       .map(k => when(col(s"a_sig_$k") === col(s"b_sig_$k"), 1).otherwise(0))
       .reduce(_ + _)
     val est = nMatch.cast("double") / NumPerms
-    val truth = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-      size(array_union(col("a_toks"), col("b_toks")))
+    // |A∪B| = |A| + |B| − |A∩B| (toks are array_distinct'd), so the
+    // union array never materializes: the native count-only
+    // intersection (IntersectionSize) plus two size() calls replace an
+    // array_intersect + array_union allocation per candidate pair —
+    // same integers, same division, bit-identical truth. Measured
+    // (full-plan forcing, sf0.1, ~2.3 M candidate pairs): 8.5 -> 5.8 s
+    // here, 9.0 -> 5.5 s in the threshold sweep built on this frame.
+    val nCommon = graft.functions.Portable
+      .intersectionSize(col("a_toks"), col("b_toks"))
+    val truth = nCommon.cast("double") /
+      (size(col("a_toks")) + size(col("b_toks")) - nCommon).cast("double")
     Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
       .join(side("a"), col("id_a") === col("a_id"))
       .join(side("b"), col("id_b") === col("b_id"))

@@ -816,8 +816,14 @@ object Dedup {
     // plan still grows 6^rounds nodes and Catalyst analysis, not the
     // data, becomes the bottleneck by round 7. The checkpoint
     // materializes AND truncates lineage, keeping every round's plan
-    // constant-size; superseded checkpoint blocks are reclaimed by the
-    // ContextCleaner once unreferenced.
+    // constant-size. DISK_ONLY round blocks (not the MEMORY_AND_DISK
+    // default): superseded rounds are reclaimed only when the driver
+    // GCs the owning RDDs, and accumulated rounds of an |E|-scale
+    // frame can fill the protected storage region and starve execution
+    // memory — the exact OOM the scale ladder caught in kCore's loop
+    // at the ×160 rung. A round frame is re-read at most three times;
+    // disk blocks pin no memory.
+    val roundLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var e = edges
       .select(greatest(col(ea), col(eb)).as("__hi"),
         least(col(ea), col(eb)).as("__lo"))
@@ -825,7 +831,7 @@ object Dedup {
       .join(vset.withColumnRenamed("__v", "__hi"), Seq("__hi"), "left_semi")
       .join(vset.withColumnRenamed("__v", "__lo"), Seq("__lo"), "left_semi")
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, roundLevel)
     var eCount = e.count()
     var iter = 0
     var converged = eCount == 0L
@@ -851,7 +857,7 @@ object Dedup {
         .select(col("__lo").as("__hi"), col("__m").as("__lo"))
         .union(smins.select(col("__hi"), col("__m").as("__lo")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(true, roundLevel)
       val nextCount = next.count()
       // Set equality needs the anti-join only on candidate fixpoints
       // (counts already equal) — shrinking rounds skip the join job.
@@ -963,10 +969,19 @@ object Dedup {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 14): DataFrame = {
     require(k >= 1, "k must be positive")
     val Seq(ea, eb) = edges.columns.take(2).toSeq
+    // DISK_ONLY round checkpoints, not the MEMORY_AND_DISK default:
+    // superseded rounds' blocks are freed only when the driver GCs the
+    // owning RDDs, and at the ×160 scale rung the accumulated rounds
+    // filled the protected storage region and starved execution memory
+    // outright (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY — found
+    // by the scale ladder). Disk blocks pin no memory, each round's
+    // frame is read back at most twice, and the dead-block backlog is
+    // bounded by disk, which the same rung has 40 GB of headroom on.
+    val roundLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var e = edges.select(least(col(ea), col(eb)).as("__a"),
         greatest(col(ea), col(eb)).as("__b"))
       .where(col("__a") =!= col("__b")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, roundLevel)
     var eCount = e.count()
     var iter = 0
     var stable = eCount == 0L
@@ -978,7 +993,7 @@ object Dedup {
       val next = e
         .join(keep.withColumnRenamed("__v", "__a"), Seq("__a"), "left_semi")
         .join(keep.withColumnRenamed("__v", "__b"), Seq("__b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(true, roundLevel)
       val n = next.count()
       // No edge dropped ⇒ every surviving endpoint already had degree
       // ≥ k ⇒ fixpoint.

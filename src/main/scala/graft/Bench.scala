@@ -97,14 +97,21 @@ object Bench {
       }
     val verifiedRegressions = Seq.newBuilder[String]
     var rechecked = 0
+    // Ratio AND absolute floor: at the ~0.3 s per-query fixed-cost
+    // floor a +0.15 s ambient swing is 1.5× "regression" — measured:
+    // a busier-host full run flagged two untouched sub-second queries
+    // and nothing else. A slowdown must clear half a second to mean
+    // anything on this suite.
+    def regressed(t: Double, p: Double): Boolean =
+      t > 1.5 * p && t - p > 0.5
     val results = results0.map {
-      case (name, Some(t)) if prior.get(name).exists(p => t > 1.5 * p) =>
+      case (name, Some(t)) if prior.get(name).exists(regressed(t, _)) =>
         rechecked += 1
         val extra = (1 to 2)
           .map(_ => timedRun(name, selected(name)))
           .collect { case (true, tt) => tt }
         val best = (extra :+ t).min
-        if (best > 1.5 * prior(name)) verifiedRegressions += name
+        if (regressed(best, prior(name))) verifiedRegressions += name
         name -> Some(best)
       case other => other
     }

@@ -80,9 +80,17 @@ object Bench {
         val p = java.nio.file.Paths.get("BENCH_QUERIES.json")
         if (!java.nio.file.Files.exists(p)) Map.empty
         else {
-          val q = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readString(p)).get("queries")
-          if (q == null) Map.empty
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          val q = root.get("queries")
+          // Only a record measured under the SAME forcing is a valid
+          // baseline: count()-forced times are up to ~8x faster than
+          // full-plan times on queries whose work count() eliminated,
+          // so comparing across the transition floods the recheck loop
+          // (forward) or masks real regressions (backward).
+          val fullForced = root.get("force") != null &&
+            root.get("force").asText() == "full"
+          if (q == null || !fullForced) Map.empty
           else {
             val b = Map.newBuilder[String, Double]
             q.fields().forEachRemaining { e =>
@@ -128,11 +136,7 @@ object Bench {
     // diffable via git) plus an append-only BENCH_HISTORY.jsonl, and
     // the stdout line carries as many slowest-first entries as fit a
     // conservative line budget under the 2000-char window.
-    // Locale.ROOT pins the decimal separator to '.': the default-locale
-    // f-interpolator emits "1,234" under comma-decimal locales (de_DE,
-    // fr_FR), which is invalid JSON.
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double): String = JsonFmt.ms(v)
     def qjson(rs: Seq[(String, Option[Double])]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v.map(ms).getOrElse("null") }
         .mkString("{", ",", "}")

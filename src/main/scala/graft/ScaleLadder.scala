@@ -102,8 +102,7 @@ object ScaleLadder {
       }
     })
 
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double): String = JsonFmt.ms(v)
     val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, true))
     try {
       for ((label, dir) <- ladder) {
@@ -124,7 +123,7 @@ object ScaleLadder {
               org.apache.spark.graft.ListenerBusAccess.drain(spark.sparkContext)
               lastCost = current.synchronized(current.toSeq)
             } catch { case e: Throwable =>
-              error = Some(e.toString.replace("\"", "'").take(300))
+              error = Some(JsonFmt.err(e))
             }
             // Outside the timed region: drop the previous query's dead
             // localCheckpoint blocks. ContextCleaner frees them only
@@ -135,7 +134,11 @@ object ScaleLadder {
             System.gc()
             it += 1
           }
-          val line = error match {
+          // A transient later-iteration failure must not discard an
+          // already-successful measurement: the error line is emitted
+          // only when NO iteration produced a result (same keep-the-
+          // good-run discipline as Bench).
+          val line = error.filter(_ => best == Double.MaxValue) match {
             case Some(msg) =>
               s"""{"sf":"$label","query":"$name","error":"$msg"}"""
             case None =>

@@ -96,12 +96,16 @@ object StreamLadder {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // batches/out_rows/state_rows read recentProgress after the run;
+      // the default ring buffer keeps 100 progress events, so a
+      // >100-micro-batch replay (smaller maxFilesPerTrigger, bigger SF)
+      // would silently under-report. 10k covers any run this tool does.
+      .config("spark.sql.streaming.numRecentProgressUpdates", 10000)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double): String = JsonFmt.ms(v)
     val out = new java.io.PrintWriter(new java.io.FileWriter(outPath, true))
     try {
       for ((label, dir) <- ladder) {
@@ -160,7 +164,7 @@ object StreamLadder {
                   .headOption.getOrElse(-1L)
               }
             } catch { case e: Throwable =>
-              error = Some(e.toString.replace("\"", "'").take(300))
+              error = Some(JsonFmt.err(e))
             } finally {
               // fresh checkpoint per iteration => full reprocess
               org.apache.commons.io.FileUtils
@@ -168,7 +172,10 @@ object StreamLadder {
             }
             it += 1
           }
-          val line = error match {
+          // Emit the error line only when NO iteration measured (a
+          // transient later-iteration failure must not discard a good
+          // run — Bench's discipline).
+          val line = error.filter(_ => bestSec == Double.MaxValue) match {
             case Some(msg) =>
               s"""{"sf":"$label","stream":"$name","error":"$msg"}"""
             case None =>

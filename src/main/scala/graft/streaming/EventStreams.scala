@@ -221,9 +221,15 @@ object EventStreams {
             // the sf1/sf4 rungs: 8-batch unordered replay crashed the
             // query). The clamped session is already closeable — the
             // timeout fires at the next trigger, same closure rule.
+            // On a BATCH Dataset there is no watermark (the module
+            // contract is batch-or-streaming): getCurrentWatermarkMs
+            // throws there, while setTimeoutTimestamp is a no-op — so
+            // fall back to the unclamped target.
+            val wmMs =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
             state.setTimeoutTimestamp(
-              math.max(cur.endUs / 1000 + GapUs / 1000,
-                state.getCurrentWatermarkMs() + 1))
+              math.max(cur.endUs / 1000 + GapUs / 1000, wmMs + 1))
             closed.result().iterator
           }
       }

@@ -167,6 +167,27 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizer runs on a BATCH Dataset (module batch-or-streaming contract)") {
+    // The watermark clamp reads getCurrentWatermarkMs, which THROWS on
+    // a batch Dataset (no watermark node survives batch planning) —
+    // this pins the fallback. Batch semantics: one pass, no timeouts,
+    // so only sessions closed by a successor event emit.
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-02-01 08:00:00")
+    def ev(id: Long, user: Long, offsetMin: Long) = EventStreams.SessionEvent(
+      id, new Timestamp(t0.getTime + offsetMin * 60000L), user)
+    val batch = Seq(
+      ev(1, 1L, 0), ev(2, 1L, 5),   // session 1 of user 1 (closed by ↓)
+      ev(3, 1L, 120),               // session 2 of user 1 (stays open)
+      ev(4, 2L, 0)                  // user 2's only session (stays open)
+    ).toDS()
+    val got = EventStreams.sessionize(batch)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L)))
+  }
+
   test("streaming CUSUM trace matches batch qe_changepoint") {
     val s = spark
     import s.implicits._

@@ -113,7 +113,11 @@ object ScaleLadder {
           var lastCost: Seq[StageCost] = Nil
           var error: Option[String] = None
           var it = 0
-          while (it < iterations && error.isEmpty) {
+          // No early break on failure: a transient iteration-1 error
+          // (e.g. an ambient OOM on this shared host) must not discard
+          // the whole (query, SF) cell when iteration 2 would succeed.
+          // The error is kept only if NO iteration measured.
+          while (it < iterations) {
             current.synchronized(current.clear())
             val t0 = System.nanoTime()
             try {
@@ -140,7 +144,11 @@ object ScaleLadder {
           // good-run discipline as Bench).
           val line = error.filter(_ => best == Double.MaxValue) match {
             case Some(msg) =>
-              s"""{"sf":"$label","query":"$name","error":"$msg"}"""
+              // "force":"full" on the error line too: scaling_table.py
+              // filters raw records on that field, and an error line
+              // without it would be dropped BEFORE last-wins — letting
+              // an older success mask the newest run's crash.
+              s"""{"sf":"$label","query":"$name","error":"$msg","force":"full"}"""
             case None =>
               val sw = lastCost.map(_.shuffleWrite).sum
               val sr = lastCost.map(_.shuffleRead).sum

@@ -122,7 +122,11 @@ object StreamLadder {
           var outRows = 0L
           var error: Option[String] = None
           var it = 0
-          while (it < iterations && error.isEmpty) {
+          // No early break on failure: a transient iteration-1 error
+          // must not discard the (operator, SF) cell when iteration 2
+          // would succeed; the error line is emitted only if NO
+          // iteration measured (same discipline as ScaleLadder).
+          while (it < iterations) {
             val ckpt = Files.createTempDirectory(s"streamladder_$name")
               .toString
             try {

@@ -211,15 +211,19 @@ object EventStreams {
               } else cur = cur.copy(endUs = math.max(cur.endUs, t), n = cur.n + 1)
             }
             state.update(cur)
-            // Clamp to the watermark: events can reach the function
-            // OLDER than the current watermark (an unordered source —
-            // e.g. a file drop replayed in non-time order — advances
-            // the watermark past data still in flight; Spark does not
-            // late-filter fMGWS input). A session built from such
-            // events has end + gap < watermark, and Spark rejects a
-            // timeout in the past outright (found by StreamLadder at
-            // the sf1/sf4 rungs: 8-batch unordered replay crashed the
-            // query). The clamped session is already closeable — the
+            // Clamp to the watermark: FlatMapGroupsWithStateExec late-
+            // filters input against the PREVIOUS batch's watermark,
+            // while the timeout check uses the ADVANCED current one —
+            // so events between the two watermarks still reach the
+            // function (an unordered source — e.g. a file drop replayed
+            // in non-time order — advances the watermark past data
+            // still in flight). A session built from such in-between
+            // events has end + gap < current watermark, and Spark
+            // rejects a timeout in the past outright (found by
+            // StreamLadder at the sf1/sf4 rungs: 8-batch unordered
+            // replay crashed the query; EventStreamSpec pins that a
+            // FULLY-late batch — older than the prior watermark — is
+            // dropped before the function ever sees it). The clamped session is already closeable — the
             // timeout fires at the next trigger, same closure rule.
             // On a BATCH Dataset there is no watermark (the module
             // contract is batch-or-streaming): getCurrentWatermarkMs

@@ -1217,7 +1217,21 @@ object Dedup {
     * graph, not the exact threshold graph, and the deterministic
     * md5-derived planes ([[graft.similarity.Knn.planes]]) make the
     * bucketing reproducible in any engine — the DuckDB oracles replay
-    * it bit-exactly. Returns (id_a, id_b, cosine), id_a < id_b. */
+    * it bit-exactly. Returns (id_a, id_b, cosine), id_a < id_b.
+    *
+    * SIZING: `numPlanes` must scale with the corpus — buckets hold
+    * n / 2^numPlanes rows on average and same-bucket pair generation is
+    * Σ C(bucket, 2), so a pinned plane count goes QUADRATIC once
+    * n ≫ 2^numPlanes. Measured on the ×160 scale ladder (320 k
+    * vectors): planes=6 → 125.5 M edges / 89 s; planes=12 →
+    * 17.8 M / 3.6 s — 25× from the knob alone. Use [[autoPlanes]] (or
+    * the count-driven overload below) unless the call site pins planes
+    * for oracle replay. Contrast with [[minhashCandidatePairs]], whose
+    * band buckets are CONTENT-derived (docs agreeing on a whole
+    * signature band): those grow with true near-dup density — linear
+    * in the corpus at fixed density — and only the boilerplate tail
+    * needs its `maxBucketSize` cap; the fixed 2^planes sign space here
+    * is the geometry that must be re-sized as the corpus grows. */
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       numPlanes: Int, dims: Int, minCosine: Double): DataFrame = {
     import graft.similarity.Knn
@@ -1235,6 +1249,32 @@ object Dedup {
           .as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Corpus-sized hyperplane count: planes = ⌈log₂(n / targetBucketRows)⌉
+    * clamped to [minPlanes, maxPlanes], i.e. the plane count that keeps
+    * the AVERAGE bucket at ~targetBucketRows rows so same-bucket pair
+    * work (Σ C(bucket, 2) ≈ n·targetBucketRows/2) stays LINEAR in the
+    * corpus instead of quadratic. targetBucketRows=128 reproduces the
+    * ×160 ladder's measured optimum (320 k vectors → 12 planes →
+    * 17.8 M edges / 3.6 s, vs 125.5 M / 89 s at the old pinned 6); the
+    * max clamp of 24 covers ~2 B rows, past which raise it — the cost
+    * of a plane is one dot product per row per plane, linear. */
+  def autoPlanes(n: Long, targetBucketRows: Int = 128,
+      minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    require(n >= 0 && targetBucketRows > 0 && minPlanes <= maxPlanes)
+    val raw = math.ceil(
+      math.log(math.max(n, 1).toDouble / targetBucketRows) / math.log(2.0))
+    math.min(maxPlanes, math.max(minPlanes, raw.toInt))
+  }
+
+  /** [[lshCosinePairs]] with the plane count auto-sized from the corpus:
+    * one cheap count job (a bare parquet scan answers it from footer
+    * metadata) feeds [[autoPlanes]]. This is the default entry point —
+    * the pinned-planes overload exists for oracle-replayable call
+    * sites, where the DuckDB mirror must bake the same plane count. */
+  def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, minCosine: Double): DataFrame =
+    lshCosinePairs(df, vecCol, idCol, autoPlanes(df.count()), dims, minCosine)
 
   /** Maximal shared-substring spans between document pairs — the
     * span-level form of exact substring dedup (Lee et al. 2022,

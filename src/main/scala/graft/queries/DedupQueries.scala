@@ -1087,8 +1087,14 @@ object DedupQueries {
     VecSql.lshEdgeCte("e0", "a", "b",
       GraphPlanes, GraphDims, GraphMinCosine)
 
-  val qdKcoreSql: String = {
-    val pairs = embeddingEdgeCte
+  val qdKcoreSql: String = kcoreUnrollSql(GraphPlanes)
+
+  /** The unrolled k-core replay, parameterized on the plane count so
+    * the pinned (qd_kcore) and auto-sized (qd_kcore_auto) oracles share
+    * one peeling definition. */
+  private def kcoreUnrollSql(planes: Int): String = {
+    val pairs = VecSql.lshEdgeCte("e0", "a", "b",
+      planes, GraphDims, GraphMinCosine)
     val stages = (1 to 14).map { i =>
       s""", d$i AS MATERIALIZED (
          |  SELECT vtx, COUNT(*) AS c FROM (
@@ -1205,6 +1211,64 @@ object DedupQueries {
       |    AS rank,
       |  id_a, id_b, n_common, aa_score
       |FROM top ORDER BY rank""".stripMargin
+
+  /** Plane count the auto-sizing formula picks at every driver SF:
+    * `Dedup.autoPlanes` = ⌈log₂(n/128)⌉ clamped to [4, 24] gives 4 for
+    * both the 500-vector (sf0.001/sf0.01) and 2000-vector (sf0.1)
+    * embeddings tables, so ONE baked oracle plane count serves the
+    * whole driver gate (AutoPlanesSpec pins the arithmetic; the scale
+    * rungs where the knob actually moves — 20 k → 8, 80 k → 10,
+    * 320 k → 12 — are ladder-measured, not oracle-replayed). */
+  private val AutoOraclePlanes = 4
+
+  /** §2.25v — the corpus-auto-sized LSH edge generator: identical
+    * geometry to 25n but the plane count comes from
+    * [[Dedup.autoPlanes]] (⌈log₂(n/targetBucket)⌉, one cheap count
+    * job) instead of a pinned knob. This is the 100 TB default entry
+    * point: the ×160 ladder measured Σ C(bucket,2) pair generation
+    * going quadratic once the corpus outgrew the pinned 2^6 buckets
+    * (125.5 M edges / 89 s at planes=6 vs 17.8 M / 3.6 s at the
+    * auto-chosen 12 on 320 k vectors — 25× from sizing alone). The
+    * oracle replays the same auto-chosen plane count (= 4 at every
+    * driver SF, see [[AutoOraclePlanes]]) bit-exactly. */
+  def qdLshAuto(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphDims, GraphMinCosine)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qdLshAutoSql: String =
+    s"""WITH bktd AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    ${VecSql.bucketSql("embedding", AutoOraclePlanes, GraphDims)}
+       |      AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${gCosineSql("a.embedding", "b.embedding")} AS cosine
+       |FROM bktd a JOIN bktd b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${gCosineSql("a.embedding", "b.embedding")} >= $GraphMinCosine
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** §2.25w — 2-core over the AUTO-sized near-dup graph: the graph
+    * family's heaviest consumer ([[Dedup.kCore]]) running on
+    * [[qdLshAuto]]'s edge set — the end-to-end proof that the
+    * auto-sizing default feeds the iterative consumers unchanged
+    * (same peeling, same fixpoint contract). At the driver SFs the
+    * auto knob lands on 4 planes (denser graph than 25l's pinned 6 —
+    * a HARDER peel, verified against the same 14-stage unrolled
+    * replay); at the ladder rungs it is the query that reproduces the
+    * measured 25× win without hand-tuning. */
+  def qdKcoreAuto(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphDims, GraphMinCosine)
+      .select("id_a", "id_b")
+    Dedup.kCore(edges, k = 2)
+      .select(col("vertex").as("vec_id"), col("core_degree"))
+      .orderBy("vec_id")
+  }
+
+  val qdKcoreAutoSql: String = kcoreUnrollSql(AutoOraclePlanes)
 
   /** §2.25o — recall instrumentation of the LSH edge generator: the
     * ground truth is the UNBLOCKED exact threshold graph (every pair
@@ -2411,6 +2475,8 @@ object DedupQueries {
     "qd_cdc_chunks" -> (qdCdcChunks _),
     "qd_lsh_recall" -> (qdLshRecall _),
     "qd_link_pred" -> (qdLinkPred _),
+    "qd_lsh_auto" -> (qdLshAuto _),
+    "qd_kcore_auto" -> (qdKcoreAuto _),
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
     "qd_kcore" -> (qdKcore _),
@@ -2455,6 +2521,8 @@ object DedupQueries {
     "qd_modularity" -> qdModularitySql,
     "qd_lsh_recall" -> qdLshRecallSql,
     "qd_link_pred" -> qdLinkPredSql,
+    "qd_lsh_auto" -> qdLshAutoSql,
+    "qd_kcore_auto" -> qdKcoreAutoSql,
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
     "qd_kcore" -> qdKcoreSql,

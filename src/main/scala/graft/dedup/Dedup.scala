@@ -633,11 +633,43 @@ object Dedup {
       .select(least(col("__id_lo"), col("__id_hi")).as("id_a"),
         greatest(col("__id_lo"), col("__id_hi")).as("id_b"))
       .distinct()
+    // Verification-attach strategy (the qd_tfidf_pairs lesson, measured
+    // again here by the ×160 ladder: 28 GB spill at sf16): under
+    // sort-merge, the pairs×arrays intermediate of the FIRST attach is
+    // re-sorted by id_b for the second — fat rows crossing a sort is
+    // where the spill lives. Preferred: broadcast the shingle frame
+    // when a one-job size probe (64 B/row + 56 B/shingle envelope; md5
+    // hex + UTF8String overhead) fits under
+    // spark.graft.snm.maxBroadcastBytes — pair rows then never carry
+    // arrays across an exchange. Past the gate: shuffle-HASH join, which
+    // still exchanges the linear-sized shingle frame but never sorts the
+    // fat intermediate (build side = shingles, bounded per partition;
+    // streamed side = slim pairs). Audit mode
+    // (spark.graft.materialize=false) skips the probe so plan
+    // inspection stays job-free.
+    val spark = df.sparkSession
+    val maxBcast = {
+      val key = "spark.graft.snm.maxBroadcastBytes"
+      val raw = spark.conf.get(key, s"${1L << 30}")
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a byte count, got '$raw'")
+      }
+    }
+    val useBroadcast =
+      spark.conf.get("spark.graft.materialize", "true").toBoolean &&
+      maxBcast > 0 && {
+        val s = sets.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__sz")), lit(0L)).as("t")).head()
+        s.getLong(0) * 64L + s.getLong(1) * 56L <= maxBcast
+      }
+    def hinted(d: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(d) else d.hint("shuffle_hash")
     cand
-      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sha"),
-        col("__sz").as("__na")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__shb"),
-        col("__sz").as("__nb")), "id_b")
+      .join(hinted(sets.select(col("__id").as("id_a"), col("__sh").as("__sha"),
+        col("__sz").as("__na"))), "id_a")
+      .join(hinted(sets.select(col("__id").as("id_b"), col("__sh").as("__shb"),
+        col("__sz").as("__nb"))), "id_b")
       .withColumn("n_common", intersectionSize(col("__sha"), col("__shb")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("__na") + col("__nb") - col("n_common")).cast("double"))

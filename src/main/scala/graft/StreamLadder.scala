@@ -90,8 +90,26 @@ object StreamLadder {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",
       "STREAMING_RAW.jsonl")
+    // State-store provider rung: the default HDFS-backed store keeps
+    // every state row on-heap — at 100 TB/day user cardinality that is
+    // the wrong store, so the ladder must measure RocksDB (off-heap,
+    // disk-backed, the production choice for large state) against it.
+    // SPARK_GRAFT_STREAM_STATE_PROVIDER=rocksdb flips it; records carry
+    // the provider tag so the two rows never get conflated.
+    val providerTag =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PROVIDER", "hdfs")
+        .toLowerCase(java.util.Locale.ROOT)
+    val providerClass = providerTag match {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_STATE_PROVIDER must be hdfs|rocksdb, got '$other'")
+    }
 
     val spark = SparkSession.builder()
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
@@ -120,6 +138,7 @@ object StreamLadder {
           var batches = 0L
           var stateRows = -1L
           var outRows = 0L
+          var lateDropped = 0L
           var error: Option[String] = None
           var it = 0
           // No early break on failure: a transient iteration-1 error
@@ -166,6 +185,11 @@ object StreamLadder {
                 stateRows = ps.reverse
                   .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
                   .headOption.getOrElse(-1L)
+                // The late-DROP side of the watermark contract, summed
+                // over the replay — the observability LateDropListener
+                // gives a live query, recorded here per (operator, SF).
+                lateDropped = ps.map(
+                  _.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
               }
             } catch { case e: Throwable =>
               error = Some(JsonFmt.err(e))
@@ -183,7 +207,7 @@ object StreamLadder {
             case Some(msg) =>
               s"""{"sf":"$label","stream":"$name","error":"$msg"}"""
             case None =>
-              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows}"""
+              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"provider":"$providerTag"}"""
           }
           println(line)
           out.println(line)

@@ -384,4 +384,50 @@ class EventStreamSpec extends SparkSpec {
           e.event_type, e.value)).toSet)
     } finally query.stop()
   }
+
+  test("late-drop count is observable and equals the watermark contract") {
+    // The watermark contract drops events older than the horizon —
+    // correct, bounded-state behavior that is INVISIBLE in production
+    // unless surfaced (the ×160 ladder's disordered replay silently
+    // discarded 25 % of input). LateDropListener exposes Spark's own
+    // numRowsDroppedByWatermark per batch; this pins the observed
+    // count to the contract's arithmetic on a replayed batch: after
+    // batch 1 establishes watermark = max(ts) − 2 h, a full redelivery
+    // in batch 2 must late-drop EXACTLY the events strictly older than
+    // that watermark (newer redeliveries hit state and drop as
+    // duplicates — deduped, but not late).
+    val s = spark
+    import s.implicits._
+    val events = loadEvents
+    val maxTs = events.map(_.ts.getTime).max
+    val horizonMs = maxTs - 2L * 3600 * 1000
+    val expectedLate = events.count(_.ts.getTime < horizonMs).toLong
+    assert(expectedLate > 0, "fixture must contain events past the horizon")
+
+    val listener = new LateDropListener
+    spark.streams.addListener(listener)
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("latedrop_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      val droppedBatch1 = listener.totalDropped(query.id)
+      stream.addData(events)
+      query.processAllAvailable()
+
+      assert(droppedBatch1 === 0L) // first delivery: nothing is late
+      assert(listener.totalDropped(query.id) === expectedLate)
+      // The per-batch view attributes every drop to the replay batches,
+      // and the listener agrees with the query's own progress records.
+      assert(listener.perBatch(query.id).values.sum === expectedLate)
+      assert(query.recentProgress
+        .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+        .sum === expectedLate)
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }

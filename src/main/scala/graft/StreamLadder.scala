@@ -205,7 +205,10 @@ object StreamLadder {
           // run — Bench's discipline).
           val line = error.filter(_ => bestSec == Double.MaxValue) match {
             case Some(msg) =>
-              s"""{"sf":"$label","stream":"$name","error":"$msg"}"""
+              // provider on the error line too: a crash that only one
+              // state store exhibits must be attributable from the raw
+              // record alone.
+              s"""{"sf":"$label","stream":"$name","error":"$msg","provider":"$providerTag"}"""
             case None =>
               s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"provider":"$providerTag"}"""
           }

@@ -1131,8 +1131,14 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
-  val qdPagerankSql: String = {
-    val prelude = embeddingEdgeCte +
+  val qdPagerankSql: String = pagerankUnrollSql(GraphPlanes)
+
+  /** The unrolled PageRank replay, parameterized on the plane count so
+    * the pinned (qd_pagerank) and auto-sized (qd_pagerank_auto)
+    * oracles share one power-iteration definition. */
+  private def pagerankUnrollSql(planes: Int): String = {
+    val prelude = VecSql.lshEdgeCte("e0", "a", "b",
+      planes, GraphDims, GraphMinCosine) +
       """
         |, dirx AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e0
@@ -1269,6 +1275,26 @@ object DedupQueries {
   }
 
   val qdKcoreAutoSql: String = kcoreUnrollSql(AutoOraclePlanes)
+
+  /** §2.25x — PageRank canonical election over the AUTO-sized near-dup
+    * graph: the second iterative consumer on [[qdLshAuto]]'s edge set
+    * (10 mandated power iterations — the graph family's most
+    * edge-volume-sensitive operator, since every iteration re-joins
+    * the full directed edge list). At the ×160 rung the pinned-planes
+    * qd_pagerank would pay the 89 s quadratic edge build TEN-fold in
+    * iteration joins over 125 M edges; the auto knob makes the rung
+    * feasible. Same DECIMAL(38,18) order-exact replay, parameterized
+    * on the plane count. */
+  def qdPagerankAuto(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
+      "embedding", "vec_id", GraphDims, GraphMinCosine)
+      .select("id_a", "id_b")
+    Dedup.pageRank(edges, iterations = 10)
+      .select(col("vertex").as("vec_id"), col("pagerank"))
+      .orderBy("vec_id")
+  }
+
+  val qdPagerankAutoSql: String = pagerankUnrollSql(AutoOraclePlanes)
 
   /** §2.25o — recall instrumentation of the LSH edge generator: the
     * ground truth is the UNBLOCKED exact threshold graph (every pair
@@ -2477,6 +2503,7 @@ object DedupQueries {
     "qd_link_pred" -> (qdLinkPred _),
     "qd_lsh_auto" -> (qdLshAuto _),
     "qd_kcore_auto" -> (qdKcoreAuto _),
+    "qd_pagerank_auto" -> (qdPagerankAuto _),
     "qd_triangles" -> (qdTriangles _),
     "qd_clustering" -> (qdClustering _),
     "qd_kcore" -> (qdKcore _),
@@ -2523,6 +2550,7 @@ object DedupQueries {
     "qd_link_pred" -> qdLinkPredSql,
     "qd_lsh_auto" -> qdLshAutoSql,
     "qd_kcore_auto" -> qdKcoreAutoSql,
+    "qd_pagerank_auto" -> qdPagerankAutoSql,
     "qd_triangles" -> qdTrianglesSql,
     "qd_clustering" -> qdClusteringSql,
     "qd_kcore" -> qdKcoreSql,

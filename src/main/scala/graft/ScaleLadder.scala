@@ -34,7 +34,8 @@ object ScaleLadder {
     // dedup family: tf-idf rerank, manifest (iterative components),
     // PageRank power iteration, prefix-filter join, minhash-band pairs,
     // k-core peel, simhash Hamming banding, sorted-neighborhood blocking
-    "qd_tfidf_pairs", "qd_manifest", "qd_pagerank", "qd_prefix_join",
+    "qd_tfidf_pairs", "qd_manifest", "qd_pagerank", "qd_pagerank_auto",
+    "qd_prefix_join",
     "qd_minhash_pairs", "qd_kcore", "qd_kcore_auto", "qd_simhash_pairs",
     "qd_sorted_neighbors",
     // pipeline: leakage-safe split, DSIR eval, contamination n-grams,

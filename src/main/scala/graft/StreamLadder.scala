@@ -108,9 +108,21 @@ object StreamLadder {
         s"SPARK_GRAFT_STREAM_STATE_PROVIDER must be hdfs|rocksdb, got '$other'")
     }
 
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the streaming
+    // ladder under real Worker-launched executor JVMs (ClusterSmoke's
+    // pattern — requires SPARK_SCALA_VERSION=2.13 in the environment);
+    // executors then need this repo's classes on their classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val builder0 = SparkSession.builder()
       .config("spark.sql.streaming.stateStore.providerClass", providerClass)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .master(master)
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      else builder0
+    val spark = builder
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -62,12 +62,19 @@ class CheckpointResumeSpec extends SparkSpec {
     dropFile(slice(quarter, 2L * quarter), srcDir, "q1.parquet")
 
     val schema = ev.schema
-    def runDrain(queryName: String): Unit = {
+    // Parquet FILE sink, not memory: the memory sink refuses checkpoint
+    // recovery outright ("This query does not support recovering from
+    // checkpoint location"), and the file sink is the production shape
+    // anyway — its own file log is what makes the output exactly-once
+    // across the restart.
+    val outDir = Files.createTempDirectory("resume_out").toString
+    def runDrain(): Unit = {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$srcDir/*.parquet")
       val q = EventStreams.windowedAgg(src)
-        .writeStream.format("memory").queryName(queryName)
+        .writeStream.format("parquet")
+        .option("path", outDir)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
@@ -75,10 +82,12 @@ class CheckpointResumeSpec extends SparkSpec {
       q.awaitTermination()
       q.stop()
     }
+    def sinkRows(): Seq[Seq[Any]] =
+      spark.read.parquet(outDir).collect().map(_.toSeq).toSeq
 
     try {
-      runDrain("resume_run1")
-      val out1 = spark.table("resume_run1").collect().map(_.toSeq).toSeq
+      runDrain()
+      val out1 = sinkRows()
 
       // Phase 2: the rest of the feed + a far-future sentinel that
       // pushes the watermark past every real window, then RESTART from
@@ -93,8 +102,7 @@ class CheckpointResumeSpec extends SparkSpec {
           -1L, "__sentinel__", 0.0))
           .toDF("event_id", "ts", "user_id", "event_type", "value"),
         srcDir, "q4.parquet")
-      runDrain("resume_run2")
-      val out2 = spark.table("resume_run2").collect().map(_.toSeq).toSeq
+      runDrain()
 
       // Run 1 must have closed SOME windows (the test is vacuous
       // otherwise) but not all (state must actually cross the restart).
@@ -103,7 +111,7 @@ class CheckpointResumeSpec extends SparkSpec {
       assert(out1.nonEmpty, "run 1 closed no windows")
       assert(out1.size < want.size, "run 1 closed everything; nothing crossed")
 
-      val got = (out1 ++ out2)
+      val got = sinkRows()
         .filter(r => r(1) != "__sentinel__")
       // Multiset equality: duplicates from a replayed batch or losses
       // from a dropped state store both fail here.
@@ -112,6 +120,7 @@ class CheckpointResumeSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     }
   }
 }

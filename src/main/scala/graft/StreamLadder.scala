@@ -222,7 +222,7 @@ object StreamLadder {
               // record alone.
               s"""{"sf":"$label","stream":"$name","error":"$msg","provider":"$providerTag"}"""
             case None =>
-              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"provider":"$providerTag"}"""
+              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"provider":"$providerTag","master":"$master"}"""
           }
           println(line)
           out.println(line)

@@ -123,4 +123,79 @@ class CheckpointResumeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     }
   }
+
+  test("fMGWS sessionizer restarted from checkpoint is exactly-once across the stop") {
+    // Same harness, CUSTOM state: flatMapGroupsWithState holds one open
+    // session per user plus that user's session COUNTER. Both must
+    // cross the restart — a lost store doesn't just drop boundary
+    // sessions, it restarts every user's numbering at 1, so the
+    // session_id column disagrees with the batch replay even for
+    // sessions closed entirely inside run 2.
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .localCheckpoint()
+    val n = ev.count()
+    val rowsWithIdx = ev.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("ts", "event_id")))
+    val srcDir = Files.createTempDirectory("resume_sess_src")
+    val ckpt = Files.createTempDirectory("resume_sess_ckpt").toString
+    val outDir = Files.createTempDirectory("resume_sess_out").toString
+    val half = (n / 2).toInt
+    def slice(lo: Long, hi: Long) = rowsWithIdx
+      .where(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+
+    dropFile(slice(0, half / 2), srcDir, "q0.parquet")
+    dropFile(slice(half / 2, half), srcDir, "q1.parquet")
+
+    val schema = ev.schema
+    def runDrain(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/*.parquet")
+      val q = EventStreams.sessionize(EventStreams.toSessionEvents(src))
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
+    def sinkRows(): Seq[Seq[Any]] =
+      spark.read.parquet(outDir).collect().map(_.toSeq).toSeq
+
+    try {
+      runDrain()
+      val out1 = sinkRows()
+
+      dropFile(slice(half, n), srcDir, "q2.parquet")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val s = spark
+      import s.implicits._
+      dropFile(
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000),
+          -1L, "__sentinel__", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        srcDir, "q3.parquet")
+      runDrain()
+
+      val want = EventQueries.qeSessions(spark, dir)
+        .select("user_id", "session_id", "n_events",
+          "session_start", "session_end")
+        .collect().map(_.toSeq).toSeq
+      assert(out1.nonEmpty, "run 1 closed no sessions")
+      assert(out1.size < want.size, "run 1 closed everything; nothing crossed")
+      val got = sinkRows().filter(r => r.head != -1L)
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+        want.groupBy(identity).view.mapValues(_.size).toMap)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
+  }
 }

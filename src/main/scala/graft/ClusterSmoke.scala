@@ -83,12 +83,21 @@ object ClusterSmoke {
     val classesDir =
       new java.io.File("target/scala-2.13/classes").getAbsolutePath
 
-    val spark = SparkSession.builder()
+    // Surface the executor heap from the local-cluster spec as
+    // spark.executor.memory: the MemGate broadcast defaults read it —
+    // without this the driver-side gate would size broadcasts against
+    // the DRIVER's heap while 4–10 g executors hold the relations.
+    val executorMemMb = "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
+      .findFirstMatchIn(master).map(_.group(1))
+
+    val builder0 = SparkSession.builder()
       .master(master)
       // Worker-launched executor JVMs know Spark's jars but not this
       // repo's classes; without this every deserialized closure dies
       // with ClassNotFoundException.
       .config("spark.executor.extraClassPath", classesDir)
+    val spark = executorMemMb
+      .fold(builder0)(mb => builder0.config("spark.executor.memory", s"${mb}m"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -96,8 +105,11 @@ object ClusterSmoke {
       // The recovery demo needs failures to surface, not retry away:
       // with lineage truncated there is nothing a retry can recompute,
       // but Spark would still burn 4 task attempts × stage retries
-      // before admitting it.
-      .config("spark.task.maxFailures", "2")
+      // before admitting it. For spill-stress runs where an executor
+      // MAY legitimately die and be replaced, raise it to the
+      // production default (SPARK_GRAFT_TASK_MAX_FAILURES=4).
+      .config("spark.task.maxFailures",
+        sys.env.getOrElse("SPARK_GRAFT_TASK_MAX_FAILURES", "2"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

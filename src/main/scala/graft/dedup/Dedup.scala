@@ -648,14 +648,10 @@ object Dedup {
     // (spark.graft.materialize=false) skips the probe so plan
     // inspection stays job-free.
     val spark = df.sparkSession
-    val maxBcast = {
-      val key = "spark.graft.snm.maxBroadcastBytes"
-      val raw = spark.conf.get(key, s"${1L << 30}")
-      try raw.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$key must be a byte count, got '$raw'")
-      }
-    }
+    // Default is executor-heap-aware (MemGate — the measured OOM floor
+    // from ClusterSmoke); explicit conf overrides verbatim.
+    val maxBcast = graft.operators.MemGate.gateBytes(
+      spark, "spark.graft.snm.maxBroadcastBytes")
     val useBroadcast =
       spark.conf.get("spark.graft.materialize", "true").toBoolean &&
       maxBcast > 0 && {

@@ -880,14 +880,12 @@ object DedupQueries {
     // (correct, exchange-heavy). The stats probe runs one job at
     // construction; audit mode (spark.graft.materialize=false) skips it
     // so plan inspection stays job-free.
-    val maxBcast = {
-      val key = "spark.graft.tfidf.maxBroadcastBytes"
-      val raw = spark.conf.get(key, s"${1L << 30}")
-      try raw.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$key must be a byte count, got '$raw'")
-      }
-    }
+    // Default is executor-heap-aware (MemGate): the deserialized hash
+    // relations cost several times the envelope and OOM'd real 10 g
+    // executors on a frame the fixed 1 GiB gate admitted; explicit
+    // conf overrides verbatim.
+    val maxBcast = graft.operators.MemGate.gateBytes(
+      spark, "spark.graft.tfidf.maxBroadcastBytes")
     val useBroadcast =
       spark.conf.get("spark.graft.materialize", "true").toBoolean &&
       maxBcast > 0 && {

@@ -96,8 +96,17 @@ object ClusterSmoke {
       // repo's classes; without this every deserialized closure dies
       // with ClassNotFoundException.
       .config("spark.executor.extraClassPath", classesDir)
-    val spark = executorMemMb
+    // Generic conf passthrough for experiments (e.g. forcing a gate):
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2".
+    val builder1 = executorMemMb
       .fold(builder0)(mb => builder0.config("spark.executor.memory", s"${mb}m"))
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder1) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")

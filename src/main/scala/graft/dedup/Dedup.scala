@@ -661,11 +661,20 @@ object Dedup {
       }
     def hinted(d: DataFrame): DataFrame =
       if (useBroadcast) broadcast(d) else d.hint("shuffle_hash")
+    // ONE hinted frame serves both probes, un-aliased, so the two
+    // joins' exchange subplans are identical and ReuseExchange keeps a
+    // single broadcast relation resident per executor (the qd_tfidf
+    // lesson — per-side aliases between exchange and join defeat the
+    // reuse and double the footprint). Renames happen on the joined
+    // output.
+    val attach = hinted(sets.select(col("__id"), col("__sh"), col("__sz")))
     cand
-      .join(hinted(sets.select(col("__id").as("id_a"), col("__sh").as("__sha"),
-        col("__sz").as("__na"))), "id_a")
-      .join(hinted(sets.select(col("__id").as("id_b"), col("__sh").as("__shb"),
-        col("__sz").as("__nb"))), "id_b")
+      .join(attach, cand("id_a") === attach("__id"))
+      .drop("__id")
+      .withColumnsRenamed(Map("__sh" -> "__sha", "__sz" -> "__na"))
+      .join(attach, col("id_b") === attach("__id"))
+      .drop("__id")
+      .withColumnsRenamed(Map("__sh" -> "__shb", "__sz" -> "__nb"))
       .withColumn("n_common", intersectionSize(col("__sha"), col("__shb")))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("__na") + col("__nb") - col("n_common")).cast("double"))

@@ -895,11 +895,25 @@ object DedupQueries {
         s.getLong(0) * 64L + s.getLong(1) * 24L <= maxBcast
       }
     def hinted(d: DataFrame): DataFrame = if (useBroadcast) broadcast(d) else d
+    // ONE broadcast serves both probes: the attach frame is hinted
+    // UN-aliased, so the two joins' broadcast-exchange subplans are
+    // IDENTICAL and ReuseExchange keeps a single relation resident per
+    // executor — the per-side `.as("id_a")`/`.as("id_b")` projections
+    // of the old shape sat between the exchange and the join and
+    // defeated the reuse, doubling the resident footprint that set the
+    // measured executor OOM floor (MemGate). Renames happen on the
+    // JOINED output instead.
+    val attach = hinted(vec.select(
+      col("doc_id"), col("__toks"), col("__ws"), col("__n2")))
     cand
-      .join(hinted(vec.select(col("doc_id").as("id_a"), col("__toks").as("__ta"),
-        col("__ws").as("__wa"), col("__n2").as("__na"))), "id_a")
-      .join(hinted(vec.select(col("doc_id").as("id_b"), col("__toks").as("__tb"),
-        col("__ws").as("__wb"), col("__n2").as("__nb"))), "id_b")
+      .join(attach, cand("id_a") === attach("doc_id"))
+      .drop("doc_id")
+      .withColumnsRenamed(Map("__toks" -> "__ta", "__ws" -> "__wa",
+        "__n2" -> "__na"))
+      .join(attach, col("id_b") === attach("doc_id"))
+      .drop("doc_id")
+      .withColumnsRenamed(Map("__toks" -> "__tb", "__ws" -> "__wb",
+        "__n2" -> "__nb"))
       .withColumn("__dot", org.apache.spark.sql.graft.SparseDotLong
         .ofColumns(col("__ta"), col("__wa"), col("__tb"), col("__wb")))
       .withColumn("cosine", round(col("__dot").cast("double") /

@@ -30,6 +30,22 @@ class TfidfPairsJoinPathSpec extends SparkSpec {
     assert(broadcastPath === shufflePath)
   }
 
+  test("both probes share ONE broadcast relation (ReusedExchange)") {
+    // The vector frame is hinted un-aliased so the two attach joins'
+    // broadcast-exchange subplans are identical — per-side aliases
+    // between exchange and join would give each probe its own resident
+    // relation, doubling the footprint that set the measured executor
+    // OOM floor (MemGate).
+    try {
+      spark.conf.set(key, (1L << 30).toString)
+      val df = DedupQueries.qdTfidfPairs(spark, dir)
+      graft.Force.rows(df) // AQE: reuse is only visible in the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        "second vector probe rebuilt its own broadcast relation")
+    } finally spark.conf.unset(key)
+  }
+
   test("a non-numeric threshold fails loudly with the key in the message") {
     try {
       spark.conf.set(key, "lots")

@@ -22,6 +22,14 @@ object Scratch {
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", v)
     }
+    // Generic conf passthrough (ClusterSmoke's pattern):
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — e.g. forcing a broadcast
+    // gate while bisecting a join-path decision.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")

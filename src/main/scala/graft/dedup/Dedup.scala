@@ -633,30 +633,38 @@ object Dedup {
       .select(least(col("__id_lo"), col("__id_hi")).as("id_a"),
         greatest(col("__id_lo"), col("__id_hi")).as("id_b"))
       .distinct()
-    // Verification-attach strategy (the qd_tfidf_pairs lesson, measured
-    // again here by the ×160 ladder: 28 GB spill at sf16): under
-    // sort-merge, the pairs×arrays intermediate of the FIRST attach is
-    // re-sorted by id_b for the second — fat rows crossing a sort is
-    // where the spill lives. Preferred: broadcast the shingle frame
-    // when a one-job size probe (64 B/row + 56 B/shingle envelope; md5
-    // hex + UTF8String overhead) fits under
-    // spark.graft.snm.maxBroadcastBytes — pair rows then never carry
-    // arrays across an exchange. Past the gate: shuffle-HASH join, which
-    // still exchanges the linear-sized shingle frame but never sorts the
-    // fat intermediate (build side = shingles, bounded per partition;
-    // streamed side = slim pairs). Audit mode
-    // (spark.graft.materialize=false) skips the probe so plan
-    // inspection stays job-free.
+    // Verification-attach strategy: under sort-merge, the pairs×arrays
+    // intermediate of the FIRST attach is re-sorted by id_b for the
+    // second — fat rows crossing a sort is where the ×160 ladder's
+    // 28 GB spill lived. The default is shuffle-HASH: it exchanges the
+    // linear-sized shingle frame but never sorts the fat intermediate
+    // (build side = shingles, bounded per partition; streamed side =
+    // slim pairs), and it WON every measured size — sf4: 4.1 s vs
+    // 7.5 s broadcasting the same ~600 MB frame (driver collect +
+    // relation rebuild outweigh the avoided exchange); sf16: 17.0 s /
+    // zero spill vs the old sort-merge's 66.3 s / 28 GB. Broadcast is
+    // explicit opt-in (spark.graft.snm.maxBroadcastBytes > 0, with a
+    // token-count upper-bound probe — shingles of t tokens number
+    // ≤ t − n + 1, so no md5/distinct pass) for deployments whose pair
+    // volume dwarfs a tiny corpus; unlike the tf-idf scorer there is
+    // no measured regime where it wins here, so it earns no default.
+    // Audit mode (spark.graft.materialize=false) skips the probe so
+    // plan inspection stays job-free.
     val spark = df.sparkSession
-    // Default is executor-heap-aware (MemGate — the measured OOM floor
-    // from ClusterSmoke); explicit conf overrides verbatim.
-    val maxBcast = graft.operators.MemGate.gateBytes(
-      spark, "spark.graft.snm.maxBroadcastBytes")
+    val maxBcast = {
+      val key = "spark.graft.snm.maxBroadcastBytes"
+      spark.conf.getOption(key).map { raw =>
+        try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a byte count, got '$raw'")
+        }
+      }.getOrElse(0L)
+    }
     val useBroadcast =
       spark.conf.get("spark.graft.materialize", "true").toBoolean &&
       maxBcast > 0 && {
-        val s = sets.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("__sz")), lit(0L)).as("t")).head()
+        val s = df.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(tokens(col(textCol)))), lit(0L)).as("t")).head()
         s.getLong(0) * 64L + s.getLong(1) * 56L <= maxBcast
       }
     def hinted(d: DataFrame): DataFrame =

@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Executor-heap-aware default for the size-gated-broadcast knobs.
   *
-  * The tf-idf scorer and the SNM verifier broadcast their attach frame
-  * when a one-job size probe fits under a byte gate. The gate's
+  * The tf-idf scorer broadcasts its attach frame when a one-job size
+  * probe fits under a byte gate (the SNM verifier's gate defaults to
+  * OFF instead — shuffle-hash won every measured size there, so its
+  * broadcast is explicit opt-in and this heuristic only serves
+  * call sites that turn it on without sizing it). The gate's
   * envelope measures the frame's DATA (64 B/row + per-term/shingle
   * bytes), but what an executor actually holds is several times that:
   * the deserialized hash relation (UnsafeRow copies + index) for EACH

@@ -894,7 +894,14 @@ object DedupQueries {
         // 64 B/row envelope + 24 B per (hash, weight) term pair.
         s.getLong(0) * 64L + s.getLong(1) * 24L <= maxBcast
       }
-    def hinted(d: DataFrame): DataFrame = if (useBroadcast) broadcast(d) else d
+    // Fallback is shuffle-HASH, not an unhinted join: unhinted, AQE's
+    // runtime stats elect a broadcast of the vector side anyway — the
+    // very relation the gate just rejected — and the build dies with
+    // notEnoughMemoryToBuildAndBroadcastTable (measured at sf4 with the
+    // gate forced off); SHJ also never sorts the fat pairs×vectors
+    // intermediate, the original spill source.
+    def hinted(d: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(d) else d.hint("shuffle_hash")
     // ONE broadcast serves both probes: the attach frame is hinted
     // UN-aliased, so the two joins' broadcast-exchange subplans are
     // IDENTICAL and ReuseExchange keeps a single relation resident per

@@ -6,12 +6,13 @@ import graft.queries.DedupQueries
 /** The sorted-neighborhood verifier attaches both docs' shingle arrays
   * to the candidate pairs. Under sort-merge that pairs×arrays
   * intermediate is re-sorted between the two attach joins — the 28 GB
-  * spill the ×160 ladder measured. The attach now picks its strategy
-  * from a measured size probe: broadcast under
-  * `spark.graft.snm.maxBroadcastBytes`, shuffle-HASH (exchanges the
-  * linear shingle frame but never sorts the fat intermediate) above
-  * it. The two paths must be output-identical — this pins it, the
-  * plan shapes, and the conf validation. */
+  * spill the ×160 ladder measured. The attach defaults to
+  * shuffle-HASH (exchanges the linear shingle frame but never sorts
+  * the fat intermediate — it won every measured size); broadcast is
+  * explicit opt-in via `spark.graft.snm.maxBroadcastBytes` for
+  * tiny-corpus/huge-pair deployments. The two paths must be
+  * output-identical — this pins it, the plan shapes, and the conf
+  * validation. */
 class SnmJoinPathSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"

@@ -651,24 +651,45 @@ object Dedup {
     // Audit mode (spark.graft.materialize=false) skips the probe so
     // plan inspection stays job-free.
     val spark = df.sparkSession
-    val maxBcast = {
-      val key = "spark.graft.snm.maxBroadcastBytes"
-      spark.conf.getOption(key).map { raw =>
-        try raw.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$key must be a byte count, got '$raw'")
-        }
-      }.getOrElse(0L)
-    }
-    val useBroadcast =
-      spark.conf.get("spark.graft.materialize", "true").toBoolean &&
-      maxBcast > 0 && {
+    val materialize =
+      spark.conf.get("spark.graft.materialize", "true").toBoolean
+    val maxBcast = graft.operators.MemGate.gateBytes(
+      spark, "spark.graft.snm.maxBroadcastBytes", default = 0L)
+    // One size probe serves both join-strategy gates (broadcast opt-in
+    // AND the SHJ build bound below): token-count upper bound, no
+    // md5/distinct pass. Audit mode stays job-free (None → the
+    // default-shaped plan).
+    val frameBytes: Option[Long] =
+      if (!materialize) None
+      else {
         val s = df.agg(count(lit(1)).as("n"),
           coalesce(sum(size(tokens(col(textCol)))), lit(0L)).as("t")).head()
-        s.getLong(0) * 64L + s.getLong(1) * 56L <= maxBcast
+        Some(s.getLong(0) * 64L + s.getLong(1) * 56L)
       }
+    val useBroadcast = maxBcast > 0 && frameBytes.exists(_ <= maxBcast)
+    // SHJ's build side (the per-partition slice of the shingle frame)
+    // CANNOT spill — a corpus large enough that frameBytes /
+    // shuffle.partitions outgrows task memory would OOM tasks where
+    // sort-merge spilled to disk. So the shuffle_hash default holds
+    // only while the estimated per-partition build fits the same
+    // heap-aware envelope MemGate uses for broadcasts (the hash
+    // relation costs several times the data bytes — one gate, one
+    // blowup model); past it, the join falls to sort-merge, the
+    // spill-capable last resort. At the measured rungs SHJ always
+    // wins AND always fits (sf16: ~600 MB frame / 32 partitions ≈
+    // 19 MB build per task); the gate exists for the 100 TB corpus
+    // whose operator forgot to scale spark.sql.shuffle.partitions.
+    val shjGate = graft.operators.MemGate.gateBytes(
+      spark, "spark.graft.snm.shjMaxBuildBytes",
+      default = graft.operators.MemGate.defaultMaxBroadcastBytes(spark))
+    val shufflePartitions = math.max(1,
+      try spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      catch { case _: NumberFormatException => 200 })
+    val useShj = frameBytes.forall(_ / shufflePartitions <= shjGate)
     def hinted(d: DataFrame): DataFrame =
-      if (useBroadcast) broadcast(d) else d.hint("shuffle_hash")
+      if (useBroadcast) broadcast(d)
+      else if (useShj) d.hint("shuffle_hash")
+      else d.hint("merge")
     // ONE hinted frame serves both probes, un-aliased, so the two
     // joins' exchange subplans are identical and ReuseExchange keeps a
     // single broadcast relation resident per executor (the qd_tfidf
@@ -1316,10 +1337,18 @@ object Dedup {
     * one cheap count job (a bare parquet scan answers it from footer
     * metadata) feeds [[autoPlanes]]. This is the default entry point —
     * the pinned-planes overload exists for oracle-replayable call
-    * sites, where the DuckDB mirror must bake the same plane count. */
+    * sites, where the DuckDB mirror must bake the same plane count.
+    * Audit mode (spark.graft.materialize=false) skips the count so
+    * plan inspection stays job-free — the clamp floor stands in, and
+    * the plan SHAPE is plane-count-invariant (same projections, same
+    * bucket equi-join), so the audit still sees the real plan. */
   def lshCosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      dims: Int, minCosine: Double): DataFrame =
-    lshCosinePairs(df, vecCol, idCol, autoPlanes(df.count()), dims, minCosine)
+      dims: Int, minCosine: Double): DataFrame = {
+    val planes =
+      if (!df.sparkSession.conf.get("spark.graft.materialize", "true").toBoolean) 4
+      else autoPlanes(df.count())
+    lshCosinePairs(df, vecCol, idCol, planes, dims, minCosine)
+  }
 
   /** Maximal shared-substring spans between document pairs — the
     * span-level form of exact substring dedup (Lee et al. 2022,

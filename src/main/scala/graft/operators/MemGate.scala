@@ -55,12 +55,19 @@ object MemGate {
   /** Resolve a gate conf: explicit value wins verbatim (validated as a
     * byte count), absent falls to the heap-aware default. */
   def gateBytes(spark: SparkSession, key: String): Long =
+    gateBytes(spark, key, defaultMaxBroadcastBytes(spark))
+
+  /** Same resolution with a caller-chosen default — the SNM verifier
+    * gates at 0 (broadcast is opt-in there: shuffle-hash won every
+    * measured size), while the tf-idf scorer defaults to the
+    * heap-aware heuristic. One parse-validate path for both. */
+  def gateBytes(spark: SparkSession, key: String, default: Long): Long =
     spark.conf.getOption(key) match {
       case Some(raw) =>
         try raw.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"$key must be a byte count, got '$raw'")
         }
-      case None => defaultMaxBroadcastBytes(spark)
+      case None => default
     }
 }

@@ -886,22 +886,51 @@ object DedupQueries {
     // conf overrides verbatim.
     val maxBcast = graft.operators.MemGate.gateBytes(
       spark, "spark.graft.tfidf.maxBroadcastBytes")
-    val useBroadcast =
-      spark.conf.get("spark.graft.materialize", "true").toBoolean &&
-      maxBcast > 0 && {
+    val frameBytes: Option[Long] =
+      if (!spark.conf.get("spark.graft.materialize", "true").toBoolean) None
+      else {
         val s = vec.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("__toks"))), lit(0L)).as("t")).head()
         // 64 B/row envelope + 24 B per (hash, weight) term pair.
-        s.getLong(0) * 64L + s.getLong(1) * 24L <= maxBcast
+        Some(s.getLong(0) * 64L + s.getLong(1) * 24L)
       }
+    val useBroadcast = maxBcast > 0 && frameBytes.exists(_ <= maxBcast)
     // Fallback is shuffle-HASH, not an unhinted join: unhinted, AQE's
     // runtime stats elect a broadcast of the vector side anyway — the
     // very relation the gate just rejected — and the build dies with
     // notEnoughMemoryToBuildAndBroadcastTable (measured at sf4 with the
     // gate forced off); SHJ also never sorts the fat pairs×vectors
-    // intermediate, the original spill source.
+    // intermediate, the original spill source (300+ GB of exchange,
+    // disk-full at 96 g heap — sort-merge is NOT the safe fallback
+    // here). SHJ's own constraint is that its build side (the
+    // per-partition vector slice) cannot spill, so the per-partition
+    // build must fit task memory: when frameBytes /
+    // spark.sql.shuffle.partitions outgrows the heap-aware envelope
+    // (same MemGate blowup model as the broadcast gate), the attach
+    // frame is explicitly repartitioned on doc_id to the partition
+    // count that restores the bound — scaling the join's width with
+    // the corpus instead of trusting a hand-set global knob. The
+    // explicit numPartitions makes the exchange non-coalescible and
+    // the probe sides co-partition to it (EnsureRequirements adopts
+    // the satisfying child's partitioning).
+    val shjNeeded: Option[Int] = if (useBroadcast) None else {
+      val gate = graft.operators.MemGate.gateBytes(
+        spark, "spark.graft.tfidf.shjMaxBuildBytes",
+        default = graft.operators.MemGate.defaultMaxBroadcastBytes(spark))
+      val parts = math.max(1,
+        try spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        catch { case _: NumberFormatException => 200 })
+      frameBytes.collect {
+        case b if b / parts > gate =>
+          math.ceil(b.toDouble / gate).toInt
+      }
+    }
     def hinted(d: DataFrame): DataFrame =
-      if (useBroadcast) broadcast(d) else d.hint("shuffle_hash")
+      if (useBroadcast) broadcast(d)
+      else shjNeeded match {
+        case Some(n) => d.repartition(n, col("doc_id")).hint("shuffle_hash")
+        case None => d.hint("shuffle_hash")
+      }
     // ONE broadcast serves both probes: the attach frame is hinted
     // UN-aliased, so the two joins' broadcast-exchange subplans are
     // IDENTICAL and ReuseExchange keeps a single relation resident per
@@ -1246,6 +1275,32 @@ object DedupQueries {
     * 320 k → 12 — are ladder-measured, not oracle-replayed). */
   private val AutoOraclePlanes = 4
 
+  /** Auto-sized edge set shared by the three `_auto` queries, with the
+    * oracle-geometry drift guard: sf0.1's 2000 vectors sit 2.4% under
+    * the 2049-row boundary where [[Dedup.autoPlanes]] flips to 5, and
+    * past it the baked DuckDB oracles would silently encode the wrong
+    * plane count — the gate would fail with an opaque row mismatch.
+    * So the live count (the same one the auto overload would have run)
+    * is asserted against [[AutoOraclePlanes]] and the pinned overload
+    * replays it; a generator-size drift now fails HERE, naming the
+    * fix. Audit mode keeps the count-free auto overload (job-free,
+    * identical plan shape). */
+  private def autoEdges(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    if (spark.conf.get("spark.graft.materialize", "true").toBoolean) {
+      val p = Dedup.autoPlanes(emb.count())
+      require(p == AutoOraclePlanes,
+        s"embeddings corpus size drifted across an autoPlanes boundary: " +
+          s"live count picks $p planes but the baked DuckDB oracles encode " +
+          s"$AutoOraclePlanes — update AutoOraclePlanes (and the _auto " +
+          s"oracle SQL it parameterizes) for the new generator size")
+      Dedup.lshCosinePairs(emb, "embedding", "vec_id", p, GraphDims,
+        GraphMinCosine)
+    } else
+      Dedup.lshCosinePairs(emb, "embedding", "vec_id", GraphDims,
+        GraphMinCosine)
+  }
+
   /** §2.25v — the corpus-auto-sized LSH edge generator: identical
     * geometry to 25n but the plane count comes from
     * [[Dedup.autoPlanes]] (⌈log₂(n/targetBucket)⌉, one cheap count
@@ -1256,11 +1311,8 @@ object DedupQueries {
     * auto-chosen 12 on 320 k vectors — 25× from sizing alone). The
     * oracle replays the same auto-chosen plane count (= 4 at every
     * driver SF, see [[AutoOraclePlanes]]) bit-exactly. */
-  def qdLshAuto(spark: SparkSession, dir: String): DataFrame = {
-    Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", GraphDims, GraphMinCosine)
-      .orderBy("id_a", "id_b")
-  }
+  def qdLshAuto(spark: SparkSession, dir: String): DataFrame =
+    autoEdges(spark, dir).orderBy("id_a", "id_b")
 
   val qdLshAutoSql: String =
     s"""WITH bktd AS MATERIALIZED (
@@ -1285,9 +1337,7 @@ object DedupQueries {
     * replay); at the ladder rungs it is the query that reproduces the
     * measured 25× win without hand-tuning. */
   def qdKcoreAuto(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", GraphDims, GraphMinCosine)
-      .select("id_a", "id_b")
+    val edges = autoEdges(spark, dir).select("id_a", "id_b")
     Dedup.kCore(edges, k = 2)
       .select(col("vertex").as("vec_id"), col("core_degree"))
       .orderBy("vec_id")
@@ -1305,9 +1355,7 @@ object DedupQueries {
     * feasible. Same DECIMAL(38,18) order-exact replay, parameterized
     * on the plane count. */
   def qdPagerankAuto(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.lshCosinePairs(Tables.load(spark, dir, "embeddings"),
-      "embedding", "vec_id", GraphDims, GraphMinCosine)
-      .select("id_a", "id_b")
+    val edges = autoEdges(spark, dir).select("id_a", "id_b")
     Dedup.pageRank(edges, iterations = 10)
       .select(col("vertex").as("vec_id"), col("pagerank"))
       .orderBy("vec_id")

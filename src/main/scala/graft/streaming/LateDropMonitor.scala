@@ -33,6 +33,14 @@ final class LateDropListener extends StreamingQueryListener {
 
   private val drops =
     scala.collection.concurrent.TrieMap.empty[(UUID, Long), Long]
+  // Rolled-up totals of terminated runs: per-batch rows are evicted on
+  // termination (one TrieMap entry per batch would otherwise grow the
+  // driver without bound — ~31 M entries/year at 1 s triggers), but
+  // the lifetime discard count stays queryable. A restart that
+  // REPLAYS a batch re-performs its drops, so the replayed batch
+  // counts again here — this is drops-performed, not distinct-rows.
+  private val terminatedTotals =
+    scala.collection.concurrent.TrieMap.empty[UUID, Long]
 
   override def onQueryStarted(
       event: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -47,15 +55,29 @@ final class LateDropListener extends StreamingQueryListener {
   }
 
   override def onQueryTerminated(
-      event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      event: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    val id = event.id
+    val keys = drops.keySet.filter(_._1 == id)
+    val runTotal = keys.iterator.flatMap(drops.get).sum
+    if (runTotal != 0 || keys.nonEmpty)
+      terminatedTotals.updateWith(id) {
+        case Some(prev) => Some(prev + runTotal)
+        case None => Some(runTotal)
+      }
+    keys.foreach(drops.remove)
+  }
 
-  /** batchId → rows dropped as late in that batch, for one query. */
+  /** batchId → rows dropped as late in that batch, for the query's
+    * CURRENT run (per-batch detail is evicted when a run terminates;
+    * use [[totalDropped]] for the lifetime count). */
   def perBatch(queryId: UUID): SortedMap[Long, Long] =
     SortedMap.from(drops.collect {
       case ((id, batch), n) if id == queryId => batch -> n
     })
 
   /** Total rows the watermark contract discarded over the query's
-    * lifetime (as far as this listener observed it). */
-  def totalDropped(queryId: UUID): Long = perBatch(queryId).values.sum
+    * lifetime (as far as this listener observed it): terminated runs'
+    * rolled-up totals plus the current run's per-batch counts. */
+  def totalDropped(queryId: UUID): Long =
+    terminatedTotals.getOrElse(queryId, 0L) + perBatch(queryId).values.sum
 }

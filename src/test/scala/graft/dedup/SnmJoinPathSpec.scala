@@ -56,4 +56,25 @@ class SnmJoinPathSpec extends SparkSpec {
       assert(e.getMessage.contains(key) && e.getMessage.contains("lots"))
     } finally spark.conf.unset(key)
   }
+
+  test("an oversized per-partition build falls to spill-capable sort-merge") {
+    // SHJ's build side cannot spill: when the estimated shingle frame
+    // per shuffle partition outgrows the heap-aware gate, the attach
+    // must fall to sort-merge (slower, but disk-bounded at any heap)
+    // rather than OOM tasks — and produce identical pairs.
+    val gateKey = "spark.graft.snm.shjMaxBuildBytes"
+    val defaultRows = rows()
+    val (smjRows, plan) =
+      try {
+        spark.conf.set(gateKey, "1") // force: any real corpus exceeds it
+        val f = frame()
+        (f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq,
+          f.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset(gateKey)
+    assert(plan.contains("SortMergeJoin"),
+      "oversized build must fall back to sort-merge")
+    assert(!plan.contains("ShuffledHashJoin"))
+    assert(smjRows === defaultRows)
+  }
 }

@@ -55,4 +55,34 @@ class TfidfPairsJoinPathSpec extends SparkSpec {
       assert(e.getMessage.contains(key) && e.getMessage.contains("lots"))
     } finally spark.conf.unset(key)
   }
+
+  test("an oversized per-partition build widens the join, still SHJ") {
+    // Sort-merge is measured-fatal here (the fat pairs×vectors
+    // intermediate crossing a sort was the 300+ GB spill), so the
+    // guard against SHJ's can't-spill build side is WIDTH: when the
+    // vector frame per shuffle partition outgrows the gate, the
+    // attach is repartitioned on doc_id to restore the bound and the
+    // probe sides co-partition to it. Gate of 256 B on the sf0.001
+    // frame forces the path at test scale.
+    val gateKey = "spark.graft.tfidf.shjMaxBuildBytes"
+    val defaultRows = rows()
+    val (wideRows, plan) =
+      try {
+        spark.conf.set(key, "0") // broadcast off -> shuffle fallback
+        spark.conf.set(gateKey, "256")
+        val df = DedupQueries.qdTfidfPairs(spark, dir)
+        val r = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        (r, df.queryExecution.executedPlan.toString)
+      } finally { spark.conf.unset(key); spark.conf.unset(gateKey) }
+    assert(plan.contains("ShuffledHashJoin"),
+      "widened path must stay shuffle-hash, never sort-merge")
+    assert(!plan.contains("SortMergeJoin"))
+    // The explicit repartition overrides the session's 4 shuffle
+    // partitions: the attach exchange must carry a WIDER explicit
+    // partition count (frameBytes/256 ≫ 4 at any real corpus).
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "attach frame was not explicitly repartitioned")
+    assert(wideRows === defaultRows)
+  }
 }

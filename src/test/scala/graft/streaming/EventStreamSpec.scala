@@ -425,6 +425,18 @@ class EventStreamSpec extends SparkSpec {
       assert(query.recentProgress
         .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
         .sum === expectedLate)
+      // Termination must EVICT the per-batch entries (one TrieMap
+      // entry per batch would grow the driver without bound — ~31 M
+      // entries/year at 1 s triggers) while the lifetime total stays
+      // queryable from the rolled-up slot. The terminated event
+      // arrives on the async listener bus, so poll briefly.
+      query.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.perBatch(query.id).nonEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.perBatch(query.id).isEmpty,
+        "per-batch entries must be evicted on termination")
+      assert(listener.totalDropped(query.id) === expectedLate)
     } finally {
       query.stop()
       spark.streams.removeListener(listener)

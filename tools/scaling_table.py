@@ -48,12 +48,30 @@ if has16:
     sep += "--:|--:|"
 print(hdr)
 print(sep)
+def cell(r):
+    # Per-SF cell: a time, an ERROR (message lives in the cell so the
+    # row keeps the full column count and the table stays aligned), or
+    # '-' when the rung was not run.
+    if r is None:
+        return "-"
+    if 'error' in r:
+        return f"ERROR: {r['error'][:40]}"
+    return f"{r['sec']:.1f}"
+
 for q in queries:
     cells = [best.get((q, s)) for s in ('sf0.1', 'sf1', 'sf4')]
     errs = [r for r in cells if r and 'error' in r]
     if errs:
-        where = ", ".join(r['sf'] for r in errs)
-        print(f"| {q} | ERROR at {where}: {errs[0]['error'][:80]} |")
+        # Full-width row: error text in its own SF cell(s), '-' in every
+        # derived column — a malformed 2-cell row breaks the rendered
+        # table for every reader below it.
+        row = f"| {q} | " + " | ".join(cell(r) for r in cells) + " | "
+        if has16:
+            row += cell(best.get((q, 'sf16'))) + " | "
+        row += "- | - | - | - |"
+        if has16:
+            row += " - | - |"
+        print(row)
         continue
     if any(r is None for r in cells):
         print(f"| {q} | INCOMPLETE |", file=sys.stderr)

@@ -23,6 +23,13 @@ import org.apache.spark.sql.SparkSession
   * OS-level `destroyForcibly` of a CoarseGrainedExecutorBackend
   * process — an honest crash, not a cooperative decommission.
   *
+  * Part 3 then moves the failure INTO the job: qd_tfidf_pairs on its
+  * shuffle-hash fallback (the suite's widest exchange) loses an
+  * executor mid-stage — once by hard kill (stage/task retry must
+  * finish with identical rows) and once by SIGPWR with
+  * spark.decommission.enabled (the cloud-preemption analog: blocks
+  * migrate to the survivor instead of dying with the executor).
+  *
   * Run: `sbt "runMain graft.ClusterSmoke sf1=target/scaledata/sf1"`.
   * Env: SPARK_GRAFT_MASTER (default local-cluster[2,8,4096]),
   * SPARK_GRAFT_CLUSTER_QUERIES (comma list), SPARK_GRAFT_CLUSTER_OUT
@@ -111,6 +118,14 @@ object ClusterSmoke {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Decommission machinery armed but inert until a SIGPWR arrives
+      // (part 3b sends one): the cloud-preemption analog — the executor
+      // drains and MIGRATES its shuffle/RDD blocks to the survivor
+      // instead of dying with them. Static confs, so set at build time.
+      .config("spark.decommission.enabled", "true")
+      .config("spark.storage.decommission.enabled", "true")
+      .config("spark.storage.decommission.shuffleBlocks.enabled", "true")
+      .config("spark.storage.decommission.rddBlocks.enabled", "true")
       // The recovery demo needs failures to surface, not retry away:
       // with lineage truncated there is nothing a retry can recompute,
       // but Spark would still burn 4 task attempts × stage retries
@@ -200,6 +215,69 @@ object ClusterSmoke {
         emit(s"""{"mode":"$master","recovery":"reliableCheckpoint","rows_before":$rows1,"killed_pid":$victim,$outcome}""")
         spark.conf.unset("spark.graft.checkpointDir")
       }
+
+      // ---- Part 3: executor loss DURING the shuffle, not after it ----
+      // Parts 1-2 lose an executor between jobs; a 1000-executor run
+      // loses them mid-stage. Target: qd_tfidf_pairs forced onto its
+      // shuffle-hash fallback — the widest exchange in the suite. A
+      // watcher thread waits until a stage is genuinely mid-flight
+      // (active stage with completed tasks), then takes one executor:
+      //  3a: destroyForcibly — stage/task retry must recompute the lost
+      //      map outputs and finish with rows identical to undisturbed;
+      //  3b: SIGPWR with the decommission machinery armed — the
+      //      cloud-preemption analog; blocks migrate and the job
+      //      finishes, identically, ideally without recompute.
+      def midFlightDisrupt(tag: String, disrupt: Long => Unit): Unit = {
+        val d3 = System.nanoTime() + 120e9.toLong
+        while (liveExecutors(spark) < 2 && System.nanoTime() < d3)
+          Thread.sleep(500)
+        spark.conf.set("spark.graft.tfidf.maxBroadcastBytes", "0")
+        val fn = SparkEntry.queries("qd_tfidf_pairs")
+        val baseline = Force.rows(fn(spark, dir))
+        val tracker = spark.sparkContext.statusTracker
+        @volatile var disruptedPid = -1L
+        @volatile var watcherNote = "never_fired"
+        val watcher = new Thread(() => {
+          val deadline = System.nanoTime() + 180e9.toLong
+          var fired = false
+          while (!fired && System.nanoTime() < deadline) {
+            val midFlight = tracker.getActiveStageIds.exists { sid =>
+              tracker.getStageInfo(sid).exists(si =>
+                si.numCompletedTasks > 0 && si.numActiveTasks > 0)
+            }
+            if (midFlight) {
+              val pids = executorPids()
+              if (pids.nonEmpty) {
+                disruptedPid = pids.head
+                disrupt(disruptedPid)
+                watcherNote = "fired_mid_stage"
+                fired = true
+              }
+            }
+            if (!fired) Thread.sleep(50)
+          }
+        }, s"executor-disruptor-$tag")
+        val t0 = System.nanoTime()
+        val outcome =
+          try {
+            watcher.start()
+            val rows = Force.rows(fn(spark, dir))
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (rows == baseline)
+              s""""outcome":"completed_identical","rows":$rows,"sec":${JsonFmt.ms(sec)}"""
+            else
+              s""""outcome":"row_mismatch","rows_before":$baseline,"rows_after":$rows"""
+          } catch { case e: Throwable =>
+            s""""outcome":"failed","error":"${JsonFmt.err(e)}""""
+          } finally watcher.join(5000)
+        emit(s"""{"mode":"$master","recovery":"$tag","watcher":"$watcherNote","disrupted_pid":$disruptedPid,"rows_baseline":$baseline,$outcome}""")
+        spark.conf.unset("spark.graft.tfidf.maxBroadcastBytes")
+      }
+
+      midFlightDisrupt("kill_mid_shuffle",
+        pid => ProcessHandle.of(pid).ifPresent(_.destroyForcibly()))
+      midFlightDisrupt("decommission_mid_shuffle", pid =>
+        new ProcessBuilder("kill", "-PWR", pid.toString).start().waitFor())
     } finally out.close()
     spark.stop()
   }

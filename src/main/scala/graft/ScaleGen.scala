@@ -49,14 +49,34 @@ import org.apache.spark.sql.functions._
   * is written with row-group-sane parallelism (32 files for fat
   * tables), so scans parallelize like a real multi-file drop.
   *
-  * Run: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <multiplier>"`.
+  * Skew mode (4th arg `zipf=<s>`, e.g. `zipf=1.1`): the uniform key
+  * shift above keeps every join/group key's fan-in flat — which means
+  * the salted-join/skew machinery had never been measured against data
+  * that actually needs it. With `zipf=s`, the FK-SIDE keys are redrawn
+  * from a truncated power law (P(rank k) ∝ k^-s over the copy's key
+  * domain, inverse-CDF of the continuous truncation — rank 1 is the
+  * hot key): `events.user_id`, `orders.o_custkey`,
+  * `lineitem.l_partkey`, `lineitem.l_suppkey`. PK sides stay uniform
+  * (every drawn FK still resolves — referential integrity holds),
+  * documents/embeddings are untouched (their hot spots come from
+  * content, not generator keys), and each copy has its own Zipf head
+  * (×k hot keys, the realistic multi-tenant shape). At s=1.1 over the
+  * ~1000-supplier domain the top supplier takes ~12% of ALL lineitem
+  * rows — the single-straggler-task shape AQE/salting exists for.
+  *
+  * Run: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <multiplier> [zipf=<s>]"`.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleGen <srcDir> <outDir> <multiplier>")
-    val Array(src, out, multS) = args
-    val mult = multS.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcDir> <outDir> <multiplier> [zipf=<s>]")
+    val src = args(0); val out = args(1)
+    val mult = args(2).toInt
+    val zipfS =
+      if (args.length == 4) {
+        require(args(3).startsWith("zipf="), s"bad 4th arg: ${args(3)}")
+        args(3).stripPrefix("zipf=").toDouble
+      } else 0.0
     require(mult >= 1, s"multiplier must be >= 1, got $mult")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -65,11 +85,31 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, mult)
+    generate(spark, src, out, mult, zipfS)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, mult: Int): Unit = {
+  /** Inverse CDF of the continuous power law p(k) ∝ k^-s truncated to
+    * [1, n], evaluated at a deterministic uniform draw hashed from
+    * `seedCols`: F⁻¹(u) = (1 + u·(n^(1-s) − 1))^(1/(1-s)). Returns the
+    * 0-based rank (floor − 1, clamped), so callers add it to the
+    * domain's min key. s must be > 0 and ≠ 1 (s≈1.1 is the measured
+    * web/tenant shape). */
+  private[graft] def zipfRank(n: Long, s: Double,
+      seedCols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column = {
+    require(s > 0 && s != 1.0, s"zipf s must be > 0 and != 1, got $s")
+    val u = (pmod(hash(seedCols: _*), lit(1000000)).cast("double") + 0.5) /
+      1000000.0
+    val oneMinusS = 1.0 - s
+    val rank = floor(pow(
+      lit(1.0) + u * (pow(lit(n.toDouble), oneMinusS) - 1.0),
+      1.0 / oneMinusS))
+    least(greatest(rank.cast("long") - 1L, lit(0L)), lit(n - 1))
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, mult: Int,
+      zipfS: Double = 0.0): Unit = {
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
@@ -79,21 +119,32 @@ object ScaleGen {
     val copies = spark.range(mult).toDF("__copy")
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
 
-    // Key strides: observed span per key domain (one cheap agg per
-    // table). max−min+1, NOT max: the driver's keys are 0-based, and a
-    // max-stride would make copy c's minimum key collide with copy
-    // c−1's maximum — caught by ScaleGenSpec's uniqueness pin.
-    def strideOf(df: DataFrame, c: String): Long = {
+    // Key domains: observed (min, span) per key domain (one cheap agg
+    // per table). Span is max−min+1, NOT max: the driver's keys are
+    // 0-based, and a max-stride would make copy c's minimum key collide
+    // with copy c−1's maximum — caught by ScaleGenSpec's uniqueness pin.
+    def domainOf(df: DataFrame, c: String): (Long, Long) = {
       val r = df.agg(min(col(c)), max(col(c))).head()
-      r.getLong(1) - r.getLong(0) + 1
+      (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
     }
-    val custStride = strideOf(read("customer"), "c_custkey")
+    def strideOf(df: DataFrame, c: String): Long = domainOf(df, c)._2
+    val (custMin, custStride) = domainOf(read("customer"), "c_custkey")
     val ordStride = strideOf(read("orders"), "o_orderkey")
-    val partStride = strideOf(read("part"), "p_partkey")
-    val suppStride = strideOf(read("supplier"), "s_suppkey")
+    val (partMin, partStride) = domainOf(read("part"), "p_partkey")
+    val (suppMin, suppStride) = domainOf(read("supplier"), "s_suppkey")
 
     def shifted(c: String, stride: Long) =
       (col(c) + col("__copy") * stride).as(c)
+
+    // Skew mode: an FK column is REDRAWN from the copy's key domain via
+    // the truncated power law instead of carrying its original value —
+    // rank 0 (the domain min, per copy) becomes the hot key. Seeded by
+    // the row's own identity + a per-column tag so the draws are
+    // independent across columns and deterministic across runs.
+    def zipfKey(minKey: Long, stride: Long, name: String, tag: String,
+        seeds: org.apache.spark.sql.Column*) =
+      (lit(minKey) + zipfRank(stride, zipfS, seeds :+ lit(tag): _*) +
+        col("__copy") * stride).as(name)
 
     def write(df: DataFrame, name: String, files: Int): Unit = {
       df.drop("__copy")
@@ -119,23 +170,43 @@ object ScaleGen {
       col("p_type"), col("p_size"), col("p_retailprice"), col("__copy")),
       "part", 8)
 
+    val oCust =
+      if (zipfS > 0)
+        zipfKey(custMin, custStride, "o_custkey", "cust", col("o_orderkey"),
+          col("__copy"))
+      else shifted("o_custkey", custStride)
     write(replicate(read("orders")).select(
-      shifted("o_orderkey", ordStride), shifted("o_custkey", custStride),
+      shifted("o_orderkey", ordStride), oCust,
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"), col("__copy")), "orders", 16)
 
+    val lPart =
+      if (zipfS > 0)
+        zipfKey(partMin, partStride, "l_partkey", "part", col("l_orderkey"),
+          col("l_linenumber"), col("__copy"))
+      else shifted("l_partkey", partStride)
+    val lSupp =
+      if (zipfS > 0)
+        zipfKey(suppMin, suppStride, "l_suppkey", "supp", col("l_orderkey"),
+          col("l_linenumber"), col("__copy"))
+      else shifted("l_suppkey", suppStride)
     write(replicate(read("lineitem")).select(
-      shifted("l_orderkey", ordStride), shifted("l_partkey", partStride),
-      shifted("l_suppkey", suppStride), col("l_linenumber"), col("l_quantity"),
+      shifted("l_orderkey", ordStride), lPart,
+      lSupp, col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
       col("__copy")), "lineitem", 32)
 
     val ev = read("events")
     val evStride = strideOf(ev, "event_id")
-    val userStride = strideOf(ev, "user_id")
+    val (userMin, userStride) = domainOf(ev, "user_id")
+    val evUser =
+      if (zipfS > 0)
+        zipfKey(userMin, userStride, "user_id", "user", col("event_id"),
+          col("__copy"))
+      else shifted("user_id", userStride)
     write(replicate(ev).select(
-      shifted("event_id", evStride), col("ts"), shifted("user_id", userStride),
+      shifted("event_id", evStride), col("ts"), evUser,
       col("event_type"), col("value"), col("props"), col("__copy")),
       "events", 32)
 

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Empirical scale ladder: run the heavy operators against a sequence
@@ -89,6 +89,11 @@ object ScaleLadder {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val current = new mutable.ArrayBuffer[StageCost]()
+    // Per-TASK run times alongside the per-stage totals: the skew rung's
+    // verdict is a straggler question — a hot key shows up as max-task ≫
+    // median-task long before it shows up in wall time (31 other cores
+    // hide one straggler on this box; a real cluster's stage does not).
+    val taskMs = new mutable.ArrayBuffer[Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
@@ -101,6 +106,10 @@ object ScaleLadder {
             m.executorRunTime)
         }
       }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskMs.synchronized { taskMs += m.executorRunTime }
+      }
     })
 
     def ms(v: Double): String = JsonFmt.ms(v)
@@ -112,6 +121,7 @@ object ScaleLadder {
           var best = Double.MaxValue
           var rows = 0L
           var lastCost: Seq[StageCost] = Nil
+          var lastTasks: Seq[Long] = Nil
           var error: Option[String] = None
           var it = 0
           // No early break on failure: a transient iteration-1 error
@@ -120,6 +130,7 @@ object ScaleLadder {
           // The error is kept only if NO iteration measured.
           while (it < iterations) {
             current.synchronized(current.clear())
+            taskMs.synchronized(taskMs.clear())
             val t0 = System.nanoTime()
             try {
               rows = Force.rows(fn(spark, dir))
@@ -127,6 +138,7 @@ object ScaleLadder {
               if (t < best) best = t
               org.apache.spark.graft.ListenerBusAccess.drain(spark.sparkContext)
               lastCost = current.synchronized(current.toSeq)
+              lastTasks = taskMs.synchronized(taskMs.toSeq)
             } catch { case e: Throwable =>
               error = Some(JsonFmt.err(e))
             }
@@ -156,7 +168,12 @@ object ScaleLadder {
               val in = lastCost.map(_.input).sum
               val sp = lastCost.map(c => c.memSpill + c.diskSpill).sum
               val rt = lastCost.map(_.runTimeMs).sum
-              s"""{"sf":"$label","query":"$name","sec":${ms(best)},"rows":$rows,"input_mb":${ms(in / 1048576.0)},"shuffle_write_mb":${ms(sw / 1048576.0)},"shuffle_read_mb":${ms(sr / 1048576.0)},"spill_mb":${ms(sp / 1048576.0)},"task_ms":$rt,"force":"full"}"""
+              val sortedTasks = lastTasks.sorted
+              val maxTask = if (sortedTasks.isEmpty) 0L else sortedTasks.last
+              val medTask =
+                if (sortedTasks.isEmpty) 0L
+                else sortedTasks(sortedTasks.size / 2)
+              s"""{"sf":"$label","query":"$name","sec":${ms(best)},"rows":$rows,"input_mb":${ms(in / 1048576.0)},"shuffle_write_mb":${ms(sw / 1048576.0)},"shuffle_read_mb":${ms(sr / 1048576.0)},"spill_mb":${ms(sp / 1048576.0)},"task_ms":$rt,"n_tasks":${sortedTasks.size},"max_task_ms":$maxTask,"med_task_ms":$medTask,"force":"full"}"""
           }
           println(line)
           out.println(line)

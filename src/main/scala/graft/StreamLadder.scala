@@ -146,11 +146,49 @@ object StreamLadder {
           val batch = Tables.load(spark, dir, table)
           val inputRows = batch.count()
           val rawSchema = spark.read.parquet(s"$dir/$table.parquet").schema
+          // One builder serves the measured iterations AND the restart
+          // probe: each call wires a fresh file-stream source through
+          // the operator (streams are single-use once started).
+          def mkSink(): DataFrame = {
+            // normalizeAllTs covers NTZ columns; the events ts can
+            // also arrive as raw nanos LONG (TablesNtzSpec's third
+            // encoding), which only normalizeTs converts.
+            // The driver's tables are SINGLE parquet files (ScaleGen's
+            // are directories). FileStreamSource injects
+            // `basePath = <path>` whenever the path is NOT a glob
+            // (FileStreamSource.scala, optionsForInnerDataSource) —
+            // for a single-file table that basePath is a file and
+            // every micro-batch dies with "'basePath' must be a
+            // directory". A {}-glob path suppresses the injection, and
+            // the explicit directory basePath then serves both layouts.
+            val raw = spark.readStream.schema(rawSchema)
+              .option("maxFilesPerTrigger", filesPerTrigger)
+              .option("basePath", dir)
+              .parquet(s"$dir/{$table}.parquet")
+            val src =
+              if (rawSchema.fieldNames.contains("ts"))
+                Tables.normalizeTs(Tables.normalizeAllTs(raw), "ts")
+              else Tables.normalizeAllTs(raw)
+            build(src)
+          }
+          def dirBytes(path: String): Long = {
+            val root = new java.io.File(path)
+            if (!root.exists()) 0L
+            else {
+              def walk(f: java.io.File): Long =
+                if (f.isFile) f.length()
+                else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+              walk(root)
+            }
+          }
           var bestSec = Double.MaxValue
           var batches = 0L
           var stateRows = -1L
           var outRows = 0L
           var lateDropped = 0L
+          var stateDirBytes = -1L
+          var commitMsAvg = -1.0
+          var commitMsMax = -1L
           var error: Option[String] = None
           var it = 0
           // No early break on failure: a transient iteration-1 error
@@ -161,26 +199,7 @@ object StreamLadder {
             val ckpt = Files.createTempDirectory(s"streamladder_$name")
               .toString
             try {
-              // normalizeAllTs covers NTZ columns; the events ts can
-              // also arrive as raw nanos LONG (TablesNtzSpec's third
-              // encoding), which only normalizeTs converts.
-              // The driver's tables are SINGLE parquet files (ScaleGen's
-              // are directories). FileStreamSource injects
-              // `basePath = <path>` whenever the path is NOT a glob
-              // (FileStreamSource.scala, optionsForInnerDataSource) —
-              // for a single-file table that basePath is a file and
-              // every micro-batch dies with "'basePath' must be a
-              // directory". A {}-glob path suppresses the injection, and
-              // the explicit directory basePath then serves both layouts.
-              val raw = spark.readStream.schema(rawSchema)
-                .option("maxFilesPerTrigger", filesPerTrigger)
-                .option("basePath", dir)
-                .parquet(s"$dir/{$table}.parquet")
-              val src =
-                if (rawSchema.fieldNames.contains("ts"))
-                  Tables.normalizeTs(Tables.normalizeAllTs(raw), "ts")
-                else Tables.normalizeAllTs(raw)
-              val sink = build(src)
+              val sink = mkSink()
               val t0 = System.nanoTime()
               val q = sink.writeStream.format("noop")
                 .outputMode("append")
@@ -202,6 +221,18 @@ object StreamLadder {
                 // gives a live query, recorded here per (operator, SF).
                 lateDropped = ps.map(
                   _.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+                // Provider-decision telemetry: what the state actually
+                // COSTS. Size on the checkpoint filesystem (du of the
+                // state/ tree — provider-neutral, includes RocksDB SSTs
+                // and HDFS-store deltas/snapshots alike) and the
+                // per-batch state-commit latency the operator pays on
+                // every trigger.
+                stateDirBytes = dirBytes(s"$ckpt/state")
+                val commits = ps.flatMap(_.stateOperators.map(_.commitTimeMs))
+                if (commits.nonEmpty) {
+                  commitMsAvg = commits.sum.toDouble / commits.length
+                  commitMsMax = commits.max
+                }
               }
             } catch { case e: Throwable =>
               error = Some(JsonFmt.err(e))
@@ -211,6 +242,49 @@ object StreamLadder {
                 .deleteQuietly(new java.io.File(ckpt))
             }
             it += 1
+          }
+          // Restart-recovery probe: at 100 TB/day the question a
+          // provider answer must include is "how long until a restarted
+          // query is processing again" — state reload time, not just
+          // steady-state throughput. Method: process the FIRST batch,
+          // stop cooperatively (a committed checkpoint, exactly what a
+          // preempted pod leaves behind), restart on the same
+          // checkpoint and time the remainder. Only meaningful when the
+          // replay has ≥2 micro-batches (multi-file ScaleGen dirs);
+          // single-batch sources record -1.
+          var restartSec = -1.0
+          var restartBatches = -1L
+          if (error.isEmpty && batches >= 2) {
+            val ckpt = Files.createTempDirectory(s"streamladder_rs_$name")
+              .toString
+            try {
+              val q1 = mkSink().writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(Trigger.AvailableNow())
+                .start()
+              val dl = System.nanoTime() + 300e9.toLong
+              while (q1.isActive &&
+                  q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+                  System.nanoTime() < dl)
+                Thread.sleep(100)
+              q1.stop()
+              q1.awaitTermination()
+              val t0 = System.nanoTime()
+              val q2 = mkSink().writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(Trigger.AvailableNow())
+                .start()
+              q2.awaitTermination()
+              val processed = q2.recentProgress.count(_.numInputRows > 0)
+              if (processed > 0) {
+                restartSec = (System.nanoTime() - t0) / 1e9
+                restartBatches = processed.toLong
+              }
+            } catch { case _: Throwable => () /* probe is best-effort */ }
+            finally org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(ckpt))
           }
           // Emit the error line only when NO iteration measured (a
           // transient later-iteration failure must not discard a good
@@ -222,7 +296,7 @@ object StreamLadder {
               // record alone.
               s"""{"sf":"$label","stream":"$name","error":"$msg","provider":"$providerTag"}"""
             case None =>
-              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"provider":"$providerTag","master":"$master"}"""
+              s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"state_dir_mb":${ms(stateDirBytes / 1048576.0)},"commit_ms_avg":${ms(commitMsAvg)},"commit_ms_max":$commitMsMax,"restart_sec":${ms(restartSec)},"restart_batches":$restartBatches,"provider":"$providerTag","master":"$master"}"""
           }
           println(line)
           out.println(line)

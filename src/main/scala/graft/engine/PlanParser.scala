@@ -223,12 +223,21 @@ object PlanParser {
     }
   }
 
+  /** A required object field, failing with the FIELD NAME: fuzzing
+    * found that a missing "input" surfaced as a JDK NullPointerException
+    * message from inside the node walk — a stack-trace diagnostic, not
+    * a config one. Every required sub-object goes through here so the
+    * error names what the plan author must add. */
+  private def requiredNode(n: JsonNode, field: String): JsonNode =
+    Option(n.get(field)).getOrElse(throw new IllegalArgumentException(
+      s"missing required field '$field'"))
+
   private def commandFromNode(node: JsonNode, baseDir: Option[PlanBase]): Command = {
     val params: JsonNode = resolveParams(node, baseDir)
     node.path("command").asText() match {
       case "assertion" =>
         AssertionCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           rules = params.path("assertions").elements().asScala.map(ruleFromNode).toSeq,
           outputKey = node.path("outputKey").asText(),
           cache = node.path("cache").asBoolean(false),
@@ -238,9 +247,9 @@ object PlanParser {
         val c1 = params.path("input1Columns")
         val c2 = params.path("input2Columns")
         DiffCommand(
-          input1 = inputRef(node.get("input1")),
+          input1 = inputRef(requiredNode(node, "input1")),
           input1Name = node.path("input1Name").asText(),
-          input2 = inputRef(node.get("input2")),
+          input2 = inputRef(requiredNode(node, "input2")),
           input2Name = node.path("input2Name").asText(),
           joinColumns1 = strings(c1.path("joinColumns")),
           diffColumns1 = strings(c1.path("diffColumns")),
@@ -258,9 +267,17 @@ object PlanParser {
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
       case "view" =>
+        val viewInputs =
+          node.path("inputs").elements().asScala.map(inputRef).toSeq
+        val aliases = strings(params.path("tableAliases"))
+        require(viewInputs.nonEmpty, "view needs inputs")
+        require(viewInputs.size == aliases.size,
+          s"view needs one tableAlias per input, got ${viewInputs.size} " +
+            s"inputs and ${aliases.size} tableAliases")
+        require(params.path("query").asText().nonEmpty, "view needs query")
         ViewCommand(
-          inputs = node.path("inputs").elements().asScala.map(inputRef).toSeq,
-          tableAliases = strings(params.path("tableAliases")),
+          inputs = viewInputs,
+          tableAliases = aliases,
           query = params.path("query").asText(),
           outputKey = node.path("outputKey").asText(),
           cache = node.path("cache").asBoolean(false),
@@ -268,7 +285,7 @@ object PlanParser {
           tableName = optText(node, "tableName"))
       case "schema" =>
         SchemaCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           contract = params.path("columns").elements().asScala.map { c =>
             graft.rules.ColumnContract(
               name = c.path("name").asText(),
@@ -282,7 +299,7 @@ object PlanParser {
           tableName = optText(node, "tableName"))
       case "profile" =>
         ProfileCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           columns = params.path("columns").elements().asScala
             .map(_.asText()).toSeq,
           approx = params.path("approx").asBoolean(false),
@@ -291,8 +308,10 @@ object PlanParser {
           outputPath = optText(node, "outputPath"),
           tableName = optText(node, "tableName"))
       case "dedup" =>
+        require(params.path("textCol").asText().nonEmpty, "dedup needs textCol")
+        require(params.path("idCol").asText().nonEmpty, "dedup needs idCol")
         DedupCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           textCol = params.path("textCol").asText(),
           idCol = params.path("idCol").asText(),
           keepDuplicatesReport = params.path("keepDuplicatesReport").asBoolean(false),
@@ -304,8 +323,9 @@ object PlanParser {
         require(params.path("k").asInt() > 0, "sample k must be positive")
         require(params.path("stratumCols").size() > 0,
           "sample needs stratumCols")
+        require(params.path("idCol").asText().nonEmpty, "sample needs idCol")
         SampleCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           stratumCols = strings(params.path("stratumCols")),
           idCol = params.path("idCol").asText(),
           k = params.path("k").asInt(),
@@ -317,9 +337,11 @@ object PlanParser {
       case "drift" =>
         require(params.path("binWidth").asDouble() > 0,
           "drift binWidth must be positive")
+        require(params.path("valueCol").asText().nonEmpty,
+          "drift needs valueCol")
         DriftCommand(
-          input = inputRef(node.get("input")),
-          baseline = inputRef(node.get("baseline")),
+          input = inputRef(requiredNode(node, "input")),
+          baseline = inputRef(requiredNode(node, "baseline")),
           valueCol = params.path("valueCol").asText(),
           binWidth = params.path("binWidth").asDouble(),
           maxPsi = if (params.has("maxPsi"))
@@ -331,7 +353,7 @@ object PlanParser {
       case "checksum" =>
         require(params.path("columns").size() > 0, "checksum needs columns")
         ChecksumCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           columns = strings(params.path("columns")),
           expected = optText(params, "expected"),
           outputKey = node.path("outputKey").asText(),
@@ -343,8 +365,11 @@ object PlanParser {
         val p1 = params.path("p1").asDouble()
         require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
           "sprt p0/p1 must be in (0,1) and differ")
+        require(params.path("timeCol").asText().nonEmpty, "sprt needs timeCol")
+        require(params.path("defectExpr").asText().nonEmpty,
+          "sprt needs defectExpr")
         SprtCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           timeCol = params.path("timeCol").asText(),
           defectExpr = params.path("defectExpr").asText(),
           granularity = params.path("granularity").asText("month"),
@@ -364,7 +389,7 @@ object PlanParser {
         require(params.path("tiebreakCol").asText().nonEmpty,
           "topn needs tiebreakCol")
         TopNCommand(
-          input = inputRef(node.get("input")),
+          input = inputRef(requiredNode(node, "input")),
           keyCols = strings(params.path("keyCols")),
           orderCol = params.path("orderCol").asText(),
           tiebreakCol = params.path("tiebreakCol").asText(),
@@ -382,19 +407,22 @@ object PlanParser {
     }
   }
 
-  private def ruleFromNode(n: JsonNode): Rule = Rule(
-    query = n.path("query").asText(),
-    description = n.path("description").asText(),
-    threshold = n.path("threshold").asDouble(),
-    features = mapOf(n.path("userDefinedFeatures")),
-    summary = mapOf(n.path("userDefinedSummaryExpr")),
-    sampleWindow =
-      if (n.has("sampleWindowParams")) {
-        val w = n.get("sampleWindowParams")
-        Some(SampleWindowParams(
-          strings(w.path("idsForWindowPartitioning")),
-          strings(w.path("orderEachWindowBy"))))
-      } else None)
+  private def ruleFromNode(n: JsonNode): Rule = {
+    require(n.path("query").asText().nonEmpty, "assertion rule needs query")
+    Rule(
+      query = n.path("query").asText(),
+      description = n.path("description").asText(),
+      threshold = n.path("threshold").asDouble(),
+      features = mapOf(n.path("userDefinedFeatures")),
+      summary = mapOf(n.path("userDefinedSummaryExpr")),
+      sampleWindow =
+        if (n.has("sampleWindowParams")) {
+          val w = n.get("sampleWindowParams")
+          Some(SampleWindowParams(
+            strings(w.path("idsForWindowPartitioning")),
+            strings(w.path("orderEachWindowBy"))))
+        } else None)
+  }
 
   private def inputRef(n: JsonNode): InputRef = InputRef(
     ref = n.path("ref").asText(),

@@ -60,6 +60,42 @@ object OperatorQueries {
     nd.join(mv, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** §2.37c — the UNSALTED twin of [[qoSkewJoin]]: the identical
+    * logical query through a plain equi-join (whatever strategy the
+    * planner elects). Exists so the skew ladder can measure the salted
+    * rewrite AGAINST the thing it replaces on genuinely Zipfian keys —
+    * max-task vs median-task before/after is the straggler evidence; on
+    * uniform driver data the two are equal-cost by design. Same oracle
+    * as qo_skew_join (same answer is the equivalence contract). */
+  def qoSkewJoinPlain(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      .join(Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey")),
+        Seq("suppkey"))
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
+  /** §2.37d — the UNSALTED twin of [[qoSkewDistinct]]: holistic
+    * built-ins (COUNT(DISTINCT), per-value census max) computed
+    * directly, single shuffle per holistic key. The salted rewrite's
+    * opponent on the skew ladder; same oracle as qo_skew_distinct. */
+  def qoSkewDistinctPlain(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val census = li.groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("c"))
+    census.groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).cast("long").as("n_distinct"),
+        max(col("c")).cast("long").as("max_value_count"))
+      .orderBy("l_returnflag")
+  }
+
   val qoSkewDistinctSql: String =
     """SELECT l_returnflag,
       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
@@ -838,7 +874,9 @@ object OperatorQueries {
     "qo_zone_skipping" -> (qoZoneSkipping _),
     "qo_join_cardinality_sketch" -> (qoJoinCardinalitySketch _),
     "qo_skew_join" -> (qoSkewJoin _),
+    "qo_skew_join_plain" -> (qoSkewJoinPlain _),
     "qo_skew_distinct" -> (qoSkewDistinct _),
+    "qo_skew_distinct_plain" -> (qoSkewDistinctPlain _),
     "qo_merge" -> (qoMerge _),
     "qo_bloom_anti" -> (qoBloomAnti _),
     "qo_join_cardinality" -> (qoJoinCardinality _))
@@ -853,7 +891,9 @@ object OperatorQueries {
     "qo_join_cardinality_sketch" -> qoJoinCardinalitySketchSql,
     "qo_bloom_anti" -> qoBloomAntiSql,
     "qo_skew_join" -> qoSkewJoinSql,
+    "qo_skew_join_plain" -> qoSkewJoinSql,
     "qo_skew_distinct" -> qoSkewDistinctSql,
+    "qo_skew_distinct_plain" -> qoSkewDistinctSql,
     "qo_merge" -> qoMergeSql,
     "qo_join_cardinality" -> qoJoinCardinalitySql)
 }

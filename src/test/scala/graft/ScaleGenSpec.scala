@@ -141,4 +141,51 @@ class ScaleGenSpec extends SparkSpec {
       assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L, t)
     }
   }
+
+  test("zipf mode: FK-valid, deterministic, head share matches the power law") {
+    val s = 1.1
+    val d = Files.createTempDirectory("scalegen-zipf").toString
+    ScaleGen.generate(spark, src, d, mult, zipfS = s)
+    def t(n: String) = spark.read.parquet(s"$d/$n.parquet")
+    // The remap changes VALUES, never row counts.
+    assert(t("lineitem").count() === srcT("lineitem").count() * mult)
+    assert(t("events").count() === srcT("events").count() * mult)
+    // Referential integrity holds for every redrawn FK: the draw lands
+    // inside the copy's own key band, where a PK always exists.
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String) =
+      fact.join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti").count()
+    assert(orphans(t("orders"), "o_custkey", t("customer"), "c_custkey") === 0L)
+    assert(orphans(t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey") === 0L)
+    assert(orphans(t("lineitem"), "l_partkey", t("part"), "p_partkey") === 0L)
+    // Distribution pin on the strongest-signal domain (6000 lineitems
+    // over 10 suppliers per copy): rank 0 = the copy's domain-min key
+    // must be the modal FK, and its share must match the truncated
+    // power law's head mass F(2) = (2^(1-s)-1)/(n^(1-s)-1) — at s=1.1,
+    // n=10 that is ~0.326, vs 0.1 uniform. ±35% relative tolerance
+    // absorbs the finite-sample wobble of a deterministic hash draw.
+    val (suppMin, suppSpan) = keyDomain("supplier", "s_suppkey")
+    val copy0 = t("lineitem").where(col("l_suppkey") < suppMin + suppSpan)
+    val top = copy0.groupBy("l_suppkey").count()
+      .orderBy(desc("count"), col("l_suppkey")).head()
+    assert(top.getLong(0) === suppMin, "hot key must be the domain min")
+    val share = top.getLong(1).toDouble / copy0.count()
+    val f2 = (math.pow(2, 1 - s) - 1) / (math.pow(suppSpan.toDouble, 1 - s) - 1)
+    assert(share > 2.0 / suppSpan, s"head not skewed: $share")
+    assert(math.abs(share - f2) / f2 < 0.35,
+      s"head share $share far from analytic $f2")
+    // Every copy gets its own Zipf head (multi-tenant shape): copy 1's
+    // band must also peak at ITS domain min.
+    val copy1 = t("lineitem").where(
+      col("l_suppkey") >= suppMin + suppSpan &&
+        col("l_suppkey") < suppMin + 2 * suppSpan)
+    val top1 = copy1.groupBy("l_suppkey").count()
+      .orderBy(desc("count"), col("l_suppkey")).head()
+    assert(top1.getLong(0) === suppMin + suppSpan)
+    // Deterministic across runs, like the uniform mode.
+    val d2 = Files.createTempDirectory("scalegen-zipf2").toString
+    ScaleGen.generate(spark, src, d2, mult, zipfS = s)
+    val a = t("lineitem")
+    val b = spark.read.parquet(s"$d2/lineitem.parquet")
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
 }

@@ -53,16 +53,20 @@ import org.apache.spark.sql.functions._
   * shift above keeps every join/group key's fan-in flat — which means
   * the salted-join/skew machinery had never been measured against data
   * that actually needs it. With `zipf=s`, the FK-SIDE keys are redrawn
-  * from a truncated power law (P(rank k) ∝ k^-s over the copy's key
-  * domain, inverse-CDF of the continuous truncation — rank 1 is the
-  * hot key): `events.user_id`, `orders.o_custkey`,
-  * `lineitem.l_partkey`, `lineitem.l_suppkey`. PK sides stay uniform
-  * (every drawn FK still resolves — referential integrity holds),
-  * documents/embeddings are untouched (their hot spots come from
-  * content, not generator keys), and each copy has its own Zipf head
-  * (×k hot keys, the realistic multi-tenant shape). At s=1.1 over the
-  * ~1000-supplier domain the top supplier takes ~12% of ALL lineitem
-  * rows — the single-straggler-task shape AQE/salting exists for.
+  * from a truncated power law over the GLOBAL scaled key domain
+  * (P(rank k) ∝ k^-s over all mult×span keys, inverse-CDF of the
+  * continuous truncation — rank 0 = the domain-min key is THE hot
+  * key): `events.user_id`, `orders.o_custkey`, `lineitem.l_partkey`,
+  * `lineitem.l_suppkey`. PK sides stay uniform (every drawn FK still
+  * resolves — referential integrity holds); documents/embeddings are
+  * untouched (their hot spots come from content, not generator keys).
+  * GLOBAL, not per-copy, deliberately: a first cut drew one Zipf head
+  * per copy and the ×40 run produced ZERO stragglers — 40 heads
+  * hash-spread across 32 reduce partitions is self-balancing at
+  * partition granularity. One global head is the shape salting exists
+  * for: at s=1.1 over the ×40 supplier domain the top supplier takes
+  * ~10% of ALL 24 M lineitem rows, so the unsplittable reduce
+  * partition carries ~4× the median — the measured straggler.
   *
   * Run: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <multiplier> [zipf=<s>]"`.
   */
@@ -136,15 +140,16 @@ object ScaleGen {
     def shifted(c: String, stride: Long) =
       (col(c) + col("__copy") * stride).as(c)
 
-    // Skew mode: an FK column is REDRAWN from the copy's key domain via
-    // the truncated power law instead of carrying its original value —
-    // rank 0 (the domain min, per copy) becomes the hot key. Seeded by
-    // the row's own identity + a per-column tag so the draws are
-    // independent across columns and deterministic across runs.
+    // Skew mode: an FK column is REDRAWN from the GLOBAL scaled key
+    // domain via the truncated power law instead of carrying its
+    // original value — rank 0 (the global domain min) becomes THE hot
+    // key. Seeded by the row's own identity (+ __copy, + a per-column
+    // tag) so draws are independent across columns/copies and
+    // deterministic across runs.
     def zipfKey(minKey: Long, stride: Long, name: String, tag: String,
         seeds: org.apache.spark.sql.Column*) =
-      (lit(minKey) + zipfRank(stride, zipfS, seeds :+ lit(tag): _*) +
-        col("__copy") * stride).as(name)
+      (lit(minKey) +
+        zipfRank(stride * mult, zipfS, seeds :+ lit(tag): _*)).as(name)
 
     def write(df: DataFrame, name: String, files: Int): Unit = {
       df.drop("__copy")

@@ -157,30 +157,26 @@ class ScaleGenSpec extends SparkSpec {
     assert(orphans(t("orders"), "o_custkey", t("customer"), "c_custkey") === 0L)
     assert(orphans(t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey") === 0L)
     assert(orphans(t("lineitem"), "l_partkey", t("part"), "p_partkey") === 0L)
-    // Distribution pin on the strongest-signal domain (6000 lineitems
-    // over 10 suppliers per copy): rank 0 = the copy's domain-min key
-    // must be the modal FK, and its share must match the truncated
-    // power law's head mass F(2) = (2^(1-s)-1)/(n^(1-s)-1) — at s=1.1,
-    // n=10 that is ~0.326, vs 0.1 uniform. ±35% relative tolerance
-    // absorbs the finite-sample wobble of a deterministic hash draw.
+    // Distribution pin on the strongest-signal domain (18000 lineitems
+    // over 30 suppliers globally at mult=3): rank 0 = the GLOBAL
+    // domain-min key must be the modal FK over the WHOLE table, and
+    // its share must match the truncated power law's head mass
+    // F(2) = (2^(1-s)-1)/(n^(1-s)-1) with n = mult×span — the one
+    // global head that actually produces an unsplittable hot reduce
+    // partition (a per-copy-heads draft self-balanced and measured
+    // zero stragglers). ±35% relative tolerance absorbs the
+    // finite-sample wobble of a deterministic hash draw.
     val (suppMin, suppSpan) = keyDomain("supplier", "s_suppkey")
-    val copy0 = t("lineitem").where(col("l_suppkey") < suppMin + suppSpan)
-    val top = copy0.groupBy("l_suppkey").count()
+    val n = (suppSpan * mult).toDouble
+    val li = t("lineitem")
+    val top = li.groupBy("l_suppkey").count()
       .orderBy(desc("count"), col("l_suppkey")).head()
-    assert(top.getLong(0) === suppMin, "hot key must be the domain min")
-    val share = top.getLong(1).toDouble / copy0.count()
-    val f2 = (math.pow(2, 1 - s) - 1) / (math.pow(suppSpan.toDouble, 1 - s) - 1)
-    assert(share > 2.0 / suppSpan, s"head not skewed: $share")
+    assert(top.getLong(0) === suppMin, "hot key must be the global domain min")
+    val share = top.getLong(1).toDouble / li.count()
+    val f2 = (math.pow(2, 1 - s) - 1) / (math.pow(n, 1 - s) - 1)
+    assert(share > 2.0 / n, s"head not skewed: $share")
     assert(math.abs(share - f2) / f2 < 0.35,
       s"head share $share far from analytic $f2")
-    // Every copy gets its own Zipf head (multi-tenant shape): copy 1's
-    // band must also peak at ITS domain min.
-    val copy1 = t("lineitem").where(
-      col("l_suppkey") >= suppMin + suppSpan &&
-        col("l_suppkey") < suppMin + 2 * suppSpan)
-    val top1 = copy1.groupBy("l_suppkey").count()
-      .orderBy(desc("count"), col("l_suppkey")).head()
-    assert(top1.getLong(0) === suppMin + suppSpan)
     // Deterministic across runs, like the uniform mode.
     val d2 = Files.createTempDirectory("scalegen-zipf2").toString
     ScaleGen.generate(spark, src, d2, mult, zipfS = s)

@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   *  1. smj_plain:   sort-merge, AQE skew-split OFF — the naive plan, the
   *                  straggler baseline (hot task carries ~13.5% of the
   *                  fact table at s=1.1).
-  *  2. smj_aqe:     sort-merge, AQE skewJoin ON — Spark's runtime
-  *                  defense, splits the oversized partition.
+  *  2. smj_aqe:     sort-merge, AQE skewJoin ON at DEFAULT thresholds —
+  *                  Spark's runtime defense as shipped. Measured: it
+  *                  never fires here (the hot partition is ~40 MB,
+  *                  far under skewedPartitionThresholdInBytes=256 MB,
+  *                  yet an 8-12× TIME straggler — compute-skew is
+  *                  invisible to the byte heuristic).
+  *  2b. smj_aqe_tuned: same, thresholds tuned to the data
+  *                  (threshold+advisory 8 MB) — proves the heuristic
+  *                  CAN split this partition once told what "big"
+  *                  means here; the tuning an operator would apply on
+  *                  a known-skewed corpus.
   *  3. shj_plain:   shuffle-hash, AQE skew-split OFF (AQE's skewJoin
   *                  handles SMJ only) — shows SHJ inherits the same
   *                  reduce-side hot partition.
@@ -88,6 +97,8 @@ object SkewProbe {
         aggregate(big(dir).hint("merge").join(small(dir), Seq("suppkey")))),
       "smj_aqe" -> (() =>
         aggregate(big(dir).hint("merge").join(small(dir), Seq("suppkey")))),
+      "smj_aqe_tuned" -> (() =>
+        aggregate(big(dir).hint("merge").join(small(dir), Seq("suppkey")))),
       // Build side = the DIMENSION (hint on small): per-partition build
       // stays tiny and the hot fact partition streams. The first cut
       // hinted the fact side — its hot partition's hash relation blew
@@ -114,7 +125,19 @@ object SkewProbe {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
           spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
-            (leg == "smj_aqe").toString)
+            (leg == "smj_aqe" || leg == "smj_aqe_tuned").toString)
+          if (leg == "smj_aqe_tuned") {
+            spark.conf.set(
+              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+              "8m")
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+              "8m")
+          } else {
+            spark.conf.unset(
+              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+            spark.conf.unset(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          }
           var best = Double.MaxValue
           var lastTasks: Seq[Long] = Nil
           var hash = ""

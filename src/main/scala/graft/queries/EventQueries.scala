@@ -126,6 +126,63 @@ object EventQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** §2.33ak — HOT-KEY-SAFE sessionization: bit-identical output to
+    * [[qeSessions]] without its scale ceiling. The classic
+    * gaps-and-islands form sorts each user's ENTIRE history in one
+    * task (Window.partitionBy(user)) — the r13 Zipf ladder measured it
+    * as the ONE production straggler (sf16zipf: 9.8× max/med task,
+    * the hot user's 1.6 M-event ordered window on a single core).
+    * Chunk-and-stitch removes the per-key ceiling:
+    *
+    *  1. per (user, day-chunk) window — the hot user's history splits
+    *     across chunks, so no task ever sorts more than one key-day —
+    *     marks sub-session starts with the SAME strict-gap rule;
+    *  2. sub-sessions collapse to SUMMARY rows (first/last ts, count)
+    *     — per-event data never crosses another exchange;
+    *  3. the cross-chunk stitch runs the same gap rule over summaries
+    *     ordered by (chunk, sub): adjacent sub-sessions merge iff
+    *     first(next) − last(prev) ≤ gap. Every consecutive-event pair
+    *     is examined exactly once — within a chunk by step 1, across
+    *     sub-session boundaries by step 3 (a same-chunk split pair
+    *     re-checks > gap and stays split), so session ids, counts and
+    *     bounds reproduce [[qeSessions]] exactly — the oracle IS
+    *     qeSessionsSql. The stitch window is per-user over summaries
+    *     (≤ sub-sessions per chunk × active chunks — bounded by
+    *     activity/gap, not events; the hot user contributes ~#days
+    *     rows, not 1.6 M). Chunk width needs NO relation to the gap
+    *     (an empty chunk between events just makes the stitch compare
+    *     the true timestamps); 1 day balances parallelism vs summary
+    *     count. */
+  def qeSessionsStitched(spark: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 1800000000L
+    val chunkMicros = 86400000000L // 1 day
+    val byUC = Window.partitionBy("user_id", "__chunk")
+      .orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(byUC)
+    val newSub = when(lagTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(lagTs) > gapMicros, 1).otherwise(0)
+    val summaries = Tables.load(spark, dir, "events")
+      .withColumn("__chunk", floor(unix_micros(col("ts")) / chunkMicros))
+      .withColumn("__sub", sum(newSub).over(
+        byUC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "__chunk", "__sub")
+      .agg(count(lit(1)).as("__n"),
+        min(col("ts")).as("__first"), max(col("ts")).as("__last"))
+    val byUser = Window.partitionBy("user_id").orderBy("__chunk", "__sub")
+    val lagLast = lag(col("__last"), 1).over(byUser)
+    val stitchNew = when(lagLast.isNull ||
+      unix_micros(col("__first")) - unix_micros(lagLast) > gapMicros, 1)
+      .otherwise(0)
+    summaries
+      .withColumn("session_id", sum(stitchNew).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(sum(col("__n")).as("n_events"),
+        min(col("__first")).as("session_start"),
+        max(col("__last")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** §2.33aj — sessionization via Spark's NATIVE `session_window`
     * aggregation (the operator Structured Streaming uses for session
     * state, here in batch): one grouped aggregation, no lag/cumsum
@@ -5797,6 +5854,7 @@ object EventQueries {
     "qe_sliding" -> (qeSliding _),
     "qe_range" -> (qeRange _),
     "qe_sessions" -> (qeSessions _),
+    "qe_sessions_stitched" -> (qeSessionsStitched _),
     "qe_session_window" -> (qeSessionWindow _),
     "qe_topk_users" -> (qeTopkUsers _),
     "qe_funnel" -> (qeFunnel _),
@@ -5885,6 +5943,7 @@ object EventQueries {
     "qe_sliding" -> qeSlidingSql,
     "qe_range" -> qeRangeSql,
     "qe_sessions" -> qeSessionsSql,
+    "qe_sessions_stitched" -> qeSessionsSql,
     "qe_session_window" -> qeSessionWindowSql,
     "qe_topk_users" -> qeTopkUsersSql,
     "qe_funnel" -> qeFunnelSql,

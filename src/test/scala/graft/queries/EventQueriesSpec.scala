@@ -155,4 +155,51 @@ class EventQueriesSpec extends SparkSpec {
       assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("chunk-and-stitch sessionization is bit-identical to the windowed form") {
+    // The hot-key-safe variant must reproduce qeSessions EXACTLY —
+    // same session ids, counts and bounds — on real data (the DuckDB
+    // oracle re-proves it at sf0.01) and on a fixture built to cross
+    // chunk boundaries every way that matters: a session spanning the
+    // day boundary within the gap (must stitch), a >gap pause exactly
+    // at the boundary (must NOT stitch), multi-day continuous activity
+    // (stitch chain across 3+ chunks), and an empty day between events
+    // (stitch must compare true timestamps, not chunk adjacency).
+    val dir = "/root/testdata/sf0.001"
+    val a = EventQueries.qeSessions(spark, dir).collect().map(_.toSeq).toSeq
+    val b = EventQueries.qeSessionsStitched(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a === b)
+
+    val s = spark
+    import s.implicits._
+    val base = Timestamp.valueOf("2024-03-01 23:45:00") // 15 min to midnight
+    def at(min: Long) = new Timestamp(base.getTime + min * 60000L)
+    val fixture = Seq(
+      // user 1: session crosses midnight inside the gap → one session
+      (1L, at(0), 1L), (2L, at(20), 1L),
+      // then a 31-min pause right after the boundary → new session
+      (3L, at(51), 1L),
+      // user 2: continuous activity every 20 min for ~3 days → ONE
+      // session whose stitch chain crosses many chunk boundaries
+      // (72h * 3/h = 216 events)
+      // user 3: events two days apart (empty chunk between) → two sessions
+      (500L, at(0), 3L), (501L, at(2 * 1440L), 3L)
+    ) ++ (0 until 216).map(i => (100L + i, at(i * 20L), 2L))
+    val df = fixture.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("stitch_fixture").toString
+    df.repartition(4).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val fa = EventQueries.qeSessions(spark, tmp).collect().map(_.toSeq).toSeq
+    val fb = EventQueries.qeSessionsStitched(spark, tmp)
+      .collect().map(_.toSeq).toSeq
+    assert(fa === fb)
+    // and the shapes the fixture promises actually occurred
+    val u1 = fa.filter(_.head == 1L)
+    assert(u1.length == 2 && u1.head(2) == 2L) // midnight-crossing pair stitched
+    assert(fa.count(_.head == 2L) == 1)        // 3-day chain = one session
+    assert(fa.count(_.head == 3L) == 2)        // empty chunk ≠ adjacency
+  }
 }

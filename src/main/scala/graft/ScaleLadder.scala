@@ -46,7 +46,7 @@ object ScaleLadder {
     // events: bootstrap resampling, RFM/heavytail/LTV (DistributedRank),
     // sessionization, ordered funnel
     "qe_bootstrap", "qe_rfm", "qe_heavytail", "qe_ltv_deciles",
-    "qe_sessions", "qe_funnel",
+    "qe_sessions", "qe_sessions_stitched", "qe_funnel",
     // multimodal: banded dHash clustering
     "qm_phash_clusters",
     // similarity: MMR diversification, exhaustive-scan kNN baseline,

@@ -114,9 +114,21 @@ object StreamLadder {
     // executors then need this repo's classes on their classpath.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-    val builder0 = SparkSession.builder()
+    val builder00 = SparkSession.builder()
       .config("spark.sql.streaming.stateStore.providerClass", providerClass)
       .master(master)
+    // Generic conf passthrough (ClusterSmoke's pattern) for provider
+    // experiments — e.g. RocksDB changelog checkpointing, the knob
+    // that targets the commit-latency premium the telemetry measured:
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2". Confs ride the provider tag
+    // in every record via the `extra_conf` field so experimental rows
+    // never pollute a provider's baseline.
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+    val builder0 = extraConf.split(";").filter(_.nonEmpty)
+      .foldLeft(builder00) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
     val builder =
       if (master.startsWith("local-cluster"))
         builder0.config("spark.executor.extraClassPath",
@@ -294,7 +306,7 @@ object StreamLadder {
               // provider on the error line too: a crash that only one
               // state store exhibits must be attributable from the raw
               // record alone.
-              s"""{"sf":"$label","stream":"$name","error":"$msg","provider":"$providerTag"}"""
+              s"""{"sf":"$label","stream":"$name","error":"$msg","provider":"$providerTag","extra_conf":"$extraConf"}"""
             case None =>
               s"""{"sf":"$label","stream":"$name","sec":${ms(bestSec)},"rows":$inputRows,"rows_per_sec":${ms(inputRows / bestSec)},"batches":$batches,"out_rows":$outRows,"state_rows":$stateRows,"late_dropped":$lateDropped,"state_dir_mb":${ms(stateDirBytes / 1048576.0)},"commit_ms_avg":${ms(commitMsAvg)},"commit_ms_max":$commitMsMax,"restart_sec":${ms(restartSec)},"restart_batches":$restartBatches,"provider":"$providerTag","master":"$master"}"""
           }

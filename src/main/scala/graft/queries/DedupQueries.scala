@@ -1275,25 +1275,37 @@ object DedupQueries {
     * 320 k → 12 — are ladder-measured, not oracle-replayed). */
   private val AutoOraclePlanes = 4
 
+  /** The live count domain in which the baked oracles MUST agree with
+    * the auto-sizing: every driver SF's embeddings table (500 / 500 /
+    * 2000 rows) sits under this, and sf0.1's 2000 is only 2.4% below
+    * the 2049-row boundary where [[Dedup.autoPlanes]] flips to 5 — the
+    * drift the guard below exists to catch. Above it the corpus is a
+    * scale-ladder rung (20 k+), where no oracle is replayed and the
+    * auto count is the point of the query. */
+  private val DriverScaleMaxRows = 4096L
+
   /** Auto-sized edge set shared by the three `_auto` queries, with the
-    * oracle-geometry drift guard: sf0.1's 2000 vectors sit 2.4% under
-    * the 2049-row boundary where [[Dedup.autoPlanes]] flips to 5, and
-    * past it the baked DuckDB oracles would silently encode the wrong
-    * plane count — the gate would fail with an opaque row mismatch.
-    * So the live count (the same one the auto overload would have run)
-    * is asserted against [[AutoOraclePlanes]] and the pinned overload
-    * replays it; a generator-size drift now fails HERE, naming the
-    * fix. Audit mode keeps the count-free auto overload (job-free,
-    * identical plan shape). */
+    * oracle-geometry drift guard: at DRIVER scale (n ≤
+    * [[DriverScaleMaxRows]]) the live count's plane pick is asserted
+    * against [[AutoOraclePlanes]] — a generator-size drift across the
+    * boundary fails HERE naming the fix, instead of as an opaque
+    * oracle row mismatch. At ladder scale the auto count is used
+    * as-is — that IS the query's contract (the measured 25× ×160 win
+    * comes from the knob moving: 20 k → 8, 320 k → 12). The r13 ladder
+    * refresh caught the first cut of this guard asserting
+    * unconditionally, erroring every _auto rung above sf0.1 — kept as
+    * the error rows in SCALING_RAW history. Audit mode keeps the
+    * count-free auto overload (job-free, identical plan shape). */
   private def autoEdges(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     if (spark.conf.get("spark.graft.materialize", "true").toBoolean) {
-      val p = Dedup.autoPlanes(emb.count())
-      require(p == AutoOraclePlanes,
+      val n = emb.count()
+      val p = Dedup.autoPlanes(n)
+      require(p == AutoOraclePlanes || n > DriverScaleMaxRows,
         s"embeddings corpus size drifted across an autoPlanes boundary: " +
-          s"live count picks $p planes but the baked DuckDB oracles encode " +
-          s"$AutoOraclePlanes — update AutoOraclePlanes (and the _auto " +
-          s"oracle SQL it parameterizes) for the new generator size")
+          s"live count $n picks $p planes but the baked DuckDB oracles " +
+          s"encode $AutoOraclePlanes — update AutoOraclePlanes (and the " +
+          s"_auto oracle SQL it parameterizes) for the new generator size")
       Dedup.lshCosinePairs(emb, "embedding", "vec_id", p, GraphDims,
         GraphMinCosine)
     } else

@@ -56,4 +56,34 @@ class AutoPlanesSpec extends SparkSpec {
     assert(auto.collect().toSet === explicit.collect().toSet)
     assert(auto.count() > 0) // non-vacuous: some edges exist
   }
+
+  test("oracle drift guard: loud at driver scale, silent at ladder scale") {
+    // The _auto queries bake AutoOraclePlanes=4 into their DuckDB
+    // oracles, valid while every driver-SF embeddings count stays in
+    // the 4-plane regime (≤ 2048 rows). A generator drift past the
+    // boundary must fail NAMING the fix — but only inside the
+    // driver-scale domain: a ladder corpus (20 k+) legitimately picks
+    // more planes and no oracle is replayed there (the first cut of
+    // this guard asserted unconditionally and errored every _auto
+    // rung above sf0.1 — caught by the r13 ladder refresh).
+    import org.apache.spark.sql.functions._
+    def embDir(n: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"driftguard$n")
+      spark.range(1, n + 1).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => sin(col("id") * (i + 1)).cast("float")).as("embedding"),
+        lit(0L).as("label"))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d.toString
+    }
+    // 2100 rows: past the 2049 flip, inside the driver domain → loud.
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.DedupQueries.qdLshAuto(spark, embDir(2100))
+    }
+    assert(e.getMessage.contains("AutoOraclePlanes"))
+    // 5000 rows: ladder territory → the auto count is the contract.
+    val edges = graft.queries.DedupQueries.qdLshAuto(spark, embDir(5000))
+    assert(edges.count() > 0)
+  }
 }

@@ -111,6 +111,10 @@ object ClusterSmoke {
       .map(_.split(";").filter(_.nonEmpty))
       .getOrElse(Array.empty[String])
       .foldLeft(builder1) { (b, kv) =>
+        // Same guard as StreamLadder: name a malformed entry instead
+        // of dying in the destructuring bind with a MatchError.
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_EXTRA_CONF entry (expected k=v): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         b.config(k, v)
       }
@@ -227,13 +231,37 @@ object ClusterSmoke {
       //  3b: SIGPWR with the decommission machinery armed — the
       //      cloud-preemption analog; blocks migrate and the job
       //      finishes, identically, ideally without recompute.
+      // Order-insensitive distributed content hash: per-row xxhash64
+      // over the canonical JSON rendering, summed as DECIMAL(38,0) so
+      // ANSI mode can't overflow. Doubles are rounded to 9 places
+      // first — a task retry re-sums float partials in a different
+      // order, and an ULP-level drift must not read as corruption.
+      def hashAndCount(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+        val canon = df.schema.fields.map { f =>
+          f.dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType =>
+              round(col(f.name), 9).as(f.name)
+            case _ => col(f.name)
+          }
+        }
+        val r = df.select(canon.toIndexedSeq: _*)
+          .select(
+            sum(xxhash64(to_json(struct(col("*"))))
+              .cast("decimal(38,0)")).as("h"),
+            count(lit(1)).as("n")).head()
+        val hex =
+          if (r.isNullAt(0)) "empty"
+          else r.getDecimal(0).toBigInteger.toString(16)
+        (r.getLong(1), hex)
+      }
       def midFlightDisrupt(tag: String, disrupt: Long => Unit): Unit = {
         val d3 = System.nanoTime() + 120e9.toLong
         while (liveExecutors(spark) < 2 && System.nanoTime() < d3)
           Thread.sleep(500)
         spark.conf.set("spark.graft.tfidf.maxBroadcastBytes", "0")
         val fn = SparkEntry.queries("qd_tfidf_pairs")
-        val baseline = Force.rows(fn(spark, dir))
+        val (baseline, baselineHash) = hashAndCount(fn(spark, dir))
         val tracker = spark.sparkContext.statusTracker
         @volatile var disruptedPid = -1L
         @volatile var watcherNote = "never_fired"
@@ -261,16 +289,22 @@ object ClusterSmoke {
         val outcome =
           try {
             watcher.start()
-            val rows = Force.rows(fn(spark, dir))
+            // The disrupted job is the hash pass itself, so the retry
+            // recomputes CONTENT, not just cardinality — a retry that
+            // produced different rows with the same count would
+            // previously still have read as "identical".
+            val (rows, hash) = hashAndCount(fn(spark, dir))
             val sec = (System.nanoTime() - t0) / 1e9
-            if (rows == baseline)
-              s""""outcome":"completed_identical","rows":$rows,"sec":${JsonFmt.ms(sec)}"""
+            if (rows == baseline && hash == baselineHash)
+              s""""outcome":"completed_identical","rows":$rows,"hash":"$hash","sec":${JsonFmt.ms(sec)}"""
+            else if (rows == baseline)
+              s""""outcome":"completed_same_count_content_drift","rows":$rows,"hash_before":"$baselineHash","hash_after":"$hash","sec":${JsonFmt.ms(sec)}"""
             else
               s""""outcome":"row_mismatch","rows_before":$baseline,"rows_after":$rows"""
           } catch { case e: Throwable =>
             s""""outcome":"failed","error":"${JsonFmt.err(e)}""""
           } finally watcher.join(5000)
-        emit(s"""{"mode":"$master","recovery":"$tag","watcher":"$watcherNote","disrupted_pid":$disruptedPid,"rows_baseline":$baseline,$outcome}""")
+        emit(s"""{"mode":"$master","recovery":"$tag","watcher":"$watcherNote","disrupted_pid":$disruptedPid,"rows_baseline":$baseline,"hash_baseline":"$baselineHash",$outcome}""")
         spark.conf.unset("spark.graft.tfidf.maxBroadcastBytes")
       }
 

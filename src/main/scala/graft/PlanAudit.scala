@@ -324,6 +324,39 @@ object PlanAudit {
       // window rides the collapsed unigram/continuation frame that the
       // SAME query broadcasts into its join.
       "qt_bigram_lm", "qt_kn_bigram", "qt_cross_entropy")
+    // ── Top-k site adoption audit (r14) ──
+    // Every physical top-k site in the suite, with its chosen operator
+    // and a one-line justification for NOT using the sort-free heap
+    // (TopKPerKeyExec, 38b) where it stays on the window path:
+    //   TopKPerKeyExec        — graft's per-key heap: no per-partition
+    //                           sort, state bounded by k per key.
+    //   WindowGroupLimitExec  — Spark's rank-predicate pushdown
+    //                           (InferWindowGroupLimit): each partition
+    //                           pre-prunes to k rows per key BEFORE the
+    //                           final window, but still sorts each
+    //                           group's survivors.
+    //   TakeOrderedAndProject — Spark's global top-k heap (sort-free).
+    // A WindowGroupLimit site is acceptable when (a) the query needs
+    // the RANK VALUE itself (dense_rank ties, rank gaps) or full
+    // ordering among survivors downstream — the heap returns rows, not
+    // ranks; (b) the group count is bounded by an attribute domain so
+    // the sorted data is tiny; or (c) the window carries additional
+    // frame aggregates that need the sort anyway. Sites listed in
+    // `windowTopKJustified` carry that argument; a WindowGroupLimitExec
+    // in a query NOT listed is flagged for adoption review.
+    val windowTopKJustified: Map[String, String] = Map(
+      "q10_returned" -> "global top-20 (TakeOrdered), no per-key site; the WindowGroupLimit is rank-after-limit on the 20-row result",
+      "q2_min_cost_supplier" -> "min-cost-per-part is rank=1 with TIES semantics (all suppliers at the min price survive) — needs rank, not a k-heap",
+      "q15_top_supplier" -> "rank=1 with ties over ONE group (the revenue max) — a 1-group window over the collapsed supplier frame",
+      "q_top_customers" -> "rank-value itself is projected (position column in the report); heap returns rows, not ranks",
+      "q_window_suite" -> "demonstrates the window-function surface (rank/dense_rank/lag/lead in one pass) — the sort is the operator under test",
+      "qd_cluster_report" -> "per-cluster exemplar is rank=1 over clusters bounded by the dedup manifest (collapsed frame, not corpus-scale); rides the existing cluster sort",
+      "qd_cluster_labels" -> "top labels per cluster need dense_rank tie semantics over the bounded cluster-token frame",
+      "qe_latest" -> "ADOPTED TopKPerKeyExec (k=1 per user) — listed here because its oracle twin keeps a WindowGroupLimit reference plan",
+      "qt_rake" -> "top keywords per doc need the score rank projected; survivors per doc bounded by phrase count",
+      "qt_tfidf" -> "top terms per doc with rank projected; WindowGroupLimit prunes to k per doc before the final window",
+      "qs_mmr" -> "iterative re-rank needs full order among the ≤k·probe candidate frame (bounded), not a one-shot top-k")
+    val topkReport = Seq.newBuilder[String]
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -389,10 +422,37 @@ object PlanAudit {
               fields >= 8
             })
           .collect { case (f, true) => f }
-        if (flags.nonEmpty) { flagged += 1; println(s"FLAG $name: ${flags.mkString(", ")}") }
+        // Top-k site collection. WindowGroupLimitExec typically appears
+        // twice per logical site (Partial before the exchange, Final
+        // after — same split as HashAggregate), so counts are node
+        // counts, not site counts.
+        val topkSites = executed.collect {
+          case _: org.apache.spark.sql.graft.TopKPerKeyExec => "TopKPerKey"
+          case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            => "WindowGroupLimit"
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+            => "TakeOrdered"
+        }
+        val unjustifiedTopk =
+          topkSites.contains("WindowGroupLimit") &&
+            !windowTopKJustified.contains(name)
+        if (topkSites.nonEmpty) {
+          val counts = topkSites.groupBy(identity).view.mapValues(_.size)
+            .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+          val just =
+            if (topkSites.contains("WindowGroupLimit"))
+              windowTopKJustified.getOrElse(name, "UNJUSTIFIED")
+            else "heap/global top-k; no window-path site"
+          topkReport += f"$name%-26s $counts%-42s $just"
+        }
+        val allFlags =
+          if (unjustifiedTopk) flags :+ "WindowTopKUnjustified" else flags
+        if (allFlags.nonEmpty) { flagged += 1; println(s"FLAG $name: ${allFlags.mkString(", ")}") }
         else println(s"ok   $name")
       } catch { case e: Throwable => flagged += 1; println(s"ERR  $name: $e") }
     }
+    println("\n── top-k sites (operator + justification) ──")
+    topkReport.result().foreach(println)
     println(s"audit done, $flagged flagged")
     spark.stop()
   }

@@ -71,16 +71,45 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "runMain graft.ScaleGen <srcDir> <outDir> <multiplier> [zipf=<s>]"`.
   */
 object ScaleGen {
+  /* Vocab-skew mode (4th arg `vocabzipf=<s>`): the join-key zipf mode
+   * above stresses the SHUFFLE-KEY path; the dedup/text family
+   * (posting lists, band buckets, df-ordered prefixes) is stressed by
+   * a Zipfian VOCABULARY instead — qd_prefix_join's "head elements
+   * sort last" ordering claim and the band-bucket guards had only been
+   * measured against the generator's roughly uniform token
+   * distribution. With `vocabzipf=s`, every token occurrence (after
+   * the per-copy substitution) is rewritten to `z<r>` where r is a
+   * truncated-power-law rank over a 65 536-token synthetic vocabulary,
+   * drawn from hash(token, position) — doc-independent, so replicated
+   * near-dup copies (which share token AND position at every
+   * unsubstituted slot) rewrite identically and stay near-dup, while
+   * the substituted slots rewrite differently and keep carrying the
+   * mutation distance. The seed must include the position: the driver
+   * corpus holds only 31 distinct tokens at every SF (measured), so a
+   * token-only map is a pushforward of 31 lumpy atoms — no power law
+   * can emerge, and the modal output rank is whichever bucket a heavy
+   * atom happens to hash into. With position in the seed the atom
+   * count is 31 × max-doc-length (thousands), the realized vocabulary
+   * is thousands of z-tokens with Zipfian df, and at s=1.1 the head
+   * token z0 takes ~10% of ALL occurrences (F(2) of the truncated
+   * zeta) and appears in ~every document (P ≈ 1−0.9^len): df-ordered
+   * prefixes must push it out of posting lists, and minhash band
+   * buckets must not melt. This corpus is for SKEW MEASUREMENT
+   * (task-time ratios), not oracle comparison — the rewrite changes
+   * pair counts by design. */
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
       "usage: ScaleGen <srcDir> <outDir> <multiplier> [zipf=<s>]")
     val src = args(0); val out = args(1)
     val mult = args(2).toInt
-    val zipfS =
+    val (zipfS, vocabZipfS) =
       if (args.length == 4) {
-        require(args(3).startsWith("zipf="), s"bad 4th arg: ${args(3)}")
-        args(3).stripPrefix("zipf=").toDouble
-      } else 0.0
+        require(args(3).startsWith("zipf=") || args(3).startsWith("vocabzipf="),
+          s"bad 4th arg: ${args(3)}")
+        if (args(3).startsWith("vocabzipf="))
+          (0.0, args(3).stripPrefix("vocabzipf=").toDouble)
+        else (args(3).stripPrefix("zipf=").toDouble, 0.0)
+      } else (0.0, 0.0)
     require(mult >= 1, s"multiplier must be >= 1, got $mult")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -89,7 +118,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, mult, zipfS)
+    generate(spark, src, out, mult, zipfS, vocabZipfS)
     spark.stop()
   }
 
@@ -113,7 +142,7 @@ object ScaleGen {
   }
 
   def generate(spark: SparkSession, src: String, out: String, mult: Int,
-      zipfS: Double = 0.0): Unit = {
+      zipfS: Double = 0.0, vocabZipfS: Double = 0.0): Unit = {
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
@@ -230,8 +259,41 @@ object ScaleGen {
                        THEN concat(t, '~', __copy)
                        ELSE t END),
            ' ')""")
-    write(replicate(docs).select(
-      shifted("doc_id", docStride), mutated.as("text"), col("lang"),
+    // Vocab-skew rewrite (see the header): occurrence → `z<rank>` where
+    // rank is the truncated-power-law inverse CDF over a 65 536-token
+    // vocabulary, seeded by hash(token, position) — position included
+    // because the driver corpus has only 31 distinct tokens (a
+    // token-only pushforward is 31 lumpy atoms, no power law). Applied
+    // AFTER the per-copy substitution so the ×k cluster structure
+    // feeds the map.
+    val vocabSkewed: org.apache.spark.sql.Column = {
+      val v = 65536L
+      val oneMinusS = 1.0 - vocabZipfS
+      expr(
+        s"""array_join(
+             transform(split(text, ' '),
+               (t, i) -> concat('z', CAST(least(greatest(
+                 CAST(floor(power(
+                   1.0D + ((CAST(pmod(hash(t, i), 1000000) AS DOUBLE) + 0.5D)
+                             / 1000000.0D)
+                        * (power(CAST($v AS DOUBLE), ${oneMinusS}D) - 1.0D),
+                   ${1.0 / oneMinusS}D)) AS BIGINT) - 1L,
+                 0L), ${v - 1}L) AS STRING))),
+             ' ')""")
+    }
+    val docText =
+      if (vocabZipfS > 0) {
+        require(vocabZipfS != 1.0, s"vocabzipf s must be != 1, got $vocabZipfS")
+        vocabSkewed.as("text")
+      } else mutated.as("text")
+    val docBase =
+      if (vocabZipfS > 0)
+        replicate(docs).select(shifted("doc_id", docStride),
+          mutated.as("text"), col("lang"), col("source"), col("__copy"))
+      else replicate(docs).select(shifted("doc_id", docStride),
+        col("text"), col("lang"), col("source"), col("__copy"))
+    write(docBase.select(
+      col("doc_id"), docText, col("lang"),
       col("source"), col("__copy"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars", "__copy"),

@@ -126,6 +126,11 @@ object StreamLadder {
     val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
     val builder0 = extraConf.split(";").filter(_.nonEmpty)
       .foldLeft(builder00) { (b, kv) =>
+        // A stray token without '=' would otherwise die in the
+        // destructuring bind with an opaque MatchError before any
+        // measurement; name the malformed entry instead.
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_EXTRA_CONF entry (expected k=v): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         b.config(k, v)
       }

@@ -917,6 +917,14 @@ object DedupQueries {
       val gate = graft.operators.MemGate.gateBytes(
         spark, "spark.graft.tfidf.shjMaxBuildBytes",
         default = graft.operators.MemGate.defaultMaxBroadcastBytes(spark))
+      // A non-positive gate is a misconfiguration here, not a dial
+      // position: ceil(b / 0.0).toInt is Int.MaxValue, which would
+      // issue repartition(2147483647) — a pathological exchange — and
+      // unlike the SNM verifier there is no safe third strategy to
+      // degrade to (sort-merge is the measured-fatal 300+ GB spill
+      // this gate exists to avoid). Fail with the knob's name instead.
+      require(gate > 0, "spark.graft.tfidf.shjMaxBuildBytes must be > 0 " +
+        s"(sort-merge is not a safe fallback for this join), got $gate")
       val parts = math.max(1,
         try spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
         catch { case _: NumberFormatException => 200 })

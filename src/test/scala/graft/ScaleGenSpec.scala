@@ -184,4 +184,55 @@ class ScaleGenSpec extends SparkSpec {
     val b = spark.read.parquet(s"$d2/lineitem.parquet")
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
+
+  test("vocabzipf mode: token head follows the power law, structure preserved") {
+    val s = 1.1
+    val d = Files.createTempDirectory("scalegen-vzipf").toString
+    ScaleGen.generate(spark, src, d, mult, vocabZipfS = s)
+    def t(n: String) = spark.read.parquet(s"$d/$n.parquet")
+    val docs = t("documents")
+    assert(docs.count() === srcT("documents").count() * mult)
+    // Vocab mode leaves the join keys uniform — lineitem FKs unskewed.
+    val (suppMin, suppSpan) = keyDomain("supplier", "s_suppkey")
+    val liTop = t("lineitem").groupBy("l_suppkey").count()
+      .agg(max("count"), sum("count")).head()
+    assert(liTop.getLong(0).toDouble / liTop.getLong(1) <
+      5.0 / (suppSpan * mult), "vocab mode must not skew join keys")
+    // Every token rewrites to z<rank>.
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    assert(toks.where(!col("tok").rlike("^z[0-9]+$")).count() === 0L,
+      "every token rewrites to z<rank>")
+    // Head mass: rank 0 must be the modal token with occurrence share
+    // near the analytic head mass F(2) = (2^(1-s)-1)/(V^(1-s)-1) over
+    // the 65 536-token vocabulary. This only holds because the seed is
+    // hash(token, POSITION): the source corpus has just 31 distinct
+    // tokens, and a token-only seed pushes 31 lumpy atoms through the
+    // inverse CDF (measured: the modal output was whichever bucket a
+    // heavy atom hashed into — z12 on this corpus). With position in
+    // the seed the atom count is 31 × max-doc-length, so each rank
+    // bucket receives its F-interval's share of thousands of small
+    // atoms; ±50% absorbs the residual lumpiness.
+    val total = toks.count()
+    val top = toks.groupBy("tok").count().orderBy(desc("count")).head()
+    assert(top.getString(0) === "z0", s"hot token must be rank 0, got ${top.getString(0)}")
+    val share = top.getLong(1).toDouble / total
+    val f2 = (math.pow(2, 1 - s) - 1) / (math.pow(65536.0, 1 - s) - 1)
+    assert(share > f2 * 0.5 && share < f2 * 2.0,
+      s"head share $share vs analytic $f2")
+    // The head token must land in ~every document — the df stress the
+    // corpus exists for (P(doc lacks z0) ≈ 0.9^len, len ≈ 56).
+    val docsWithZ0 = docs.where(
+      array_contains(split(col("text"), " "), "z0")).count()
+    assert(docsWithZ0.toDouble / docs.count() > 0.9,
+      s"head token must be near-universal, in $docsWithZ0 of ${docs.count()}")
+    // n_chars tracks the rewritten text (dedup queries read it).
+    assert(docs.where(length(col("text")) =!= col("n_chars")).count() === 0L)
+    // The rewrite is a pure function of (token, position) → bit-deterministic.
+    val d3 = Files.createTempDirectory("scalegen-vzipf2").toString
+    ScaleGen.generate(spark, src, d3, mult, vocabZipfS = s)
+    val b2 = spark.read.parquet(s"$d3/documents.parquet")
+    assert(docs.exceptAll(b2).count() === 0L &&
+      b2.exceptAll(docs).count() === 0L)
+  }
 }

@@ -56,6 +56,23 @@ class TfidfPairsJoinPathSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("a non-positive SHJ build gate fails loudly, never Int.MaxValue partitions") {
+    // 0 is the '0 = disable' idiom on the sibling maxBroadcastBytes
+    // gates, but HERE it would make ceil(b / 0.0).toInt = Int.MaxValue
+    // and issue repartition(2147483647); and unlike SNM there is no
+    // safe third strategy (sort-merge is the measured-fatal spill).
+    // It must fail with the knob's name instead.
+    val gateKey = "spark.graft.tfidf.shjMaxBuildBytes"
+    try {
+      spark.conf.set(key, "0") // broadcast off -> the gated SHJ path
+      spark.conf.set(gateKey, "0")
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.qdTfidfPairs(spark, dir)
+      }
+      assert(e.getMessage.contains(gateKey))
+    } finally { spark.conf.unset(key); spark.conf.unset(gateKey) }
+  }
+
   test("an oversized per-partition build widens the join, still SHJ") {
     // Sort-merge is measured-fatal here (the fat pairs×vectors
     // intermediate crossing a sort was the 300+ GB spill), so the

@@ -15,6 +15,16 @@ import graft.queries.EventQueries
   * pins the streaming side, which recovers from the checkpoint's
   * offset log + state store rather than from RDD lineage).
   *
+  * The contract is pinned as a MATRIX over state-store providers —
+  * {HDFS-backed, RocksDB, RocksDB + changelog checkpointing} — because
+  * the recovery path is provider-specific code (HDFS restores from
+  * full delta/snapshot files; RocksDB reloads SSTs; changelog mode
+  * replays a per-batch changelog over the last snapshot, the exact
+  * mechanism the measured 100 TB/day recipe depends on: StreamLadder
+  * recorded commit_ms 13018→6495 flipping it on, so the shipped
+  * recommendation is RocksDB+changelog and its restart semantics must
+  * be pinned, not assumed).
+  *
   * Method: the sf0.001 events table is split time-ordered into four
   * single-file drops. Run 1 (`Trigger.AvailableNow`) drains the first
   * two files and stops — windows still open at that point live ONLY in
@@ -29,6 +39,33 @@ class CheckpointResumeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val Hdfs =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** Provider matrix: tag → session confs set for the whole test
+    * (BOTH runs — a checkpoint's state format is provider-specific,
+    * so restart must use the provider that wrote it). */
+  private val providers: Seq[(String, Map[String, String])] = Seq(
+    "hdfs" -> Map(ProviderKey -> Hdfs),
+    "rocksdb" -> Map(ProviderKey -> RocksDb),
+    "rocksdb_changelog" -> Map(ProviderKey -> RocksDb,
+      ChangelogKey -> "true"))
+
+  private def withConfs[A](confs: Map[String, String])(body: => A): A = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Write `df` as ONE parquet file named `name` inside `target`
     * (FileStreamSource discovers bare files; a write directory's
     * part-file is moved out and renamed). */
@@ -42,7 +79,7 @@ class CheckpointResumeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
-  test("windowed agg restarted from checkpoint is exactly-once across the stop") {
+  private def windowedResume(): Unit = {
     val ev = Tables.load(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("ts", "event_id")
@@ -124,7 +161,12 @@ class CheckpointResumeSpec extends SparkSpec {
     }
   }
 
-  test("fMGWS sessionizer restarted from checkpoint is exactly-once across the stop") {
+  for ((tag, confs) <- providers)
+    test(s"windowed agg restarted from checkpoint is exactly-once [$tag]") {
+      withConfs(confs)(windowedResume())
+    }
+
+  private def sessionResume(): Unit = {
     // Same harness, CUSTOM state: flatMapGroupsWithState holds one open
     // session per user plus that user's session COUNTER. Both must
     // cross the restart — a lost store doesn't just drop boundary
@@ -198,4 +240,13 @@ class CheckpointResumeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     }
   }
+
+  // Custom fMGWS state crosses the restart on the default provider and
+  // on the production recipe (RocksDB + changelog): the state row here
+  // is an Encoder-serialized case class, exercising the provider's
+  // byte-level restore path rather than the windowed agg's UnsafeRow.
+  for ((tag, confs) <- providers if tag != "rocksdb")
+    test(s"fMGWS sessionizer restarted from checkpoint is exactly-once [$tag]") {
+      withConfs(confs)(sessionResume())
+    }
 }

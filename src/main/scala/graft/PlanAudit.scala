@@ -355,7 +355,41 @@ object PlanAudit {
       "qe_latest" -> "ADOPTED TopKPerKeyExec (k=1 per user) — listed here because its oracle twin keeps a WindowGroupLimit reference plan",
       "qt_rake" -> "top keywords per doc need the score rank projected; survivors per doc bounded by phrase count",
       "qt_tfidf" -> "top terms per doc with rank projected; WindowGroupLimit prunes to k per doc before the final window",
-      "qs_mmr" -> "iterative re-rank needs full order among the ≤k·probe candidate frame (bounded), not a one-shot top-k")
+      "qs_mmr" -> "iterative re-rank needs full order among the ≤k·probe candidate frame (bounded), not a one-shot top-k",
+      // r14 sweep completion — every remaining WindowGroupLimit site,
+      // adjudicated. The general mechanism that makes these adequate:
+      // InferWindowGroupLimit plants a PARTIAL WindowGroupLimitExec
+      // before the exchange, so at most k rows per key per MAP
+      // partition ever shuffle (map-side combine for top-k); the
+      // residual per-group sort downstream is over ≤ parts×k rows.
+      // The heap operator only wins where NO rank value is needed AND
+      // per-key input is unbounded at fact scale — that one shape
+      // (latest-event-per-user) already adopted TopKPerKeyExec
+      // (qe_latest). Per-site reason the window path stays:
+      "q_lateral" -> "the LATERAL top-2-orders-per-customer surface IS the operator under demonstration; bounded ≤20-customer probe",
+      "q_mode" -> "mode = rank-1-with-deterministic-tiebreak over the COLLAPSED (flag, quantity) frame — domain-bounded, not fact-scale",
+      "qc_topvalues" -> "rnk is projected in the output contract (top values per column, position shown)",
+      "qe_entry_analysis" -> "first-event-per-session rank over sessionized frame; the sessionization window needs the per-user sort anyway — the rank rides it",
+      "qe_markov_eval" -> "rk projected as the prediction rank (top-k transition eval)",
+      "qe_paths" -> "rn orders the path CONCATENATION (string_agg ORDER BY rn) — the rank value is consumed, not just filtered",
+      "qo_merge" -> "upsert elects rank-1-per-business-key; partial WindowGroupLimit caps the exchange at 1/key/map-partition (residual sort ≤ parts rows/key)",
+      "qp_corpus" -> "keep-one-per-content-hash dedup, rank-1 with deterministic doc_id tiebreak; partial WindowGroupLimit caps the exchange",
+      "qp_dsir" -> "rank projected (importance-weighted sample position is part of the draw's reproducibility contract)",
+      "qp_reservoir" -> "rank projected — the deterministic hash-order rank IS the reservoir draw's reproducibility contract",
+      "qp_sample" -> "sample_rank projected (stratified draw position); salted pre-prune bounds each stratum's window input",
+      "qs_hard_negatives" -> "near-miss mining needs the rank ORDER among same-label negatives; eval-bounded ≤10-query probe set",
+      "qs_incremental" -> "rk projected for the merged-index rank; per-query candidates bucket-bounded",
+      "qs_knn_brute" -> "rank projected (neighbor position is the kNN output contract); eval-scale ≤10-query exhaustive oracle, scale path is qs_knn_ivf/lsh",
+      "qs_knn_classify" -> "rk selects the k vote set per query over bucket-bounded candidates; majority vote consumes the bounded rank frame",
+      "qs_knn_filtered" -> "rank projected; predicate-filtered candidates per query are bucket-bounded",
+      "qs_knn_graph" -> "rank projected per expansion round; frontier candidates bounded by degree×beam",
+      "qs_knn_ivf" -> "rank projected; candidates per query bounded by nprobe cells (the designed scale path)",
+      "qs_knn_lsh" -> "rank projected; candidates per query bounded by band collisions",
+      "qs_knn_multiprobe" -> "rank projected; candidates bounded by nflip-expanded buckets",
+      "qs_probe_sweep" -> "rank projected at each operating point; the sweep IS 5 bounded kNN evals in one plan",
+      "qs_quantize_recall" -> "exact-vs-reconstructed top-k set compare consumes rank≤k on BOTH sides; eval-bounded query set",
+      "qs_recall" -> "recall@k ground truth side embeds qs_knn_brute's ranked plan; eval-bounded",
+      "qt_keywords" -> "rnk projected (keyword position per source); window input is the collapsed (source, token) frame, vocab-bounded")
     val topkReport = Seq.newBuilder[String]
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

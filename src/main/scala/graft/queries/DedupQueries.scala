@@ -806,6 +806,17 @@ object DedupQueries {
     * loop, scored per pair by the native codegen merge-walk
     * [[org.apache.spark.sql.graft.SparseDotLong]]. */
   def qdTfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, vec) = tfidfCandVec(spark, dir)
+    scoreTfidfPairs(spark, cand, vec)
+  }
+
+  /** The candidate + vector frames of [[qdTfidfPairs]], exposed so
+    * [[graft.TfidfProfile]] can time the banding / assembly / scoring
+    * stages separately at ladder scale (the r14 verdict's stage
+    * breakdown). Same frames, same plan — the public query is the
+    * composition of this and [[scoreTfidfPairs]]. */
+  private[graft] def tfidfCandVec(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import graft.functions.Portable.tokens
     val docs = Tables.load(spark, dir, "documents")
     val nDocs = docs.count() // column-pruned count scan, once per build
@@ -864,6 +875,14 @@ object DedupQueries {
           transform(col("__l"), s => s.getField("token")).as("__toks"),
           transform(col("__l"), s => s.getField("wl")).as("__ws"),
           col("__n2")))
+    (cand, vec)
+  }
+
+  /** Scoring stage of [[qdTfidfPairs]]: gate-chosen attach strategy +
+    * the native merge-walk cosine. Split out for [[graft.TfidfProfile]];
+    * see [[tfidfCandVec]]. */
+  private[graft] def scoreTfidfPairs(spark: SparkSession,
+      cand: DataFrame, vec: DataFrame): DataFrame = {
     // Join strategy is decided by the MEASURED size of the candidate-doc
     // vector frame, not the pair count: a shuffle join on id_b would
     // sort the pairs-with-vectors intermediate — |pairs| × two array

@@ -13,7 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** [[load]] for call sites whose FIRST stage runs heavy per-row
+    * compute (decimal quantization, md5 resample digests, wide
+    * projections) directly over the scan: applies the same row-group-
+    * gated rebalance as the fat tables. The r8 A/B that limited the
+    * blanket gate to documents/embeddings measured CHEAP first stages
+    * (column work + partial agg), where the extra exchange costs more
+    * than the serial 11 MB scan; the r14 stage profile measured the
+    * expensive first stages this entry point is for: qe_elasticity ran
+    * its 600 k-row decimal+ln pipeline in ONE task (2.5 s of a 2.9 s
+    * query), qe_bootstrap its 65-way resample explode (1.9 s), and
+    * qc_drift_sweep / q_price_index the same shape — all because the
+    * single-row-group driver files cap scan parallelism at 1. A real
+    * multi-file corpus passes the row-group gate and pays nothing. */
+  def loadCompute(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name, computeHeavy = true)
+
+  def load(spark: SparkSession, dir: String, name: String,
+      computeHeavy: Boolean = false): DataFrame = {
     val df = normalizeAllTs(
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
@@ -43,7 +60,7 @@ object Tables {
     // full-table shuffle of its text/embeddings on every read.
     val target = spark.sparkContext.defaultParallelism
     val mode = spark.conf.get("spark.graft.rebalance", "auto")
-    if (mode != "off" && fatTables(name) &&
+    if (mode != "off" && (fatTables(name) || computeHeavy) &&
         scanParallelism(spark, s"$dir/$name.parquet", target) < target / 2)
       rebalance(spark, dir, name, df, target, mode)
     else df

@@ -1121,17 +1121,25 @@ object Dedup {
       .select(col("__src"), col("__dst"), col("__deg").cast("double").as("__d"))
       .repartition(col("__src"))
       .localCheckpoint()
-    val n = deg.count().toDouble
+    // Vertex set and count come FROM the checkpointed edge frame, not
+    // from `deg` (r14): deg embeds the whole upstream edge build (LSH
+    // banding + cosine for the contract queries), so `deg.count()` and
+    // the pr chain's first rounds each re-ran it — stage-profiled as
+    // three ~19 s-task executions per query run. distinct __src over
+    // checkpoint blocks is the same vertex set (every source appears in
+    // weighted; the join is inner on deg's own key), and n is its count.
+    val vertices = weighted.select("__src").distinct().localCheckpoint()
+    val n = vertices.count().toDouble
     // Empty graph: no vertices, no ranks — return the empty frame
     // instead of letting the 1/n and teleport constants fold into a
     // DIVIDE_BY_ZERO under ANSI mode (a QC run over a filtered-to-empty
     // corpus must report nothing, not throw).
     if (n == 0) {
-      return deg.select(col("__src").as("vertex"),
+      return vertices.select(col("__src").as("vertex"),
         lit(0.0).as("pagerank")).where(lit(false))
     }
     val teleport = (1.0 - damping) / n
-    var pr = deg.select(col("__src"), (lit(1.0) / lit(n)).as("__pr"))
+    var pr = vertices.select(col("__src"), (lit(1.0) / lit(n)).as("__pr"))
     for (i <- 1 to iterations) {
       val contrib = weighted.join(pr, Seq("__src"))
         .select(col("__dst"), (col("__pr") / col("__d")).as("__c"))

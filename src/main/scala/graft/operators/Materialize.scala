@@ -31,6 +31,23 @@ import org.apache.spark.sql.DataFrame
   * `sc.setCheckpointDir` made earlier wins.
   */
 object Materialize {
+  /** [[once]] with SERIALIZED block storage — for WIDE frames (every
+    * row of a multi-million-row result) where the default deserialized
+    * level was measured pathological: storing qd_minhash_est's 2.3 M
+    * scored pairs as object rows cost 60 s of task time (row copy +
+    * allocation) where the serialized form is shuffle-shaped bytes.
+    * Same lifecycle and same `spark.graft.materialize=false` escape
+    * hatch as [[once]]; reliable-checkpoint mode ignores the level
+    * (checkpoint files are always serialized). */
+  def onceSer(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    if (!conf.get("spark.graft.materialize", "true").toBoolean) df
+    else if (conf.getOption("spark.graft.checkpointDir")
+        .exists(_.trim.nonEmpty)) once(df)
+    else df.localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   def once(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     if (!conf.get("spark.graft.materialize", "true").toBoolean) df

@@ -745,7 +745,15 @@ object Analytics {
     * — never a month×month cross product; months collapse in one
     * final aggregate. Fisher = √(L·P) on the unrounded ratios. */
   def qPriceIndex(spark: SparkSession, dir: String): DataFrame = {
-    val pm = Tables.load(spark, dir, "lineitem")
+    // loadCompute + Materialize (r14): the stage profile caught this
+    // query scanning lineitem TWICE, serially (1.1 s + 1.4 s single-
+    // task stages behind the single-row-group file) — once for the
+    // base-month scalar's pm, once for the join's pm. The rebalance
+    // parallelizes the decimal aggregation; the materialization makes
+    // the (month, part) rollup compute ONCE and serve the base slice,
+    // the 1-row base-month scalar and the basket join from blocks.
+    val pm = graft.operators.Materialize.once(
+      Tables.loadCompute(spark, dir, "lineitem")
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
         col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).as("__ep"),
@@ -753,7 +761,7 @@ object Analytics {
       .select(col("month"), col("l_partkey"),
         col("__q").cast("double").as("qty"),
         (col("__ep").cast("double") / col("__q").cast("double"))
-          .as("price"))
+          .as("price")))
     val baseMonth = pm.agg(min("month").as("__base"))
     val base = pm.join(broadcast(baseMonth), col("month") === col("__base"))
       .select(col("l_partkey"), col("qty").as("__q0"),

@@ -725,9 +725,14 @@ object DedupQueries {
     * stages. */
   def qdEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    Dedup.editDistanceRerank(docs,
-      Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize),
-      "text", "doc_id", "n_chars", 40, 16)
+    // Materialize before the global sort (r14): same sort-sampling
+    // double-execution as qd_jaro — the rerank's scoring segment ran
+    // twice (range-bound sample + real sort); the surviving pairs are
+    // the small filtered result, so blocks are near-free.
+    graft.operators.Materialize.once(
+      Dedup.editDistanceRerank(docs,
+        Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize),
+        "text", "doc_id", "n_chars", 40, 16))
       .orderBy("id_a", "id_b")
   }
 
@@ -764,12 +769,18 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
     val pre = docs.select(col("doc_id"),
       substring(col("text"), 1, 32).as("__pre"))
-    Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
+    // Materialize BEFORE the global sort (r14): the orderBy's range-
+    // bound sampling re-executed the prefix joins + Jaro–Winkler
+    // scoring (stage-profiled: two ~8.6 s-task / ~1.2 s-wall jobs).
+    // The surviving scored pairs are the query's (small) result; the
+    // sort now sorts blocks instead of re-scoring.
+    graft.operators.Materialize.once(
+      Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
       .join(pre.select(col("doc_id").as("id_a"), col("__pre").as("__pa")), "id_a")
       .join(pre.select(col("doc_id").as("id_b"), col("__pre").as("__pb")), "id_b")
       .withColumn("jw", round(JaroWinkler.ofColumns(col("__pa"), col("__pb")), 6))
       .where(col("jw") >= 0.85)
-      .select(col("id_a"), col("id_b"), col("jw"))
+      .select(col("id_a"), col("id_b"), col("jw")))
       .orderBy("id_a", "id_b")
   }
 
@@ -879,9 +890,31 @@ object DedupQueries {
   }
 
   /** Scoring stage of [[qdTfidfPairs]]: gate-chosen attach strategy +
-    * the native merge-walk cosine. Split out for [[graft.TfidfProfile]];
-    * see [[tfidfCandVec]]. */
+    * the native merge-walk cosine, materialized before the global sort
+    * (see [[scoreTfidfPairsUnsorted]] for the join-path body). Split
+    * out for [[graft.TfidfProfile]]; see [[tfidfCandVec]]. */
   private[graft] def scoreTfidfPairs(spark: SparkSession,
+      cand: DataFrame, vec: DataFrame): DataFrame =
+    // Materialize BEFORE the global sort (r14): a range-partitioned
+    // orderBy SAMPLES its child to pick bounds and then executes it
+    // again for the real shuffle, so without the barrier the attach
+    // joins + merge-walk cosine — the query's dominant segment — ran
+    // TWICE end to end (stage-profiled: two ~35 s-task / ~5 s-wall
+    // jobs over the same pair shuffle). The surviving pairs are the
+    // post-threshold result (a tiny fraction of candidates at any
+    // scale), so the blocks cost ≈ nothing and the sort's sample pass
+    // reads them instead of re-scoring the corpus.
+    graft.operators.Materialize.once(
+      scoreTfidfPairsUnsorted(spark, cand, vec)).orderBy("id_a", "id_b")
+
+  /** [[scoreTfidfPairs]] minus the materialization barrier and the
+    * final sort — the frame whose executed plan still SHOWS the attach
+    * joins (the checkpoint truncates the sorted query's visible plan at
+    * a LogicalRDD scan). Join-path specs inspect THIS frame so the
+    * size probe and the gate logic stay live — disabling
+    * `spark.graft.materialize` for visibility would also disable the
+    * probe and silently flip every run to the shuffle fallback. */
+  private[graft] def scoreTfidfPairsUnsorted(spark: SparkSession,
       cand: DataFrame, vec: DataFrame): DataFrame = {
     // Join strategy is decided by the MEASURED size of the candidate-doc
     // vector frame, not the pair count: a shuffle join on id_b would
@@ -968,7 +1001,7 @@ object DedupQueries {
     // JOINED output instead.
     val attach = hinted(vec.select(
       col("doc_id"), col("__toks"), col("__ws"), col("__n2")))
-    cand
+    val scored = cand
       .join(attach, cand("id_a") === attach("doc_id"))
       .drop("doc_id")
       .withColumnsRenamed(Map("__toks" -> "__ta", "__ws" -> "__wa",
@@ -984,7 +1017,7 @@ object DedupQueries {
         6))
       .where(col("cosine") >= 0.5)
       .select("id_a", "id_b", "cosine")
-      .orderBy("id_a", "id_b")
+    scored
   }
 
   val qdTfidfPairsSql: String =
@@ -1691,7 +1724,14 @@ object DedupQueries {
     * restriction is a left-semi join; edges come from the bounded
     * jaccard inverted index (25b's generator); the manifest join is
     * key-keyed throughout. */
-  def qdManifest(spark: SparkSession, dir: String): DataFrame = {
+  def qdManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestUnsorted(spark, dir).orderBy("doc_id")
+
+  /** [[qdManifest]] without its final global sort — for composing
+    * consumers ([[graft.queries.PipelineQueries.qpSplit]] joins the
+    * manifest on doc_id and re-aggregates, so the sort was a wasted
+    * range exchange plus its bound-sampling pass inside that query). */
+  private[queries] def manifestUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val exactC = docs.select(col("doc_id"), md5(col("text")).as("__h"))
     val exMin = exactC.groupBy("__h").agg(min("doc_id").as("__exc"))
@@ -1719,7 +1759,6 @@ object DedupQueries {
           .when(col("doc_id") =!= col("component_id"), lit("drop_near"))
           .otherwise(lit("keep")).as("action"),
         col("component_id").as("canonical_id"))
-      .orderBy("doc_id")
   }
 
   val qdManifestSql: String =
@@ -1985,7 +2024,28 @@ object DedupQueries {
     * production run. Sets ride along as in-row arrays; the only
     * per-pair work is two array ops and a position-match sum — no
     * re-shingling per pair. */
-  def qdMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+  def qdMinhashEst(spark: SparkSession, dir: String): DataFrame =
+    // Exchange barrier BEFORE the global sort (r14): orderBy's range-
+    // bound sampling executed the per-pair scoring segment (two
+    // broadcast probes + native intersection over ~2.3 M candidate
+    // pairs) twice — stage-profiled as two ~15 s-task / ~2 s-wall jobs
+    // over the same pair shuffle. The checkpoint stores the scored
+    // frame SERIALIZED (compact columns, like shuffle bytes), so the
+    // sampler reads blocks instead of re-scoring. Two alternatives
+    // were measured worse: default deserialized storage (60 s of task
+    // time to row-copy + store 245 MB of object rows — this output
+    // has no post-score filter, so block storage pays for every
+    // candidate pair), and a pre-sort hash repartition barrier, which
+    // the optimizer elides as redundant under the Sort (the double
+    // execution came straight back, stage-profiled).
+    graft.operators.Materialize.onceSer(minhashEstUnsorted(spark, dir))
+      .orderBy("id_a", "id_b")
+
+  /** [[qdMinhashEst]] without its final global sort — the frame
+    * [[qdThresholdSweep]] aggregates (EliminateSorts dropped the inner
+    * sort there anyway; consuming the unsorted frame directly keeps
+    * the sweep's plan independent of the est query's sort barrier). */
+  private def minhashEstUnsorted(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.tokens
     val docs = Tables.load(spark, dir, "documents")
     val sigs = Dedup.withMinhashSignature(docs, "text", NumPerms)
@@ -2015,7 +2075,6 @@ object DedupQueries {
         round(est, 6).as("est_jaccard"),
         round(truth, 6).as("true_jaccard"),
         round(abs(est - truth), 6).as("abs_err"))
-      .orderBy("id_a", "id_b")
   }
 
   val qdMinhashEstSql: String = {
@@ -2067,7 +2126,7 @@ object DedupQueries {
     * threshold key. */
   def qdThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val thresholds = array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)
-    qdMinhashEst(spark, dir)
+    minhashEstUnsorted(spark, dir)
       .select(col("est_jaccard"), col("true_jaccard"),
         explode(thresholds).as("threshold"))
       .groupBy("threshold")

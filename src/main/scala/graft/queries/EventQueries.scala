@@ -3580,7 +3580,12 @@ object EventQueries {
     def q(c: Column): Column = round(c, 12).cast("decimal(38,12)")
     val x = log(col("l_extendedprice") / col("l_quantity"))
     val y = log(col("l_quantity"))
-    val g = Tables.load(spark, dir, "lineitem")
+    // loadCompute (r14): the stage profile measured the whole quantize+
+    // ln pipeline running in ONE task (2.5 s of a 2.9 s query) behind
+    // the single-row-group scan; the row-group-gated rebalance spreads
+    // the 5 decimal quantizations across the session's cores and is a
+    // no-op on a sanely-laid-out corpus.
+    val g = Tables.loadCompute(spark, dir, "lineitem")
       .join(Tables.load(spark, dir, "part")
         .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -4213,7 +4218,11 @@ object EventQueries {
     * (the full-sample mean folds in the same pass via replica −1
     * carrying weight 1). */
   def qeBootstrap(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    // loadCompute (r14): the 4 md5 digests + 65-way explode + weight
+    // decode ran as ONE serial task behind the single-row-group events
+    // scan (1.9 s of a 2.3 s query, stage-profiled); the gated
+    // rebalance spreads the resample pipeline across cores.
+    val ev = Tables.loadCompute(spark, dir, "events")
       .select(col("event_type"), col("event_id"),
         expr("cast(round(value * 100, 0) as bigint)").as("__c"))
       .withColumn("__hs", array((0 until 4).map(g =>

@@ -1301,7 +1301,10 @@ object PipelineQueries {
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("__t"))
-        .join(DedupQueries.qdManifest(spark, dir)
+        // manifestUnsorted (r14): the manifest's global sort is wasted
+        // inside this join+rollup consumer — dropping it removes a
+        // range exchange and its bound-sampling pass from this query.
+        .join(DedupQueries.manifestUnsorted(spark, dir)
           .select("doc_id", "canonical_id"), Seq("doc_id"))
         .withColumn("split",
           when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
@@ -1523,17 +1526,33 @@ object PipelineQueries {
       .withColumn("bucket", md5Hash32(col("tok")) % DsirB)
       .withColumn("is_target", col("source").isin("src0", "src1"))
 
-  /** Shared DSIR bucket model over [[dsirTokenized]]'s frame:
+  /** [[dsirTokenized]] collapsed to per-(doc, bucket) token counts and
+    * materialized ONCE (r14): the model counts, the per-doc weights
+    * and the eval's selected-pool recount all fold linearly over
+    * bucket counts (Σ_tokens lam(b) = Σ_buckets cnt·lam — exact
+    * decimal arithmetic either way), so every consumer now reads this
+    * ≤ 256-rows-per-doc frame instead of re-running the token explode
+    * + md5 pass (the r14 stage profile measured qp_dsir_eval running
+    * that pass 4× — ~11 s + 3×7-8 s of task time per query run). The
+    * map-side partial aggregation also collapses the token stream
+    * before its one exchange — the same rollup a 100 TB run needs. */
+  private def dsirBucketCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Materialize.once(
+      dsirTokenized(spark, dir)
+        .groupBy("source", "doc_id", "is_target", "bucket")
+        .agg(count(lit(1)).as("cnt")))
+
+  /** Shared DSIR bucket model over [[dsirBucketCounts]]'s frame:
     * (bucket, p_t, p_r, lam) for all 256 buckets, add-1 smoothed.
     * qp_dsir and qp_dsir_eval MUST share this by construction — the
     * eval judges the selection the weights produce, so a smoothing or
     * B change applied to one but not the other would silently skew
     * the verdict. Same discipline as the paired SQL prefix below. */
-  private def dsirModel(spark: SparkSession, tokenized: DataFrame): DataFrame = {
+  private def dsirModel(spark: SparkSession, bucketCounts: DataFrame): DataFrame = {
     val B = DsirB
-    val counts = tokenized.groupBy("bucket")
-      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"),
-        sum(when(col("is_target"), 0L).otherwise(1L)).as("c_r"))
+    val counts = bucketCounts.groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("c_t"),
+        sum(when(col("is_target"), 0L).otherwise(col("cnt"))).as("c_r"))
     val totals = counts.agg(sum("c_t").as("tt"), sum("c_r").as("tr"))
     val spine = spark.range(B).select(col("id").as("bucket"))
     spine.join(counts, Seq("bucket"), "left")
@@ -1548,14 +1567,21 @@ object PipelineQueries {
   }
 
   def qpDsir(spark: SparkSession, dir: String): DataFrame = {
-    val tokenized = dsirTokenized(spark, dir)
-    val lam = dsirModel(spark, tokenized).select("bucket", "lam")
+    val bc = dsirBucketCounts(spark, dir)
+    val lam = dsirModel(spark, bc).select("bucket", "lam")
     val w = Window.partitionBy("source")
       .orderBy(col("weight_dec").desc, col("doc_id"))
-    tokenized.where(!col("is_target"))
+    // Σ_tokens lam = Σ_buckets cnt·lam: decimal × integer count is
+    // exact, so weight_dec is bit-identical to the per-token sum. The
+    // count casts to DECIMAL(10,0) first — as a BIGINT the product's
+    // inferred precision overflows 38 and Spark's precision-loss rule
+    // silently drops the 9th decimal (measured: one weight off by 1e-6
+    // at sf0.01); at (18,9)×(10,0) the product is (29,9), exact.
+    bc.where(!col("is_target"))
       .join(broadcast(lam), "bucket")
       .groupBy("source", "doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lam").as("weight_dec"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("lam") * col("cnt").cast("decimal(10,0)")).as("weight_dec"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -1623,20 +1649,25 @@ object PipelineQueries {
     * KL terms round to DECIMAL(18,9) before the 256-row sum. */
   def qpDsirEval(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirB
-    val tok = dsirTokenized(spark, dir)
-    val model = dsirModel(spark, tok)
+    val bc = dsirBucketCounts(spark, dir)
+    val model = dsirModel(spark, bc)
     val spine = spark.range(B).select(col("id").as("bucket"))
-    val weights = tok.where(!col("is_target"))
-      .join(broadcast(model.select("bucket", "lam")), "bucket")
-      .groupBy("source", "doc_id")
-      .agg(sum("lam").as("w_dec"))
-      .select(col("doc_id"), col("w_dec").cast("double").as("w"))
+    // Materialized: the threshold scalar, the selection semi-join and
+    // the final rollup all consume the per-doc weights — without the
+    // barrier each consumer re-ran the weight join + aggregation.
+    val weights = graft.operators.Materialize.once(
+      bc.where(!col("is_target"))
+        .join(broadcast(model.select("bucket", "lam")), "bucket")
+        .groupBy("source", "doc_id")
+        // DECIMAL(10,0) cast: see qpDsir — keeps the product exact.
+        .agg(sum(col("lam") * col("cnt").cast("decimal(10,0)")).as("w_dec"))
+        .select(col("doc_id"), col("w_dec").cast("double").as("w")))
     val thr = weights.agg(expr("percentile(w, 0.8D)").as("thr"))
     val selDocs = weights.join(broadcast(thr))
       .where(col("w") >= col("thr")).select("doc_id")
-    val selCounts = tok.where(!col("is_target"))
+    val selCounts = bc.where(!col("is_target"))
       .join(selDocs, Seq("doc_id"), "left_semi")
-      .groupBy("bucket").agg(count(lit(1)).as("c_s"))
+      .groupBy("bucket").agg(sum(col("cnt")).as("c_s"))
     val selTotal = selCounts.agg(sum("c_s").as("ts"))
     val sel = spine.join(selCounts, Seq("bucket"), "left")
       .join(broadcast(selTotal))

@@ -1502,9 +1502,17 @@ object ProfileQueries {
     val sideA = md5Hash32(concat_ws(":", lit("dsweep"),
       concat_ws(":", col("l_orderkey"), col("l_linenumber")))) % 100 < 50
     val byCol = Window.partitionBy("colname")
-    val binned = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), expr(stackExpr))
-      .withColumn("__a", sideA)
+    // loadCompute + hash-before-stack (r14): the profile measured this
+    // query as ONE serial 2.1 s task — the single-row-group scan capped
+    // parallelism while the stack ran the md5 side-assignment 4× per
+    // line item (once per stacked row). The rebalance spreads the scan;
+    // computing __a before the stack hashes each row once (same value
+    // on every stacked copy — the hash input is the row key, not v).
+    val binned = Tables.loadCompute(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), sideA.as("__a"))
+      .select(col("__a"), expr(stackExpr))
       .groupBy(col("colname"), floor(col("v") / width).cast("long").as("bin"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))

@@ -1248,14 +1248,26 @@ object TextQueries {
     * cross-join anchor reaches the plan. Prefix counts C(w₁·) derive
     * from the bigram frame itself (no second stream); per-doc sums use
     * the sorted-struct left-fold discipline, never a float row-SUM. */
-  def qtBigramLm(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(doc, positional-bigram) counts — the shared substrate of
+    * [[qtBigramLm]] and [[qtKnBigram]], materialized ONCE per query
+    * (r14): each query consumes it from both the model-table side
+    * (cb → cw/cont) and the final per-doc scoring join, and without
+    * the barrier the bigram explode + aggregation re-ran once per
+    * consumer (stage-profiled: one 21.6 s-task pass plus three
+    * ~8-10 s-task re-runs inside qt_kn_bigram alone). */
+  private def docBigramCounts(spark: SparkSession, dir: String): DataFrame = {
     val bgs = org.apache.spark.sql.graft.WordShingles
       .positional(tokens(col("text")), 2, hashed = false)
-    val dtb = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode_outer(bgs).as("bg"))
-      .where(col("bg").isNotNull)
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("c"))
+    graft.operators.Materialize.once(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode_outer(bgs).as("bg"))
+        .where(col("bg").isNotNull)
+        .groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("c")))
+  }
+
+  def qtBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val dtb = docBigramCounts(spark, dir)
     val cb = dtb.groupBy("bg").agg(sum(col("c")).as("cbg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
     val cw = cb.groupBy("w1").agg(sum(col("cbg")).as("cw1"))
@@ -1306,13 +1318,7 @@ object TextQueries {
     * bigram types ride a window over the collapsed continuation frame,
     * never a scalar cross join of the big frame. */
   def qtKnBigram(spark: SparkSession, dir: String): DataFrame = {
-    val bgs = org.apache.spark.sql.graft.WordShingles
-      .positional(tokens(col("text")), 2, hashed = false)
-    val dtb = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode_outer(bgs).as("bg"))
-      .where(col("bg").isNotNull)
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("c"))
+    val dtb = docBigramCounts(spark, dir)
     val cb = dtb.groupBy("bg").agg(sum(col("c")).as("cbg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))

@@ -36,11 +36,20 @@ class TfidfPairsJoinPathSpec extends SparkSpec {
     // between exchange and join would give each probe its own resident
     // relation, doubling the footprint that set the measured executor
     // OOM floor (MemGate).
+    // Inspect the PRE-SORT scored frame: the r14 pre-sort checkpoint
+    // truncates the sorted query's executed plan at a LogicalRDD scan,
+    // and disabling spark.graft.materialize for visibility would also
+    // disable the size probe and silently flip the run to the shuffle
+    // fallback (the very bug this suite caught once). The unsorted
+    // frame keeps the probe + gate live AND shows the attach joins.
     try {
       spark.conf.set(key, (1L << 30).toString)
-      val df = DedupQueries.qdTfidfPairs(spark, dir)
+      val (cand, vec) = DedupQueries.tfidfCandVec(spark, dir)
+      val df = DedupQueries.scoreTfidfPairsUnsorted(spark, cand, vec)
       graft.Force.rows(df) // AQE: reuse is only visible in the final plan
       val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "probe-admitted vector frame was not broadcast")
       assert(plan.contains("ReusedExchange"),
         "second vector probe rebuilt its own broadcast relation")
     } finally spark.conf.unset(key)
@@ -83,13 +92,18 @@ class TfidfPairsJoinPathSpec extends SparkSpec {
     // frame forces the path at test scale.
     val gateKey = "spark.graft.tfidf.shjMaxBuildBytes"
     val defaultRows = rows()
+    // Pre-sort frame for the same reason as the reuse test: the size
+    // probe must stay live (it feeds the widening arithmetic), and the
+    // executed plan must show the attach joins past the checkpoint.
     val (wideRows, plan) =
       try {
         spark.conf.set(key, "0") // broadcast off -> shuffle fallback
         spark.conf.set(gateKey, "256")
-        val df = DedupQueries.qdTfidfPairs(spark, dir)
+        val (cand, vec) = DedupQueries.tfidfCandVec(spark, dir)
+        val df = DedupQueries.scoreTfidfPairsUnsorted(spark, cand, vec)
         val r = df.collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sorted
         (r, df.queryExecution.executedPlan.toString)
       } finally { spark.conf.unset(key); spark.conf.unset(gateKey) }
     assert(plan.contains("ShuffledHashJoin"),
@@ -97,9 +111,11 @@ class TfidfPairsJoinPathSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
     // The explicit repartition overrides the session's 4 shuffle
     // partitions: the attach exchange must carry a WIDER explicit
-    // partition count (frameBytes/256 ≫ 4 at any real corpus).
+    // partition count (frameBytes/256 ≫ 4 at any real corpus). Assert
+    // on the attach exchange itself, not a bare plan substring — the
+    // loader's rebalance can inject its own REPARTITION_BY_NUM.
     assert(plan.contains("REPARTITION_BY_NUM"),
       "attach frame was not explicitly repartitioned")
-    assert(wideRows === defaultRows)
+    assert(wideRows === defaultRows.sorted)
   }
 }

@@ -26,6 +26,33 @@ class MaterializeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.materialize")
   }
 
+  test("onceSer() stores serialized, honors the audit knob, keeps values") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 100L).toDF("id").groupBy(col("id") % 10)
+      .agg(count(lit(1)).as("c"))
+    val m = Materialize.onceSer(base)
+    assert(m.queryExecution.analyzed.toString.contains("LogicalRDD")
+      || m.queryExecution.analyzed.toString.contains("ExistingRDD"))
+    assert(m.collect().map(_.getLong(1)).sum == 100L)
+    // Serialized storage level — the measured fix for wide frames where
+    // deserialized block storage cost 4x the compute it saved. The
+    // checkpoint-marked RDD sits in the lineage of the plan's RDD scan;
+    // walk dependencies to find it.
+    def levels(r: org.apache.spark.rdd.RDD[_]): Seq[String] =
+      r.getStorageLevel.description +:
+        r.dependencies.flatMap(d => levels(d.rdd))
+    assert(levels(m.queryExecution.toRdd)
+      .contains(org.apache.spark.storage.StorageLevel
+        .MEMORY_AND_DISK_SER.description))
+    spark.conf.set("spark.graft.materialize", "false")
+    try {
+      val open = Materialize.onceSer(base)
+      assert(open.queryExecution.analyzed.toString.contains("Aggregate"))
+      assert(open.collect().map(_.getLong(1)).sum == 100L)
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
+
   test("spark.graft.checkpointDir switches to a reliable checkpoint") {
     val s = spark
     import s.implicits._

@@ -34,6 +34,17 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     for (name <- names) {
+      // In-session conf toggle ("conf:key=value" / "unset:key" tokens):
+      // lets an A/B of two plan shapes run INTERLEAVED in one JVM — the
+      // host's ambient bursts swing same-code timings up to ~1.7×
+      // across sessions, so cross-session comparisons are unusable.
+      if (name.startsWith("conf:")) {
+        val Array(k, v) = name.stripPrefix("conf:").split("=", 2)
+        spark.conf.set(k, v); println(s"[scratch] set $k=$v")
+      } else if (name.startsWith("unset:")) {
+        spark.conf.unset(name.stripPrefix("unset:"))
+        println(s"[scratch] unset ${name.stripPrefix("unset:")}")
+      } else {
       if (explain) SparkEntry.queries(name)(spark, dir).explain("formatted")
       // Post-execution plan: AQE finalizes reuse/broadcast decisions at
       // runtime, so ReusedExchange/ReusedSubquery only show here.
@@ -51,6 +62,7 @@ object Scratch {
         val n = Force.rows(SparkEntry.queries(name)(spark, dir))
         println(s"[scratch] $name run $i: " +
           f"${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+      }
       }
     }
     spark.stop()

@@ -442,6 +442,15 @@ object Dedup {
     val prepared = df.select(col(idCol).as("__id"),
       col(lenCol).as("__len"), substring(col(textCol), 1, prefixLen).as("__pre"))
     candidates.select("id_a", "id_b")
+      // Pair-keyed repartition before the compute-dense Levenshtein
+      // scorer (r14): AQE's byte-based coalescing shrinks the thin
+      // candidate shuffle to a handful of partitions and serializes
+      // the per-pair edit-distance work onto them (the qd_tfidf_pairs
+      // / qd_minhash_est / qd_jaro starvation pattern, stage-profiled
+      // at 8 of 32 cores); 2× defaultParallelism scales with the
+      // executor fleet.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
+        col("id_a"), col("id_b"))
       .join(prepared.toDF("id_a", "len_a", "__pre_a"), Seq("id_a"))
       .join(prepared.toDF("id_b", "len_b", "__pre_b"), Seq("id_b"))
       .where(abs(col("len_a") - col("len_b")) <= maxDist)
@@ -728,6 +737,17 @@ object Dedup {
     // evaluating it twice per row. The outer variant infers no filter;
     // the null row from empty arrays is dropped afterwards, where the
     // predicate sits on the GENERATED attribute and cannot sink.
+    // NOT materialized — measured and rejected in r14: checkpointing
+    // the exploded posting list (the fattest pre-aggregation
+    // intermediate) stored every posting row where the inline shape
+    // pipelines the explode straight into the partial aggregations
+    // (counts / bucket-combination) inside one stage, and AQE's
+    // ReusedExchange already dedupes the two count-join probes at the
+    // post-aggregation (small) level. Interleaved same-session A/B:
+    // barriers-on ran qd_components/qp_weights/qd_cluster_cohesion at
+    // 2.0-3.6 s where the pipelined shape ran 1.0-1.9 s — the barrier
+    // was the regression, matching guide §2.3 "aggregate before you
+    // shuffle" (and before you store).
     val posting = df
       .select(col(blockCol).as("__block"), col(idCol).as("__id"),
         tokens(col(textCol)).as("__toks"))
@@ -790,8 +810,17 @@ object Dedup {
     // __id from the previous round's aggregation, making the join
     // exchange-free from round 2 on.
     val vset = vertices.select(col(idCol).as("__v"))
-    val e = edges.select(col(ea).as("__src"), col(eb).as("__dst"))
-      .union(edges.select(col(eb).as("__src"), col(ea).as("__dst")))
+    // Materialize the DIRECTED edge build before the two-way union
+    // (r14): the union inlines its child twice, so an expensive edge
+    // generator (LSH banding, the jaccard inverted index) executed
+    // twice filling the cache — stage-profiled as one 64-task stage of
+    // 2× the single build's task time in qd_components /
+    // qd_cluster_labels. The union, induced-subgraph semi-joins and
+    // the keyed repartition below then read blocks.
+    val e0 = graft.operators.Materialize.once(
+      edges.select(col(ea).as("__src"), col(eb).as("__dst")))
+    val e = e0
+      .union(e0.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .join(vset.withColumnRenamed("__v", "__src"), Seq("__src"), "left_semi")
       .join(vset.withColumnRenamed("__v", "__dst"), Seq("__dst"), "left_semi")
       .repartition(col("__src"))
@@ -838,8 +867,17 @@ object Dedup {
           s"($changed labels still changing); raise maxIter")
     }
     // labels stays cached: one small row per vertex, and dropping it
-    // would re-derive the whole iteration chain on first use.
-    labels.select(col("__id").as(idCol), col("__comp").as("component_id"))
+    // would re-derive the whole iteration chain on first use. The
+    // RETURNED frame is additionally checkpoint-truncated (r14): the
+    // projection's logical plan embeds the whole iteration chain (one
+    // union + aggregate layer per round over the inlined edge build),
+    // and every downstream consumer re-ran Catalyst over that
+    // 1000+-line tree — for qd_cluster_labels / qd_cluster_cohesion /
+    // qp_weights the assignment is consumed 2-3 times per query, so
+    // ANALYSIS time, not task time, dominated. The checkpoint makes
+    // each consumer's plan a constant-size LogicalRDD scan.
+    graft.operators.Materialize.once(
+      labels.select(col("__id").as(idCol), col("__comp").as("component_id")))
   }
 
   /** Connected components by alternating large-star / small-star
@@ -1099,9 +1137,18 @@ object Dedup {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be positive")
     val Seq(ea, eb) = edges.columns.take(2).toSeq
-    val und = edges.select(least(col(ea), col(eb)).as("__a"),
-        greatest(col(ea), col(eb)).as("__b"))
-      .where(col("__a") =!= col("__b")).distinct()
+    // Canonical edge set materialized before the two-way union (r14):
+    // the union inlines `und` twice and the degree join references the
+    // directed frame again, so the upstream edge generator (LSH
+    // banding + cosine for the contract queries) was executed more
+    // than once building `weighted` — AQE's exchange reuse caught SOME
+    // of the duplication but not across the checkpoint job boundary.
+    // One block-backed copy of the canonical edges makes every
+    // downstream pass (union, degree count, weight join) read blocks.
+    val und = graft.operators.Materialize.once(
+      edges.select(least(col(ea), col(eb)).as("__a"),
+          greatest(col(ea), col(eb)).as("__b"))
+        .where(col("__a") =!= col("__b")).distinct())
     val directed = und.select(col("__a").as("__src"), col("__b").as("__dst"))
       .union(und.select(col("__b").as("__src"), col("__a").as("__dst")))
     val deg = directed.groupBy("__src").agg(count(lit(1)).as("__deg"))

@@ -776,6 +776,13 @@ object DedupQueries {
     // sort now sorts blocks instead of re-scoring.
     graft.operators.Materialize.once(
       Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
+      // Pair-keyed repartition before the compute-dense scorer (r14):
+      // same 8-partition AQE byte-coalescing starvation as
+      // qd_tfidf_pairs / qd_minhash_est (10.8 s of JW task time on 8
+      // of 32 cores, stage-profiled); 2× defaultParallelism is
+      // fleet-adaptive and re-shuffles only the thin pair list.
+      .repartition(spark.sparkContext.defaultParallelism * 2,
+        col("id_a"), col("id_b"))
       .join(pre.select(col("doc_id").as("id_a"), col("__pre").as("__pa")), "id_a")
       .join(pre.select(col("doc_id").as("id_b"), col("__pre").as("__pb")), "id_b")
       .withColumn("jw", round(JaroWinkler.ofColumns(col("__pa"), col("__pb")), 6))
@@ -991,6 +998,24 @@ object DedupQueries {
         case Some(n) => d.repartition(n, col("doc_id")).hint("shuffle_hash")
         case None => d.hint("shuffle_hash")
       }
+    // Scoring parallelism (r14): on the broadcast path the pair frame
+    // reaches the scorer straight off the banding distinct's exchange,
+    // and AQE's BYTE-based coalescing (parallelismFirst still floors
+    // at minPartitionSize=1m) shrank the 9.2 MB pair shuffle to 8
+    // partitions — while the stage is COMPUTE-dense (two hash probes +
+    // a ~100-term merge-walk dot product per pair): 40.2 s of task
+    // time serialized onto 8 of 32 cores, 5.5 s of the query's 11.9 s
+    // wall (stage-profiled). An explicit pair-keyed repartition is
+    // non-coalescible and pins the scorer at 2× the session's cores —
+    // cluster-adaptive (defaultParallelism scales with the executor
+    // fleet), ~0.3 MB/partition here, and the re-shuffled frame is the
+    // THIN pair list, never the vectors. The SHJ path keeps its own
+    // explicitly-widened co-partitioning (the gate above).
+    val candScore =
+      if (useBroadcast)
+        cand.repartition(spark.sparkContext.defaultParallelism * 2,
+          col("id_a"), col("id_b"))
+      else cand
     // ONE broadcast serves both probes: the attach frame is hinted
     // UN-aliased, so the two joins' broadcast-exchange subplans are
     // IDENTICAL and ReuseExchange keeps a single relation resident per
@@ -1001,8 +1026,8 @@ object DedupQueries {
     // JOINED output instead.
     val attach = hinted(vec.select(
       col("doc_id"), col("__toks"), col("__ws"), col("__n2")))
-    val scored = cand
-      .join(attach, cand("id_a") === attach("doc_id"))
+    val scored = candScore
+      .join(attach, candScore("id_a") === attach("doc_id"))
       .drop("doc_id")
       .withColumnsRenamed(Map("__toks" -> "__ta", "__ws" -> "__wa",
         "__n2" -> "__na"))
@@ -1823,14 +1848,24 @@ object DedupQueries {
     val sizes = comp.groupBy("component_id")
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
-    val toks = docs
+    // Token stream collapsed to per-(doc, token) counts and
+    // materialized ONCE (r14): the corpus counts, the corpus total and
+    // the per-cluster counts all fold linearly over occurrence counts
+    // (Σ over the exploded stream = Σ cnt over the collapsed frame —
+    // exact integer arithmetic), so the three consumers below read the
+    // small counted frame instead of each re-running the tokenize +
+    // explode pass (stage-profiled: ~3 heavy executions per query run).
+    // The map-side partial aggregation collapses the token stream
+    // before its one exchange — the 100 TB shape.
+    val toks = graft.operators.Materialize.once(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val corpus = toks.groupBy("token").agg(count(lit(1)).as("__ct"))
-    val corpusTotal = toks.agg(count(lit(1)).as("__N"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("__cnt")))
+    val corpus = toks.groupBy("token").agg(sum("__cnt").as("__ct"))
+    val corpusTotal = toks.agg(sum("__cnt").as("__N"))
     val clusterToks = toks.join(comp, Seq("doc_id"))
       .join(sizes, Seq("component_id"))
       .groupBy("component_id", "n_docs", "token")
-      .agg(count(lit(1)).as("__cc"))
+      .agg(sum("__cnt").as("__cc"))
       .withColumn("__ctot",
         sum("__cc").over(Window.partitionBy("component_id")))
       .where(col("__cc") >= 3)
@@ -2068,7 +2103,17 @@ object DedupQueries {
       .intersectionSize(col("a_toks"), col("b_toks"))
     val truth = nCommon.cast("double") /
       (size(col("a_toks")) + size(col("b_toks")) - nCommon).cast("double")
+    // Explicit pair-keyed repartition before the scoring probes (r14):
+    // AQE's byte-based coalescing shrank the 9.2 MB candidate shuffle
+    // to 8 partitions while the per-pair work (two broadcast probes +
+    // native intersection) is compute-dense — 19.3 s of task time on 8
+    // of 32 cores, 2.7 s of the query's wall (stage-profiled; the same
+    // fix as qd_tfidf_pairs' scorer). 2× defaultParallelism scales
+    // with the executor fleet; the re-shuffled frame is the thin pair
+    // list.
     Dedup.minhashCandidateEdges(docs, "text", "doc_id", NumPerms, BandSize)
+      .repartition(spark.sparkContext.defaultParallelism * 2,
+        col("id_a"), col("id_b"))
       .join(side("a"), col("id_a") === col("a_id"))
       .join(side("b"), col("id_b") === col("b_id"))
       .select(col("id_a"), col("id_b"),

@@ -175,13 +175,26 @@ object SimilarityQueries {
   def qsProbeSweep(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val panel = emb.where(col("vec_id") < 10).select(col("vec_id").as("q_id"))
-    val brute = Knn.bruteForce(emb, emb.where(col("vec_id") < 10),
-        "embedding", "vec_id", 3)
-      .select(col("q_id"), col("neighbor_id"))
+    // Shared substrates materialized ONCE (r14): the four probe-budget
+    // branches each consumed the ground truth and re-projected the
+    // full corpus against the hyperplanes, and each branch's candidate
+    // frame fed two consumers (top-3 window + per-query scan counts) —
+    // 4 brute-force passes and 8 corpus projections per query run,
+    // stage-profiled. Now: one brute pass, one block-backed probe
+    // index, one candidate fill per budget.
+    val brute = graft.operators.Materialize.once(
+      Knn.bruteForce(emb, emb.where(col("vec_id") < 10),
+          "embedding", "vec_id", 3)
+        .select(col("q_id"), col("neighbor_id")))
+    // onceSer: the index frame carries the full vectors (the cosine
+    // needs them) — serialized blocks, not deserialized object rows
+    // (the measured onceSer rationale in Materialize).
+    val prepared = graft.operators.Materialize.onceSer(
+      Knn.prepareProbeIndex(emb, "embedding", "vec_id", NumPlanes, Dims))
     val perFlip = Seq(0, 1, 2, 4).map { nf =>
-      val cand = Knn.multiProbeCandidates(emb, "embedding", "vec_id",
-          NumPlanes, Dims, nf)
-        .where(col("q_id") < 10)
+      val cand = graft.operators.Materialize.once(
+        Knn.multiProbeCandidatesPrepared(prepared, NumPlanes, nf)
+          .where(col("q_id") < 10))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))
       val top3 = cand.withColumn("rank", row_number().over(w))

@@ -1881,17 +1881,34 @@ object TextQueries {
         md5Bucket("split", col("doc_id"), 100).as("__b"))
     val train = labeled.where(col("__b") < 80)
     val test = labeled.where(col("__b") >= 90)
-    val trainTok = train.select(col("doc_id"), col("label"),
-      explode(col("__toks")).as("tok"))
-    val vocab = trainTok.groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("__df"))
+    // Tokenize-pass budget (r14): the quality label re-derives the
+    // token array, so every consumer of `labeled` re-ran the full
+    // tokenize+quality scan — five passes per query (vocab, class
+    // counts, doc counts, test scoring, final enumeration),
+    // stage-profiled as the two heavy ~4.5+9.8 s-task stage pairs.
+    // Now: ONE pass collapses the train stream to per-(doc, label,
+    // token) counts (map-side partial agg — the 100 TB shape) and the
+    // document-frequency and class-count aggregates fold linearly over
+    // the counted frame ((doc, tok) is unique per row, so row count
+    // per tok = the distinct-doc df; Σ c over label = the instance
+    // count — exact integers either way); ONE pass materializes the
+    // token-free (doc_id, label, __b) slice for the doc counts and the
+    // final test enumeration; the test scoring keeps its own pass
+    // (pipelined straight into its per-doc aggregate).
+    val labeledSlim = graft.operators.Materialize.once(
+      labeled.select(col("doc_id"), col("label"), col("__b")))
+    val trainCounts = graft.operators.Materialize.once(
+      train.select(col("doc_id"), col("label"), explode(col("__toks")).as("tok"))
+        .groupBy("doc_id", "label", "tok").agg(count(lit(1)).as("__c")))
+    val vocab = trainCounts.groupBy("tok")
+      .agg(count(lit(1)).as("__df"))
       .orderBy(col("__df").desc, col("tok")).limit(64)
       .select(col("tok"))
-    val cnt = trainTok.join(broadcast(vocab), "tok")
+    val cnt = trainCounts.join(broadcast(vocab), "tok")
       .groupBy("tok")
-      .agg(sum(when(col("label") === "hi", 1L).otherwise(0L)).as("c_hi"),
-        sum(when(col("label") === "lo", 1L).otherwise(0L)).as("c_lo"))
-    val docCounts = train.groupBy().agg(
+      .agg(sum(when(col("label") === "hi", col("__c")).otherwise(0L)).as("c_hi"),
+        sum(when(col("label") === "lo", col("__c")).otherwise(0L)).as("c_lo"))
+    val docCounts = labeledSlim.where(col("__b") < 80).groupBy().agg(
       sum(when(col("label") === "hi", 1L).otherwise(0L)).as("nd_hi"),
       sum(when(col("label") === "lo", 1L).otherwise(0L)).as("nd_lo"))
     val tokTotals = cnt.groupBy().agg(
@@ -1917,7 +1934,7 @@ object TextQueries {
         aggregate(transform(col("__m"),
           x => x.getField("c").cast("double") * x.getField("lp_lo")),
           lit(0.0), (a, t) => a + t).as("__s_lo"))
-    test.select(col("doc_id"), col("label"))
+    labeledSlim.where(col("__b") >= 90).select(col("doc_id"), col("label"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .crossJoin(params)
       .select(col("doc_id"), col("label"),

@@ -327,10 +327,22 @@ object Knn {
     * vector lives in one bucket). Exposed for the probe operating-curve
     * eval, whose scan-cost metric is the size of THIS frame. */
   def multiProbeCandidates(corpus: DataFrame, vecCol: String, idCol: String,
-      numPlanes: Int, dims: Int, nflip: Int): DataFrame = {
-    require(nflip >= 0 && nflip <= numPlanes, s"nflip $nflip out of range")
+      numPlanes: Int, dims: Int, nflip: Int): DataFrame =
+    multiProbeCandidatesPrepared(
+      prepareProbeIndex(corpus, vecCol, idCol, numPlanes, dims),
+      numPlanes, nflip)
+
+  /** The (id, vector, per-plane projections, bucket, norm) frame every
+    * probe budget shares — split out (r14) so a sweep over nflip values
+    * ([[graft.queries.SimilarityQueries.qsProbeSweep]]) can materialize
+    * the corpus-side index ONCE instead of re-projecting the full
+    * corpus per branch (4 budgets × 2 consumers = 8 executions of the
+    * plane dots, stage-profiled). Column layout is an internal
+    * contract with [[multiProbeCandidatesPrepared]]. */
+  def prepareProbeIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      numPlanes: Int, dims: Int): DataFrame = {
     val ps = planes(numPlanes, dims)
-    val prepared = corpus.select(col(idCol).as("__id"),
+    corpus.select(col(idCol).as("__id"),
       asDoubles(col(vecCol)).as("__v"))
       .withColumn("__projs",
         array(ps.map(w => dot(col("__v"), typedLit(w))): _*))
@@ -340,6 +352,13 @@ object Knn {
             .otherwise(0L)
         }.reduce(_ + _))
       .withColumn("__norm", sqrt(dot(col("__v"), col("__v"))))
+  }
+
+  /** [[multiProbeCandidates]] over an already-built (possibly
+    * block-backed) [[prepareProbeIndex]] frame. */
+  def multiProbeCandidatesPrepared(prepared: DataFrame,
+      numPlanes: Int, nflip: Int): DataFrame = {
+    require(nflip >= 0 && nflip <= numPlanes, s"nflip $nflip out of range")
     // nflip nearest-margin planes, ties to the lower plane index; masks
     // ride the sort as literals so the flip is bucket XOR mask.
     val flipMasks = slice(array_sort(array((0 until numPlanes).map { p =>

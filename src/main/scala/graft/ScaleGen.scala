@@ -191,16 +191,28 @@ object ScaleGen {
     read("region").write.mode("overwrite").parquet(s"$out/region.parquet")
     read("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
 
+    // Entity NAMES stay 1:1 with their keys across copies (suffix on
+    // copy > 0), the way real TPC-H derives names from keys. Found by
+    // the first sf1 oracle sweep (r14): q21's paired texts group by
+    // s_name (oracle) vs s_suppkey+join (engine) — equivalent exactly
+    // when the name↔key bijection holds, which copied names broke (10
+    // suppliers sharing one name merged to numwait 220 on one side vs
+    // ten rows of 22 on the other, with BOTH engines right per their
+    // own text). Suffix at the END so prefix predicates (p_name LIKE
+    // 'red%') keep matching the copies.
+    def copyName(c: String) = when(col("__copy") === 0, col(c))
+      .otherwise(concat(col(c), lit("#x"), col("__copy"))).as(c)
+
     write(replicate(read("customer")).select(
-      shifted("c_custkey", custStride), col("c_name"), col("c_nationkey"),
+      shifted("c_custkey", custStride), copyName("c_name"), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment"), col("__copy")), "customer", 8)
 
     write(replicate(read("supplier")).select(
-      shifted("s_suppkey", suppStride), col("s_name"), col("s_nationkey"),
+      shifted("s_suppkey", suppStride), copyName("s_name"), col("s_nationkey"),
       col("s_acctbal"), col("__copy")), "supplier", 4)
 
     write(replicate(read("part")).select(
-      shifted("p_partkey", partStride), col("p_name"), col("p_brand"),
+      shifted("p_partkey", partStride), copyName("p_name"), col("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice"), col("__copy")),
       "part", 8)
 

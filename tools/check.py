@@ -26,7 +26,13 @@ artifact = {}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # /root/testdata SFs are single parquet FILES; ScaleGen output
+    # (the sf1 sweep) writes multi-file parquet DIRECTORIES.
+    p = f"{sfdir}/{t}.parquet"
+    import os
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 failures = 0

@@ -14,9 +14,20 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SFDIR="${1:-target/scaledata/sf1}"
 OUT=/tmp/verify_sf1
-# Keep in sync with ScaleLadder.DefaultQueries (the ladder operator set).
-QUERIES="qd_tfidf_pairs qd_manifest qd_pagerank qd_pagerank_auto \
-qd_prefix_join qd_minhash_pairs qd_kcore qd_kcore_auto qd_simhash_pairs \
+# Keep in sync with ScaleLadder.DefaultQueries (the ladder operator
+# set), minus two classes the first r14 run showed cannot be
+# sf1-replayed BY DESIGN:
+#  - the `_auto` twins (qd_pagerank_auto, qd_kcore_auto): their oracle
+#    bakes AutoOraclePlanes=4, valid only at driver scale — above
+#    DriverScaleMaxRows the engine auto-sizes the plane count (8 at
+#    sf1) and the edge sets legitimately diverge (the guard in
+#    Dedup.autoPlanes documents exactly this boundary);
+#  - qd_prefix_join: its oracle is the BRUTE all-pairs join (the
+#    zero-false-negative proof), quadratic in the corpus — hours in
+#    DuckDB at 50 k docs. Its pruning-equivalence stays pinned at
+#    sf0.01 where the brute mirror is feasible.
+QUERIES="qd_tfidf_pairs qd_manifest qd_pagerank \
+qd_minhash_pairs qd_kcore qd_simhash_pairs \
 qd_sorted_neighbors qp_split qp_dsir_eval qp_contamination qp_pack \
 qt_zipf qt_bigram_lm qt_bm25 qe_bootstrap qe_rfm qe_heavytail \
 qe_ltv_deciles qe_sessions qe_sessions_stitched qe_funnel \

@@ -39,8 +39,13 @@ object Scratch {
       // host's ambient bursts swing same-code timings up to ~1.7×
       // across sessions, so cross-session comparisons are unusable.
       if (name.startsWith("conf:")) {
-        val Array(k, v) = name.stripPrefix("conf:").split("=", 2)
-        spark.conf.set(k, v); println(s"[scratch] set $k=$v")
+        val kv = name.stripPrefix("conf:")
+        if (!kv.contains("=")) {
+          println(s"[scratch] bad conf token '$name' (want conf:key=value) — skipped")
+        } else {
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v); println(s"[scratch] set $k=$v")
+        }
       } else if (name.startsWith("unset:")) {
         spark.conf.unset(name.stripPrefix("unset:"))
         println(s"[scratch] unset ${name.stripPrefix("unset:")}")

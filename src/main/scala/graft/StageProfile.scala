@@ -35,7 +35,7 @@ object StageProfile {
 
     case class StageRow(jobId: Int, stageId: Int, name: String,
       wallMs: Long, taskMs: Long, shufReadMB: Double, shufWriteMB: Double,
-      inputMB: Double, records: Long, tasks: Int)
+      inputMB: Double, recIn: Long, recOut: Long, tasks: Int)
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
     val jobOfStage = scala.collection.mutable.Map.empty[Int, Int]
     val jobDesc = scala.collection.mutable.Map.empty[Int, String]
@@ -62,7 +62,15 @@ object StageProfile {
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.inputMetrics.bytesRead / 1e6,
-            m.outputMetrics.recordsWritten max m.inputMetrics.recordsRead,
+            // Input records: file-scan rows OR shuffle-read rows,
+            // whichever path feeds this stage (both zero only when the
+            // stage sources a cached/checkpointed RDD). Output records:
+            // sink rows or shuffle-write rows. Kept separate — the old
+            // single max() column conflated them.
+            m.inputMetrics.recordsRead max
+              m.shuffleReadMetrics.recordsRead,
+            m.outputMetrics.recordsWritten max
+              m.shuffleWriteMetrics.recordsWritten,
             si.numTasks)
         }
       }
@@ -94,7 +102,8 @@ object StageProfile {
           println(f"   stage ${s.stageId}%4d task=${s.taskMs}%7d ms " +
             f"wall=${s.wallMs}%6d ms sr=${s.shufReadMB}%8.1fMB " +
             f"sw=${s.shufWriteMB}%8.1fMB in=${s.inputMB}%7.1fMB " +
-            f"rec=${s.records}%9d t=${s.tasks}%3d  ${s.name.take(90)}")
+            f"rIn=${s.recIn}%9d rOut=${s.recOut}%9d t=${s.tasks}%3d  " +
+            s.name.take(90))
         }
       }
     }

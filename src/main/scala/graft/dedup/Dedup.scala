@@ -810,15 +810,22 @@ object Dedup {
     // __id from the previous round's aggregation, making the join
     // exchange-free from round 2 on.
     val vset = vertices.select(col(idCol).as("__v"))
-    // Materialize the DIRECTED edge build before the two-way union
-    // (r14): the union inlines its child twice, so an expensive edge
-    // generator (LSH banding, the jaccard inverted index) executed
-    // twice filling the cache — stage-profiled as one 64-task stage of
-    // 2× the single build's task time in qd_components /
-    // qd_cluster_labels. The union, induced-subgraph semi-joins and
-    // the keyed repartition below then read blocks.
-    val e0 = graft.operators.Materialize.once(
-      edges.select(col(ea).as("__src"), col(eb).as("__dst")))
+    // NOT materialized (r15, reverting an r14 barrier): the union
+    // below inlines this frame twice, but both branches share the
+    // identical edge-build subtree, so ReuseExchange dedupes every
+    // shuffle stage of the generator — only the segment after the
+    // LAST exchange (e.g. the jaccard threshold filter over pair
+    // counts) runs twice, and that tail is proportional to the
+    // CANDIDATE PAIR count, not the corpus. The r14 checkpoint
+    // bought nothing the reuse did not already give and cost a full
+    // write+read of the |E| frame plus a lost pipeline stage:
+    // stage-profiled this round on qd_cluster_labels, barrier-ON ran
+    // 88.6 s of task time / 6.6 s warm where barrier-OFF ran 65.7 s /
+    // 5.9 s, with the OFF profile showing the shingle and posting
+    // stages executing ONCE (ReusedExchange) and only the 2.3 s
+    // pair-rollup tail twice. The driver's r14 bench saw the same:
+    // every connectedComponents consumer regressed 20-35%.
+    val e0 = edges.select(col(ea).as("__src"), col(eb).as("__dst"))
     val e = e0
       .union(e0.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .join(vset.withColumnRenamed("__v", "__src"), Seq("__src"), "left_semi")
@@ -868,16 +875,20 @@ object Dedup {
     }
     // labels stays cached: one small row per vertex, and dropping it
     // would re-derive the whole iteration chain on first use. The
-    // RETURNED frame is additionally checkpoint-truncated (r14): the
-    // projection's logical plan embeds the whole iteration chain (one
-    // union + aggregate layer per round over the inlined edge build),
-    // and every downstream consumer re-ran Catalyst over that
-    // 1000+-line tree — for qd_cluster_labels / qd_cluster_cohesion /
-    // qp_weights the assignment is consumed 2-3 times per query, so
-    // ANALYSIS time, not task time, dominated. The checkpoint makes
-    // each consumer's plan a constant-size LogicalRDD scan.
-    graft.operators.Materialize.once(
-      labels.select(col("__id").as(idCol), col("__comp").as("component_id")))
+    // r14 unconditional checkpoint-truncation of the RETURNED frame
+    // is now GATED on round count (r15): consumers hit the cache for
+    // DATA either way, so the truncation only ever bought Catalyst
+    // analysis time on the iteration-deep logical plan — and for the
+    // 2-3-round near-clique graphs every contract query produces, the
+    // extra materialization pass cost more wall than the analysis it
+    // saved (driver r14: qd_cluster_labels/cohesion/qp_weights
+    // regressed 20-35%; r15 stage profile: barrier-ON 88.6 s task /
+    // 6.6 s warm vs OFF 65.7 s / 5.9 s on qd_cluster_labels). Deep
+    // iterations (pathological diameters) still truncate — there the
+    // per-round plan growth genuinely dominates.
+    val out = labels.select(col("__id").as(idCol),
+      col("__comp").as("component_id"))
+    if (iter >= 8) graft.operators.Materialize.once(out, "cc.labels") else out
   }
 
   /** Connected components by alternating large-star / small-star
@@ -1148,7 +1159,7 @@ object Dedup {
     val und = graft.operators.Materialize.once(
       edges.select(least(col(ea), col(eb)).as("__a"),
           greatest(col(ea), col(eb)).as("__b"))
-        .where(col("__a") =!= col("__b")).distinct())
+        .where(col("__a") =!= col("__b")).distinct(), "pr.und")
     val directed = und.select(col("__a").as("__src"), col("__b").as("__dst"))
       .union(und.select(col("__b").as("__src"), col("__a").as("__dst")))
     val deg = directed.groupBy("__src").agg(count(lit(1)).as("__deg"))

@@ -975,9 +975,21 @@ object SimilarityQueries {
       .select(col("q_id"), col("neighbor_id").as("id"),
         col("cosine").as("rel"))
       .localCheckpoint()
-    val vecs = emb
-      .select(col("vec_id").as("id"), asDoubles(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // Candidate-pruned vector panel (r15, guide §3.2/§6): ca and cb
+    // below are INNER joins on candidate ids, so only panel vectors
+    // (≤ queries·k rows) can survive — yet the un-pruned `vecs`
+    // subplan inlined into both joins re-scanned and re-decoded
+    // (asDoubles + norm) the FULL corpus twice per run. The broadcast
+    // semi-join prunes the scan to panel rows BEFORE the per-row
+    // decode (at 100 TB this is the difference between two corpus
+    // passes and two index probes), and the pruned panel materializes
+    // once for both consumers. Values are unchanged: rows outside the
+    // candidate set never survived the inner joins.
+    val ids = cand.select(col("id").as("vec_id")).distinct()
+    val vecs = graft.operators.Materialize.once(
+      emb.join(broadcast(ids), Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("id"), asDoubles(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))), "mmr.vecs")
     val ca = cand.select(col("q_id"), col("id").as("id_a"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
@@ -989,44 +1001,57 @@ object SimilarityQueries {
       .select(col("q_id"), col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("sim"))
-      .localCheckpoint()
-    val w = Window.partitionBy("q_id").orderBy(desc("score"), col("id"))
-    var selected = cand
-      .withColumn("score",
-        lit(lam) * col("rel") - lit(oneMinusLam) * lit(0.0))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("q_id"), col("id"), col("rel"), col("score"),
-        lit(1).as("sel_rank"))
-    for (r <- 2 to 5) {
-      val rem = cand.join(selected.select("q_id", "id"),
-        Seq("q_id", "id"), "left_anti")
-      val ms = pairs
-        .join(selected.select(col("q_id"), col("id").as("id_b")),
-          Seq("q_id", "id_b"))
-        .groupBy(col("q_id"), col("id_a"))
-        .agg(max("sim").as("ms"))
-        .withColumnRenamed("id_a", "id")
-      val pick = rem.join(ms, Seq("q_id", "id"))
-        .withColumn("score",
-          lit(lam) * col("rel") - lit(oneMinusLam) * col("ms"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("q_id"), col("id"), col("rel"), col("score"),
-          lit(r).as("sel_rank"))
-      // Truncate per round: `selected` feeds the next round THREE ways
-      // (anti-join, max-sim join, union), so without materialization
-      // the lineage re-evaluates earlier rounds ~3^r times (measured
-      // 5.9 s at sf0.1; ≤ q·k rows, so the checkpoint is pennies).
-      selected = selected.unionByName(pick).localCheckpoint()
-    }
-    selected
+    // The 5 greedy rounds run IN-ROW over the bounded panel (r15):
+    // the former driver loop (per-round anti-join + max-sim join +
+    // argmax window + union + localCheckpoint) planned ~40 AQE stage
+    // jobs over ≤ q·k-row frames — stage-profiled at 4.5 s warm of
+    // which only 2.7 s was job wall and the brute-force scorer 0.3 s;
+    // the rest was driver latency between 54 tiny jobs. Per query the
+    // candidate panel (k=20) and its pair-sim matrix (k·(k−1) rows)
+    // collect into one row, and the greedy argmax folds over
+    // sequence(1,5) with the exact same arithmetic: rel/sim enter
+    // 6-rounded, score = 0.7·rel − 0.3·max-sim-to-selected (round 1:
+    // literal 0.0), argmax by (score desc, id asc) via the sorted
+    // struct (score, −id) — bit-identical selection, oracle-verified
+    // at sf0.01 + sf0.001. Scale shape unchanged: the panel is
+    // bounded, so the fold is O(rounds·k²) per query row.
+    val candArr = cand.groupBy("q_id")
+      .agg(collect_list(struct(col("id"), col("rel"))).as("cs"))
+    val pairArr = pairs.groupBy("q_id")
+      .agg(collect_list(struct(col("id_a"), col("id_b"), col("sim")))
+        .as("ps"))
+    val sel = expr("""
+      aggregate(
+        sequence(1, 5),
+        cast(array() as array<struct<id:bigint,rel:double,score:double,rank:int>>),
+        (acc, r) -> concat(acc, transform(
+          slice(array_sort(transform(
+            filter(cs, c -> !exists(acc, s -> s.id = c.id)),
+            c -> named_struct(
+              'score', 0.7d * c.rel - 0.3d * coalesce(array_max(transform(
+                filter(ps, p -> p.id_a = c.id
+                  and exists(acc, s -> s.id = p.id_b)),
+                p -> p.sim)), 0.0d),
+              'ni', -c.id,
+              'id', c.id,
+              'rel', c.rel))), -1, 1),
+          b -> named_struct('id', b.id, 'rel', b.rel,
+            'score', b.score, 'rank', r))))""")
+    candArr
+      // left join + empty-array default: a query whose panel has a
+      // single candidate produces NO pair row; it must still select
+      // its rank-1 candidate (the driver-loop shape did).
+      .join(pairArr, Seq("q_id"), "left")
+      .withColumn("ps", coalesce(col("ps"),
+        expr("cast(array() as array<struct<id_a:bigint,id_b:bigint,sim:double>>)")))
+      .select(col("q_id"), explode(sel).as("s"))
       // round to SEVEN digits: score = 0.7·rel − 0.3·ms over 6-rounded
       // inputs is an exact multiple of 1e-7, so round(·,6) sits ON the
       // half boundary whenever digit 7 is 5 and the engines' half-up
       // vs float-trick rounding split; at 7 digits no boundary exists.
-      .select(col("q_id"), col("sel_rank"), col("id").as("neighbor_id"),
-        col("rel").as("relevance"), round(col("score"), 7).as("mmr_score"))
+      .select(col("q_id"), col("s.rank").as("sel_rank"),
+        col("s.id").as("neighbor_id"), col("s.rel").as("relevance"),
+        round(col("s.score"), 7).as("mmr_score"))
       .orderBy("q_id", "sel_rank")
   }
 

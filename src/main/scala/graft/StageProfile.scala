@@ -34,8 +34,9 @@ object StageProfile {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     case class StageRow(jobId: Int, stageId: Int, name: String,
-      wallMs: Long, taskMs: Long, shufReadMB: Double, shufWriteMB: Double,
-      inputMB: Double, recIn: Long, recOut: Long, tasks: Int)
+      wallMs: Long, taskMs: Long, gcMs: Long, shufReadMB: Double,
+      shufWriteMB: Double, inputMB: Double, recIn: Long, recOut: Long,
+      tasks: Int)
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
     val jobOfStage = scala.collection.mutable.Map.empty[Int, Int]
     val jobDesc = scala.collection.mutable.Map.empty[Int, String]
@@ -59,6 +60,7 @@ object StageProfile {
             (for (a <- si.completionTime; b <- si.submissionTime) yield a - b)
               .getOrElse(-1L),
             m.executorRunTime,
+            m.jvmGCTime,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.inputMetrics.bytesRead / 1e6,
@@ -100,6 +102,7 @@ object StageProfile {
           f"task=${ss.map(_.taskMs).sum}%7d ms  $desc")
         for (s <- ss.sortBy(-_.taskMs)) {
           println(f"   stage ${s.stageId}%4d task=${s.taskMs}%7d ms " +
+            f"gc=${s.gcMs}%6d ms " +
             f"wall=${s.wallMs}%6d ms sr=${s.shufReadMB}%8.1fMB " +
             f"sw=${s.shufWriteMB}%8.1fMB in=${s.inputMB}%7.1fMB " +
             f"rIn=${s.recIn}%9d rOut=${s.recOut}%9d t=${s.tasks}%3d  " +

@@ -938,7 +938,19 @@ object Dedup {
     // memory — the exact OOM the scale ladder caught in kCore's loop
     // at the ×160 rung. A round frame is re-read at most three times;
     // disk blocks pin no memory.
-    val roundLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // Round-block storage level is SIZE-GATED (r15): DISK_ONLY remains
+    // the guard for |E|-scale frames (see the OOM note above), but a
+    // bench-SF or late-round frame of < 10⁶ edges is ≤ ~16 MB
+    // serialized — parking that on disk made every consumer task pay
+    // a block-file read under host IO contention for no memory-safety
+    // gain. eCount is measured each round, so a 100 TB run's early
+    // rounds stay on disk and the shrunken tail graduates to memory.
+    val diskOnlyLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val memLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val memBelowEdges = vertices.sparkSession.conf
+      .get("spark.graft.cc.memRoundsBelowEdges", "1000000").toLong
+    def roundLevel(edgesNow: Long) =
+      if (edgesNow < memBelowEdges) memLevel else diskOnlyLevel
     var e = edges
       .select(greatest(col(ea), col(eb)).as("__hi"),
         least(col(ea), col(eb)).as("__lo"))
@@ -946,12 +958,22 @@ object Dedup {
       .join(vset.withColumnRenamed("__v", "__hi"), Seq("__hi"), "left_semi")
       .join(vset.withColumnRenamed("__v", "__lo"), Seq("__lo"), "left_semi")
       .distinct()
-      .localCheckpoint(true, roundLevel)
+      .localCheckpoint(true, diskOnlyLevel)
     var eCount = e.count()
     var iter = 0
     var converged = eCount == 0L
     val ccVerbose = sys.env.get("GRAFT_CC_VERBOSE").contains("1")
     if (ccVerbose) println(s"[cc] init edges=$eCount")
+    // MEASURED AND REJECTED (r15): disabling AQE for small rounds
+    // (scoped conf toggle, threshold-gated on eCount) to collapse the
+    // ~6 stage-jobs per round into one job made the loop 2.3× SLOWER
+    // (qm_phash_clusters 4.6 s → 10.6 s warm, 207 s task): without
+    // AQE's partition coalescing every round stage ran 32-64 tasks
+    // instead of 1-2, and this suite's dominant per-task fixed cost
+    // (~100-300 ms of shared-dependency wait billed to every
+    // concurrently-launched task) multiplied by the task count. AQE's
+    // byte-based coalescing is protective for the kilobyte iteration
+    // frames; the per-round driver latency is the cheaper poison.
     while (!converged && iter < maxIter) {
       // large-star: adjacency from both directions; m(u) = min(N(u) ∪ {u});
       // larger neighbors v > u re-attach to m(u). m ≤ u < v keeps the
@@ -972,7 +994,9 @@ object Dedup {
         .select(col("__lo").as("__hi"), col("__m").as("__lo"))
         .union(smins.select(col("__hi"), col("__m").as("__lo")))
         .distinct()
-        .localCheckpoint(true, roundLevel)
+        // a round never grows the edge set, so the previous round's
+        // count bounds this one — a valid gate for the level choice.
+        .localCheckpoint(true, roundLevel(eCount))
       val nextCount = next.count()
       // Set equality needs the anti-join only on candidate fixpoints
       // (counts already equal) — shrinking rounds skip the join job.
